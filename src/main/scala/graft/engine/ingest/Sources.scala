@@ -1,0 +1,86 @@
+package graft.engine.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.io.{LongWritable, Text}
+import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+
+/** Log ingestion sources (SURVEY.md §2.1 S1-S3).
+  *
+  * Line numbering: the reference consumes files sequentially and numbers
+  * lines 1-based in file order (mongo_parser.py:28). Spark has no global row
+  * order, so we materialize an explicit `line_no` at ingest via
+  * zipWithIndex — deterministic for a single file read as a whole, and per
+  * partition-stable for splittable reads. Downstream operators never rely on
+  * implicit order; they use `line_no` (e.g. `min_by(x, line_no)` for
+  * "first in file order" samples), which is the design that survives a
+  * 1000-executor scale-out.
+  */
+object Sources {
+
+  /** S1: line-oriented text scan with 1-based line numbers
+    * (mongo_parser.py:215-216 readlines + enumerate).
+    */
+  def readLines(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.textFile(path).rdd
+      .zipWithIndex()
+      .map { case (line, idx) => (line, idx + 1L) }
+      .toDF("line", "line_no")
+  }
+
+  /** S3: in-memory lines (mongo_parser.py:157-158 upload path). */
+  def fromLines(spark: SparkSession, lines: Seq[String]): DataFrame = {
+    import spark.implicits._
+    lines.zipWithIndex.map { case (l, i) => (l, i + 1L) }.toDF("line", "line_no")
+  }
+
+  /** S2 parity path: whole-file scan (mysqlLogParser.py:218-219).
+    * One row per file: (file_id, content). Only for small-file parity runs —
+    * a single 100 TB record is the scale-killer SURVEY.md §7.2 flags; the
+    * scale path is [[readDelimited]].
+    */
+  def readWholeFile(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(path)
+      .select(monotonically_increasing_id().as("file_id"), col("value").as("content"))
+  }
+
+  /** S3 for MySQL: in-memory whole-log string. */
+  def fromContent(spark: SparkSession, content: String): DataFrame = {
+    import spark.implicits._
+    Seq((0L, content)).toDF("file_id", "content")
+  }
+
+  /** S2 scale path: record-delimited read via Hadoop's configurable record
+    * delimiter. Splits a MySQL slow log into one record per `# Time: ` entry
+    * WITHOUT loading whole files into single rows, so a 100 TB log dir scans
+    * in parallel with normal HDFS/S3 splits.
+    *
+    * Each record is one entry body (delimiter stripped); we re-prepend the
+    * marker exactly like the reference reconstructs entries
+    * (mysqlLogParser.py:52-53). `entry_no` is the 1-based record index in
+    * scan order (per-file stable: TextInputFormat splits preserve in-file
+    * record order and zipWithIndex numbers them by split index).
+    */
+  def readDelimited(spark: SparkSession, path: String,
+                    delimiter: String = "\n# Time: "): DataFrame = {
+    import spark.implicits._
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", delimiter)
+    spark.sparkContext
+      .newAPIHadoopFile(path, classOf[TextInputFormat],
+        classOf[LongWritable], classOf[Text], conf)
+      .map(_._2.toString)
+      .zipWithIndex()
+      .map { case (body, idx) => (idx + 1L, body) }
+      .toDF("entry_no", "body")
+      // Record 0 is the file preamble up to the first marker; later records
+      // lost their leading "# Time: " to the delimiter. Reconstruct.
+      .select(col("entry_no"),
+        when(col("entry_no") === 1L, col("body"))
+          .otherwise(concat(lit("# Time: "), col("body"))).as("entry"))
+      .filter(col("entry").startsWith("# Time: "))
+  }
+}

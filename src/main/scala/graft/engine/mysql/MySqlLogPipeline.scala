@@ -1,0 +1,159 @@
+package graft.engine.mysql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.engine.expr.Normalizers
+
+/** MySQL/Percona slow-query-log analyzer, re-expressed as a declarative
+  * Spark dataflow (reference behavior: /root/reference/MySql/mysqlLogParser.py:16-134).
+  *
+  * Shape: whole-log content → entry split on "# Time: " (P8) → 7 regex field
+  * extractions (P9) → completeness gate (P10/R4) → unit conversion (P11) +
+  * empty-query placeholder (P12) + fingerprint (F2) → detailed table +
+  * per-pattern aggregate (A3) + warnings channel (E2).
+  *
+  * Everything is built-in Catalyst expressions — regexp_extract / rlike /
+  * try_cast / min_by — so the whole parse is one WholeStageCodegen span per
+  * branch and the only shuffle is the aggregate's groupBy. At scale, input
+  * arrives pre-split as entry records ([[graft.engine.ingest.Sources.readDelimited]])
+  * rather than whole-file strings.
+  */
+object MySqlLogPipeline {
+
+  /** The 7 field patterns (mysqlLogParser.py:18-27). Valid Java regex
+    * verbatim; Python's re.DOTALL becomes the inline (?s) flag and \Z
+    * (end-of-string) is Java's \z.
+    */
+  val TimeP = "# Time: (.*)"
+  val UserHostP = "# User@Host: (.*?) thread_id:"
+  val QueryTimeP = "# Query_time: (.*?) Lock_time:"
+  val LockTimeP = "Lock_time: (.*?) Rows_sent:"
+  val RowsSentP = "Rows_sent: (.*?) Rows_examined:"
+  val RowsExaminedP = "Rows_examined: (.*?)\n"
+  val QueryP = "(?s)SET timestamp=.*?;\n(.*?)(?=\n# Time:|\\z)"
+
+  val EmptyQueryPlaceholder = "N/A (Query not captured)"
+
+  final case class Result(detailed: DataFrame, aggregate: DataFrame,
+                          warnings: DataFrame)
+
+  /** P8: split whole-log content rows into entry rows.
+    * Input: (file_id: Long, content: String). Output: (file_id, entry_no,
+    * ord, entry) where entry_no is the 1-based entry index within the file
+    * (== the reference's warning numbering, mysqlLogParser.py:52) and ord is
+    * a single global file-order key for "first in file" sample selection.
+    */
+  def entriesFromFiles(files: DataFrame): DataFrame =
+    files
+      .select(col("file_id"),
+        posexplode(split(col("content"), "# Time: ", -1)).as(Seq("pos", "body")))
+      .filter(col("pos") > 0) // element 0 is the pre-"# Time: " preamble
+      .select(
+        col("file_id"),
+        col("pos").cast("long").as("entry_no"),
+        (col("file_id") * lit(1L << 32) + col("pos")).as("ord"),
+        concat(lit("# Time: "), col("body")).as("entry"))
+
+  /** Entry records → detailed + aggregate + warnings.
+    * Input: (file_id, entry_no, ord, entry).
+    */
+  def parseEntries(entries: DataFrame): Result = {
+    def flag(p: String): Column = col("entry").rlike(p)
+    def ext(p: String): Column = regexp_extract(col("entry"), p, 1)
+
+    val matched = entries.select(
+      col("file_id"), col("entry_no"), col("ord"), col("entry"),
+      flag(TimeP).as("t_ok"), flag(UserHostP).as("uh_ok"),
+      flag(QueryTimeP).as("qt_ok"), flag(LockTimeP).as("lt_ok"),
+      flag(RowsSentP).as("rs_ok"), flag(RowsExaminedP).as("re_ok"),
+      flag(QueryP).as("q_ok"))
+
+    val allOk = col("t_ok") && col("uh_ok") && col("qt_ok") &&
+      col("lt_ok") && col("rs_ok") && col("re_ok") && col("q_ok")
+
+    // P10/R4 failure channel: which patterns matched, Python-bool rendering,
+    // first 200 chars of the entry (mysqlLogParser.py:95-96).
+    def pyBool(c: Column): Column = when(c, "True").otherwise("False")
+    val skipWarnings = matched.filter(!allOk).select(
+      col("file_id"), col("entry_no"), col("ord"), lit(0).as("warn_rank"),
+      concat(
+        lit("Skipped log entry "), col("entry_no"),
+        lit(" due to missing fields. Details: T:"), pyBool(col("t_ok")),
+        lit(", UH:"), pyBool(col("uh_ok")), lit(", QT:"), pyBool(col("qt_ok")),
+        lit(", LT:"), pyBool(col("lt_ok")), lit(", RS:"), pyBool(col("rs_ok")),
+        lit(", RE:"), pyBool(col("re_ok")), lit(", Q:"), pyBool(col("q_ok")),
+        lit(". Content snippet: "), substring(col("entry"), 1, 200), lit("...")
+      ).as("warning"))
+
+    val kept = matched.filter(allOk).select(
+      col("file_id"), col("entry_no"), col("ord"),
+      ext(TimeP).as("time_raw"), ext(UserHostP).as("uh_raw"),
+      ext(QueryTimeP).as("qt_raw"), ext(LockTimeP).as("lt_raw"),
+      ext(RowsSentP).as("rs_raw"), ext(RowsExaminedP).as("re_raw"),
+      trim(ext(QueryP)).as("query_raw"))
+
+    // P11: float(qt) * 1000 with 0.0 + warning on unparsable values.
+    val qtMs = expr("try_cast(trim(qt_raw) as double)") * 1.0e3
+
+    val projected = kept.select(
+      col("file_id"), col("entry_no"), col("ord"), col("qt_raw"),
+      trim(col("time_raw")).as("Time"),
+      trim(col("uh_raw")).as("User@Host"),
+      coalesce(qtMs, lit(0.0)).as("Query_time (ms)"),
+      qtMs.isNull.as("qt_bad"),
+      trim(col("lt_raw")).as("Lock_time"),
+      trim(col("rs_raw")).as("Rows_sent"),
+      trim(col("re_raw")).as("Rows_examined"),
+      when(col("query_raw") === "", EmptyQueryPlaceholder)
+        .otherwise(col("query_raw")).as("Query"),
+      when(col("query_raw") === "", EmptyQueryPlaceholder)
+        .otherwise(Normalizers.normalizeMySqlQuery(col("query_raw"))).as("Normalized_Query"))
+
+    // P11 cast-failure warning (mysqlLogParser.py:72-74; note the message
+    // embeds the UNstripped capture) and P12 empty-query warning (:83-87).
+    val qtWarnings = projected.filter(col("qt_bad")).select(
+      col("file_id"), col("entry_no"), col("ord"), lit(1).as("warn_rank"),
+      concat(lit("Could not parse Query_time: '"), col("qt_raw"),
+        lit("' in entry "), col("entry_no"), lit(". Skipping field.")).as("warning"))
+    val emptyWarnings = projected.filter(col("Query") === EmptyQueryPlaceholder)
+      .select(col("file_id"), col("entry_no"), col("ord"), lit(2).as("warn_rank"),
+        concat(lit("Empty query string found in entry "), col("entry_no"),
+          lit(". It might be a non-SELECT/INSERT/UPDATE/DELETE statement or a parsing issue.")).as("warning"))
+
+    val detailed = projected.select(
+      col("file_id"), col("entry_no"), col("ord"),
+      col("Time"), col("User@Host"), col("Query_time (ms)"), col("Lock_time"),
+      col("Rows_sent"), col("Rows_examined"), col("Query"), col("Normalized_Query"))
+
+    // A3 + O2: per-pattern stats, keys ascending (pandas groupby default
+    // sort, verified by execution — SURVEY.md §2.4/§2.5). "First in file"
+    // sample via min_by on the explicit order key, never first().
+    val aggregate = detailed
+      .groupBy(col("Normalized_Query"))
+      .agg(
+        count(lit(1)).as("Executions"),
+        min(col("Query_time (ms)")).as("Min_Query_time_ms"),
+        max(col("Query_time (ms)")).as("Max_Query_time_ms"),
+        round(avg(col("Query_time (ms)")), 2).as("Avg_Query_time_ms"),
+        min_by(col("Query"), col("ord")).as("Sample_Query"))
+      .orderBy(col("Normalized_Query"))
+
+    val warnings = skipWarnings.unionByName(qtWarnings).unionByName(emptyWarnings)
+      .orderBy(col("ord"), col("warn_rank"))
+      .select(col("file_id"), col("entry_no"), col("warning"))
+
+    Result(detailed, aggregate, warnings)
+  }
+
+  /** Reference-equivalent entry point: whole-log content rows in,
+    * (detailed, aggregate, warnings) out.
+    */
+  def parse(files: DataFrame): Result = parseEntries(entriesFromFiles(files))
+
+  /** Reference output schema (the 8 columns of mysqlLogParser.py:104-113),
+    * without the engine's provenance columns.
+    */
+  def referenceDetailed(detailed: DataFrame): DataFrame =
+    detailed.select("Time", "User@Host", "Query_time (ms)", "Lock_time",
+      "Rows_sent", "Rows_examined", "Query", "Normalized_Query")
+}
