@@ -90,7 +90,8 @@ object SparkEntry {
       |      WHEN 3 THEN 'SELECT o1.o_orderkey,' || chr(10) || '  o1.o_totalprice' || chr(10) || 'FROM orders o1' || chr(10) || 'WHERE o1.o_custkey = ' || (c % 1500) || ' LIMIT 10;'
       |      ELSE NULL END AS query,
       |    CASE WHEN k % 97 = 0 THEN 'bad' ELSE CAST(k % 7 AS VARCHAR) END AS qt_raw,
-      |    CASE WHEN k % 97 = 0 THEN 0.0 ELSE (k % 7) * 1000.0 END AS qt_ms
+      |    CASE WHEN k % 97 = 0 THEN CAST(0 AS DOUBLE)
+      |         ELSE CAST(k % 7 AS DOUBLE) * 1000 END AS qt_ms
       |  FROM g
       |), d AS (
       |  SELECT file_id, entry_no, k, m, qt_raw,

@@ -38,6 +38,13 @@ object Normalizers {
   def normalizeMySqlQuery(query: Column): Column =
     upper(regexp_replace(query, MySqlNormalizePattern, "?"))
 
+  /** Python str.strip() semantics (F3): remove ALL leading/trailing
+    * whitespace. Spark's trim() strips only ASCII spaces — a trailing
+    * newline on a multi-line query would survive it.
+    */
+  def pyStrip(c: Column): Column =
+    regexp_replace(c, "^\\s+|\\s+$", "")
+
   /** Error-signature composite key (F4, mongo_parser.py:78).
     * Only used where a single string key is needed; the aggregation itself
     * groups on the three columns (equivalent, and skew/collision-safe).

@@ -17,6 +17,13 @@ object LogGen {
 
   private def s(c: Column): Column = c.cast("string")
 
+  /** Epoch-micros of a TIMESTAMP_NTZ column (the testdata parquet has no
+    * timezone). NTZ→TZ cast interprets wall time in the session timezone,
+    * which every entry point pins to UTC — matching DuckDB's epoch_us on the
+    * same naive timestamps.
+    */
+  private def microsNtz(c: Column): Column = unix_micros(c.cast("timestamp"))
+
   // ---------------------------------------------------------------- MySQL
 
   /** One slow-log entry per `orders` row, keyed by o_orderkey:
@@ -56,7 +63,7 @@ object LogGen {
     val qt = when(key % 97 === 0, lit("bad")).otherwise(s(key % 7))
 
     concat(
-      lit("# Time: "), s(unix_micros(orderdate)),
+      lit("# Time: "), s(microsNtz(orderdate)),
       lit("\n"), uhLine,
       lit("\n# Query_time: "), qt,
       lit(" Lock_time: 0.00"), s(key % 10),
@@ -95,10 +102,15 @@ object LogGen {
     *                           non-slow auth line
     */
   def mongoLines(spark: SparkSession, sfDir: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by default;
+    // read it as a raw nanos Long and truncate to micros with integer
+    // division (floor == truncation for the post-1970 testdata; double math
+    // would lose precision above 2^53).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     val eid = col("event_id")
     val uid = col("user_id")
-    val ts = s(unix_micros(col("ts")))
+    val ts = s(expr("ts div 1000"))
     val dur = s(floor(col("value") * 100).cast("long"))
     val appNs = concat(lit("app"), s(uid % 3), lit(".coll"), s(eid % 5))
     val collName = concat(lit("coll"), s(eid % 5))

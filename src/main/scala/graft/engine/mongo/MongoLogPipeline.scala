@@ -111,7 +111,7 @@ object MongoLogPipeline {
       .agg(
         min(col("line_no")).as("OriginalLineNumber"),
         count(lit(1)).as("totalCount"),
-        min_by(trim(col("line")), col("line_no")).as("SampleLine"))
+        min_by(Normalizers.pyStrip(col("line")), col("line_no")).as("SampleLine"))
       .select("OriginalLineNumber", "msg", "error", "errmsg", "totalCount", "SampleLine")
       .orderBy(col("OriginalLineNumber")) // == reference insertion order
 
@@ -120,7 +120,7 @@ object MongoLogPipeline {
     */
   def nonSlow(scan: DataFrame): DataFrame =
     scan.filter(col("valid") && !col("is_slow") && !col("is_error"))
-      .select(col("line_no"), trim(col("line")).as("LogLine"))
+      .select(col("line_no"), Normalizers.pyStrip(col("line")).as("LogLine"))
 
   /** E1: bad-record channel with the reference's message format
     * (mongo_parser.py:91-94).

@@ -90,20 +90,20 @@ object MySqlLogPipeline {
       ext(TimeP).as("time_raw"), ext(UserHostP).as("uh_raw"),
       ext(QueryTimeP).as("qt_raw"), ext(LockTimeP).as("lt_raw"),
       ext(RowsSentP).as("rs_raw"), ext(RowsExaminedP).as("re_raw"),
-      trim(ext(QueryP)).as("query_raw"))
+      Normalizers.pyStrip(ext(QueryP)).as("query_raw"))
 
     // P11: float(qt) * 1000 with 0.0 + warning on unparsable values.
     val qtMs = expr("try_cast(trim(qt_raw) as double)") * 1.0e3
 
     val projected = kept.select(
       col("file_id"), col("entry_no"), col("ord"), col("qt_raw"),
-      trim(col("time_raw")).as("Time"),
-      trim(col("uh_raw")).as("User@Host"),
+      Normalizers.pyStrip(col("time_raw")).as("Time"),
+      Normalizers.pyStrip(col("uh_raw")).as("User@Host"),
       coalesce(qtMs, lit(0.0)).as("Query_time (ms)"),
       qtMs.isNull.as("qt_bad"),
-      trim(col("lt_raw")).as("Lock_time"),
-      trim(col("rs_raw")).as("Rows_sent"),
-      trim(col("re_raw")).as("Rows_examined"),
+      Normalizers.pyStrip(col("lt_raw")).as("Lock_time"),
+      Normalizers.pyStrip(col("rs_raw")).as("Rows_sent"),
+      Normalizers.pyStrip(col("re_raw")).as("Rows_examined"),
       when(col("query_raw") === "", EmptyQueryPlaceholder)
         .otherwise(col("query_raw")).as("Query"),
       when(col("query_raw") === "", EmptyQueryPlaceholder)
