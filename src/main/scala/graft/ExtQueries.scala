@@ -1,0 +1,366 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.ext._
+
+/** Extension-operator registrations (relational, sessionization, text
+  * analysis, dedup, similarity, multimodal) with their DuckDB oracles.
+  * Merged into [[SparkEntry.queries]] / [[SparkEntry.oracleSql]].
+  *
+  * Oracle-parity ground rules (see SURVEY.md §7.2):
+  *  - similarity/ratio outputs are integer (ppm / quantized dot products),
+  *    never rounded doubles;
+  *  - money sums go through decimal(18,2);
+  *  - DuckDB regexp_replace needs the explicit 'g' flag (Spark is global
+  *    by default);
+  *  - integer division: Spark `(a / b).cast("long")` truncates, DuckDB
+  *    `//` floors — identical for the non-negative values used here;
+  *  - every query ends in a total ORDER BY mirrored by the oracle.
+  */
+object ExtQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------ relational (joins etc.)
+    "ext_segment_revenue" -> ((s, dir) => Relational.segmentRevenue(s, dir)),
+    "ext_status_revenue" -> ((s, dir) => Relational.statusRevenue(s, dir)),
+    "ext_top_parts_per_brand" -> ((s, dir) => Relational.topPartsPerBrand(s, dir)),
+    "ext_top_lineitems" -> ((s, dir) => Relational.topLineitems(s, dir)),
+    "ext_suppliers_per_region" -> ((s, dir) => Relational.suppliersPerRegion(s, dir)),
+    // ------------------------------------------------ events
+    "ext_sessions" -> ((s, dir) => Sessionize.sessions(s, dir)),
+    "ext_hourly_rollup" -> ((s, dir) => Sessionize.hourlyRollup(s, dir)),
+    // ------------------------------------------------ text analysis
+    "text_analyze" -> ((s, dir) =>
+      TextAnalysis.analyze(s, dir).orderBy(col("doc_id"))),
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(s, dir).orderBy(col("doc_id"))),
+    "text_quality_rollup" -> ((s, dir) => TextAnalysis.qualityRollup(s, dir)),
+    // ------------------------------------------------ dedup
+    "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
+    "dedup_bow" -> ((s, dir) => Dedup.bagOfWords(s, dir)),
+    "dedup_ngram_pairs" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
+    "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
+    "dedup_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(s, dir)),
+    // ------------------------------------------------ similarity search
+    "ann_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
+    "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    "ann_label_centroids" -> ((s, dir) => Similarity.labelCentroidSim(s, dir)),
+    // ------------------------------------------------ multimodal
+    "mm_features" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.decodeFeatures(s, dir).toDF().orderBy(col("doc_id"))
+    }),
+    "mm_format_rollup" -> ((s, dir) => Multimodal.formatRollup(s, dir)),
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  /** Shared DuckDB fragments. */
+  private val toks =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             x -> x != '') AS t
+      |  FROM documents
+      |)""".stripMargin
+
+  private val shingles3 = toks +
+    """, sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) >= 3 THEN
+      |      list_distinct(list_transform(range(1, len(t) - 1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |    ELSE [] END AS sh
+      |  FROM toks
+      |)""".stripMargin
+
+  private val tokHash =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                                    x -> x != '')) AS tok
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM tok
+      |)""".stripMargin
+
+  private val simhashSig = tokHash +
+    """, vote AS (
+      |  SELECT doc_id, bit,
+      |    sum(CASE WHEN (h >> bit) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM h, range(0, 60) r(bit) GROUP BY 1, 2
+      |), sig AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+      |         AS BIGINT) AS simhash
+      |  FROM vote GROUP BY doc_id
+      |)""".stripMargin
+
+  private val quantized =
+    """WITH v AS (
+      |  SELECT vec_id, label, i,
+      |    CAST(floor(embedding[i]::DOUBLE * 1000) AS BIGINT) AS q
+      |  FROM embeddings, range(1, 65) t(i)
+      |)""".stripMargin
+
+  private val media =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    ['jpeg','png','wav','mp4'][(doc_id % 4 + 1)::INT] AS format,
+      |    CAST(64 + n_chars % 512 AS INT) AS width,
+      |    CAST(64 + (doc_id * 37) % 512 AS INT) AS height,
+      |    CAST(1 + doc_id % 8 AS INT) AS n_frames,
+      |    length(text) AS n_bytes,
+      |    ascii(substring(text, 1, 1)) AS first_byte,
+      |    text
+      |  FROM documents
+      |), fr AS (
+      |  SELECT doc_id,
+      |    CAST(sum(ascii(substring(text,
+      |      least((f * n_bytes) // n_frames, n_bytes - 1) + 1, 1))) AS BIGINT)
+      |      AS frame_byte_sum
+      |  FROM m, range(0, 8) t(f) WHERE f < n_frames GROUP BY doc_id
+      |)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "ext_segment_revenue" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "ext_status_revenue" ->
+      """SELECT o_orderstatus, l_returnflag, count(*) AS n_lines,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS disc_revenue_c,
+        |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus, l_returnflag
+        |ORDER BY o_orderstatus, l_returnflag""".stripMargin,
+
+    "ext_top_parts_per_brand" ->
+      """SELECT p_brand, p_partkey, p_name, price_c, rank FROM (
+        |  SELECT p_brand, p_partkey, p_name,
+        |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
+        |    row_number() OVER (PARTITION BY p_brand
+        |                       ORDER BY p_retailprice DESC, p_partkey) AS rank
+        |  FROM part)
+        |WHERE rank <= 3 ORDER BY p_brand, rank""".stripMargin,
+
+    "ext_top_lineitems" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+        |FROM lineitem
+        |ORDER BY price_c DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "ext_suppliers_per_region" ->
+      """SELECT r_name, count(*) AS n_suppliers,
+        |  CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_acctbal_c
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "ext_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+        |    CAST(floor("value" * 100) AS BIGINT) AS value_c
+        |  FROM events
+        |), l AS (
+        |  SELECT *, lag(tsu) OVER (PARTITION BY user_id
+        |                           ORDER BY tsu, event_id) AS prev
+        |  FROM e
+        |), s AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR tsu - prev > 1800000000
+        |                 THEN 1 ELSE 0 END AS new_s
+        |  FROM l
+        |), t AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM s
+        |)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  count(*) AS n_events,
+        |  min(tsu) AS session_start_us, max(tsu) AS session_end_us,
+        |  max(tsu) - min(tsu) AS span_us,
+        |  CAST(sum(value_c) AS BIGINT) AS sum_value_c
+        |FROM t GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    "ext_hourly_rollup" ->
+      """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_start_us,
+        |  event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "text_analyze" ->
+      """SELECT doc_id, lang, source,
+        |  length(text) AS n_chars_m,
+        |  len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS n_tokens_ws,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+        |  len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000000 // length(text) AS punct_ppm,
+        |  len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|a|for|with|on)\b'))
+        |    * 1000000 // greatest(len(list_filter(string_split_regex(text, '\s+'),
+        |                                          x -> x != '')), 1) AS stopword_ppm,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """SELECT doc_id, lang AS lang_true,
+        |  len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|a|for|with|on)\b')) AS en_hits,
+        |  len(regexp_extract_all(text, '(?i)\b(el|la|de|que|y|en|un|por|con|para)\b')) AS es_hits,
+        |  len(regexp_extract_all(text, '(?i)\b(le|la|de|et|un|pour|que|dans|sur|avec)\b')) AS fr_hits,
+        |  len(regexp_extract_all(text, '\p{Han}')) AS han_hits,
+        |  CASE WHEN len(regexp_extract_all(text, '\p{Han}')) > 0 THEN 'zh'
+        |    WHEN len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|a|for|with|on)\b')) >=
+        |         len(regexp_extract_all(text, '(?i)\b(el|la|de|que|y|en|un|por|con|para)\b'))
+        |     AND len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|a|for|with|on)\b')) >=
+        |         len(regexp_extract_all(text, '(?i)\b(le|la|de|et|un|pour|que|dans|sur|avec)\b'))
+        |     AND len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|a|for|with|on)\b')) > 0
+        |    THEN 'en'
+        |    WHEN len(regexp_extract_all(text, '(?i)\b(el|la|de|que|y|en|un|por|con|para)\b')) >=
+        |         len(regexp_extract_all(text, '(?i)\b(le|la|de|et|un|pour|que|dans|sur|avec)\b'))
+        |     AND len(regexp_extract_all(text, '(?i)\b(el|la|de|que|y|en|un|por|con|para)\b')) > 0
+        |    THEN 'es'
+        |    WHEN len(regexp_extract_all(text, '(?i)\b(le|la|de|et|un|pour|que|dans|sur|avec)\b')) > 0
+        |    THEN 'fr'
+        |    ELSE 'unknown' END AS lang_pred
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality_rollup" ->
+      """WITH a AS (
+        |  SELECT lang, source, length(text) AS n_chars,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS n_tok,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000000 // length(text) AS punct_ppm
+        |  FROM documents
+        |)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |  min(punct_ppm) AS min_punct_ppm, max(punct_ppm) AS max_punct_ppm,
+        |  CAST(sum(n_punct) * 1000000 // sum(n_chars) AS BIGINT) AS corpus_punct_ppm
+        |FROM a GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT sha256(text) AS content_hash, min(doc_id) AS canonical_doc_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY sha256(text) ORDER BY canonical_doc_id""".stripMargin,
+
+    "dedup_bow" -> (toks +
+      """SELECT md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS bow_hash,
+        |  min(doc_id) AS canonical_doc_id, count(*) AS n_copies
+        |FROM toks GROUP BY 1 ORDER BY canonical_doc_id""".stripMargin),
+
+    "dedup_ngram_pairs" -> (shingles3 +
+      """, ex AS (
+        |  SELECT doc_id, unnest(sh) AS shingle FROM sh
+        |), sizes AS (
+        |  SELECT doc_id, len(sh) AS n_sh FROM sh
+        |), rare AS (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle,
+        |      count(*) OVER (PARTITION BY shingle) AS df
+        |    FROM ex) WHERE df <= 100
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_rare
+        |  FROM rare a JOIN rare b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, shared_rare,
+        |  shared_rare * 1000000 // (sa.n_sh + sb.n_sh - shared_rare) AS jaccard_ppm
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE shared_rare * 1000000 // (sa.n_sh + sb.n_sh - shared_rare) >= 100000
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "dedup_simhash" -> (simhashSig +
+      """SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin),
+
+    "dedup_simhash_pairs" -> (simhashSig +
+      """, bands AS (
+        |  SELECT doc_id, simhash, band,
+        |    (simhash >> (band * 15)) & 32767 AS band_val
+        |  FROM sig, range(0, 4) r(band)
+        |)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "dedup_minhash_pairs" -> (shingles3 +
+      """, ex AS (
+        |  SELECT doc_id, ('0x' || substring(md5(unnest(sh)), 1, 12))::BIGINT AS h
+        |  FROM sh
+        |), sig AS (
+        |  SELECT doc_id, i,
+        |    min((h * (2*i + 3) + 7919*(i + 1)) % 2305843009213693951) AS mh
+        |  FROM ex, range(0, 16) t(i) GROUP BY 1, 2
+        |), bands AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |    md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS bucket
+        |  FROM sig GROUP BY doc_id, i // 4
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), est AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) * 1000000 // 16
+        |         AS BIGINT) AS est_jaccard_ppm
+        |  FROM cand
+        |  JOIN sig sa ON sa.doc_id = doc_a
+        |  JOIN sig sb ON sb.doc_id = doc_b AND sb.i = sa.i
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, est_jaccard_ppm FROM est
+        |WHERE est_jaccard_ppm >= 250000 ORDER BY doc_a, doc_b""".stripMargin),
+
+    "ann_bruteforce" -> (quantized +
+      """, d AS (
+        |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+        |    CAST(sum(q.q * v.q) AS BIGINT) AS dot
+        |  FROM v q JOIN v ON q.i = v.i AND q.vec_id % 50 = 0
+        |                 AND v.vec_id != q.vec_id
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY dot DESC, neighbor_id) AS rank
+        |  FROM d
+        |)
+        |SELECT query_id, rank, neighbor_id, dot FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
+    "ann_label_centroids" -> (quantized +
+      """, cent AS (
+        |  SELECT label, i,
+        |    CAST(floor(sum(q) * 1000.0 / count(*)) AS BIGINT) AS c
+        |  FROM v GROUP BY label, i
+        |)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        |FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+        |GROUP BY 1, 2 ORDER BY label_a, label_b""".stripMargin),
+
+    "mm_features" -> (media +
+      """SELECT m.doc_id, format, width, height, n_frames,
+        |  CAST(n_bytes AS BIGINT) AS n_bytes, first_byte, frame_byte_sum
+        |FROM m JOIN fr ON m.doc_id = fr.doc_id ORDER BY m.doc_id""".stripMargin),
+
+    "mm_format_rollup" -> (media +
+      """SELECT format, count(*) AS n_media,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(sum(frame_byte_sum) AS BIGINT) AS sum_frame_bytes
+        |FROM m JOIN fr ON m.doc_id = fr.doc_id
+        |GROUP BY format ORDER BY format""".stripMargin),
+
+    // ann_ivf intentionally has no oracle (approximate, probe-dependent):
+    // the driver records the weaker rows-only check for it.
+  )
+}

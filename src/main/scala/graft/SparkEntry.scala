@@ -37,7 +37,9 @@ object SparkEntry {
 
   // ----------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = logQueries ++ ExtQueries.queries
+
+  private def logQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mysql_detailed" -> ((s, dir) =>
       mysqlResult(s, dir).detailed.drop("ord")
         .orderBy(col("file_id"), col("entry_no"))),
@@ -141,7 +143,9 @@ object SparkEntry {
       |)
       |""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = logOracles ++ ExtQueries.oracleSql
+
+  private def logOracles: Map[String, String] = Map(
     "mysql_detailed" -> (mysqlGen +
       """SELECT file_id, entry_no, "Time", "User@Host", "Query_time (ms)",
         |  "Lock_time", "Rows_sent", "Rows_examined", "Query", "Normalized_Query"

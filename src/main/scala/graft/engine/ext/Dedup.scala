@@ -1,0 +1,222 @@
+package graft.engine.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline over the
+  * `documents` table: exact, n-gram Jaccard, SimHash and MinHash+LSH.
+  *
+  * Every near-dup variant is bucket-join shaped — candidates are generated
+  * by joining on a deterministic blocking key (shared shingle, SimHash
+  * band, MinHash band), never by an all-pairs cross join. That is THE
+  * design constraint at 100 TB: cost is O(Σ bucket²) with bounded buckets
+  * (frequency caps below), not O(N²).
+  *
+  * All similarity scores are exact integer arithmetic (parts-per-million,
+  * BIGINT division; hashes from md5 hex) so outputs are bit-reproducible
+  * across engines, partition counts and cluster layouts.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ shingling
+
+  /** Lowercased whitespace tokens. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Distinct word n-gram shingles; empty when the doc has < n tokens
+    * (guarded — Spark's sequence() would otherwise run DESCENDING for
+    * start > stop and produce phantom negative indices).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** 60-bit hash of a string via md5 (15 hex chars → BIGINT) — chosen over
+    * xxhash64 because every engine has md5, making results portable, and
+    * 60 bits keeps the value positive in signed 64-bit space.
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 48-bit md5 hash — used where the value is multiplied by small
+    * constants (MinHash permutations): 48 bits × the largest multiplier
+    * stays far below 2^63, so the arithmetic is overflow-free and
+    * identical in any engine's checked BIGINT math (Spark silently wraps
+    * on overflow; other engines raise — staying under the limit keeps
+    * results portable).
+    */
+  def md5Hash48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  // ------------------------------------------------------------ exact
+
+  /** Exact dedup by content hash: one row per distinct text with the
+    * canonical (minimum) doc_id and the duplicate count. The standard
+    * sha2/groupBy shape — one shuffle on the hash, partial agg map-side.
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("canonical_doc_id"))
+
+  /** Bag-of-words dedup: documents with identical sorted distinct token
+    * sets collapse together even when word order differs.
+    */
+  def bagOfWords(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy(md5(array_join(array_sort(array_distinct(tokens(col("text")))), " "))
+        .as("bow_hash"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("canonical_doc_id"))
+
+  // ------------------------------------------------------------ n-gram Jaccard
+
+  /** Near-dup pairs by exact n-gram Jaccard with shared-shingle blocking.
+    *
+    * (doc, shingle) is exploded once; candidate pairs are docs sharing at
+    * least one shingle whose document frequency is ≤ dfCap (high-frequency
+    * shingles generate quadratic bucket blowup and carry no signal — the
+    * cap is the scale knob, applied identically in any oracle). Exact
+    * Jaccard is then computed from the shared-count and per-doc distinct
+    * shingle counts; no second pass over the corpus.
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String, n: Int = 3,
+                        dfCap: Int = 100, minJaccardPpm: Long = 100000L): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    val exploded = docs
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
+
+    // blocking: drop shingles with document frequency > dfCap
+    val rare = exploded
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= dfCap)
+      .select(col("doc_id"), col("shingle"))
+
+    val pairs = rare.as("a")
+      .join(rare.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_rare"))
+
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared_rare"),
+        (col("shared_rare") * lit(1000000L)
+          / (col("n_a") + col("n_b") - col("shared_rare"))).cast("long")
+          .as("jaccard_ppm"))
+      .filter(col("jaccard_ppm") >= minJaccardPpm)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ------------------------------------------------------------ SimHash
+
+  /** 60-bit SimHash per document from the token multiset: each token
+    * votes ±1 on each bit of its md5-derived hash; bit b of the signature
+    * is 1 when the vote sum is positive. Linear in tokens × 60, fully
+    * integer — the standard near-dup fingerprint at crawl scale.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), md5Hash60(col("tok")).as("h"))
+    toks
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(59))).as("bit"))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(when(expr("shiftright(h, cast(bit as int))") % 2 === 1, 1)
+        .otherwise(-1)).as("vote"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("vote") > 0,
+        expr("shiftleft(1L, cast(bit as int))")).otherwise(0L)).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-dup pairs: band-blocked (4 bands × 15 bits — two docs
+    * within Hamming distance 3 of each other must agree on ≥1 band), then
+    * exact Hamming distance via bit_count(xor).
+    */
+  def simhashPairs(spark: SparkSession, dir: String,
+                   maxHamming: Int = 8): DataFrame = {
+    val sig = simhash(spark, dir)
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("doc_id"), col("simhash"), col("band"),
+        expr("shiftright(simhash, cast(band as int) * 15)")
+          .bitwiseAND(lit(0x7FFFL)).as("band_val"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ------------------------------------------------------------ MinHash + LSH
+
+  /** MinHash signatures (numHashes permutations approximated by seeded
+    * re-hashes of each shingle's base hash) + banded LSH candidate pairs
+    * with the estimated Jaccard (fraction of agreeing components, exact
+    * integer ppm). The signature pass is one explode + one groupBy; the
+    * LSH join is bucket-shaped like every other near-dup here.
+    */
+  def minhashPairs(spark: SparkSession, dir: String, n: Int = 3,
+                   numHashes: Int = 16, bands: Int = 4,
+                   minEstPpm: Long = 250000L): DataFrame = {
+    val rows = bands
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val perBand = numHashes / bands
+
+    val exploded = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
+      .select(col("doc_id"), md5Hash48(col("shingle")).as("h"))
+
+    // h_i(x) = (a_i * h + b_i) mod p — universal-hash family on the 60-bit
+    // base hash; p = 2^61-1 (Mersenne), a_i/b_i fixed odd constants.
+    val p = 2305843009213693951L // 2^61 - 1
+    val sigCols = (0 until numHashes).map { i =>
+      val a = 2L * i + 3L
+      val b = 7919L * (i + 1)
+      min(pmod(col("h") * a + b, lit(p))).as(s"mh_$i")
+    }
+    val sig = exploded.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+
+    val banded = sig.select(col("doc_id"), col("sig"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("doc_id"), col("sig"), col("band"),
+        md5(concat_ws(",",
+          slice(col("sig"), col("band") * perBand + 1, lit(perBand)))).as("bucket"))
+
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (aggregate(zip_with(col("a.sig"), col("b.sig"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v) * lit(1000000L) / numHashes)
+          .cast("long").as("est_jaccard_ppm"))
+      .distinct()
+      .filter(col("est_jaccard_ppm") >= minEstPpm)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.engine.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as opaque
+  * `binary` columns with a typed metadata struct, and decode/feature
+  * stages run as batched per-partition passes.
+  *
+  * The container has no image/audio codecs, so the decode itself is a
+  * clearly-marked deterministic STUB ([[FakeCodec]]) — what is real and
+  * tested is the Spark-side shape a production pipeline needs:
+  *   - schema: (doc_id, media BINARY, meta STRUCT<format,width,height,n_frames>)
+  *   - batched execution: [[decodeFeatures]] is a `mapPartitions` over a
+  *     typed Dataset, draining the iterator in fixed-size batches exactly
+  *     like a vectorized/Arrow decode stage would (the Scala analog of
+  *     `mapInPandas`), never materializing a partition in memory;
+  *   - partitioning: media rows repartition by doc_id so decode load
+  *     spreads evenly regardless of upstream file layout.
+  *
+  * Every fake feature is integer arithmetic on the payload bytes, so an
+  * external oracle can reproduce it from the source text.
+  */
+object Multimodal {
+
+  final case class MediaMeta(format: String, width: Int, height: Int, nFrames: Int)
+  final case class MediaRecord(doc_id: Long, media: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(doc_id: Long, format: String, width: Int,
+                                 height: Int, n_frames: Int, n_bytes: Long,
+                                 first_byte: Int, frame_byte_sum: Long)
+
+  /** STUB codec — stands in for libjpeg/ffmpeg, which this container lacks.
+    * Deterministic fakes derived from payload bytes; the real pipeline
+    * would swap [[frameSample]] for an actual decoder call and keep every
+    * surrounding line unchanged.
+    */
+  object FakeCodec {
+    /** "Decode" one frame: sample the byte at the frame's stride offset.
+      * (Real impl: decode frame i and return its feature vector.)
+      */
+    def frameSample(payload: Array[Byte], frame: Int, nFrames: Int): Int = {
+      val off = (frame.toLong * payload.length / nFrames).toInt
+      payload(math.min(off, payload.length - 1)) & 0xff
+    }
+  }
+
+  /** Wrap documents as fake media rows: payload = UTF-8 bytes of the text,
+    * metadata derived deterministically from source/size. At 100 TB the
+    * binary column is exactly this shape — parquet BINARY with a struct of
+    * scalars beside it, prunable and predicate-pushable independently of
+    * the payload.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("media"),
+        struct(
+          element_at(array(lit("jpeg"), lit("png"), lit("wav"), lit("mp4")),
+            (col("doc_id") % 4 + 1).cast("int")).as("format"),
+          (lit(64) + col("n_chars") % 512).cast("int").as("width"),
+          (lit(64) + (col("doc_id") * 37) % 512).cast("int").as("height"),
+          (lit(1) + col("doc_id") % 8).cast("int").as("nFrames")).as("meta"))
+
+  /** Batched decode/feature-extract: mapPartitions draining `batchSize`
+    * records at a time (the unit a real codec would vectorize over).
+    * Output is a flat typed row per media item.
+    */
+  def decodeFeatures(spark: SparkSession, dir: String,
+                     batchSize: Int = 32): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRecord]
+      .repartition(col("doc_id"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // one "codec call" per batch in a real pipeline
+          batch.iterator.map { r =>
+            val frames = (0 until r.meta.nFrames)
+              .map(f => FakeCodec.frameSample(r.media, f, r.meta.nFrames))
+            MediaFeatures(r.doc_id, r.meta.format, r.meta.width, r.meta.height,
+              r.meta.nFrames, r.media.length.toLong,
+              if (r.media.nonEmpty) r.media(0) & 0xff else -1,
+              frames.map(_.toLong).sum)
+          }
+        }
+      }
+  }
+
+  /** Rollup per format — the sanity aggregation a curation job runs after
+    * feature extraction.
+    */
+  def formatRollup(spark: SparkSession, dir: String): DataFrame =
+    decodeFeatures(spark, dir).toDF()
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("frame_byte_sum")).as("sum_frame_bytes"))
+      .orderBy(col("format"))
+}

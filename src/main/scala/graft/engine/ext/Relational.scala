@@ -1,0 +1,98 @@
+package graft.engine.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational extension queries over the TPC-H-ish testdata — the Spark
+  * surface the reference lacks (SURVEY.md §2.9): joins (broadcast + shuffle),
+  * window functions, top-k. These are the shapes a 100 TB deployment lives
+  * on, so each is written the way it should run on a 1000-executor cluster:
+  *
+  *  - dimension joins are explicit `broadcast()` (no shuffle of the fact
+  *    side, no sort) — customer/nation/region are small at any SF;
+  *  - fact-fact joins (lineitem ⋈ orders) shuffle on the join key once and
+  *    aggregate partially map-side;
+  *  - money amounts are quantized to integer cents per row
+  *    (floor(x*100 + 0.5), a deterministic IEEE op sequence) and summed as
+  *    BIGINT, so results are exact and reproducible regardless of
+  *    partitioning / summation order (double sums are order-dependent and
+  *    engine decimal-rounding rules differ — integers never do);
+  *  - top-k is orderBy+limit, which Spark plans as TakeOrderedAndProject
+  *    (per-partition heap + driver merge, no global sort).
+  */
+object Relational {
+
+  /** Broadcast dimension join: revenue and order count per market segment.
+    * customer is the dimension (broadcast), orders the fact.
+    */
+  def segmentRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("revenue_c"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Fact-fact shuffle join (lineitem ⋈ orders on orderkey) + aggregation:
+    * discounted revenue per (orderstatus, returnflag). One shuffle for the
+    * join, partial aggregation map-side before the groupBy exchange.
+    * Per-row discount math stays in double (single IEEE op, deterministic),
+    * the SUM is decimal-exact.
+    */
+  def statusRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"), col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
+          .cast("long")).as("disc_revenue_c"),
+        sum(floor(col("l_quantity") * 100 + 0.5).cast("long")).as("sum_qty_c"))
+      .orderBy(col("o_orderstatus"), col("l_returnflag"))
+  }
+
+  /** Window top-N: 3 most expensive parts per brand. Deterministic tiebreak
+    * on p_partkey so ranks are stable under any partitioning.
+    */
+  def topPartsPerBrand(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val part = spark.read.parquet(s"$dir/part.parquet")
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(desc("p_retailprice"), col("p_partkey"))
+    part
+      .select(col("p_brand"), col("p_partkey"), col("p_name"),
+        floor(col("p_retailprice") * 100 + 0.5).cast("long").as("price_c"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= n)
+      .orderBy(col("p_brand"), col("rank"))
+  }
+
+  /** Top-k rows globally: most expensive line items. Plans as
+    * TakeOrderedAndProject — no full sort, no single-partition shuffle.
+    */
+  def topLineitems(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("price_c"))
+      .orderBy(desc("price_c"), col("l_orderkey"), col("l_linenumber"))
+      .limit(k)
+
+  /** Multi-way broadcast join through the dimension chain
+    * supplier → nation → region, counting suppliers per region.
+    */
+  def suppliersPerRegion(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.read.parquet(s"$dir/supplier.parquet")
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    val r = spark.read.parquet(s"$dir/region.parquet")
+    s.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(floor(col("s_acctbal") * 100 + 0.5).cast("long")).as("sum_acctbal_c"))
+      .orderBy(col("r_name"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.engine.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over the `events` table: sessionization and
+  * tumbling-window aggregation — the batch shapes behind a streaming
+  * training-data pipeline.
+  *
+  * Timestamps: `events.ts` is parquet TIMESTAMP(NANOS); Spark 4 reads it
+  * only as a raw nanos Long (legacy.parquet.nanosAsLong). All window math
+  * here is integer MICROsecond arithmetic (`ts div 1000`) — exactly
+  * reproducible in any oracle (no timezone or float rounding anywhere),
+  * and micros is the finest granularity engines agree on (nanos get
+  * truncated by engines whose native timestamp is µs).
+  *
+  * Scale notes: sessionization is a single window over (user_id, ts) —
+  * one shuffle on user_id, per-user state only; tumbling windows are a
+  * plain groupBy on the truncated bucket — one shuffle, partial agg
+  * map-side. Both survive 1000 executors because per-key cardinality is
+  * bounded by per-user event counts, not total volume.
+  */
+object Sessionize {
+
+  val SessionGapMicros: Long = 30L * 60 * 1000 * 1000 // 30 min
+
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+  }
+
+  /** Per-user sessions: a new session starts when the gap since the
+    * previous event exceeds [[SessionGapNanos]]. Returns one row per
+    * session with event count, span, and value sum (integer-quantized).
+    */
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        floor(col("value") * 100).cast("long").as("value_c"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          col("ts_us") - col("prev_ts") > SessionGapMicros).cast("long"))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("span_us"),
+        sum(col("value_c")).as("sum_value_c"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** Tumbling 1-hour windows per event type: the batch equivalent of a
+    * Structured Streaming `window($"ts", "1 hour")` aggregation.
+    */
+  def hourlyRollup(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    events(spark, dir)
+      .groupBy(
+        (col("ts_us") - pmod(col("ts_us"), lit(hourUs))).as("hour_start_us"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_value_c"))
+      .orderBy(col("hour_start_us"), col("event_type"))
+  }
+}

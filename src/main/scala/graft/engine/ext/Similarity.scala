@@ -1,0 +1,124 @@
+package graft.engine.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (64-dim float vectors).
+  *
+  * Scores are integer dot products over quantized vectors
+  * (floor(x * 1000) per dimension, BIGINT accumulate): exact, associative
+  * and reproducible on any engine/partitioning — float dot products are
+  * summation-order-dependent and would make rank ties nondeterministic.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: broadcast the (small) query set against every
+  *    vector — the exact baseline; linear scan, no shuffle of the corpus.
+  *  - [[ivfTopK]]: IVF-style — assign every vector to its nearest coarse
+  *    centroid once, probe only the best nprobe cells per query. At 100 TB
+  *    the corpus side stays partitioned by cell (bucket join), and recall
+  *    is tunable via nprobe.
+  */
+object Similarity {
+
+  /** floor(x*1000) integer quantization of a float vector. */
+  def quantize(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * 1000).cast("long"))
+
+  /** Exact BIGINT dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
+
+  /** Exact top-k by inner product for every query vector
+    * (vec_id % queryMod == 0), self-match excluded, ties broken by
+    * neighbor id. The query side is broadcast; the corpus is scanned once.
+    */
+  def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 10,
+                     queryMod: Int = 50): DataFrame = {
+    val vs = vectors(spark, dir)
+    val queries = vs.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("dot"), col("neighbor_id"))
+    vs.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label"), qdot(col("qq"), col("q")).as("dot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF-bucketed ANN: coarse centroids are the first nCells vectors
+    * (deterministic stand-in for a k-means pass, which at scale would be
+    * trained offline); every vector is assigned to its best cell by inner
+    * product (ties → lowest cell id); a query probes its nprobe best cells
+    * and ranks only those candidates. Bucket-join shaped: the corpus never
+    * cross-joins the query set.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 10,
+              queryMod: Int = 50, nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val vs = vectors(spark, dir)
+    val centroids = vs.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cell_id"), col("q").as("cq"))
+
+    // cell assignment: argmax_cell dot(v, centroid); max_by on the
+    // (dot, -cell_id) struct gives highest dot, then lowest cell id.
+    val assigned = vs.join(broadcast(centroids))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        max_by(col("cell_id"),
+          struct(qdot(col("q"), col("cq")).as("d"), (-col("cell_id")).as("t")))
+          .as("cell_id"),
+        first(col("q")).as("q")) // q is functionally dependent on vec_id
+    val queries = assigned.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+
+    // probe list: nprobe best cells per query
+    val probes = queries.join(broadcast(centroids))
+      .select(col("query_id"), col("qq"), col("cell_id"),
+        qdot(col("qq"), col("cq")).as("cdot"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("cdot"), col("cell_id"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qq"), col("cell_id"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("dot"), col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell_id"),
+        qdot(col("qq"), col("q")).as("dot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cell_id"), col("dot"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Label-centroid similarity: mean quantized vector per label (integer
+    * sums + count, exact), then pairwise centroid inner products — the
+    * "are these classes separable" diagnostic.
+    */
+  def labelCentroidSim(spark: SparkSession, dir: String): DataFrame = {
+    val vs = vectors(spark, dir)
+    val dims = 64
+    val sums = vs
+      .select(col("label"), posexplode(col("q")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("s"), col("n")))),
+        r => floor(r.getField("s") * lit(1000L) / r.getField("n")).cast("long"))
+        .as("cent"))
+    sums.as("a").join(sums.as("b"), col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        qdot(col("a.cent"), col("b.cent")).as("dot"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+}

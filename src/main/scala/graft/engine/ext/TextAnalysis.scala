@@ -1,0 +1,95 @@
+package graft.engine.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting, language-ID, quality scoring and
+  * document fingerprinting.
+  *
+  * Everything is built-in Catalyst expressions (regexp_*, md5, integer
+  * arithmetic) — one WholeStageCodegen span per document, no UDFs, no
+  * shuffle except where an aggregate is requested. Ratios are reported as
+  * exact integer parts-per-million (`x_ppm = cnt * 1_000_000 / total`,
+  * BIGINT division) instead of rounded doubles so results are
+  * bit-reproducible across engines and partitionings.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (reference point: split on runs of whitespace). */
+  def wsTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** BPE-ish subword segments: letter runs, digit runs, or single
+    * non-alnum marks — the classic pre-tokenizer regex shape.
+    */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Tiny per-language stopword inventories for the n-gram/stopword
+    * language-ID heuristic. Word-boundary regexes, case-insensitive.
+    */
+  val EnStop = "(?i)\\b(the|and|of|to|in|is|a|for|with|on)\\b"
+  val EsStop = "(?i)\\b(el|la|de|que|y|en|un|por|con|para)\\b"
+  val FrStop = "(?i)\\b(le|la|de|et|un|pour|que|dans|sur|avec)\\b"
+  /** CJK presence: any Han character is a strong zh signal. */
+  val HanChar = "\\p{IsHan}"
+
+  private def nMatches(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Per-document analysis row: token counts, ppm ratios, fingerprint. */
+  def analyze(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val len = length(col("text"))
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    docs.select(
+      col("doc_id"), col("lang"), col("source"),
+      len.as("n_chars_m"),
+      size(wsTokens(col("text"))).as("n_tokens_ws"),
+      nMatches(col("text"), BpeTokenPattern).as("n_tokens_bpe"),
+      nMatches(col("text"), "[^A-Za-z0-9\\s]").as("n_punct"),
+      nMatches(col("text"), "[A-Z]").as("n_upper"),
+      (nMatches(col("text"), "[^A-Za-z0-9\\s]") * lit(1000000L) / len)
+        .cast("long").as("punct_ppm"),
+      (nMatches(col("text"), EnStop) * lit(1000000L)
+        / greatest(size(wsTokens(col("text"))), lit(1)))
+        .cast("long").as("stopword_ppm"),
+      md5(norm).as("fingerprint"))
+  }
+
+  /** Language-ID heuristic: stopword-hit counts per language plus a CJK
+    * check; predicted language = argmax with a fixed priority order on
+    * ties (zh > en > es > fr > unknown) so the answer is deterministic.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val en = nMatches(col("text"), EnStop)
+    val es = nMatches(col("text"), EsStop)
+    val fr = nMatches(col("text"), FrStop)
+    val han = nMatches(col("text"), HanChar)
+    docs.select(
+      col("doc_id"), col("lang").as("lang_true"),
+      en.as("en_hits"), es.as("es_hits"), fr.as("fr_hits"), han.as("han_hits"),
+      when(han > 0, "zh")
+        .when(en >= es && en >= fr && en > 0, "en")
+        .when(es >= fr && es > 0, "es")
+        .when(fr > 0, "fr")
+        .otherwise("unknown").as("lang_pred"))
+  }
+
+  /** Corpus-level quality rollup per (lang, source): the aggregation a
+    * filter stage would gate on. Integer-exact everywhere.
+    */
+  def qualityRollup(spark: SparkSession, dir: String): DataFrame =
+    analyze(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars_m")).as("sum_chars"),
+        sum(col("n_tokens_ws")).as("sum_tokens"),
+        min(col("punct_ppm")).as("min_punct_ppm"),
+        max(col("punct_ppm")).as("max_punct_ppm"),
+        (sum(col("n_punct")) * lit(1000000L) / sum(col("n_chars_m")))
+          .cast("long").as("corpus_punct_ppm"))
+      .orderBy(col("lang"), col("source"))
+}
