@@ -43,7 +43,11 @@ object MongoLogPipeline {
       "mode" -> "PERMISSIVE")
     lines
       .withColumn("j", from_json(col("line"), Schemas.MongodLine, opts))
-      .withColumn("valid", col(s"j.${Schemas.CorruptField}").isNull)
+      // from_json yields a NULL struct (not a corrupt record) for empty /
+      // whitespace-only / literal-null input; the reference's json.loads
+      // raises on those, so they must route to the parse-error channel too.
+      .withColumn("valid",
+        col("j").isNotNull && col(s"j.${Schemas.CorruptField}").isNull)
       .withColumn("is_slow", col("line").contains("Slow query"))
       .withColumn("is_error",
         col("j.msg").isNotNull && col("j.s") === "E" &&

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.ext.{Dedup, Similarity}
+
+/** Unit + invariant tests for the dedup and similarity building blocks on
+  * small in-memory corpora (the DuckDB oracles cover the full testdata runs;
+  * these pin the column-function semantics).
+  */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def strSeq(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+    df.collect().toSeq.map(_.getSeq[String](0))
+
+  test("tokens: lowercases, splits on whitespace runs, drops empties") {
+    val got = strSeq(Seq("  Hello\t\tWorld\nfoo ").toDF("t")
+      .select(Dedup.tokens(col("t"))))
+    assert(got === Seq(Seq("hello", "world", "foo")))
+  }
+
+  test("shingles: distinct word 3-grams in order; short docs → empty") {
+    val got = strSeq(Seq("a b c d c d", "a b").toDF("t")
+      .select(Dedup.shingles(col("t"), 3)))
+    assert(got === Seq(Seq("a b c", "b c d", "c d c", "d c d"), Seq()))
+  }
+
+  test("md5Hash60/48 are deterministic, positive, and within bit range") {
+    val r = Seq("x").toDF("t")
+      .select(Dedup.md5Hash60(col("t")), Dedup.md5Hash48(col("t"))).head()
+    val (h60, h48) = (r.getLong(0), r.getLong(1))
+    assert(h60 > 0 && h60 < (1L << 60))
+    assert(h48 > 0 && h48 < (1L << 48))
+    val r2 = Seq("x").toDF("t")
+      .select(Dedup.md5Hash60(col("t")), Dedup.md5Hash48(col("t"))).head()
+    assert(r2.getLong(0) === h60 && r2.getLong(1) === h48)
+  }
+
+  test("exact + bow dedup on a toy corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    Seq(
+      (1L, "the quick brown fox", "en", "a", 19L),
+      (2L, "the quick brown fox", "en", "a", 19L),      // exact dup of 1
+      (3L, "fox brown quick the", "en", "a", 19L),      // bow dup of 1, not exact
+      (4L, "something else entirely", "en", "a", 23L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val exact = Dedup.exact(spark, dir).collect()
+    assert(exact.map(r => r.getAs[Long]("canonical_doc_id") -> r.getAs[Long]("n_copies"))
+      .toSeq === Seq(1L -> 2L, 3L -> 1L, 4L -> 1L))
+
+    val bow = Dedup.bagOfWords(spark, dir).collect()
+    assert(bow.map(r => r.getAs[Long]("canonical_doc_id") -> r.getAs[Long]("n_copies"))
+      .toSeq === Seq(1L -> 3L, 4L -> 1L))
+  }
+
+  test("ngram Jaccard pairs: near-dup found, jaccard in [0, 1e6], symmetric blocking") {
+    val dir = java.nio.file.Files.createTempDirectory("docs2").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq(
+      (1L, base, "en", "a", 1L),
+      (2L, base + " iota", "en", "a", 1L), // near dup
+      (3L, "totally different words with no overlap at all", "en", "a", 1L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val pairs = Dedup.ngramJaccardPairs(spark, dir, minJaccardPpm = 1L).collect()
+    assert(pairs.length === 1)
+    val p = pairs(0)
+    assert(p.getAs[Long]("doc_a") === 1L && p.getAs[Long]("doc_b") === 2L)
+    val j = p.getAs[Long]("jaccard_ppm")
+    // |shingles(1)| = 6, |shingles(2)| = 7, shared = 6 → 6/7 ≈ 857142 ppm
+    assert(j === 6L * 1000000L / 7L)
+  }
+
+  test("simhash: identical docs get identical signatures; pairs find them") {
+    val dir = java.nio.file.Files.createTempDirectory("docs3").toString
+    Seq(
+      (1L, "one two three four five six seven eight", "en", "a", 1L),
+      (2L, "one two three four five six seven eight", "en", "a", 1L),
+      (3L, "nine ten eleven twelve thirteen fourteen fifteen", "en", "a", 1L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val sig = Dedup.simhash(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) !== sig(3L))
+    assert(sig.values.forall(s => s >= 0 && s < (1L << 60)))
+
+    val pairs = Dedup.simhashPairs(spark, dir).collect()
+    assert(pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+      r.getAs[Long]("hamming"))).toSeq === Seq((1L, 2L, 0L)))
+  }
+
+  test("minhash pairs: exact dups estimate 1e6 ppm; estimates bounded") {
+    val dir = java.nio.file.Files.createTempDirectory("docs4").toString
+    Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "en", "a", 1L),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "en", "a", 1L),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10", "en", "a", 1L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val pairs = Dedup.minhashPairs(spark, dir, minEstPpm = 1L).collect()
+    val dup = pairs.find(r => r.getAs[Long]("doc_a") == 1L &&
+      r.getAs[Long]("doc_b") == 2L)
+    assert(dup.isDefined)
+    assert(dup.get.getAs[Long]("est_jaccard_ppm") === 1000000L)
+    assert(pairs.forall { r =>
+      val e = r.getAs[Long]("est_jaccard_ppm"); e >= 0L && e <= 1000000L
+    })
+    // disjoint docs must not pair with estimate 1e6
+    assert(!pairs.exists(r => r.getAs[Long]("doc_b") == 3L &&
+      r.getAs[Long]("est_jaccard_ppm") == 1000000L))
+  }
+
+  test("quantize + qdot: exact integer dot product") {
+    val r = Seq((Seq(1.0f, 0.5f, -0.25f), Seq(2.0f, 1.0f, 4.0f)))
+      .toDF("a", "b")
+      .select(Similarity.qdot(Similarity.quantize(col("a")),
+        Similarity.quantize(col("b"))).as("d"))
+      .head()
+    // floor(1*1000)*floor(2*1000) + floor(.5*1000)*floor(1*1000)
+    //   + floor(-.25*1000)*floor(4*1000)
+    assert(r.getLong(0) === 1000L * 2000 + 500L * 1000 + (-250L) * 4000)
+  }
+
+  test("bruteForceTopK: self excluded, ranks ordered by dot desc") {
+    val dir = java.nio.file.Files.createTempDirectory("emb").toString
+    val vecs = Seq(
+      (0L, Seq.fill(64)(1.0f), 0),
+      (1L, Seq.fill(64)(0.9f), 0),
+      (2L, Seq.fill(64)(0.1f), 1),
+      (3L, Seq.fill(64)(-1.0f), 1),
+    )
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val top = Similarity.bruteForceTopK(spark, dir, k = 3, queryMod = 4).collect()
+    // only vec 0 is a query (0 % 4 == 0); neighbors by dot: 1 > 2 > 3
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L, 3L))
+    assert(top.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3))
+    val dots = top.map(_.getAs[Long]("dot"))
+    assert(dots.sameElements(dots.sortBy(-_)))
+  }
+}
