@@ -24,17 +24,52 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
-  /** Distinct word n-gram shingles; empty when the doc has < n tokens
-    * (guarded — Spark's sequence() would otherwise run DESCENDING for
-    * start > stop and produce phantom negative indices).
+  /** Distinct word n-gram shingles from a MATERIALIZED token-array column;
+    * empty when the doc has < n tokens (guarded — Spark's sequence() would
+    * otherwise run DESCENDING for start > stop and produce phantom negative
+    * indices).
+    *
+    * `toks` must be a projected column (not the `tokens(text)` expression
+    * inline): higher-order functions are interpreted, so an inline
+    * tokenization would be RE-EVALUATED by every `element_at` lambda call —
+    * O(tokens²) regex splits per document, measured 15× slower at sf0.1.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Distinct (doc_id, shingle) rows, linear in tokens.
+    *
+    * Deliberately explodes shingle POSITIONS and builds each shingle from
+    * the materialized token array on the other side of the Generate, rather
+    * than `explode(shinglesFromTokens(...))`: InferFiltersFromGenerate
+    * copies a Generate's child expression into a pushed-down
+    * `size(child) > 0` filter, and an inlined whole-shingling expression
+    * there costs two extra full evaluations per row (measured 15× at
+    * sf0.1). A Generate boundary is something Catalyst never inlines
+    * across, so this shape is robust to optimizer changes.
+    */
+  def shingleRows(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - n)).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ",
+          (0 until n).map(j => element_at(col("toks"), col("i") + j + 1)): _*)
+          .as("shingle"))
+      .distinct()
+
+  /** All ordered in-bucket pairs (a < b by array position) of a SORTED id
+    * array: [1,2,3] → [(1,2),(1,3),(2,3)]. Local pair generation — the
+    * alternative to a bucket self-join; one shuffle instead of three.
+    */
+  def localPairs(sortedIds: Column): Column =
+    flatten(transform(sortedIds, (x, i) =>
+      transform(slice(sortedIds, i + 2, size(sortedIds)),
+        y => struct(x.as("a"), y.as("b")))))
 
   /** 60-bit hash of a string via md5 (15 hex chars → BIGINT) — chosen over
     * xxhash64 because every engine has md5, making results portable, and
@@ -90,23 +125,18 @@ object Dedup {
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String, n: Int = 3,
                         dfCap: Int = 100, minJaccardPpm: Long = 100000L): DataFrame = {
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
-    val exploded = docs
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val sh = shingleRows(spark.read.parquet(s"$dir/documents.parquet"), n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
 
-    // blocking: drop shingles with document frequency > dfCap
-    val rare = exploded
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
-      .filter(col("df") <= dfCap)
-      .select(col("doc_id"), col("shingle"))
-
-    val pairs = rare.as("a")
-      .join(rare.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Blocking: group per shingle, drop shingles with document frequency
+    // > dfCap (quadratic bucket blowup, no signal), emit in-bucket pairs
+    // locally. One shuffle on shingle — no self-join re-shuffles.
+    val pairs = sh
+      .groupBy(col("shingle"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, dfCap))
+      .select(explode(localPairs(array_sort(col("ids")))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("shared_rare"))
 
     pairs
@@ -133,15 +163,19 @@ object Dedup {
     val toks = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), md5Hash60(col("tok")).as("h"))
+    // One wide aggregation (count + 60 per-bit ones-counts) instead of a
+    // 60× row explode + double groupBy: the vote sum for bit b is
+    // ones_b - (n - ones_b), positive iff 2*ones_b > n — same signature at
+    // 1/60th the shuffled rows, and the sums stay in whole-stage codegen.
+    val onesCols = (0 until 60).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"ones_$b"))
     toks
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(59))).as("bit"))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(when(expr("shiftright(h, cast(bit as int))") % 2 === 1, 1)
-        .otherwise(-1)).as("vote"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("vote") > 0,
-        expr("shiftleft(1L, cast(bit as int))")).otherwise(0L)).as("simhash"))
+      .agg(count(lit(1)).as("n"), onesCols: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(b =>
+          when(col(s"ones_$b") * 2 > col("n"), lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
       .orderBy(col("doc_id"))
   }
 
@@ -152,18 +186,17 @@ object Dedup {
   def simhashPairs(spark: SparkSession, dir: String,
                    maxHamming: Int = 8): DataFrame = {
     val sig = simhash(spark, dir)
-    val bands = sig.select(col("doc_id"), col("simhash"),
+    sig.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("band"))
       .select(col("doc_id"), col("simhash"), col("band"),
         expr("shiftright(simhash, cast(band as int) * 15)")
           .bitwiseAND(lit(0x7FFFL)).as("band_val"))
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .groupBy(col("band"), col("band_val"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode(localPairs(array_sort(col("ms")))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -184,8 +217,7 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val perBand = numHashes / bands
 
-    val exploded = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
+    val exploded = shingleRows(spark.read.parquet(s"$dir/documents.parquet"), n)
       .select(col("doc_id"), md5Hash48(col("shingle")).as("h"))
 
     // h_i(x) = (a_i * h + b_i) mod p — universal-hash family on the 60-bit
@@ -200,18 +232,17 @@ object Dedup {
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
 
-    val banded = sig.select(col("doc_id"), col("sig"),
+    sig.select(col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("doc_id"), col("sig"), col("band"),
         md5(concat_ws(",",
           slice(col("sig"), col("band") * perBand + 1, lit(perBand)))).as("bucket"))
-
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (aggregate(zip_with(col("a.sig"), col("b.sig"),
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode(localPairs(array_sort(col("ms")))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        (aggregate(zip_with(col("p.a.sig"), col("p.b.sig"),
           (x, y) => when(x === y, 1L).otherwise(0L)),
           lit(0L), (acc, v) => acc + v) * lit(1000000L) / numHashes)
           .cast("long").as("est_jaccard_ppm"))

@@ -21,7 +21,7 @@ class DedupSpec extends SparkTestBase {
 
   test("shingles: distinct word 3-grams in order; short docs → empty") {
     val got = strSeq(Seq("a b c d c d", "a b").toDF("t")
-      .select(Dedup.shingles(col("t"), 3)))
+      .select(Dedup.shinglesFromTokens(Dedup.tokens(col("t")), 3)))
     assert(got === Seq(Seq("a b c", "b c d", "c d c", "d c d"), Seq()))
   }
 
