@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.gen.LogGen
+import graft.engine.ingest.Sources
 import graft.engine.mysql.MySqlLogPipeline
 import graft.engine.mongo.MongoLogPipeline
 import graft.engine.expr.Normalizers
@@ -34,6 +35,28 @@ object SparkEntry {
 
   private def mongoScan(s: SparkSession, dir: String): DataFrame =
     MongoLogPipeline.parsedScan(LogGen.mongoLines(s, dir))
+
+  /** Materialize the generated logs as REAL text files (once per sf dir) so
+    * the file-based sources (S1 readLines, S2 readDelimited) are exercised
+    * by the correctness gate, not only the in-memory path. Written in
+    * line_no / file_id order so file order equals generation order and the
+    * same oracles apply.
+    */
+  private def logFileDir(s: SparkSession, dir: String, kind: String): String = {
+    val out = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_logs_" + dir.replaceAll("[^A-Za-z0-9]", "_")), kind)
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      val df = kind match {
+        case "mysql" => LogGen.mysqlFiles(s, dir)
+          .repartition(1).sortWithinPartitions("file_id").select("content")
+        case "mongo" => LogGen.mongoLines(s, dir)
+          .repartition(1).sortWithinPartitions("line_no").select("line")
+      }
+      df.write.mode("overwrite").text(out.getAbsolutePath)
+    }
+    out.getAbsolutePath
+  }
 
   // ----------------------------------------------------------- queries
 
@@ -69,6 +92,23 @@ object SparkEntry {
       MongoLogPipeline.nonSlow(mongoScan(s, dir)).orderBy(col("line_no"))),
     "mongo_parse_errors" -> ((s, dir) =>
       MongoLogPipeline.parseErrors(mongoScan(s, dir)).orderBy(col("line_no"))),
+    // S2 scale path: the SAME aggregate through real files + the
+    // record-delimited parallel reader instead of wholetext content rows.
+    "mysql_scale_agg" -> ((s, dir) =>
+      MySqlLogPipeline.parseEntries(
+        Sources.readDelimited(s, logFileDir(s, dir, "mysql"))
+          .select(lit(0L).as("file_id"), col("entry_no"),
+            col("entry_no").as("ord"), col("entry")))
+        .aggregate),
+    // S1 file path: the mongo stats through spark.read.textFile + explicit
+    // line numbering instead of the in-memory generated lines.
+    "mongo_file_stats" -> ((s, dir) => {
+      LogGen.mongoLines(s, dir) // sets the nanos read conf for the write path
+      MongoLogPipeline.queryStats(MongoLogPipeline.detailed(
+        MongoLogPipeline.parsedScan(
+          Sources.readLines(s, logFileDir(s, dir, "mongo")))))
+        .orderBy(desc("Executions"), desc("Avg Duration(ms)"), col("Query Pattern"))
+    }),
   )
 
   // ----------------------------------------------------------- oracles
@@ -145,7 +185,16 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = logOracles ++ ExtQueries.oracleSql
 
-  private def logOracles: Map[String, String] = Map(
+  private def logOracles: Map[String, String] = {
+    val base = logOraclesBase
+    base ++ Map(
+      // file-source variants: same results as their in-memory twins, so
+      // the oracle SQL is shared verbatim.
+      "mysql_scale_agg" -> base("mysql_agg"),
+      "mongo_file_stats" -> base("mongo_query_stats"))
+  }
+
+  private def logOraclesBase: Map[String, String] = Map(
     "mysql_detailed" -> (mysqlGen +
       """SELECT file_id, entry_no, "Time", "User@Host", "Query_time (ms)",
         |  "Lock_time", "Rows_sent", "Rows_examined", "Query", "Normalized_Query"

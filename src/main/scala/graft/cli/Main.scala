@@ -1,0 +1,81 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import graft.engine.ingest.Sources
+import graft.engine.mongo.MongoLogPipeline
+import graft.engine.mysql.MySqlLogPipeline
+import graft.engine.report.ReportSink
+
+/** CLI entry point — the Spark-native equivalent of the reference's
+  * argparse mains (mongo_parser.py:196-251, mysqlLogParser.py:199-251).
+  *
+  * Usage:
+  *   graft.cli.Main --mode mongo|mysql --input <log path/glob>
+  *                  --output <report dir> [--csv] [--scale]
+  *
+  * --scale selects the 100 TB-shaped source for MySQL (record-delimited
+  * parallel read) instead of the reference-parity whole-file read.
+  */
+object Main {
+
+  private case class Args(mode: String = "", input: String = "",
+                          output: String = "", csv: Boolean = false,
+                          scale: Boolean = false)
+
+  private def parseArgs(argv: List[String], a: Args = Args()): Args = argv match {
+    case "--mode" :: v :: rest   => parseArgs(rest, a.copy(mode = v))
+    case "--input" :: v :: rest  => parseArgs(rest, a.copy(input = v))
+    case "--output" :: v :: rest => parseArgs(rest, a.copy(output = v))
+    case "--csv" :: rest         => parseArgs(rest, a.copy(csv = true))
+    case "--scale" :: rest       => parseArgs(rest, a.copy(scale = true))
+    case Nil                     => a
+    case other :: _ => sys.error(s"Unknown argument: $other")
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parseArgs(argv.toList)
+    require(Set("mongo", "mysql")(args.mode), "--mode must be mongo or mysql")
+    require(args.input.nonEmpty && args.output.nonEmpty,
+      "--input and --output are required")
+
+    val preexisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
+    val spark = SparkSession.builder()
+      .appName(s"graft-${args.mode}")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val (ok, err) = args.mode match {
+      case "mongo" =>
+        val res = MongoLogPipeline.analyze(Sources.readLines(spark, args.input))
+        // S4 empty-input guard (mongo_parser.py:218-222)
+        if (res.detailed.isEmpty && res.nonSlow.isEmpty && res.parseErrors.isEmpty)
+          println("Warning: Input file is empty.")
+        val nErr = res.parseErrors.count()
+        if (nErr > 0) println(s"Encountered $nErr parse warning(s).")
+        ReportSink.writeWarnings(args.output, res.parseErrors, "message")
+        ReportSink.writeSheets(args.output, ReportSink.MongoSheets.zip(Seq(
+          res.detailed, res.queryStats, res.nonSlow, res.errors)), args.csv)
+      case "mysql" =>
+        val entries =
+          if (args.scale) Sources.readDelimited(spark, args.input)
+            .selectExpr("cast(0 as long) as file_id", "entry_no",
+              "entry_no as ord", "entry")
+          else MySqlLogPipeline.entriesFromFiles(
+            Sources.readWholeFile(spark, args.input))
+        val res = MySqlLogPipeline.parseEntries(entries)
+        if (res.detailed.isEmpty)
+          println("Warning: No valid log entries found in the input.")
+        val nWarn = res.warnings.count()
+        if (nWarn > 0) println(s"Encountered $nWarn parse warning(s).")
+        ReportSink.writeWarnings(args.output, res.warnings)
+        ReportSink.writeSheets(args.output, ReportSink.MySqlSheets.zip(Seq(
+          MySqlLogPipeline.referenceDetailed(res.detailed), res.aggregate)),
+          args.csv)
+    }
+    if (ok) println(s"Report written to ${args.output}")
+    else { System.err.println(err); sys.exit(1) }
+    if (!preexisting) spark.stop() // embedded callers (tests) own their session
+  }
+}

@@ -72,15 +72,23 @@ object Sources {
     spark.sparkContext
       .newAPIHadoopFile(path, classOf[TextInputFormat],
         classOf[LongWritable], classOf[Text], conf)
-      .map(_._2.toString)
+      // The record key is the record's byte offset WITHIN ITS FILE: offset 0
+      // marks each file's first record, which keeps its own content verbatim
+      // (either a preamble, dropped below, or a full first entry). Every
+      // later record lost its leading "# Time: " to the delimiter —
+      // reconstruct it. Keying on offset (not global index) makes this
+      // correct for multi-file directories, where every file restarts the
+      // preamble/header cycle.
+      .map { case (off, t) =>
+        val s = if (off.get() == 0L) t.toString else "# Time: " + t.toString
+        // The delimiter match consumed the entry's trailing newline; the
+        // whole-file split keeps it, and the query-capture regex requires
+        // a newline-terminated "SET timestamp=...;" line. Restore it.
+        if (s.endsWith("\n")) s else s + "\n"
+      }
       .zipWithIndex()
-      .map { case (body, idx) => (idx + 1L, body) }
-      .toDF("entry_no", "body")
-      // Record 0 is the file preamble up to the first marker; later records
-      // lost their leading "# Time: " to the delimiter. Reconstruct.
-      .select(col("entry_no"),
-        when(col("entry_no") === 1L, col("body"))
-          .otherwise(concat(lit("# Time: "), col("body"))).as("entry"))
+      .map { case (entry, idx) => (idx + 1L, entry) }
+      .toDF("entry_no", "entry")
       .filter(col("entry").startsWith("# Time: "))
   }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.engine.streaming.MongoStream
+
+/** Streaming-pipeline test: feed mongod lines through a MemoryStream and
+  * check the watermarked windowed A1 aggregation (complete mode, in-memory
+  * sink).
+  */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def slowLine(tsIso: String, age: Int, dur: Int): String =
+    s"""{"t":{"$$date":"$tsIso"},"s":"I","c":"COMMAND","id":1,"ctx":"c","msg":"Slow query","attr":{"ns":"db.users","command":{"find":"users","filter":{"age":$age}},"durationMillis":$dur}}"""
+
+  test("windowed query stats over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val stats = MongoStream.windowedQueryStats(
+      MongoStream.parsedScan(mem.toDF()), windowLen = "1 minute")
+
+    val q = stats.writeStream.format("memory")
+      .queryName("stream_stats").outputMode("complete").start()
+    try {
+      mem.addData(
+        slowLine("2023-10-25T10:00:05.000Z", 30, 100),
+        slowLine("2023-10-25T10:00:40.000Z", 55, 300), // same window, same pattern
+        slowLine("2023-10-25T10:01:10.000Z", 70, 50),  // next window
+        """not json at all""",                          // dropped by routing
+      )
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT window.start AS ws, Executions, `Min Duration(ms)` AS mn,
+          |  `Max Duration(ms)` AS mx, `Avg Duration(ms)` AS av
+          |FROM stream_stats ORDER BY ws""".stripMargin).collect()
+      assert(rows.length === 2)
+      assert(rows(0).getAs[Long]("Executions") === 2L)
+      assert(rows(0).getAs[Long]("mn") === 100L)
+      assert(rows(0).getAs[Long]("mx") === 300L)
+      assert(rows(0).getAs[Double]("av") === 200.0)
+      assert(rows(1).getAs[Long]("Executions") === 1L)
+    } finally q.stop()
+  }
+
+  test("windowed error rollup over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val errs = MongoStream.windowedErrors(MongoStream.parsedScan(mem.toDF()))
+    val q = errs.writeStream.format("memory")
+      .queryName("stream_errs").outputMode("complete").start()
+    try {
+      mem.addData(
+        """{"t":{"$date":"2023-10-25T10:00:01.000Z"},"s":"E","c":"S","id":1,"ctx":"c","msg":"Index build failed","attr":{"error":{"code":1,"codeName":"IndexBuildAborted","errmsg":"x"}}}""",
+        """{"t":{"$date":"2023-10-25T10:00:30.000Z"},"s":"E","c":"S","id":1,"ctx":"c","msg":"Index build failed","attr":{"error":{"code":1,"codeName":"IndexBuildAborted","errmsg":"x"}}}""",
+      )
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT totalCount FROM stream_errs").collect()
+      assert(rows.length === 1)
+      assert(rows(0).getAs[Long]("totalCount") === 2L)
+    } finally q.stop()
+  }
+}
