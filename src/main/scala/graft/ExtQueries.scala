@@ -43,6 +43,7 @@ object ExtQueries {
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "dedup_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(s, dir)),
+    "dedup_embed_pairs" -> ((s, dir) => Dedup.embedCosinePairs(s, dir)),
     // ------------------------------------------------ similarity search
     "ann_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
@@ -321,6 +322,39 @@ object ExtQueries {
         |)
         |SELECT doc_a, doc_b, est_jaccard_ppm FROM est
         |WHERE est_jaccard_ppm >= 250000 ORDER BY doc_a, doc_b""".stripMargin),
+
+    "dedup_embed_pairs" -> (quantized +
+      """, c AS (
+        |  SELECT p, i,
+        |    CASE WHEN ('0x' || substring(md5(p || '_' || i), 1, 1))::INT % 2 = 1
+        |         THEN 1 ELSE -1 END AS cc
+        |  FROM range(0, 16) r(p), range(1, 65) s(i)
+        |), sigv AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)
+        |         AS BIGINT) AS sg
+        |  FROM (SELECT vec_id, p, sum(q * cc) AS proj
+        |        FROM v JOIN c ON v.i = c.i GROUP BY 1, 2)
+        |  GROUP BY vec_id
+        |), norms AS (
+        |  SELECT vec_id, sum(q * q) AS n2 FROM v GROUP BY 1
+        |), bands AS (
+        |  SELECT vec_id, band, (sg >> (band * 4)) & 15 AS bv
+        |  FROM sigv, range(0, 4) r(band)
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
+        |), dots AS (
+        |  SELECT va, vb, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+        |  FROM cand JOIN v a ON a.vec_id = va JOIN v b ON b.vec_id = vb AND b.i = a.i
+        |  GROUP BY 1, 2
+        |)
+        |SELECT va AS vec_a, vb AS vec_b, dot,
+        |  CAST(na.n2 AS BIGINT) AS na, CAST(nb.n2 AS BIGINT) AS nb
+        |FROM dots JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb
+        |WHERE dot > 0 AND dot * dot * 25 >= na.n2 * nb.n2 * 4
+        |ORDER BY vec_a, vec_b""".stripMargin),
 
     "ann_bruteforce" -> (quantized +
       """, d AS (

@@ -202,6 +202,67 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ------------------------------------------------------- embedding cosine
+
+  /** ±1 sign-random-projection hyperplane coefficients, derived from md5 so
+    * any engine reproduces them: c(p,i) = +1 iff the first hex digit of
+    * md5("p_i") is odd (i is 1-based to match SQL array indexing).
+    */
+  def srpCoefficient(p: Int, i: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${p}_$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 1) 1L else -1L
+  }
+
+  /** Embedding-cosine near-dup pairs over the `embeddings` table:
+    * sign-random-projection LSH (nPlanes ±1 hyperplanes → bit signature →
+    * banded buckets) generates candidates; survivors satisfy
+    * cos(a,b) >= thrNum/thrDen checked in exact integer arithmetic
+    * (thrDen² · dot² >= thrNum² · |a|²·|b|² with dot > 0) over quantized
+    * vectors — no float comparisons, so the boundary is bit-stable.
+    * Bucket-join shaped like every near-dup here: cost is Σ bucket², never
+    * the corpus cross join.
+    */
+  def embedCosinePairs(spark: SparkSession, dir: String, nPlanes: Int = 16,
+                       bands: Int = 4, thrNum: Long = 2L, thrDen: Long = 5L,
+                       dims: Int = 64): DataFrame = {
+    require(nPlanes % bands == 0)
+    val bitsPerBand = nPlanes / bands
+    val q = Similarity.quantize(col("embedding"))
+    val planeArrays = (0 until nPlanes).map(p =>
+      array((1 to dims).map(i => lit(srpCoefficient(p, i))): _*))
+    val sigCol = (0 until nPlanes).map { p =>
+      val proj = aggregate(zip_with(col("q"), planeArrays(p), (x, c) => x * c),
+        lit(0L), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+
+    val sig = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), q.as("q"))
+      .select(col("vec_id"), col("q"), Similarity.qdot(col("q"), col("q")).as("n2"))
+      .withColumn("sig", sigCol)
+
+    sig
+      .select(col("vec_id"), col("q"), col("n2"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("vec_id"), col("q"), col("n2"), col("band"),
+        expr(s"shiftright(sig, cast(band as int) * $bitsPerBand)")
+          .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("bv"))
+      .groupBy(col("band"), col("bv"))
+      .agg(collect_list(struct(col("vec_id"), col("q"), col("n2"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode(localPairs(array_sort(col("ms")))).as("p"))
+      .select(col("p.a.vec_id").as("vec_a"), col("p.b.vec_id").as("vec_b"),
+        Similarity.qdot(col("p.a.q"), col("p.b.q")).as("dot"),
+        col("p.a.n2").as("na"), col("p.b.n2").as("nb"))
+      .distinct()
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(thrDen * thrDen) >=
+          col("na") * col("nb") * lit(thrNum * thrNum))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   // ------------------------------------------------------------ MinHash + LSH
 
   /** MinHash signatures (numHashes permutations approximated by seeded
