@@ -27,6 +27,8 @@ object ExtQueries {
     "ext_top_parts_per_brand" -> ((s, dir) => Relational.topPartsPerBrand(s, dir)),
     "ext_top_lineitems" -> ((s, dir) => Relational.topLineitems(s, dir)),
     "ext_suppliers_per_region" -> ((s, dir) => Relational.suppliersPerRegion(s, dir)),
+    "ext_revenue_rollup" -> ((s, dir) => Relational.revenueRollup(s, dir)),
+    "ext_status_setops" -> ((s, dir) => Relational.statusSetOps(s, dir)),
     // ------------------------------------------------ events
     "ext_sessions" -> ((s, dir) => Sessionize.sessions(s, dir)),
     "ext_hourly_rollup" -> ((s, dir) => Sessionize.hourlyRollup(s, dir)),
@@ -160,6 +162,28 @@ object ExtQueries {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "ext_revenue_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "ext_status_setops" ->
+      """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |     o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT * FROM (
+        |  SELECT 'except_f_minus_o' AS op,
+        |         (SELECT count(*) FROM (SELECT * FROM f EXCEPT SELECT * FROM o)) AS n_custkeys
+        |  UNION ALL
+        |  SELECT 'intersect_f_o',
+        |         (SELECT count(*) FROM (SELECT * FROM f INTERSECT SELECT * FROM o))
+        |  UNION ALL
+        |  SELECT 'union_f_o',
+        |         (SELECT count(DISTINCT o_custkey) FROM (SELECT * FROM f UNION ALL SELECT * FROM o))
+        |) ORDER BY op""".stripMargin,
 
     "ext_sessions" ->
       """WITH e AS (

@@ -81,6 +81,42 @@ object Relational {
       .orderBy(desc("price_c"), col("l_orderkey"), col("l_linenumber"))
       .limit(k)
 
+  /** Hierarchical totals via ROLLUP(status, priority): per-(status,priority)
+    * rows, per-status subtotals, and a grand total in ONE pass — Spark
+    * expands grouping sets inside a single aggregation instead of 3 scans +
+    * union. Rolled-up key levels are surfaced as the 'ALL' sentinel (never a
+    * data value here) so row identity doesn't depend on engine-specific
+    * NULL-ordering.
+    */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("revenue_c"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("revenue_c"))
+      .orderBy(col("status"), col("priority"))
+
+  /** Set operations (absent from the reference, free in Spark): customer
+    * sets by order status compared via EXCEPT / INTERSECT / UNION —
+    * distinct-set semantics, planned as aggregations/joins, one summary
+    * row each.
+    */
+  def statusSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    def custs(status: String) =
+      orders.filter(col("o_orderstatus") === status).select(col("o_custkey"))
+    val f = custs("F"); val o = custs("O")
+    def tagged(tag: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_custkeys")).select(lit(tag).as("op"), col("n_custkeys"))
+    tagged("except_f_minus_o", f.except(o))
+      .unionByName(tagged("intersect_f_o", f.intersect(o)))
+      .unionByName(tagged("union_f_o", f.union(o).distinct()))
+      .orderBy(col("op"))
+  }
+
   /** Multi-way broadcast join through the dimension chain
     * supplier → nation → region, counting suppliers per region.
     */

@@ -42,6 +42,52 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("native session windows merge events within the gap") {
+    import graft.engine.streaming.EventStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.UserEvent]
+    val q = EventStream.sessionStats(mem.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName("stream_sessions")
+      .outputMode("complete").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData(
+        EventStream.UserEvent(1L, ts("2023-10-25 10:00:00"), 1.5),
+        EventStream.UserEvent(1L, ts("2023-10-25 10:10:00"), 2.5),  // same session
+        EventStream.UserEvent(1L, ts("2023-10-25 11:30:00"), 4.0),  // gap > 30m → new
+        EventStream.UserEvent(2L, ts("2023-10-25 10:05:00"), 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT user_id, n_events, sum_value_c FROM stream_sessions
+          |ORDER BY user_id, session_start""".stripMargin).collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+        Seq((1L, 2L, 400L), (1L, 1L, 400L), (2L, 1L, 100L)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-user profiles across batches") {
+    import graft.engine.streaming.EventStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.UserEvent]
+    val q = EventStream.userProfiles(mem.toDS())
+      .writeStream.format("memory").queryName("stream_profiles")
+      .outputMode("update").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData(EventStream.UserEvent(7L, ts("2023-10-25 10:00:00"), 1.0))
+      q.processAllAvailable()
+      mem.addData(EventStream.UserEvent(7L, ts("2023-10-25 10:01:00"), 2.0))
+      q.processAllAvailable()
+      // update-mode memory sink appends each batch's snapshot; the latest
+      // row for user 7 must carry state accumulated over BOTH batches
+      val last = spark.sql(
+        """SELECT n_events, sum_value_c FROM stream_profiles
+          |ORDER BY n_events DESC LIMIT 1""".stripMargin).head()
+      assert(last.getLong(0) === 2L)
+      assert(last.getLong(1) === 300L)
+    } finally q.stop()
+  }
+
   test("windowed error rollup over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
