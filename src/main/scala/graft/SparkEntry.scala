@@ -43,9 +43,11 @@ object SparkEntry {
     * same oracles apply.
     */
   private def logFileDir(s: SparkSession, dir: String, kind: String): String = {
+    // v-token guards against stale caches when LogGen's templates change
+    // between rounds (same tmp dir, different generation).
     val out = new java.io.File(
       new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_logs_" + dir.replaceAll("[^A-Za-z0-9]", "_")), kind)
+        "graft_logs_v2_" + dir.replaceAll("[^A-Za-z0-9]", "_")), kind)
     if (!new java.io.File(out, "_SUCCESS").exists()) {
       val df = kind match {
         case "mysql" => LogGen.mysqlFiles(s, dir)

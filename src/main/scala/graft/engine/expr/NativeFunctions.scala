@@ -1,0 +1,84 @@
+package graft.engine.expr
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native Catalyst expressions for hot-path vector math.
+  *
+  * The declarative form `aggregate(zip_with(a, b, multiply), sum)` is
+  * semantically right but executes via interpreted lambda dispatch per
+  * element — measurably slow when every candidate pair in an ANN/near-dup
+  * query computes a 64-dim dot product. This BinaryExpression generates a
+  * tight Java loop inside whole-stage codegen (SURVEY.md §4.3's "custom
+  * Expression only where built-ins can't express it efficiently" case —
+  * preference (b) before any UDF).
+  */
+object NativeFunctions {
+
+  /** Exact BIGINT dot product of two array<bigint> columns (positions past
+    * the shorter array ignored; inputs here are always equal-length).
+    * Overflow wraps like every BIGINT product in the engine — callers keep
+    * values in range (quantized components are |q| <= ~2000).
+    */
+  case class LongArrayDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"qdot_native expects (array<bigint>, array<bigint>), " +
+          s"got (${left.dataType.sql}, ${right.dataType.sql})")
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += $a.getLong($i) * $b.getLong($i);
+           |}
+           |${ev.value} = $acc;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  val QdotName = "qdot_native"
+
+  /** Idempotently register the expression in the session's function
+    * registry (the public route to a Column over a custom Expression).
+    */
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (!spark.catalog.functionExists(QdotName))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        QdotName, exprs => LongArrayDot(exprs(0), exprs(1)), "built-in")
+
+  /** Codegen'd exact dot product; caller must have ensureRegistered. */
+  def qdotNative(a: Column, b: Column): Column = call_function(QdotName, a, b)
+}

@@ -228,13 +228,13 @@ object Dedup {
                        bands: Int = 4, thrNum: Long = 2L, thrDen: Long = 5L,
                        dims: Int = 64): DataFrame = {
     require(nPlanes % bands == 0)
+    graft.engine.expr.NativeFunctions.ensureRegistered(spark)
     val bitsPerBand = nPlanes / bands
     val q = Similarity.quantize(col("embedding"))
     val planeArrays = (0 until nPlanes).map(p =>
       array((1 to dims).map(i => lit(srpCoefficient(p, i))): _*))
     val sigCol = (0 until nPlanes).map { p =>
-      val proj = aggregate(zip_with(col("q"), planeArrays(p), (x, c) => x * c),
-        lit(0L), (acc, v) => acc + v)
+      val proj = Similarity.qdot(col("q"), planeArrays(p))
       when(proj > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
 

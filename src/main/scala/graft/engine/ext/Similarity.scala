@@ -26,13 +26,24 @@ object Similarity {
   def quantize(v: Column): Column =
     transform(v, x => floor(x.cast("double") * 1000).cast("long"))
 
-  /** Exact BIGINT dot product of two quantized vectors. */
-  def qdot(a: Column, b: Column): Column =
+  /** Exact BIGINT dot product of two quantized vectors — declarative form,
+    * kept as the portable spec of the semantics. Hot paths use the
+    * codegen'd [[graft.engine.expr.NativeFunctions.LongArrayDot]] via
+    * [[qdot]], which is ~an order of magnitude faster per pair (tight Java
+    * loop vs interpreted lambda dispatch per element).
+    */
+  def qdotDeclarative(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
-  private def vectors(spark: SparkSession, dir: String): DataFrame =
+  /** Codegen'd exact BIGINT dot product (registered per session). */
+  def qdot(a: Column, b: Column): Column =
+    graft.engine.expr.NativeFunctions.qdotNative(a, b)
+
+  private def vectors(spark: SparkSession, dir: String): DataFrame = {
+    graft.engine.expr.NativeFunctions.ensureRegistered(spark)
     spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
+  }
 
   /** Exact top-k by inner product for every query vector
     * (vec_id % queryMod == 0), self-match excluded, ties broken by

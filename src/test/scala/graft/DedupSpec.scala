@@ -117,6 +117,7 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("quantize + qdot: exact integer dot product") {
+    graft.engine.expr.NativeFunctions.ensureRegistered(spark)
     val r = Seq((Seq(1.0f, 0.5f, -0.25f), Seq(2.0f, 1.0f, 4.0f)))
       .toDF("a", "b")
       .select(Similarity.qdot(Similarity.quantize(col("a")),
@@ -125,6 +126,21 @@ class DedupSpec extends SparkTestBase {
     // floor(1*1000)*floor(2*1000) + floor(.5*1000)*floor(1*1000)
     //   + floor(-.25*1000)*floor(4*1000)
     assert(r.getLong(0) === 1000L * 2000 + 500L * 1000 + (-250L) * 4000)
+  }
+
+  test("native qdot expression matches the declarative form") {
+    graft.engine.expr.NativeFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(50)((
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1),
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+      .select(Similarity.quantize(col("a")).as("qa"),
+        Similarity.quantize(col("b")).as("qb"))
+      .select(
+        Similarity.qdot(col("qa"), col("qb")).as("native"),
+        Similarity.qdotDeclarative(col("qa"), col("qb")).as("declarative"))
+    df.collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
   test("bruteForceTopK: self excluded, ranks ordered by dot desc") {
