@@ -58,24 +58,31 @@ object MongoLogPipeline {
     * line_no provenance.
     */
   def detailed(scan: DataFrame): DataFrame = {
-    val cmd = coalesce(get_json_object(col("line"), "$.attr.command"), lit("{}"))
+    // Parse the full line ONCE for the open-shaped command document; the
+    // P6 sub-paths then parse only the (much smaller) command string —
+    // 1 full-line JSON parse instead of 4. Materialized as a projection:
+    // get_json_object is non-cheap, so CollapseProject won't re-inline it
+    // into the consumers.
+    val withCmd = scan.filter(col("valid") && col("is_slow"))
+      .withColumn("cmd_raw", get_json_object(col("line"), "$.attr.command"))
     // P4 asymmetric defaults: missing ns splits to [""] → AppName "",
     // Collection "N/A" (mongo_parser.py:35-37).
     val nsParts = split(coalesce(col("j.attr.ns"), lit("")), "\\.", -1)
     // P6 conditional filter extraction (mongo_parser.py:44-53): presence of
     // "pipeline" wins over "filter"; a pipeline whose first stage has no
-    // $match collapses to the sentinel.
+    // $match collapses to the sentinel. Missing command ⇒ null cmd_raw ⇒
+    // null sub-paths ⇒ the {} fallback, same as pathing from the line.
     val filterCol =
-      when(get_json_object(col("line"), "$.attr.command.pipeline").isNotNull,
-        coalesce(get_json_object(col("line"), "$.attr.command.pipeline[0].$match"),
+      when(get_json_object(col("cmd_raw"), "$.pipeline").isNotNull,
+        coalesce(get_json_object(col("cmd_raw"), "$.pipeline[0].$match"),
           lit(ComplexPipelineSentinel)))
-        .when(get_json_object(col("line"), "$.attr.command.filter").isNotNull,
-          get_json_object(col("line"), "$.attr.command.filter"))
+        .when(get_json_object(col("cmd_raw"), "$.filter").isNotNull,
+          get_json_object(col("cmd_raw"), "$.filter"))
         .otherwise(lit("{}"))
 
-    scan.filter(col("valid") && col("is_slow")).select(
+    withCmd.select(
       col("line_no"),
-      cmd.as("Command"),
+      coalesce(col("cmd_raw"), lit("{}")).as("Command"),
       when(size(nsParts) > 1, element_at(nsParts, 2)).otherwise("N/A").as("Collection"),
       element_at(nsParts, 1).as("AppName"),
       coalesce(col("j.attr.durationMillis"), lit(0L)).as("Duration(ms)"),
