@@ -61,42 +61,32 @@ object MySqlLogPipeline {
     def flag(p: String): Column = col("entry").rlike(p)
     def ext(p: String): Column = regexp_extract(col("entry"), p, 1)
 
+    // ONE projection computes the whole regex battery (7 flags + 7
+    // extracts) — the detailed and warnings branches both derive from it,
+    // so a warnings-only consumer parses each entry once, not once per
+    // union leg.
     val matched = entries.select(
       col("file_id"), col("entry_no"), col("ord"), col("entry"),
       flag(TimeP).as("t_ok"), flag(UserHostP).as("uh_ok"),
       flag(QueryTimeP).as("qt_ok"), flag(LockTimeP).as("lt_ok"),
       flag(RowsSentP).as("rs_ok"), flag(RowsExaminedP).as("re_ok"),
-      flag(QueryP).as("q_ok"))
-
-    val allOk = col("t_ok") && col("uh_ok") && col("qt_ok") &&
-      col("lt_ok") && col("rs_ok") && col("re_ok") && col("q_ok")
-
-    // P10/R4 failure channel: which patterns matched, Python-bool rendering,
-    // first 200 chars of the entry (mysqlLogParser.py:95-96).
-    def pyBool(c: Column): Column = when(c, "True").otherwise("False")
-    val skipWarnings = matched.filter(!allOk).select(
-      col("file_id"), col("entry_no"), col("ord"), lit(0).as("warn_rank"),
-      concat(
-        lit("Skipped log entry "), col("entry_no"),
-        lit(" due to missing fields. Details: T:"), pyBool(col("t_ok")),
-        lit(", UH:"), pyBool(col("uh_ok")), lit(", QT:"), pyBool(col("qt_ok")),
-        lit(", LT:"), pyBool(col("lt_ok")), lit(", RS:"), pyBool(col("rs_ok")),
-        lit(", RE:"), pyBool(col("re_ok")), lit(", Q:"), pyBool(col("q_ok")),
-        lit(". Content snippet: "), substring(col("entry"), 1, 200), lit("...")
-      ).as("warning"))
-
-    val kept = matched.filter(allOk).select(
-      col("file_id"), col("entry_no"), col("ord"),
+      flag(QueryP).as("q_ok"),
       ext(TimeP).as("time_raw"), ext(UserHostP).as("uh_raw"),
       ext(QueryTimeP).as("qt_raw"), ext(LockTimeP).as("lt_raw"),
       ext(RowsSentP).as("rs_raw"), ext(RowsExaminedP).as("re_raw"),
       Normalizers.pyStrip(ext(QueryP)).as("query_raw"))
 
+    val allOk = col("t_ok") && col("uh_ok") && col("qt_ok") &&
+      col("lt_ok") && col("rs_ok") && col("re_ok") && col("q_ok")
+
     // P11: float(qt) * 1000 with 0.0 + warning on unparsable values.
     val qtMs = expr("try_cast(trim(qt_raw) as double)") * 1.0e3
 
-    val projected = kept.select(
-      col("file_id"), col("entry_no"), col("ord"), col("qt_raw"),
+    val projected = matched.select(
+      col("file_id"), col("entry_no"), col("ord"), col("entry"), col("qt_raw"),
+      allOk.as("all_ok"),
+      col("t_ok"), col("uh_ok"), col("qt_ok"), col("lt_ok"),
+      col("rs_ok"), col("re_ok"), col("q_ok"),
       Normalizers.pyStrip(col("time_raw")).as("Time"),
       Normalizers.pyStrip(col("uh_raw")).as("User@Host"),
       coalesce(qtMs, lit(0.0)).as("Query_time (ms)"),
@@ -109,18 +99,7 @@ object MySqlLogPipeline {
       when(col("query_raw") === "", EmptyQueryPlaceholder)
         .otherwise(Normalizers.normalizeMySqlQuery(col("query_raw"))).as("Normalized_Query"))
 
-    // P11 cast-failure warning (mysqlLogParser.py:72-74; note the message
-    // embeds the UNstripped capture) and P12 empty-query warning (:83-87).
-    val qtWarnings = projected.filter(col("qt_bad")).select(
-      col("file_id"), col("entry_no"), col("ord"), lit(1).as("warn_rank"),
-      concat(lit("Could not parse Query_time: '"), col("qt_raw"),
-        lit("' in entry "), col("entry_no"), lit(". Skipping field.")).as("warning"))
-    val emptyWarnings = projected.filter(col("Query") === EmptyQueryPlaceholder)
-      .select(col("file_id"), col("entry_no"), col("ord"), lit(2).as("warn_rank"),
-        concat(lit("Empty query string found in entry "), col("entry_no"),
-          lit(". It might be a non-SELECT/INSERT/UPDATE/DELETE statement or a parsing issue.")).as("warning"))
-
-    val detailed = projected.select(
+    val detailed = projected.filter(col("all_ok")).select(
       col("file_id"), col("entry_no"), col("ord"),
       col("Time"), col("User@Host"), col("Query_time (ms)"), col("Lock_time"),
       col("Rows_sent"), col("Rows_examined"), col("Query"), col("Normalized_Query"))
@@ -138,9 +117,36 @@ object MySqlLogPipeline {
         min_by(col("Query"), col("ord")).as("Sample_Query"))
       .orderBy(col("Normalized_Query"))
 
-    val warnings = skipWarnings.unionByName(qtWarnings).unionByName(emptyWarnings)
-      .orderBy(col("ord"), col("warn_rank"))
-      .select(col("file_id"), col("entry_no"), col("warning"))
+    // Warning channel, single pass: each entry emits 0..1 of the three
+    // diagnostics — P10/R4 skip (which patterns matched, Python-bool
+    // rendering, first 200 chars — mysqlLogParser.py:95-96), P11 cast
+    // failure (embeds the UNstripped capture, :72-74), P12 empty query
+    // (:83-87) — via a compact array-filter-explode instead of a 3-leg
+    // union that would re-run the regex battery per leg.
+    def pyBool(c: Column): Column = when(c, "True").otherwise("False")
+    val skipMsg = concat(
+      lit("Skipped log entry "), col("entry_no"),
+      lit(" due to missing fields. Details: T:"), pyBool(col("t_ok")),
+      lit(", UH:"), pyBool(col("uh_ok")), lit(", QT:"), pyBool(col("qt_ok")),
+      lit(", LT:"), pyBool(col("lt_ok")), lit(", RS:"), pyBool(col("rs_ok")),
+      lit(", RE:"), pyBool(col("re_ok")), lit(", Q:"), pyBool(col("q_ok")),
+      lit(". Content snippet: "), substring(col("entry"), 1, 200), lit("..."))
+    val qtMsg = concat(lit("Could not parse Query_time: '"), col("qt_raw"),
+      lit("' in entry "), col("entry_no"), lit(". Skipping field."))
+    val emptyMsg = concat(lit("Empty query string found in entry "), col("entry_no"),
+      lit(". It might be a non-SELECT/INSERT/UPDATE/DELETE statement or a parsing issue."))
+
+    val warnings = projected
+      .select(col("file_id"), col("entry_no"), col("ord"),
+        explode(filter(array(
+          when(!col("all_ok"), struct(lit(0).as("warn_rank"), skipMsg.as("warning"))),
+          when(col("all_ok") && col("qt_bad"),
+            struct(lit(1).as("warn_rank"), qtMsg.as("warning"))),
+          when(col("all_ok") && col("Query") === EmptyQueryPlaceholder,
+            struct(lit(2).as("warn_rank"), emptyMsg.as("warning")))),
+          w => w.isNotNull)).as("w"))
+      .orderBy(col("ord"), col("w.warn_rank"))
+      .select(col("file_id"), col("entry_no"), col("w.warning").as("warning"))
 
     Result(detailed, aggregate, warnings)
   }
