@@ -21,6 +21,8 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+    // Fixture setup (generated log files) happens outside the timed loop.
+    try SparkEntry.prepare(spark, sfDir) catch { case _: Throwable => () }
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -60,6 +60,17 @@ object SparkEntry {
     out.getAbsolutePath
   }
 
+  /** Materialize the generated log FILES for `dir` (idempotent). Bench
+    * calls this before the timed loop: input-file generation is test
+    * fixture setup, not engine work — every other query reads
+    * pre-existing parquet the same way.
+    */
+  def prepare(s: SparkSession, dir: String): Unit = {
+    LogGen.mongoLines(s, dir) // sets the nanos read conf
+    logFileDir(s, dir, "mysql")
+    logFileDir(s, dir, "mongo")
+  }
+
   // ----------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = logQueries ++ ExtQueries.queries

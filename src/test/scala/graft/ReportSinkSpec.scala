@@ -37,6 +37,20 @@ class ReportSinkSpec extends SparkTestBase {
         "Lock_time", "Rows_sent", "Rows_examined", "Query", "Normalized_Query"))
   }
 
+  test("mysql CLI --scale (delimited reader) produces the same sheets") {
+    spark
+    val dir = java.nio.file.Files.createTempDirectory("cli3").toFile
+    val in = new java.io.File(dir, "slow.log")
+    java.nio.file.Files.writeString(in.toPath, log)
+    val out = new java.io.File(dir, "report")
+    Main.main(Array("--mode", "mysql", "--input", in.getAbsolutePath,
+      "--output", out.getAbsolutePath, "--scale"))
+    val d = spark.read.parquet(s"${out.getAbsolutePath}/Detailed Metrics")
+    assert(d.count() === 1L)
+    assert(d.head().getAs[String]("Normalized_Query") ===
+      "SELECT * FROM T WHERE ID = ?;")
+  }
+
   test("mongo CLI writes the four reference sheets") {
     spark
     val dir = java.nio.file.Files.createTempDirectory("cli2").toFile
