@@ -88,29 +88,42 @@ object Dedup {
   def md5Hash48(c: Column): Column =
     conv(substring(md5(c), 1, 12), 16, 10).cast("long")
 
+  /** The standard `documents` table: (doc_id, text, ...). All operators
+    * below are DataFrame-first — any (doc_id: Long, text: String) input
+    * works; the (spark, dir) overloads read this testdata table.
+    */
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
   // ------------------------------------------------------------ exact
 
   /** Exact dedup by content hash: one row per distinct text with the
     * canonical (minimum) doc_id and the duplicate count. The standard
     * sha2/groupBy shape — one shuffle on the hash, partial agg map-side.
     */
-  def exact(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+  def exact(docs: DataFrame): DataFrame =
+    docs
       .groupBy(sha2(col("text"), 256).as("content_hash"))
       .agg(min(col("doc_id")).as("canonical_doc_id"),
         count(lit(1)).as("n_copies"))
       .orderBy(col("canonical_doc_id"))
 
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    exact(documents(spark, dir))
+
   /** Bag-of-words dedup: documents with identical sorted distinct token
     * sets collapse together even when word order differs.
     */
-  def bagOfWords(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+  def bagOfWords(docs: DataFrame): DataFrame =
+    docs
       .groupBy(md5(array_join(array_sort(array_distinct(tokens(col("text")))), " "))
         .as("bow_hash"))
       .agg(min(col("doc_id")).as("canonical_doc_id"),
         count(lit(1)).as("n_copies"))
       .orderBy(col("canonical_doc_id"))
+
+  def bagOfWords(spark: SparkSession, dir: String): DataFrame =
+    bagOfWords(documents(spark, dir))
 
   // ------------------------------------------------------------ n-gram Jaccard
 
@@ -123,9 +136,16 @@ object Dedup {
     * Jaccard is then computed from the shared-count and per-doc distinct
     * shingle counts; no second pass over the corpus.
     */
-  def ngramJaccardPairs(spark: SparkSession, dir: String, n: Int = 3,
+  def ngramJaccardPairs(spark: SparkSession, dir: String, n: Int,
+                        dfCap: Int, minJaccardPpm: Long): DataFrame =
+    ngramJaccardPairs(documents(spark, dir), n, dfCap, minJaccardPpm)
+
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(documents(spark, dir))
+
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
                         dfCap: Int = 100, minJaccardPpm: Long = 100000L): DataFrame = {
-    val sh = shingleRows(spark.read.parquet(s"$dir/documents.parquet"), n)
+    val sh = shingleRows(docs, n)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
 
     // Blocking: group per shingle, drop shingles with document frequency
@@ -159,8 +179,11 @@ object Dedup {
     * is 1 when the vote sum is positive. Linear in tokens × 60, fully
     * integer — the standard near-dup fingerprint at crawl scale.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = spark.read.parquet(s"$dir/documents.parquet")
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhash(documents(spark, dir))
+
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), md5Hash60(col("tok")).as("h"))
     // One wide aggregation (count + 60 per-bit ones-counts) instead of a
@@ -183,9 +206,11 @@ object Dedup {
     * within Hamming distance 3 of each other must agree on ≥1 band), then
     * exact Hamming distance via bit_count(xor).
     */
-  def simhashPairs(spark: SparkSession, dir: String,
-                   maxHamming: Int = 8): DataFrame = {
-    val sig = simhash(spark, dir)
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(documents(spark, dir))
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val sig = simhash(docs)
     sig.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("band"))
       .select(col("doc_id"), col("simhash"), col("band"),
@@ -224,7 +249,12 @@ object Dedup {
     * Bucket-join shaped like every near-dup here: cost is Σ bucket², never
     * the corpus cross join.
     */
-  def embedCosinePairs(spark: SparkSession, dir: String, nPlanes: Int = 16,
+  def embedCosinePairs(spark: SparkSession, dir: String): DataFrame =
+    embedCosinePairs(spark,
+      spark.read.parquet(s"$dir/embeddings.parquet"))
+
+  def embedCosinePairs(spark: SparkSession, embeddings: DataFrame,
+                       nPlanes: Int = 16,
                        bands: Int = 4, thrNum: Long = 2L, thrDen: Long = 5L,
                        dims: Int = 64): DataFrame = {
     require(nPlanes % bands == 0)
@@ -238,7 +268,7 @@ object Dedup {
       when(proj > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
 
-    val sig = spark.read.parquet(s"$dir/embeddings.parquet")
+    val sig = embeddings
       .select(col("vec_id"), q.as("q"))
       .select(col("vec_id"), col("q"), Similarity.qdot(col("q"), col("q")).as("n2"))
       .withColumn("sig", sigCol)
@@ -271,14 +301,17 @@ object Dedup {
     * integer ppm). The signature pass is one explode + one groupBy; the
     * LSH join is bucket-shaped like every other near-dup here.
     */
-  def minhashPairs(spark: SparkSession, dir: String, n: Int = 3,
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(documents(spark, dir))
+
+  def minhashPairs(docs: DataFrame, n: Int = 3,
                    numHashes: Int = 16, bands: Int = 4,
                    minEstPpm: Long = 250000L): DataFrame = {
     val rows = bands
     require(numHashes % bands == 0, "bands must divide numHashes")
     val perBand = numHashes / bands
 
-    val exploded = shingleRows(spark.read.parquet(s"$dir/documents.parquet"), n)
+    val exploded = shingleRows(docs, n)
       .select(col("doc_id"), md5Hash48(col("shingle")).as("h"))
 
     // h_i(x) = (a_i * h + b_i) mod p — universal-hash family on the 60-bit

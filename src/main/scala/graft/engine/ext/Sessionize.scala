@@ -32,12 +32,16 @@ object Sessionize {
   }
 
   /** Per-user sessions: a new session starts when the gap since the
-    * previous event exceeds [[SessionGapNanos]]. Returns one row per
+    * previous event exceeds [[SessionGapMicros]]. Returns one row per
     * session with event count, span, and value sum (integer-quantized).
+    * DataFrame form expects (event_id, user_id, ts_us, value).
     */
-  def sessions(spark: SparkSession, dir: String): DataFrame = {
+  def sessions(spark: SparkSession, dir: String): DataFrame =
+    sessions(events(spark, dir))
+
+  def sessions(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-    events(spark, dir)
+    ev
       .select(col("user_id"), col("event_id"), col("ts_us"),
         floor(col("value") * 100).cast("long").as("value_c"))
       .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
@@ -59,9 +63,12 @@ object Sessionize {
   /** Tumbling 1-hour windows per event type: the batch equivalent of a
     * Structured Streaming `window($"ts", "1 hour")` aggregation.
     */
-  def hourlyRollup(spark: SparkSession, dir: String): DataFrame = {
+  def hourlyRollup(spark: SparkSession, dir: String): DataFrame =
+    hourlyRollup(events(spark, dir))
+
+  def hourlyRollup(ev: DataFrame): DataFrame = {
     val hourUs = 3600L * 1000 * 1000
-    events(spark, dir)
+    ev
       .groupBy(
         (col("ts_us") - pmod(col("ts_us"), lit(hourUs))).as("hour_start_us"),
         col("event_type"))

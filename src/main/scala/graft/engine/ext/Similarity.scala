@@ -39,19 +39,28 @@ object Similarity {
   def qdot(a: Column, b: Column): Column =
     graft.engine.expr.NativeFunctions.qdotNative(a, b)
 
-  private def vectors(spark: SparkSession, dir: String): DataFrame = {
+  /** Quantize an `embeddings`-shaped DataFrame (vec_id, label, embedding)
+    * into the (vec_id, label, q) working set all operators consume — any
+    * input with those columns works.
+    */
+  def quantizedVectors(spark: SparkSession, embeddings: DataFrame): DataFrame = {
     graft.engine.expr.NativeFunctions.ensureRegistered(spark)
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    embeddings
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
   }
+
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    quantizedVectors(spark, spark.read.parquet(s"$dir/embeddings.parquet"))
 
   /** Exact top-k by inner product for every query vector
     * (vec_id % queryMod == 0), self-match excluded, ties broken by
     * neighbor id. The query side is broadcast; the corpus is scanned once.
     */
   def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 10,
-                     queryMod: Int = 50): DataFrame = {
-    val vs = vectors(spark, dir)
+                     queryMod: Int = 50): DataFrame =
+    bruteForceTopK(vectors(spark, dir), k, queryMod)
+
+  def bruteForceTopK(vs: DataFrame, k: Int, queryMod: Int): DataFrame = {
     val queries = vs.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("q").as("qq"))
     val w = Window.partitionBy(col("query_id"))
@@ -73,8 +82,11 @@ object Similarity {
     * cross-joins the query set.
     */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 10,
-              queryMod: Int = 50, nCells: Int = 16, nprobe: Int = 4): DataFrame = {
-    val vs = vectors(spark, dir)
+              queryMod: Int = 50, nCells: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfTopK(vectors(spark, dir), k, queryMod, nCells, nprobe)
+
+  def ivfTopK(vs: DataFrame, k: Int, queryMod: Int, nCells: Int,
+              nprobe: Int): DataFrame = {
     val centroids = vs.filter(col("vec_id") < nCells)
       .select(col("vec_id").cast("int").as("cell_id"), col("q").as("cq"))
 
@@ -116,9 +128,10 @@ object Similarity {
     * sums + count, exact), then pairwise centroid inner products — the
     * "are these classes separable" diagnostic.
     */
-  def labelCentroidSim(spark: SparkSession, dir: String): DataFrame = {
-    val vs = vectors(spark, dir)
-    val dims = 64
+  def labelCentroidSim(spark: SparkSession, dir: String): DataFrame =
+    labelCentroidSim(vectors(spark, dir))
+
+  def labelCentroidSim(vs: DataFrame): DataFrame = {
     val sums = vs
       .select(col("label"), posexplode(col("q")).as(Seq("dim", "v")))
       .groupBy(col("label"), col("dim"))

@@ -38,8 +38,10 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
   /** Per-document analysis row: token counts, ppm ratios, fingerprint. */
-  def analyze(spark: SparkSession, dir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+  def analyze(spark: SparkSession, dir: String): DataFrame =
+    analyze(spark.read.parquet(s"$dir/documents.parquet"))
+
+  def analyze(docs: DataFrame): DataFrame = {
     val len = length(col("text"))
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
     docs.select(
@@ -61,8 +63,10 @@ object TextAnalysis {
     * check; predicted language = argmax with a fixed priority order on
     * ties (zh > en > es > fr > unknown) so the answer is deterministic.
     */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langId(spark.read.parquet(s"$dir/documents.parquet"))
+
+  def langId(docs: DataFrame): DataFrame = {
     val en = nMatches(col("text"), EnStop)
     val es = nMatches(col("text"), EsStop)
     val fr = nMatches(col("text"), FrStop)
@@ -81,7 +85,10 @@ object TextAnalysis {
     * filter stage would gate on. Integer-exact everywhere.
     */
   def qualityRollup(spark: SparkSession, dir: String): DataFrame =
-    analyze(spark, dir)
+    qualityRollup(spark.read.parquet(s"$dir/documents.parquet"))
+
+  def qualityRollup(docs: DataFrame): DataFrame =
+    analyze(docs)
       .groupBy(col("lang"), col("source"))
       .agg(
         count(lit(1)).as("n_docs"),

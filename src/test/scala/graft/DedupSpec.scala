@@ -65,7 +65,8 @@ class DedupSpec extends SparkTestBase {
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-    val pairs = Dedup.ngramJaccardPairs(spark, dir, minJaccardPpm = 1L).collect()
+    val pairs = Dedup.ngramJaccardPairs(
+      spark.read.parquet(s"$dir/documents.parquet"), minJaccardPpm = 1L).collect()
     assert(pairs.length === 1)
     val p = pairs(0)
     assert(p.getAs[Long]("doc_a") === 1L && p.getAs[Long]("doc_b") === 2L)
@@ -103,7 +104,8 @@ class DedupSpec extends SparkTestBase {
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-    val pairs = Dedup.minhashPairs(spark, dir, minEstPpm = 1L).collect()
+    val pairs = Dedup.minhashPairs(
+      spark.read.parquet(s"$dir/documents.parquet"), minEstPpm = 1L).collect()
     val dup = pairs.find(r => r.getAs[Long]("doc_a") == 1L &&
       r.getAs[Long]("doc_b") == 2L)
     assert(dup.isDefined)
