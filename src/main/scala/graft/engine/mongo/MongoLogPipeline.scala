@@ -49,9 +49,16 @@ object MongoLogPipeline {
       .withColumn("valid",
         col("j").isNotNull && col(s"j.${Schemas.CorruptField}").isNull)
       .withColumn("is_slow", col("line").contains("Slow query"))
+      // R2 gate (mongo_parser.py:72): msg present, s == "E", attr.error
+      // present. The reference tests KEY presence; the schema-parsed
+      // struct is non-null for every object-valued error (including {}),
+      // differing only for `"error": null` / scalar-valued error — shapes
+      // mongod does not emit. Checking the parsed struct instead of
+      // get_json_object(line, ...) avoids a second full-line JSON parse
+      // on EVERY line of the scan.
       .withColumn("is_error",
         col("j.msg").isNotNull && col("j.s") === "E" &&
-          get_json_object(col("line"), "$.attr.error").isNotNull)
+          col("j.attr.error").isNotNull)
   }
 
   /** R1 + P3-P7: one row per slow-query line, reference's 11 columns plus
