@@ -32,6 +32,8 @@ object ExtQueries {
     // ------------------------------------------------ events
     "ext_sessions" -> ((s, dir) => Sessionize.sessions(s, dir)),
     "ext_hourly_rollup" -> ((s, dir) => Sessionize.hourlyRollup(s, dir)),
+    "ext_asof_click" -> ((s, dir) => TemporalJoins.asofClickBeforePurchase(s, dir)),
+    "ext_range_views" -> ((s, dir) => TemporalJoins.viewsBeforePurchase(s, dir)),
     // ------------------------------------------------ text analysis
     "text_analyze" -> ((s, dir) =>
       TextAnalysis.analyze(s, dir).orderBy(col("doc_id"))),
@@ -210,6 +212,38 @@ object ExtQueries {
         |  CAST(sum(value_c) AS BIGINT) AS sum_value_c
         |FROM t GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    "ext_asof_click" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events
+        |), c AS (
+        |  SELECT user_id, tsu, max(event_id) AS click_id
+        |  FROM e WHERE event_type = 'click' GROUP BY 1, 2
+        |), p AS (
+        |  SELECT event_id AS purchase_id, user_id, tsu
+        |  FROM e WHERE event_type = 'purchase'
+        |)
+        |SELECT purchase_id, p.tsu AS purchase_ts_us, p.user_id,
+        |  c.click_id, c.tsu AS click_ts_us, p.tsu - c.tsu AS gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.tsu >= c.tsu
+        |ORDER BY purchase_id""".stripMargin,
+
+    "ext_range_views" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events
+        |), p AS (
+        |  SELECT event_id AS purchase_id, user_id, tsu
+        |  FROM e WHERE event_type = 'purchase'
+        |), v AS (
+        |  SELECT event_id AS view_id, user_id, tsu AS view_ts
+        |  FROM e WHERE event_type = 'view'
+        |)
+        |SELECT purchase_id, count(view_id) AS n_views
+        |FROM p LEFT JOIN v
+        |  ON p.user_id = v.user_id
+        | AND v.view_ts BETWEEN p.tsu - 3600000000 AND p.tsu
+        |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
 
     "ext_hourly_rollup" ->
       """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_start_us,
