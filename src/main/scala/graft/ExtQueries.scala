@@ -34,6 +34,9 @@ object ExtQueries {
     "ext_hourly_rollup" -> ((s, dir) => Sessionize.hourlyRollup(s, dir)),
     "ext_asof_click" -> ((s, dir) => TemporalJoins.asofClickBeforePurchase(s, dir)),
     "ext_range_views" -> ((s, dir) => TemporalJoins.viewsBeforePurchase(s, dir)),
+    "ext_salted_rollup" -> ((s, dir) => Sessionize.saltedTypeRollup(s, dir)),
+    // approximate sketches: rows-only check (no exact cross-engine oracle)
+    "ext_sketches" -> ((s, dir) => Sessionize.sketchRollup(s, dir)),
     // ------------------------------------------------ text analysis
     "text_analyze" -> ((s, dir) =>
       TextAnalysis.analyze(s, dir).orderBy(col("doc_id"))),
@@ -212,6 +215,12 @@ object ExtQueries {
         |  CAST(sum(value_c) AS BIGINT) AS sum_value_c
         |FROM t GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    "ext_salted_rollup" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+        |  min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "ext_asof_click" ->
       """WITH e AS (

@@ -66,6 +66,44 @@ object Sessionize {
   def hourlyRollup(spark: SparkSession, dir: String): DataFrame =
     hourlyRollup(events(spark, dir))
 
+  /** Salted two-phase aggregation: event_type has ~5 distinct values —
+    * catastrophic key skew at 100 TB (5 reducers own everything). Phase 1
+    * aggregates on (key, salt) spreading each hot key over `salts`
+    * reducers; phase 2 merges the partials per key. Results are identical
+    * to a direct groupBy (sums/counts/min/max are associative), which is
+    * exactly what the oracle checks.
+    */
+  def saltedTypeRollup(spark: SparkSession, dir: String): DataFrame =
+    saltedTypeRollup(events(spark, dir))
+
+  def saltedTypeRollup(ev: DataFrame, salts: Int = 32): DataFrame =
+    ev
+      .withColumn("salt", pmod(col("event_id"), lit(salts)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("sv"),
+        min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("n")).as("n_events"),
+        sum(col("sv")).as("sum_value_c"),
+        min(col("mn")).as("first_ts_us"), max(col("mx")).as("last_ts_us"))
+      .orderBy(col("event_type"))
+
+  /** Approximate-sketch surface (no exact oracle by nature — the driver
+    * records the weaker rows-only check): HLL distinct users and t-digest
+    * value percentiles per event type.
+    */
+  def sketchRollup(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)),
+          lit(10000)).as("value_p50_p95_p99"))
+      .orderBy(col("event_type"))
+
   def hourlyRollup(ev: DataFrame): DataFrame = {
     val hourUs = 3600L * 1000 * 1000
     ev
