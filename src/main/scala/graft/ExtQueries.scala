@@ -43,6 +43,8 @@ object ExtQueries {
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(s, dir).orderBy(col("doc_id"))),
     "text_quality_rollup" -> ((s, dir) => TextAnalysis.qualityRollup(s, dir)),
+    "text_winnow" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprint(s, dir).orderBy(col("doc_id"))),
     // ------------------------------------------------ dedup
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "dedup_bow" -> ((s, dir) => Dedup.bagOfWords(s, dir)),
@@ -61,6 +63,10 @@ object ExtQueries {
       Multimodal.decodeFeatures(s, dir).toDF().orderBy(col("doc_id"))
     }),
     "mm_format_rollup" -> ((s, dir) => Multimodal.formatRollup(s, dir)),
+    "mm_resized" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.resizeFeatures(s, dir).toDF().orderBy(col("doc_id"))
+    }),
   )
 
   // ------------------------------------------------------------- oracles
@@ -312,6 +318,16 @@ object ExtQueries {
         |  CAST(sum(n_punct) * 1000000 // sum(n_chars) AS BIGINT) AS corpus_punct_ppm
         |FROM a GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
+    "text_winnow" ->
+      """SELECT doc_id,
+        |  list_min(list_transform(range(1, greatest(length(text) - 15, 1) + 1),
+        |    i -> ('0x' || substring(md5(substring(text, i::INT, 16)), 1, 15))::BIGINT))
+        |    AS fingerprint_h,
+        |  len(list_distinct(list_transform(range(1, greatest(length(text) - 15, 1) + 1),
+        |    i -> ('0x' || substring(md5(substring(text, i::INT, 16)), 1, 15))::BIGINT)))
+        |    AS n_distinct_windows
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "dedup_exact" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS canonical_doc_id,
         |  count(*) AS n_copies
@@ -453,6 +469,23 @@ object ExtQueries {
       """SELECT m.doc_id, format, width, height, n_frames,
         |  CAST(n_bytes AS BIGINT) AS n_bytes, first_byte, frame_byte_sum
         |FROM m JOIN fr ON m.doc_id = fr.doc_id ORDER BY m.doc_id""".stripMargin),
+
+    "mm_resized" -> (media +
+      """, rz AS (
+        |  SELECT doc_id, format, n_bytes, text,
+        |    greatest(1, (width * 64) // greatest(width, height)) AS out_w,
+        |    greatest(1, (height * 64) // greatest(width, height)) AS out_h
+        |  FROM m
+        |), g AS (
+        |  SELECT doc_id,
+        |    CAST(sum(ascii(substring(text,
+        |      least((i * n_bytes) // (out_w * out_h), n_bytes - 1) + 1, 1)))
+        |      AS BIGINT) AS grid_byte_sum
+        |  FROM rz, range(0, 4096) t(i) WHERE i < out_w * out_h
+        |  GROUP BY doc_id
+        |)
+        |SELECT rz.doc_id, format, out_w, out_h, grid_byte_sum
+        |FROM rz JOIN g ON rz.doc_id = g.doc_id ORDER BY rz.doc_id""".stripMargin),
 
     "mm_format_rollup" -> (media +
       """SELECT format, count(*) AS n_media,

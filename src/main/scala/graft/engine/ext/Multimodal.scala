@@ -86,6 +86,43 @@ object Multimodal {
       }
   }
 
+  final case class ResizedFeatures(doc_id: Long, format: String,
+                                   out_w: Int, out_h: Int, grid_byte_sum: Long)
+
+  /** "Resize" stage: compute aspect-preserving target dimensions for a
+    * 64×64 bounding box and a deterministic checksum of the payload
+    * sampled on the resized grid — the stub stands in for a real
+    * interpolating resampler; the batching/partitioning around it is the
+    * production shape.
+    */
+  def resizeFeatures(spark: SparkSession, dir: String, box: Int = 64,
+                     batchSize: Int = 32): Dataset[ResizedFeatures] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRecord]
+      .repartition(col("doc_id"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val (w, h) = (r.meta.width, r.meta.height)
+            // fit into box×box preserving aspect ratio (floor, min 1)
+            val scaleNum = box.toLong
+            val longSide = math.max(w, h).toLong
+            val outW = math.max(1, (w * scaleNum / longSide).toInt)
+            val outH = math.max(1, (h * scaleNum / longSide).toInt)
+            val n = outW * outH
+            var acc = 0L
+            var i = 0
+            while (i < n && r.media.nonEmpty) {
+              val off = (i.toLong * r.media.length / n).toInt
+              acc += r.media(math.min(off, r.media.length - 1)) & 0xff
+              i += 1
+            }
+            ResizedFeatures(r.doc_id, r.meta.format, outW, outH, acc)
+          }
+        }
+      }
+  }
+
   /** Rollup per format — the sanity aggregation a curation job runs after
     * feature extraction.
     */

@@ -81,6 +81,26 @@ object TextAnalysis {
         .otherwise("unknown").as("lang_pred"))
   }
 
+  /** Rolling-window document fingerprint (winnowing-style): hash every
+    * 16-char window of the text (the set a Karp-Rabin rolling hash would
+    * produce incrementally — same values, expressed declaratively), then
+    * keep the MINIMUM window hash as the doc fingerprint plus the distinct
+    * window count. Near-identical docs share the min-hash window with high
+    * probability — the winnowing selection rule, one projection per doc.
+    */
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprint(spark.read.parquet(s"$dir/documents.parquet"))
+
+  def winnowFingerprint(docs: DataFrame, w: Int = 16): DataFrame = {
+    val nWin = greatest(length(col("text")) - (w - 1), lit(1))
+    val hashes = transform(sequence(lit(1), nWin),
+      i => conv(substring(md5(col("text").substr(i, lit(w))), 1, 15), 16, 10)
+        .cast("long"))
+    docs.select(col("doc_id"),
+      array_min(hashes).as("fingerprint_h"),
+      size(array_distinct(hashes)).as("n_distinct_windows"))
+  }
+
   /** Corpus-level quality rollup per (lang, source): the aggregation a
     * filter stage would gate on. Integer-exact everywhere.
     */
