@@ -29,6 +29,8 @@ object ExtQueries {
     "ext_suppliers_per_region" -> ((s, dir) => Relational.suppliersPerRegion(s, dir)),
     "ext_revenue_rollup" -> ((s, dir) => Relational.revenueRollup(s, dir)),
     "ext_status_setops" -> ((s, dir) => Relational.statusSetOps(s, dir)),
+    "ext_anti_customers" -> ((s, dir) => Relational.customersWithoutOrders(s, dir)),
+    "ext_semi_customers" -> ((s, dir) => Relational.customersWithOpenOrders(s, dir)),
     // ------------------------------------------------ events
     "ext_sessions" -> ((s, dir) => Sessionize.sessions(s, dir)),
     "ext_hourly_rollup" -> ((s, dir) => Sessionize.hourlyRollup(s, dir)),
@@ -221,6 +223,18 @@ object ExtQueries {
         |  CAST(sum(value_c) AS BIGINT) AS sum_value_c
         |FROM t GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    "ext_anti_customers" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c.c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "ext_semi_customers" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c.c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
 
     "ext_salted_rollup" ->
       """SELECT event_type, count(*) AS n_events,

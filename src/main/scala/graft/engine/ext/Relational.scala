@@ -117,6 +117,31 @@ object Relational {
       .orderBy(col("op"))
   }
 
+  /** Left-anti join: customers with no finished ('F') order — planned as
+    * a broadcast/shuffle anti join, no row materialization of the right
+    * side beyond the key set.
+    */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderstatus") === "F")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-semi join: customers with at least one open ('O') order —
+    * existence check without duplicating customer rows per order.
+    */
+  def customersWithOpenOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderstatus") === "O")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Multi-way broadcast join through the dimension chain
     * supplier → nation → region, counting suppliers per region.
     */
