@@ -55,6 +55,7 @@ object ExtQueries {
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "dedup_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(s, dir)),
     "dedup_embed_pairs" -> ((s, dir) => Dedup.embedCosinePairs(s, dir)),
+    "dedup_clusters" -> ((s, dir) => Dedup.simhashClusters(s, dir)),
     // ------------------------------------------------ similarity search
     "ann_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
@@ -391,6 +392,29 @@ object ExtQueries {
         |  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "dedup_clusters" -> ("WITH RECURSIVE " +
+      simhashSig.stripPrefix("WITH ") +
+      """, bands AS (
+        |  SELECT doc_id, simhash, band,
+        |    (simhash >> (band * 15)) & 32767 AS band_val
+        |  FROM sig, range(0, 4) r(band)
+        |), edges AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        |), edges2 AS (
+        |  SELECT doc_a, doc_b FROM edges
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM edges
+        |), rr(v, m) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.doc_b, rr.m FROM rr JOIN edges2 e ON e.doc_a = rr.v
+        |)
+        |SELECT v AS doc_id, min(m) AS cluster_id
+        |FROM rr GROUP BY v ORDER BY doc_id""".stripMargin),
 
     "dedup_minhash_pairs" -> (shingles3 +
       """, ex AS (

@@ -227,6 +227,56 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ------------------------------------------------------------ clustering
+
+  /** Connected components over near-dup pair edges: every document gets a
+    * cluster_id = the minimum doc_id reachable through pairs (singletons
+    * keep their own id) — the step that turns pair lists into an actual
+    * dedup decision (keep cluster_id, drop the rest).
+    *
+    * Iterative min-label propagation: each round joins labels to the
+    * (symmetrized) edge list and takes the per-vertex minimum — one
+    * shuffle per round, converging in graph-diameter rounds (near-dup
+    * clusters are near-cliques, so 2-3 in practice). Labels are persisted
+    * per round so lineage stays linear; at cluster scale the same loop
+    * runs with checkpointing. Exact, deterministic, no driver-side data.
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("doc_a"), col("doc_b"))
+      .unionByName(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = vertices.select(col("doc_id"),
+      col("doc_id").as("cluster_id")).persist()
+    labels.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = labels.join(sym, col("doc_id") === col("doc_a"))
+        .select(col("doc_b").as("doc_id"), col("cluster_id"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .persist()
+      val changed = next.as("n")
+        .join(labels.as("o"), "doc_id")
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      converged = !changed
+      i += 1
+    }
+    labels
+  }
+
+  /** Cluster assignment for every document using SimHash near-dup pairs as
+    * the edge set (deterministic band-blocked candidates, Hamming <= 8).
+    */
+  def simhashClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    connectedComponents(docs.select(col("doc_id")), simhashPairs(docs))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------- embedding cosine
 
   /** ±1 sign-random-projection hyperplane coefficients, derived from md5 so

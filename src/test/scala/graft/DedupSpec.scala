@@ -118,6 +118,15 @@ class DedupSpec extends SparkTestBase {
       r.getAs[Long]("est_jaccard_ppm") == 1000000L))
   }
 
+  test("connectedComponents: chain propagates min label over >1 iteration") {
+    // chain 1-2-3-4 plus isolated 9: all chain members label 1
+    val vertices = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(vertices, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L))
+  }
+
   test("quantize + qdot: exact integer dot product") {
     graft.engine.expr.NativeFunctions.ensureRegistered(spark)
     val r = Seq((Seq(1.0f, 0.5f, -0.25f), Seq(2.0f, 1.0f, 4.0f)))
