@@ -42,6 +42,28 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("file-source streaming: readStream.text through windowed query stats") {
+    val dir = java.nio.file.Files.createTempDirectory("stream-in").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "a.log").toPath,
+      slowLine("2023-10-25T10:00:05.000Z", 30, 100) + "\n" +
+        slowLine("2023-10-25T10:00:40.000Z", 55, 300) + "\n")
+    java.nio.file.Files.writeString(new java.io.File(dir, "b.log").toPath,
+      slowLine("2023-10-25T10:01:10.000Z", 70, 50) + "\n")
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", 1).text(dir.getAbsolutePath)
+    val q = MongoStream.windowedQueryStats(MongoStream.parsedScan(stream))
+      .writeStream.format("memory").queryName("file_stats")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000), "stream did not drain in time")
+      val rows = spark.sql(
+        "SELECT Executions FROM file_stats ORDER BY window.start").collect()
+      assert(rows.map(_.getLong(0)).toSeq === Seq(2L, 1L))
+    } finally q.stop()
+  }
+
   test("native session windows merge events within the gap") {
     import graft.engine.streaming.EventStream
     implicit val sqlCtx = spark.sqlContext
