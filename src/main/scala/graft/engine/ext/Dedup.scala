@@ -242,27 +242,41 @@ object Dedup {
     * runs with checkpointing. Exact, deterministic, no driver-side data.
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 16): DataFrame = {
+    // localCheckpoint (not persist): the labels plan references itself
+    // twice per round (self-join), so without truncation the LOGICAL plan
+    // tree triples every iteration and the analyzer OOMs around round 10.
+    // Checkpointing materializes AND cuts lineage; a real cluster would
+    // use a reliable checkpoint dir instead of executor-local storage.
     val sym = edges.select(col("doc_a"), col("doc_b"))
       .unionByName(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(true)
     var labels = vertices.select(col("doc_id"),
-      col("doc_id").as("cluster_id")).persist()
-    labels.count()
+      col("doc_id").as("cluster_id")).localCheckpoint(true)
+    // Convergence sentinel: per-vertex labels only ever decrease, so the
+    // (count, sum) pair is a fixpoint detector in ONE action per round —
+    // no row-by-row diff join.
+    var prevSum = -1L
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val prop = labels.join(sym, col("doc_id") === col("doc_a"))
+      val viaEdges = labels.join(sym, col("doc_id") === col("doc_a"))
         .select(col("doc_b").as("doc_id"), col("cluster_id"))
-      val next = labels.unionByName(prop)
+      // Pointer jumping: l(v) := l(l(v)) — shortcuts label chains so
+      // convergence takes O(log diameter) rounds, not O(diameter). A
+      // 35k-edge near-dup graph with a long-chain giant component needs
+      // this to stay in single-digit rounds.
+      val viaLabels = labels.as("x")
+        .join(labels.as("y"), col("x.cluster_id") === col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_id"),
+          col("y.cluster_id").as("cluster_id"))
+      val next = labels.unionByName(viaEdges).unionByName(viaLabels)
         .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
-        .persist()
-      val changed = next.as("n")
-        .join(labels.as("o"), "doc_id")
-        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-        .limit(1).count() > 0
-      labels.unpersist()
+        .localCheckpoint(true)
+      val s = next.agg(sum(col("cluster_id"))).head().getLong(0)
       labels = next
-      converged = !changed
+      converged = s == prevSum
+      prevSum = s
       i += 1
     }
     labels
