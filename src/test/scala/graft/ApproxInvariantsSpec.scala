@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.ext.Similarity
+
+/** Invariant tests for the two queries with no exact oracle: IVF ANN
+  * (recall vs brute force) and the sketch rollup (error bounds vs exact).
+  */
+class ApproxInvariantsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("IVF top-k has high recall vs brute force on clustered vectors") {
+    // 4 tight clusters of 25 vectors each; centers far apart, so cell
+    // assignment is clean and nprobe=2 must recover most true neighbors.
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.tabulate(4)(c => Array.tabulate(64)(d =>
+      if (d % 4 == c) 1.0f else 0.0f))
+    val vecs = (0 until 100).map { i =>
+      val c = i % 4
+      val e = centers(c).zipWithIndex
+        .map { case (v, _) => v + (rnd.nextFloat() - 0.5f) * 0.05f }
+      (i.toLong, e.toSeq, c)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    def topSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("neighbor_id")).toSet }
+
+    val brute = topSet(Similarity.bruteForceTopK(spark, dir, k = 5, queryMod = 10))
+    val ivf = topSet(Similarity.ivfTopK(spark, dir, k = 5, queryMod = 10,
+      nCells = 4, nprobe = 2))
+    val recalls = brute.map { case (q, b) =>
+      ivf.get(q).map(i => (i & b).size.toDouble / b.size).getOrElse(0.0)
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.8, s"mean recall $meanRecall too low")
+  }
+
+  test("sketch rollup: approx distinct within 5% of exact, percentiles ordered") {
+    val rows = graft.engine.ext.Sessionize
+      .sketchRollup(spark, "/root/testdata/sf0.001").collect()
+    val exact = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val approx = r.getAs[Long]("approx_users")
+      val ex = exact(et)
+      assert(math.abs(approx - ex).toDouble / ex <= 0.05,
+        s"$et: approx $approx vs exact $ex")
+      val ps = r.getSeq[Double](2)
+      assert(ps.length === 3 && ps(0) <= ps(1) && ps(1) <= ps(2))
+    }
+  }
+}

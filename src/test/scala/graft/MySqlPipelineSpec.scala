@@ -159,6 +159,27 @@ class MySqlPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("P8: split fires on '# Time: ' ANYWHERE, even mid-line (reference semantics)") {
+    // a query whose text contains the marker gets truncated into a new
+    // (incomplete) entry — exactly what content.split('# Time: ') does
+    // (mysqlLogParser.py:44-53)
+    val tricky =
+      """# Time: 231026 12:00:00
+        |# User@Host: a[a] @ h [ip] thread_id: 1
+        |# Query_time: 1.0 Lock_time: 0.0 Rows_sent: 1 Rows_examined: 1
+        |SET timestamp=1;
+        |SELECT '# Time: not a real header';
+        |""".stripMargin
+    val res = MySqlLogPipeline.parse(Sources.fromContent(spark, tricky))
+    // the split truncates the query at the embedded marker: entry 1 keeps
+    // "SELECT '" (unterminated literal), entry 2 is incomplete → warning
+    val det = res.detailed.collect()
+    assert(det.length === 1)
+    assert(det(0).getAs[String]("Query") === "SELECT '")
+    assert(res.warnings.collect()
+      .exists(_.getAs[String]("warning").startsWith("Skipped log entry 2")))
+  }
+
   test("S4: empty input yields empty outputs, no crash") {
     val res = MySqlLogPipeline.parse(Sources.fromContent(spark, ""))
     assert(res.detailed.isEmpty && res.aggregate.isEmpty && res.warnings.isEmpty)
