@@ -371,7 +371,6 @@ object Dedup {
   def minhashPairs(docs: DataFrame, n: Int = 3,
                    numHashes: Int = 16, bands: Int = 4,
                    minEstPpm: Long = 250000L): DataFrame = {
-    val rows = bands
     require(numHashes % bands == 0, "bands must divide numHashes")
     val perBand = numHashes / bands
 
