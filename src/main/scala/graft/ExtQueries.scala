@@ -28,6 +28,7 @@ object ExtQueries {
     "ext_top_lineitems" -> ((s, dir) => Relational.topLineitems(s, dir)),
     "ext_suppliers_per_region" -> ((s, dir) => Relational.suppliersPerRegion(s, dir)),
     "ext_revenue_rollup" -> ((s, dir) => Relational.revenueRollup(s, dir)),
+    "ext_lineitem_cube" -> ((s, dir) => Relational.lineitemCube(s, dir)),
     "ext_status_setops" -> ((s, dir) => Relational.statusSetOps(s, dir)),
     "ext_anti_customers" -> ((s, dir) => Relational.customersWithoutOrders(s, dir)),
     "ext_semi_customers" -> ((s, dir) => Relational.customersWithOpenOrders(s, dir)),
@@ -224,6 +225,14 @@ object ExtQueries {
         |  CAST(sum(value_c) AS BIGINT) AS sum_value_c
         |FROM t GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    "ext_lineitem_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
 
     "ext_anti_customers" ->
       """SELECT c_custkey, c_name FROM customer c

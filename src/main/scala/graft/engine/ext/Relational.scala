@@ -99,6 +99,21 @@ object Relational {
         col("n_orders"), col("revenue_c"))
       .orderBy(col("status"), col("priority"))
 
+  /** CUBE over (returnflag, linestatus): all 2^2 grouping sets in one
+    * aggregation pass — the full cross-classification ROLLUP's hierarchy
+    * doesn't cover. Same 'ALL' sentinel convention as [[revenueRollup]].
+    */
+  def lineitemCube(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(floor(col("l_quantity") * 100 + 0.5).cast("long")).as("sum_qty_c"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_lines"), col("sum_qty_c"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
   /** Set operations (absent from the reference, free in Spark): customer
     * sets by order status compared via EXCEPT / INTERSECT / UNION —
     * distinct-set semantics, planned as aggregations/joins, one summary
