@@ -110,6 +110,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: dropDuplicatesWithinWatermark keeps first occurrence") {
+    import graft.engine.streaming.EventStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.UserEvent]
+    // streaming twin of dedup_exact: state bounded by the watermark horizon
+    val deduped = mem.toDF()
+      .withWatermark("event_time", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id")
+    val q = deduped.writeStream.format("memory")
+      .queryName("stream_dedup").outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData(
+        EventStream.UserEvent(1L, ts("2023-10-25 10:00:00"), 1.0),
+        EventStream.UserEvent(1L, ts("2023-10-25 10:00:30"), 2.0), // dup key
+        EventStream.UserEvent(2L, ts("2023-10-25 10:00:10"), 3.0))
+      q.processAllAvailable()
+      mem.addData(
+        EventStream.UserEvent(1L, ts("2023-10-25 10:01:00"), 4.0)) // still dup
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, value FROM stream_dedup ORDER BY user_id").collect()
+      assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+        Seq((1L, 1.0), (2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("windowed error rollup over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
