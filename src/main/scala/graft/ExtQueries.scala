@@ -38,7 +38,9 @@ object ExtQueries {
     "ext_asof_click" -> ((s, dir) => TemporalJoins.asofClickBeforePurchase(s, dir)),
     "ext_range_views" -> ((s, dir) => TemporalJoins.viewsBeforePurchase(s, dir)),
     "ext_salted_rollup" -> ((s, dir) => Sessionize.saltedTypeRollup(s, dir)),
-    // approximate sketches: rows-only check (no exact cross-engine oracle)
+    // approximate sketches: oracle computes the EXACT analogs (count
+    // distinct, discrete percentiles) — rows/schema must match; hash is
+    // exempt by declaration (QUERIES.md) since HLL/GK are approximate.
     "ext_sketches" -> ((s, dir) => Sessionize.sketchRollup(s, dir)),
     // ------------------------------------------------ text analysis
     "text_analyze" -> ((s, dir) =>
@@ -291,6 +293,17 @@ object ExtQueries {
         |  CAST(sum(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Exact analog of the sketch surface: HLL distinct -> exact count
+    // distinct, GK percentiles -> exact discrete quantiles. Same rows and
+    // schema; hash_match is expected to differ (approximate by declaration).
+    "ext_sketches" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS approx_users,
+        |  quantile_disc("value", 0.5) AS value_p50,
+        |  quantile_disc("value", 0.95) AS value_p95,
+        |  quantile_disc("value", 0.99) AS value_p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "text_analyze" ->
       """SELECT doc_id, lang, source,
         |  length(text) AS n_chars_m,
@@ -298,7 +311,7 @@ object ExtQueries {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
         |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
         |  len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
-        |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000000 // length(text) AS punct_ppm,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000000 // greatest(length(text), 1) AS punct_ppm,
         |  len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|a|for|with|on)\b'))
         |    * 1000000 // greatest(len(list_filter(string_split_regex(text, '\s+'),
         |                                          x -> x != '')), 1) AS stopword_ppm,
@@ -332,14 +345,14 @@ object ExtQueries {
         |  SELECT lang, source, length(text) AS n_chars,
         |    len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS n_tok,
         |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
-        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000000 // length(text) AS punct_ppm
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000000 // greatest(length(text), 1) AS punct_ppm
         |  FROM documents
         |)
         |SELECT lang, source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
         |  min(punct_ppm) AS min_punct_ppm, max(punct_ppm) AS max_punct_ppm,
-        |  CAST(sum(n_punct) * 1000000 // sum(n_chars) AS BIGINT) AS corpus_punct_ppm
+        |  CAST(sum(n_punct) * 1000000 // greatest(sum(n_chars), 1) AS BIGINT) AS corpus_punct_ppm
         |FROM a GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     "text_winnow" ->
@@ -541,7 +554,41 @@ object ExtQueries {
         |FROM m JOIN fr ON m.doc_id = fr.doc_id
         |GROUP BY format ORDER BY format""".stripMargin),
 
-    // ann_ivf intentionally has no oracle (approximate, probe-dependent):
-    // the driver records the weaker rows-only check for it.
+    // ann_ivf IS exactly oracle-able despite being "approximate" ANN: the
+    // whole pipeline (centroid pick, assignment argmax, probe ranking,
+    // candidate ranking) is deterministic integer math with explicit
+    // tie-breaks, so DuckDB reproduces it bit-for-bit.
+    "ann_ivf" -> (quantized +
+      """, cent AS (
+        |  SELECT vec_id AS cell_id, i, q AS cq FROM v WHERE vec_id < 16
+        |), adot AS (
+        |  SELECT v.vec_id, c.cell_id, CAST(sum(v.q * c.cq) AS BIGINT) AS d
+        |  FROM v JOIN cent c ON v.i = c.i
+        |  GROUP BY 1, 2
+        |), assigned AS (
+        |  SELECT vec_id, cell_id FROM (
+        |    SELECT vec_id, cell_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell_id) AS rn
+        |    FROM adot) WHERE rn = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cell_id FROM (
+        |    SELECT vec_id, cell_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell_id) AS crank
+        |    FROM adot WHERE vec_id % 50 = 0) WHERE crank <= 4
+        |), cand AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id, a.cell_id,
+        |    CAST(sum(q.q * n.q) AS BIGINT) AS dot
+        |  FROM probes p
+        |  JOIN assigned a ON a.cell_id = p.cell_id AND a.vec_id != p.query_id
+        |  JOIN v q ON q.vec_id = p.query_id
+        |  JOIN v n ON n.vec_id = a.vec_id AND n.i = q.i
+        |  GROUP BY 1, 2, 3
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY dot DESC, neighbor_id) AS rank
+        |  FROM cand
+        |)
+        |SELECT query_id, rank, neighbor_id, cell_id, dot FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
   )
 }

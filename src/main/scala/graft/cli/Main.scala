@@ -48,10 +48,12 @@ object Main {
 
     val (ok, err) = args.mode match {
       case "mongo" =>
-        val res = MongoLogPipeline.analyze(Sources.readLines(spark, args.input))
-        // S4 empty-input guard (mongo_parser.py:218-222)
-        if (res.detailed.isEmpty && res.nonSlow.isEmpty && res.parseErrors.isEmpty)
-          println("Warning: Input file is empty.")
+        val lines = Sources.readLines(spark, args.input)
+        val res = MongoLogPipeline.analyze(lines)
+        // S4 empty-input guard: the reference checks the RAW line list
+        // (mongo_parser.py:218-222), not the parsed outputs — an input of
+        // only error lines must NOT warn.
+        if (lines.isEmpty) println("Warning: Input file is empty.")
         val nErr = res.parseErrors.count()
         if (nErr > 0) println(s"Encountered $nErr parse warning(s).")
         ReportSink.writeWarnings(args.output, res.parseErrors, "message")

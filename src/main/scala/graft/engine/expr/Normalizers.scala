@@ -40,10 +40,15 @@ object Normalizers {
 
   /** Python str.strip() semantics (F3): remove ALL leading/trailing
     * whitespace. Spark's trim() strips only ASCII spaces — a trailing
-    * newline on a multi-line query would survive it.
+    * newline on a multi-line query would survive it. Java's \s is
+    * ASCII-only, so the class adds the code points Python's str.strip()
+    * also removes: \x1c-\x1f (file/group/record/unit separators), \x85
+    * (NEL) and the Unicode Z categories (NBSP, line/para separators...).
     */
+  val PyWhitespaceClass = "[\\s\\u001C-\\u001F\\u0085\\p{Z}]"
+
   def pyStrip(c: Column): Column =
-    regexp_replace(c, "^\\s+|\\s+$", "")
+    regexp_replace(c, s"^$PyWhitespaceClass+|$PyWhitespaceClass+$$", "")
 
   /** Error-signature composite key (F4, mongo_parser.py:78).
     * Only used where a single string key is needed; the aggregation itself

@@ -38,10 +38,12 @@ object Multimodal {
     /** "Decode" one frame: sample the byte at the frame's stride offset.
       * (Real impl: decode frame i and return its feature vector.)
       */
-    def frameSample(payload: Array[Byte], frame: Int, nFrames: Int): Int = {
-      val off = (frame.toLong * payload.length / nFrames).toInt
-      payload(math.min(off, payload.length - 1)) & 0xff
-    }
+    def frameSample(payload: Array[Byte], frame: Int, nFrames: Int): Int =
+      if (payload.isEmpty) 0 // matches the oracle's ascii('') = 0 on empty text
+      else {
+        val off = (frame.toLong * payload.length / nFrames).toInt
+        payload(math.min(off, payload.length - 1)) & 0xff
+      }
   }
 
   /** Wrap documents as fake media rows: payload = UTF-8 bytes of the text,
@@ -79,7 +81,7 @@ object Multimodal {
               .map(f => FakeCodec.frameSample(r.media, f, r.meta.nFrames))
             MediaFeatures(r.doc_id, r.meta.format, r.meta.width, r.meta.height,
               r.meta.nFrames, r.media.length.toLong,
-              if (r.media.nonEmpty) r.media(0) & 0xff else -1,
+              if (r.media.nonEmpty) r.media(0) & 0xff else 0, // ascii('') = 0
               frames.map(_.toLong).sum)
           }
         }

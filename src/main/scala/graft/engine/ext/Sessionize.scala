@@ -101,7 +101,11 @@ object Sessionize {
       .agg(
         approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)),
-          lit(10000)).as("value_p50_p95_p99"))
+          lit(10000)).as("ps"))
+      .select(col("event_type"), col("approx_users"),
+        col("ps").getItem(0).as("value_p50"),
+        col("ps").getItem(1).as("value_p95"),
+        col("ps").getItem(2).as("value_p99"))
       .orderBy(col("event_type"))
 
   def hourlyRollup(ev: DataFrame): DataFrame = {

@@ -51,7 +51,8 @@ object TextAnalysis {
       nMatches(col("text"), BpeTokenPattern).as("n_tokens_bpe"),
       nMatches(col("text"), "[^A-Za-z0-9\\s]").as("n_punct"),
       nMatches(col("text"), "[A-Z]").as("n_upper"),
-      (nMatches(col("text"), "[^A-Za-z0-9\\s]") * lit(1000000L) / len)
+      (nMatches(col("text"), "[^A-Za-z0-9\\s]") * lit(1000000L)
+        / greatest(len, lit(1))) // empty doc -> 0, not NULL/div-by-zero
         .cast("long").as("punct_ppm"),
       (nMatches(col("text"), EnStop) * lit(1000000L)
         / greatest(size(wsTokens(col("text"))), lit(1)))
@@ -116,7 +117,8 @@ object TextAnalysis {
         sum(col("n_tokens_ws")).as("sum_tokens"),
         min(col("punct_ppm")).as("min_punct_ppm"),
         max(col("punct_ppm")).as("max_punct_ppm"),
-        (sum(col("n_punct")) * lit(1000000L) / sum(col("n_chars_m")))
+        (sum(col("n_punct")) * lit(1000000L)
+          / greatest(sum(col("n_chars_m")), lit(1)))
           .cast("long").as("corpus_punct_ppm"))
       .orderBy(col("lang"), col("source"))
 }

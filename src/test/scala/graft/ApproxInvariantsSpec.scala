@@ -53,8 +53,9 @@ class ApproxInvariantsSpec extends SparkTestBase {
       val ex = exact(et)
       assert(math.abs(approx - ex).toDouble / ex <= 0.05,
         s"$et: approx $approx vs exact $ex")
-      val ps = r.getSeq[Double](2)
-      assert(ps.length === 3 && ps(0) <= ps(1) && ps(1) <= ps(2))
+      val (p50, p95, p99) = (r.getAs[Double]("value_p50"),
+        r.getAs[Double]("value_p95"), r.getAs[Double]("value_p99"))
+      assert(p50 <= p95 && p95 <= p99)
     }
   }
 }
