@@ -47,7 +47,7 @@ object SparkEntry {
     // between rounds (same tmp dir, different generation).
     val out = new java.io.File(
       new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_logs_v2_" + dir.replaceAll("[^A-Za-z0-9]", "_")), kind)
+        "graft_logs_v3_" + dir.replaceAll("[^A-Za-z0-9]", "_")), kind)
     if (!new java.io.File(out, "_SUCCESS").exists()) {
       val df = kind match {
         case "mysql" => LogGen.mysqlFiles(s, dir)
@@ -190,7 +190,10 @@ object SparkEntry {
       |), lines AS (
       |  SELECT *,
       |    '{"t":{"$date":"' || tss || '"},"s":"E","c":"STORAGE","id":22435,"ctx":"conn' || uid || '","msg":"' || emsg || '","attr":{"error":{"code":' || (uid % 3 + 100) || ',"codeName":"' || ecn || '","errmsg":"' || eem || '"}}}' AS error_line,
-      |    '{"t":{"$date":"' || tss || '"},"s":"I","c":"NETWORK","id":22943,"ctx":"listener","msg":"Connection accepted","attr":{"remote":"10.0.0.' || (uid % 255) || ':' || (eid % 60000) || '","connectionCount":' || (uid % 100) || '}}' AS view_line,
+      |    CASE eid % 7
+      |      WHEN 4 THEN '{"t":' || eid || ',"s":"I","c":"NETWORK","id":22944,"ctx":"listener","msg":"Client metadata","attr":{"remote":"10.0.0.' || (uid % 255) || '"}}'
+      |      ELSE '{"t":{"$date":"' || tss || '"},"s":"I","c":"NETWORK","id":22943,"ctx":"listener","msg":"Connection accepted","attr":{"remote":"10.0.0.' || (uid % 255) || ':' || (eid % 60000) || '","connectionCount":' || (uid % 100) || '}}'
+      |    END AS view_line,
       |    '{"t":{"$date":"' || tss || '"},"s":"I","c":"ACCESS","msg":"Successfully authenticated","attr":{"principal":"u' || uid || '"}}' AS signup_line
       |  FROM c
       |)
@@ -296,17 +299,31 @@ object SparkEntry {
         |GROUP BY emsg, ecn, eem
         |ORDER BY "OriginalLineNumber"""".stripMargin),
 
+    // view lines with eid%7 <= 3 are the shape-malformed "Slow query"
+    // classes that raise generic exceptions → they are parse errors, not
+    // non-slow rows; eid%7 == 4 is non-slow despite its scalar t (the
+    // reference never touches t on the non-slow path).
     "mongo_nonslow" -> (mongoGen +
       """SELECT line_no,
         |  CASE WHEN et = 'view' THEN view_line ELSE signup_line END AS "LogLine"
         |FROM lines
-        |WHERE et = 'view' OR (et = 'signup' AND eid % 3 <> 0)
+        |WHERE (et = 'view' AND eid % 7 >= 4) OR (et = 'signup' AND eid % 3 <> 0)
         |ORDER BY line_no""".stripMargin),
 
     "mongo_parse_errors" -> (mongoGen +
       """SELECT line_no,
         |  'Line ' || line_no || ': Invalid JSON. Skipped.' AS message
         |FROM lines WHERE et = 'signup' AND eid % 3 = 0
+        |UNION ALL
+        |SELECT line_no,
+        |  'Line ' || line_no || ': Error parsing line: ' ||
+        |  CASE eid % 7
+        |    WHEN 0 THEN '''int'' object has no attribute ''get'''
+        |    WHEN 1 THEN '''str'' object has no attribute ''get'''
+        |    WHEN 2 THEN '''int'' object has no attribute ''split'''
+        |    ELSE 'argument of type ''int'' is not iterable'
+        |  END || '. Skipped.' AS message
+        |FROM lines WHERE et = 'view' AND eid % 7 <= 3
         |ORDER BY line_no""".stripMargin),
   )
 }

@@ -70,15 +70,32 @@ object NativeFunctions {
   }
 
   val QdotName = "qdot_native"
+  val PyCheckName = "py_parity_check"
+  val PyErrorBranchName = "py_error_branch"
 
-  /** Idempotently register the expression in the session's function
+  /** Idempotently register the expressions in the session's function
     * registry (the public route to a Column over a custom Expression).
     */
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     if (!spark.catalog.functionExists(QdotName))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         QdotName, exprs => LongArrayDot(exprs(0), exprs(1)), "built-in")
+    if (!spark.catalog.functionExists(PyCheckName))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        PyCheckName, exprs => PyParity.PyParityCheck(exprs(0)), "built-in")
+    if (!spark.catalog.functionExists(PyErrorBranchName))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        PyErrorBranchName, exprs => PyParity.PyErrorBranchCheck(exprs(0)), "built-in")
+  }
 
   /** Codegen'd exact dot product; caller must have ensureRegistered. */
   def qdotNative(a: Column, b: Column): Column = call_function(QdotName, a, b)
+
+  /** Python-parity exception text for a mongod log line (see [[PyParity]]);
+    * caller must have ensureRegistered.
+    */
+  def pyParityCheck(line: Column): Column = call_function(PyCheckName, line)
+
+  /** Reference error-branch membership; caller must have ensureRegistered. */
+  def pyErrorBranch(line: Column): Column = call_function(PyErrorBranchName, line)
 }

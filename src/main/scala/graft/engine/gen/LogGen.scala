@@ -97,7 +97,12 @@ object LogGen {
     *  - purchase (even/odd)  → "Slow query" aggregate with $match / complex
     *  - error                → s:"E" error line; event_id%4==0 variant has
     *                           msg "Slow query" (dual-routed line)
-    *  - view                 → non-slow connection noise
+    *  - view                 → event_id%7 picks: 4 shape-malformed "Slow
+    *                           query" classes that raise generic exceptions
+    *                           in the reference (scalar t / string attr /
+    *                           numeric ns / scalar command), a non-slow
+    *                           scalar-t line (salvaged to non_slow), or
+    *                           plain connection noise
     *  - signup               → invalid JSON when event_id%3==0, else
     *                           non-slow auth line
     */
@@ -165,10 +170,49 @@ object LogGen {
       lit(",\"codeName\":\""), errCode,
       lit("\",\"errmsg\":\""), errText, lit("\"}}}"))
 
-    val viewLine = concat(
+    val viewNoise = concat(
       lit("{\"t\":{\"$date\":\""), ts, lit("\"},\"s\":\"I\",\"c\":\"NETWORK\",\"id\":22943,\"ctx\":\"listener\",\"msg\":\"Connection accepted\",\"attr\":{\"remote\":\"10.0.0."),
       s(uid % 255), lit(":"), s(eid % 60000),
       lit("\",\"connectionCount\":"), s(uid % 100), lit("}}"))
+
+    // Structurally-valid JSON whose SHAPE makes the reference raise a
+    // non-JSONDecodeError exception (mongo_parser.py:93-94) — the E1
+    // generic message form. One class per raising access, in reference
+    // evaluation order; class 4 is the non-raising counterpart (the
+    // reference never touches t on the non-slow path, so the row lands in
+    // non_slow despite the scalar t).
+    val slowBadT = concat( // t scalar → AttributeError 'int'...'get'
+      lit("{\"t\":"), s(eid),
+      lit(",\"s\":\"I\",\"c\":\"COMMAND\",\"id\":51803,\"ctx\":\"conn"), s(uid),
+      lit("\",\"msg\":\"Slow query\",\"attr\":{\"ns\":\""), appNs,
+      lit("\",\"durationMillis\":"), dur, lit("}}"))
+    val slowBadAttr = concat( // attr string → AttributeError 'str'...'get'
+      lit("{\"t\":{\"$date\":\""), ts,
+      lit("\"},\"s\":\"I\",\"c\":\"COMMAND\",\"id\":51803,\"ctx\":\"conn"), s(uid),
+      lit("\",\"msg\":\"Slow query\",\"attr\":\"overloaded\"}"))
+    val slowBadNs = concat( // ns number → AttributeError 'int'...'split'
+      lit("{\"t\":{\"$date\":\""), ts,
+      lit("\"},\"s\":\"I\",\"c\":\"COMMAND\",\"id\":51803,\"ctx\":\"conn"), s(uid),
+      lit("\",\"msg\":\"Slow query\",\"attr\":{\"ns\":"), s(eid % 100),
+      lit(",\"durationMillis\":"), dur, lit("}}"))
+    val slowBadCmd = concat( // command scalar → TypeError not iterable
+      lit("{\"t\":{\"$date\":\""), ts,
+      lit("\"},\"s\":\"I\",\"c\":\"COMMAND\",\"id\":51803,\"ctx\":\"conn"), s(uid),
+      lit("\",\"msg\":\"Slow query\",\"attr\":{\"ns\":\""), appNs,
+      lit("\",\"command\":"), s(eid % 50),
+      lit(",\"durationMillis\":"), dur, lit("}}"))
+    val nonSlowBadT = concat( // scalar t but non-slow → stays non_slow
+      lit("{\"t\":"), s(eid),
+      lit(",\"s\":\"I\",\"c\":\"NETWORK\",\"id\":22944,\"ctx\":\"listener\",\"msg\":\"Client metadata\",\"attr\":{\"remote\":\"10.0.0."),
+      s(uid % 255), lit("\"}}"))
+
+    val viewLine =
+      when(eid % 7 === 0, slowBadT)
+        .when(eid % 7 === 1, slowBadAttr)
+        .when(eid % 7 === 2, slowBadNs)
+        .when(eid % 7 === 3, slowBadCmd)
+        .when(eid % 7 === 4, nonSlowBadT)
+        .otherwise(viewNoise)
 
     val signupLine = when(eid % 3 === 0,
         concat(lit("signup event "), s(uid), lit(" at "), ts, lit(" {unterminated")))

@@ -1,9 +1,9 @@
 package graft.engine.mongo
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
-import graft.engine.expr.Normalizers
+import graft.engine.expr.{NativeFunctions, Normalizers, PyParity}
 import graft.engine.schemas.Schemas
 
 /** MongoDB slow-query/error log analyzer as a declarative Spark dataflow
@@ -37,8 +37,18 @@ object MongoLogPipeline {
 
   /** Parse lines (line: String, line_no: Long) into the shared scan with
     * routing flags. Exposed for streaming reuse.
+    *
+    * Routing replicates the reference's try/except semantics exactly
+    * (see [[MongoPyParity]]): json.loads raising → "Invalid JSON", a later
+    * field access raising → the generic "Error parsing line: {e}" form,
+    * `valid` = the slow branch may consume the row. A row that the schema
+    * parse flags corrupt can still be a perfectly good non-slow or error
+    * row for the reference (which never touches the offending field on
+    * that path) — the salvage terms in [[nonSlow]]/[[parseErrors]] and the
+    * `is_error` fallback put it back.
     */
   def parsedScan(lines: DataFrame): DataFrame = {
+    NativeFunctions.ensureRegistered(lines.sparkSession)
     val opts = Map("columnNameOfCorruptRecord" -> Schemas.CorruptField,
       "mode" -> "PERMISSIVE")
     lines
@@ -46,19 +56,45 @@ object MongoLogPipeline {
       // from_json yields a NULL struct (not a corrupt record) for empty /
       // whitespace-only / literal-null input; the reference's json.loads
       // raises on those, so they must route to the parse-error channel too.
-      .withColumn("valid",
+      .withColumn("schema_ok",
         col("j").isNotNull && col(s"j.${Schemas.CorruptField}").isNull)
       .withColumn("is_slow", col("line").contains("Slow query"))
+      // cheap shape-suspicion prefilter: substring tests only (see
+      // MongoPyParity.suspicious) — gates the native parity check off
+      // the hot path.
+      .withColumn("sus", MongoPyParity.suspicious)
+      // Python-parity verdict (see PyParity): NULL = no exception,
+      // PyParity.InvalidJson = JSONDecodeError, else the {e} text. ONE
+      // jackson parse per cold row via a single codegen'd expression —
+      // the declarative variant-probe version of this check was a
+      // >1000-node tree that blew up optimizer time per consuming query.
+      // BARRIER: the never-taken non-deterministic first branch makes
+      // this projection opaque to PushDownPredicate/CollapseProject
+      // (both require a fully deterministic project list), so consumer
+      // filters stay simple attribute tests and the parse runs exactly
+      // once per row. rand() (not monotonically_increasing_id, which
+      // streaming rejects) keeps the scan usable under Structured
+      // Streaming; the value is always the non-random branch.
+      .withColumn("pyraw",
+        when(rand() < 0, lit("unreachable"))
+          .when(col("schema_ok") && !col("sus"), lit(null).cast("string"))
+          .otherwise(NativeFunctions.pyParityCheck(col("line"))))
+      .withColumn("invalid", // coalesce: pyraw is NULL on the fast path
+        coalesce(col("pyraw") === PyParity.InvalidJson.toString, lit(false)))
+      .withColumn("pyerr",
+        when(col("invalid"), lit(null).cast("string")).otherwise(col("pyraw")))
+      .withColumn("valid", col("schema_ok") && col("pyerr").isNull)
       // R2 gate (mongo_parser.py:72): msg present, s == "E", attr.error
       // present. The reference tests KEY presence; the schema-parsed
-      // struct is non-null for every object-valued error (including {}),
-      // differing only for `"error": null` / scalar-valued error — shapes
-      // mongod does not emit. Checking the parsed struct instead of
-      // get_json_object(line, ...) avoids a second full-line JSON parse
-      // on EVERY line of the scan.
+      // struct is non-null for every object-valued error (including {}).
+      // Corrupt rows re-check natively — the reference still aggregates
+      // a row whose defect is outside the error fields.
       .withColumn("is_error",
-        col("j.msg").isNotNull && col("j.s") === "E" &&
-          col("j.attr.error").isNotNull)
+        col("pyerr").isNull && !col("invalid") &&
+          when(col("schema_ok"),
+            col("j.msg").isNotNull && col("j.s") === "E" &&
+              col("j.attr.error").isNotNull)
+            .otherwise(NativeFunctions.pyErrorBranch(col("line"))))
   }
 
   /** R1 + P3-P7: one row per slow-query line, reference's 11 columns plus
@@ -120,33 +156,53 @@ object MongoLogPipeline {
     * reference's "msg|codeName|errmsg" composite key (F4) but skew- and
     * collision-safe. First-seen line number and sample via min/min_by.
     */
-  def errors(scan: DataFrame): DataFrame =
-    scan.filter(col("valid") && col("is_error"))
+  def errors(scan: DataFrame): DataFrame = {
+    scan.filter(col("is_error"))
       .groupBy(
-        col("j.msg").as("msg"),
-        coalesce(col("j.attr.error.codeName"), lit("N/A")).as("error"),
-        coalesce(col("j.attr.error.errmsg"), lit("N/A")).as("errmsg"))
+        // corrupt-salvaged rows (is_error via raw probes) have a null
+        // parsed struct — fall back to the raw extraction for them.
+        coalesce(col("j.msg"), get_json_object(col("line"), "$.msg")).as("msg"),
+        coalesce(col("j.attr.error.codeName"),
+          get_json_object(col("line"), "$.attr.error.codeName"),
+          lit("N/A")).as("error"),
+        coalesce(col("j.attr.error.errmsg"),
+          get_json_object(col("line"), "$.attr.error.errmsg"),
+          lit("N/A")).as("errmsg"))
       .agg(
         min(col("line_no")).as("OriginalLineNumber"),
         count(lit(1)).as("totalCount"),
         min_by(Normalizers.pyStrip(col("line")), col("line_no")).as("SampleLine"))
       .select("OriginalLineNumber", "msg", "error", "errmsg", "totalCount", "SampleLine")
       .orderBy(col("OriginalLineNumber")) // == reference insertion order
+  }
 
-  /** R3: valid JSON, not slow, and not claimed by the error branch
-    * (the reference's elif at mongo_parser.py:88).
+  /** R3: parseable, not slow, not claimed by the error branch, and no
+    * generic exception (the reference's elif at mongo_parser.py:88).
+    * Includes corrupt-but-salvageable rows: the reference never touches
+    * the malformed field on the non-slow path.
     */
   def nonSlow(scan: DataFrame): DataFrame =
-    scan.filter(col("valid") && !col("is_slow") && !col("is_error"))
+    scan.filter(!col("invalid") && col("pyerr").isNull &&
+        !col("is_slow") && !col("is_error"))
       .select(col("line_no"), Normalizers.pyStrip(col("line")).as("LogLine"))
 
-  /** E1: bad-record channel with the reference's message format
-    * (mongo_parser.py:91-94).
+  /** E1: bad-record channel with the reference's two message forms
+    * (mongo_parser.py:91-94): JSONDecodeError → "Invalid JSON. Skipped.",
+    * any other exception → "Error parsing line: {e}. Skipped." with the
+    * Python exception text reproduced by [[MongoPyParity]]. Corrupt slow
+    * rows with no reproducible raise (mixed-type rows a typed engine
+    * cannot emit) fall back to the first form.
     */
   def parseErrors(scan: DataFrame): DataFrame =
-    scan.filter(!col("valid"))
+    scan
+      .filter(col("invalid") || col("pyerr").isNotNull ||
+        (!col("schema_ok") && col("is_slow") && !col("is_error")))
       .select(col("line_no"),
-        concat(lit("Line "), col("line_no"), lit(": Invalid JSON. Skipped."))
+        when(col("pyerr").isNotNull,
+          concat(lit("Line "), col("line_no"), lit(": Error parsing line: "),
+            col("pyerr"), lit(". Skipped.")))
+          .otherwise(concat(lit("Line "), col("line_no"),
+            lit(": Invalid JSON. Skipped.")))
           .as("message"))
 
   /** Full run: one persisted scan, four branches + bad-record channel.

@@ -115,6 +115,57 @@ class MongoPipelineSpec extends SparkTestBase {
     assert(execs.sameElements(execs.sortBy(-_)))
   }
 
+  // ---- E1 generic-exception parity (mongo_parser.py:93-94): shape-bad
+  // lines raise non-JSONDecodeError exceptions in the reference; the
+  // message embeds the exact Python exception text.
+  private val shapeLines = Seq(
+    """{"t":5,"s":"I","msg":"Slow query","attr":{"ns":"a.b"}}""", // 1: t int
+    """{"t":{"$date":"x"},"msg":"Slow query","attr":"oops"}""", // 2: attr str
+    """{"t":{"$date":"x"},"msg":"Slow query","attr":{"ns":7}}""", // 3: ns int
+    """{"t":{"$date":"x"},"msg":"Slow query","attr":{"ns":"a.b","command":9}}""", // 4: cmd int
+    """{"t":null,"msg":"Slow query","attr":{"ns":"a.b"}}""", // 5: t null
+    """{"t":7,"s":"I","msg":"Connection accepted","attr":{"r":1}}""", // 6: t int, NON-slow → salvaged
+    """{"t":{"$date":"x"},"s":"E","msg":"m","attr":5}""", // 7: E line, attr int
+    """{"t":{"$date":"x"},"s":"E","msg":"m","attr":{"error":null}}""", // 8: E line, error null
+    """{"t":9,"s":"E","msg":"m","attr":{"error":{"codeName":"X","errmsg":"y"}}}""", // 9: t int on E line → error salvage
+    """5""", // 10: int root, non-slow → 'msg' in 5 raises
+    """[1,2]""", // 11: list root, non-slow → membership ok → non-slow
+    """null""" // 12: json.loads ok (None), 'msg' in None raises
+  )
+  private lazy val shapeRes =
+    MongoLogPipeline.analyze(Sources.fromLines(spark, shapeLines))
+
+  test("E1 parity: generic exceptions reproduce the Python message text") {
+    val msgs = shapeRes.parseErrors.orderBy("line_no").collect()
+      .map(r => r.getAs[Long]("line_no") -> r.getAs[String]("message")).toMap
+    assert(msgs(1L) === "Line 1: Error parsing line: 'int' object has no attribute 'get'. Skipped.")
+    assert(msgs(2L) === "Line 2: Error parsing line: 'str' object has no attribute 'get'. Skipped.")
+    assert(msgs(3L) === "Line 3: Error parsing line: 'int' object has no attribute 'split'. Skipped.")
+    assert(msgs(4L) === "Line 4: Error parsing line: argument of type 'int' is not iterable. Skipped.")
+    assert(msgs(5L) === "Line 5: Error parsing line: 'NoneType' object has no attribute 'get'. Skipped.")
+    assert(msgs(7L) === "Line 7: Error parsing line: argument of type 'int' is not iterable. Skipped.")
+    assert(msgs(8L) === "Line 8: Error parsing line: 'NoneType' object has no attribute 'get'. Skipped.")
+    assert(msgs(10L) === "Line 10: Error parsing line: argument of type 'int' is not iterable. Skipped.")
+    assert(msgs(12L) === "Line 12: Error parsing line: argument of type 'NoneType' is not iterable. Skipped.")
+    assert(msgs.keySet === Set(1L, 2L, 3L, 4L, 5L, 7L, 8L, 10L, 12L))
+  }
+
+  test("E1 parity: non-raising shapes salvage to their reference routes") {
+    // line 6: scalar t but non-slow — reference never touches t there
+    val ns = shapeRes.nonSlow.orderBy("line_no").collect()
+    assert(ns.map(_.getAs[Long]("line_no")).toSeq === Seq(6L, 11L))
+    assert(ns(0).getAs[String]("LogLine") === shapeLines(5))
+    // line 9: scalar t on an E line — the error branch still aggregates it
+    val errs = shapeRes.errors.collect()
+    assert(errs.length === 1)
+    assert(errs(0).getAs[Long]("OriginalLineNumber") === 9L)
+    assert(errs(0).getAs[String]("msg") === "m")
+    assert(errs(0).getAs[String]("error") === "X")
+    assert(errs(0).getAs[String]("errmsg") === "y")
+    // none of the shape-bad lines leak into detailed
+    assert(shapeRes.detailed.count() === 0L)
+  }
+
   test("routing is a partition of valid lines plus the slow/error overlap") {
     val n = lines.length
     val slow = det.length
