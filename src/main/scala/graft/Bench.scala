@@ -12,6 +12,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.engine.ingest.Sources.ensureNanosAsLong(spark)
     // Untimed warmup at the smallest SF: first execution of each plan pays
     // Janino codegen compilation + JIT, which at sf0.1 can exceed the
     // actual query time. One pass over tiny data warms those caches so the

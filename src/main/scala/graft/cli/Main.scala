@@ -45,6 +45,7 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.engine.ingest.Sources.ensureNanosAsLong(spark)
 
     val (ok, err) = args.mode match {
       case "mongo" =>

@@ -25,11 +25,8 @@ object Sessionize {
 
   val SessionGapMicros: Long = 30L * 60 * 1000 * 1000 // 30 min
 
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
-  }
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.ingest.Sources.events(spark, dir)
 
   /** Per-user sessions: a new session starts when the gap since the
     * previous event exceeds [[SessionGapMicros]]. Returns one row per

@@ -23,11 +23,8 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoins {
 
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
-  }
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.ingest.Sources.events(spark, dir)
 
   /** As-of join: for every purchase event, the latest click of the same
     * user at-or-before the purchase (ties on timestamp resolved to the

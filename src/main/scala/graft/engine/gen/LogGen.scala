@@ -107,15 +107,10 @@ object LogGen {
     *                           non-slow auth line
     */
   def mongoLines(spark: SparkSession, sfDir: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by default;
-    // read it as a raw nanos Long and truncate to micros with integer
-    // division (floor == truncation for the post-1970 testdata; double math
-    // would lose precision above 2^53).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = graft.engine.ingest.Sources.events(spark, sfDir)
     val eid = col("event_id")
     val uid = col("user_id")
-    val ts = s(expr("ts div 1000"))
+    val ts = s(col("ts_us"))
     val dur = s(floor(col("value") * 100).cast("long"))
     val appNs = concat(lit("app"), s(uid % 3), lit(".coll"), s(eid % 5))
     val collName = concat(lit("coll"), s(eid % 5))

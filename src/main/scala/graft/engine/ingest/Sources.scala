@@ -19,6 +19,26 @@ import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
   */
 object Sources {
 
+  /** The SINGLE definition point of the nanos-timestamp read requirement:
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads as
+    * a raw nanos Long under this legacy flag. Entry points (Verify,
+    * Bench, cli.Main, the test base) call this once up front; [[events]]
+    * also calls it defensively for direct query invocation. Idempotent.
+    */
+  def ensureNanosAsLong(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** The `events` table with integer-microsecond timestamps — the shape
+    * every event operator (sessionization, windows, temporal joins, log
+    * generation) consumes. `ts div 1000` truncates nanos→micros exactly
+    * (integer division; double math would lose precision above 2^53).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    ensureNanosAsLong(spark)
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+  }
+
   /** S1: line-oriented text scan with 1-based line numbers
     * (mongo_parser.py:215-216 readlines + enumerate).
     */

@@ -1,0 +1,64 @@
+package graft
+
+import graft.engine.ext.Relational
+
+/** Physical-plan shape assertions: the 100 TB design properties the
+  * VERDICT audits by hand become test failures. A plan regression (a
+  * broadcast that silently turns into a shuffle join, a top-k that
+  * becomes a global sort, a new cartesian product) fails `sbt test`
+  * instead of surfacing at scale.
+  *
+  * Assertions run on the PLANNED (not executed) physical plan at
+  * sf0.001 — plan shapes are data-size-independent here because the
+  * broadcasts are explicit hints, not size-estimated choices.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("topLineitems plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan(Relational.topLineitems(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(500))
+  }
+
+  test("dimension joins broadcast (segmentRevenue, suppliersPerRegion)") {
+    val p1 = plan(Relational.segmentRevenue(spark, dir))
+    assert(p1.contains("BroadcastHashJoin"), p1.take(500))
+    assert(!p1.contains("SortMergeJoin"), p1.take(500))
+    val p2 = plan(Relational.suppliersPerRegion(spark, dir))
+    // two dimension hops, both broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p2).length === 2, p2.take(800))
+    assert(!p2.contains("SortMergeJoin"), p2.take(500))
+  }
+
+  test("mysql_agg shuffles exactly once for the aggregate") {
+    val p = plan(SparkEntry.queries("mysql_agg")(spark, dir))
+    // exactly one hash exchange on the aggregation key (partial agg
+    // map-side, merge reduce-side); the plan's other exchanges are the
+    // ordered-output range partition and LogGen's fixture construction
+    // (groupBy file_id), not pipeline work
+    assert("Exchange hashpartitioning\\(Normalized_Query".r
+      .findAllIn(p).length === 1, p.take(800))
+    assert("Exchange".r.findAllIn(p).length <= 3, p.take(800))
+  }
+
+  test("no cartesian/broadcast-NL joins outside the two documented sites") {
+    // ann_bruteforce (vec_id =!= query_id vs broadcast queries) and
+    // ann_label_centroids (label < label) are deliberate inequality
+    // joins against broadcast-small sides (Similarity.scala); ann_ivf's
+    // conditionless centroid joins (every vector × nCells=16 broadcast
+    // rows) are the IVF assignment fan-out, a flatMap in disguise —
+    // every other query must plan without cartesian products or BNLJ.
+    val exempt = Set("ann_bruteforce", "ann_label_centroids", "ann_ivf")
+    for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
+      val p = plan(fn(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a BroadcastNestedLoopJoin")
+    }
+  }
+}

@@ -22,6 +22,7 @@ trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = {
     val s = SparkTestBase.spark
     s.sparkContext.setLogLevel("ERROR")
+    graft.engine.ingest.Sources.ensureNanosAsLong(s)
     s
   }
 }
