@@ -4,23 +4,27 @@ import org.apache.spark.sql.SparkSession
 import graft.engine.ingest.Sources
 import graft.engine.mongo.MongoLogPipeline
 import graft.engine.mysql.MySqlLogPipeline
-import graft.engine.report.ReportSink
+import graft.engine.report.{ReportSink, XlsxWriter}
+import org.apache.spark.sql.DataFrame
 
 /** CLI entry point — the Spark-native equivalent of the reference's
   * argparse mains (mongo_parser.py:196-251, mysqlLogParser.py:199-251).
   *
   * Usage:
   *   graft.cli.Main --mode mongo|mysql --input <log path/glob>
-  *                  --output <report dir> [--csv] [--scale]
+  *                  --output <report dir> [--csv] [--scale] [--xlsx]
   *
   * --scale selects the 100 TB-shaped source for MySQL (record-delimited
   * parallel read) instead of the reference-parity whole-file read.
+  * --xlsx additionally assembles `<output>/report.xlsx`, a real OOXML
+  * workbook with the reference's sheet names (mongo_parser.py:136-141,
+  * mysqlLogParser.py:139-142) — the download a reference user expects.
   */
 object Main {
 
   private case class Args(mode: String = "", input: String = "",
                           output: String = "", csv: Boolean = false,
-                          scale: Boolean = false)
+                          scale: Boolean = false, xlsx: Boolean = false)
 
   private def parseArgs(argv: List[String], a: Args = Args()): Args = argv match {
     case "--mode" :: v :: rest   => parseArgs(rest, a.copy(mode = v))
@@ -28,8 +32,21 @@ object Main {
     case "--output" :: v :: rest => parseArgs(rest, a.copy(output = v))
     case "--csv" :: rest         => parseArgs(rest, a.copy(csv = true))
     case "--scale" :: rest       => parseArgs(rest, a.copy(scale = true))
+    case "--xlsx" :: rest        => parseArgs(rest, a.copy(xlsx = true))
     case Nil                     => a
     case other :: _ => sys.error(s"Unknown argument: $other")
+  }
+
+  /** Distributed per-sheet dirs always; the workbook only on request
+    * (a driver-side collect, same as the reference's pandas assembly).
+    */
+  private def writeReport(outDir: String, sheets: Seq[(String, DataFrame)],
+                          csv: Boolean, xlsx: Boolean): (Boolean, String) = {
+    val r = ReportSink.writeSheets(outDir, sheets, csv)
+    if (r._1 && xlsx)
+      try { XlsxWriter.write(s"$outDir/report.xlsx", sheets); r }
+      catch { case e: Exception => (false, s"Error writing report: ${e.getMessage}") }
+    else r
   }
 
   def main(argv: Array[String]): Unit = {
@@ -58,8 +75,9 @@ object Main {
         val nErr = res.parseErrors.count()
         if (nErr > 0) println(s"Encountered $nErr parse warning(s).")
         ReportSink.writeWarnings(args.output, res.parseErrors, "message")
-        ReportSink.writeSheets(args.output, ReportSink.MongoSheets.zip(Seq(
-          res.detailed, res.queryStats, res.nonSlow, res.errors)), args.csv)
+        writeReport(args.output, ReportSink.MongoSheets.zip(Seq(
+          res.detailed, res.queryStats, res.nonSlow, res.errors)),
+          args.csv, args.xlsx)
       case "mysql" =>
         val entries =
           if (args.scale) Sources.readDelimited(spark, args.input)
@@ -73,9 +91,9 @@ object Main {
         val nWarn = res.warnings.count()
         if (nWarn > 0) println(s"Encountered $nWarn parse warning(s).")
         ReportSink.writeWarnings(args.output, res.warnings)
-        ReportSink.writeSheets(args.output, ReportSink.MySqlSheets.zip(Seq(
+        writeReport(args.output, ReportSink.MySqlSheets.zip(Seq(
           MySqlLogPipeline.referenceDetailed(res.detailed), res.aggregate)),
-          args.csv)
+          args.csv, args.xlsx)
     }
     if (ok) println(s"Report written to ${args.output}")
     else { System.err.println(err); sys.exit(1) }
