@@ -137,6 +137,68 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  private def mysqlEntry(time: String, qtSec: Double, query: String): String =
+    s"""# Time: $time
+       |# User@Host: app[app] @ h [ip] thread_id: 1
+       |# Query_time: $qtSec Lock_time: 0.001 Rows_sent: 1 Rows_examined: 2
+       |SET timestamp=1;
+       |$query
+       |""".stripMargin
+
+  test("streaming MySQL source: lineSep-delimited files through windowed aggregate") {
+    import graft.engine.streaming.MySqlStream
+    val dir = java.nio.file.Files.createTempDirectory("mysql-stream").toFile
+    // file a: server preamble + two entries in the same minute
+    java.nio.file.Files.writeString(new java.io.File(dir, "a.log").toPath,
+      "/usr/sbin/mysqld, Version: 8.0 started with:\nTime Id Command Argument\n" +
+        mysqlEntry("231026 10:00:01", 1.0, "SELECT * FROM t WHERE id = 7;") +
+        mysqlEntry("231026 10:00:41", 3.0, "SELECT * FROM t WHERE id = 9;"))
+    // file b: one entry in the next minute, same pattern
+    java.nio.file.Files.writeString(new java.io.File(dir, "b.log").toPath,
+      mysqlEntry("231026 10:01:10", 2.0, "SELECT * FROM t WHERE id = 11;"))
+    val agg = MySqlStream.windowedAggregate(
+      MySqlStream.entryStream(spark, dir.getAbsolutePath, maxFilesPerTrigger = 1))
+    val q = agg.writeStream.format("memory").queryName("mysql_stream_agg")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000), "stream did not drain in time")
+      val rows = spark.sql(
+        """SELECT window.start AS ws, Normalized_Query, Executions,
+          |  Min_Query_time_ms, Max_Query_time_ms, Sample_Query
+          |FROM mysql_stream_agg ORDER BY ws""".stripMargin).collect()
+      assert(rows.length === 2) // preamble gated out; 2 windows, 1 pattern each
+      assert(rows.forall(_.getAs[String]("Normalized_Query") ===
+        "SELECT * FROM T WHERE ID = ?;"))
+      assert(rows(0).getAs[Long]("Executions") === 2L)
+      assert(rows(0).getAs[Double]("Min_Query_time_ms") === 1000.0)
+      assert(rows(0).getAs[Double]("Max_Query_time_ms") === 3000.0)
+      // earliest-event-time sample within the window
+      assert(rows(0).getAs[String]("Sample_Query") === "SELECT * FROM t WHERE id = 7;")
+      assert(rows(1).getAs[Long]("Executions") === 1L)
+    } finally q.stop()
+  }
+
+  test("streaming entry restoration matches the batch delimited reader") {
+    import graft.engine.streaming.MySqlStream
+    import graft.engine.ingest.Sources
+    import graft.engine.mysql.MySqlLogPipeline
+    val dir = java.nio.file.Files.createTempDirectory("mysql-parity").toFile
+    val f = new java.io.File(dir, "slow.log")
+    java.nio.file.Files.writeString(f.toPath,
+      mysqlEntry("231026 10:00:01", 1.0, "SELECT a FROM x;") +
+        mysqlEntry("231026 10:00:02", 2.0, "SELECT b FROM y WHERE k = 3;"))
+    // same lineSep trick on a BATCH read — entry bytes must match readDelimited
+    val streamShaped = MySqlStream.restoreEntries(
+      spark.read.option("lineSep", "\n# Time: ").text(f.getAbsolutePath))
+    val batch = Sources.readDelimited(spark, f.getAbsolutePath)
+    assert(streamShaped.select("entry").collect().map(_.getString(0)).sorted.toSeq ===
+      batch.select("entry").collect().map(_.getString(0)).sorted.toSeq)
+    val d = MySqlLogPipeline.parseEntries(streamShaped).detailed
+    assert(d.count() === 2L)
+  }
+
   test("windowed error rollup over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
