@@ -9,6 +9,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Benchmark SFs are MBs, not TBs: the 4 MB openCostInBytes default
+      // collapses these scans to a handful of partitions and idles the
+      // other cores (a 2 MB parquet = ONE partition). 128 KB keeps every
+      // scan ~numCores-wide here; at 100 TB the defaults are the right
+      // sizing and this override is unnecessary (splits are plentiful).
+      .config("spark.sql.files.openCostInBytes", "131072")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -222,5 +222,15 @@ object LogGen {
         .when(col("event_type") === "view", viewLine)
         .otherwise(signupLine).as("line"),
       (eid + 1).as("line_no"))
+      // MATERIALIZATION BARRIER, two jobs in one exchange: (a) the ~500-node
+      // line-rendering expression would otherwise be re-inlined by
+      // CollapseProject into every downstream reference of `line` (routing
+      // flags, parity probe, branch projections — each re-rendering the
+      // line per row); a shuffle pins it to one evaluation, after which
+      // consumers read a plain attribute, exactly like the file-source
+      // path reads a scan column. (b) the tiny events parquet is a single
+      // file-scan partition at bench SFs, and without a spread the whole
+      // mongo branch would inherit it and run one-threaded.
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
   }
 }
