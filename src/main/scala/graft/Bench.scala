@@ -9,6 +9,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", GraftExtensions.Name)
       // Benchmark SFs are MBs, not TBs: the 4 MB openCostInBytes default
       // collapses these scans to a handful of partitions and idles the
       // other cores (a 2 MB parquet = ONE partition). 128 KB keeps every

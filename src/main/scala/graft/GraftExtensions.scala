@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.engine.expr.{NativeFunctions, PyParity}
+
+/** Cluster-wide installation of graft's native expressions.
+  *
+  * `NativeFunctions.ensureRegistered` covers the embedded case (register on
+  * whatever session the caller already has), but a real deployment wants the
+  * functions present in EVERY session — SQL gateways, notebooks, thriftserver
+  * — without application code running first. Spark's supported route is
+  * `spark.sql.extensions=graft.GraftExtensions`: the builder applies this
+  * class when each session (and each `newSession()`) is constructed, so the
+  * functions behave like built-ins. `ensureRegistered` stays as the
+  * idempotent fallback and is a no-op when this extension is installed.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(NativeFunctions.QdotName),
+      info(NativeFunctions.QdotName,
+        "exact BIGINT dot product of two array<bigint> columns (codegen'd)",
+        "_FUNC_(array(1L,2L), array(3L,4L)) -> 11"),
+      (exprs: Seq[Expression]) => NativeFunctions.LongArrayDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(NativeFunctions.PyCheckName),
+      info(NativeFunctions.PyCheckName,
+        "reference-parity exception text for a mongod log line, NULL if none",
+        "_FUNC_(line)"),
+      (exprs: Seq[Expression]) => PyParity.PyParityCheck(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier(NativeFunctions.PyErrorBranchName),
+      info(NativeFunctions.PyErrorBranchName,
+        "whether the reference would route this mongod line to parse_errors",
+        "_FUNC_(line)"),
+      (exprs: Seq[Expression]) => PyParity.PyErrorBranchCheck(exprs(0))))
+  }
+
+  private def info(name: String, usage: String, example: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, s"$name - $usage", s"Examples: $example")
+}
+
+object GraftExtensions {
+  /** Value for `spark.sql.extensions`. */
+  val Name: String = classOf[GraftExtensions].getName
+}

@@ -60,6 +60,7 @@ object Main {
     val spark = SparkSession.builder()
       .appName(s"graft-${args.mode}")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", graft.GraftExtensions.Name)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.engine.ingest.Sources.ensureNanosAsLong(spark)

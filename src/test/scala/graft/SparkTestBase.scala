@@ -14,6 +14,7 @@ object SparkTestBase {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+    .config("spark.sql.extensions", GraftExtensions.Name)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
