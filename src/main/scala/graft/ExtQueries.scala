@@ -50,6 +50,11 @@ object ExtQueries {
     "text_quality_rollup" -> ((s, dir) => TextAnalysis.qualityRollup(s, dir)),
     "text_winnow" -> ((s, dir) =>
       TextAnalysis.winnowFingerprint(s, dir).orderBy(col("doc_id"))),
+    // ------------------------------------------------ corpus assembly
+    "corpus_split" -> ((s, dir) => Corpus.splitAssign(s, dir)),
+    "corpus_pack" -> ((s, dir) => Corpus.packSequences(s, dir)),
+    "corpus_sample" -> ((s, dir) => Corpus.stratifiedSample(s, dir)),
+    "corpus_mix" -> ((s, dir) => Corpus.weightedInterleave(s, dir)),
     // ------------------------------------------------ dedup
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "dedup_bow" -> ((s, dir) => Dedup.bagOfWords(s, dir)),
@@ -364,6 +369,48 @@ object ExtQueries {
         |    i -> ('0x' || substring(md5(substring(text, i::INT, 16)), 1, 15))::BIGINT)))
         |    AS n_distinct_windows
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "corpus_split" ->
+      """SELECT doc_id, lang, source, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang, source,
+        |        (('0x' || substr(sha256(text), 1, 8))::UBIGINT % 100)::BIGINT AS bucket
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "corpus_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))::BIGINT
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens
+        |      AS strt
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  (strt // 2048)::BIGINT AS pack_id, (strt % 2048)::BIGINT AS pack_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "corpus_sample" ->
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY sha256(text), doc_id)::BIGINT AS rk
+        |  FROM documents)
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+
+    "corpus_mix" ->
+      """SELECT doc_id, lang,
+        |  ((2 * r - 1) * (4 // w))::BIGINT AS interleave_key
+        |FROM (SELECT doc_id, lang,
+        |        CASE WHEN lang = 'en' THEN 4
+        |             WHEN lang = 'zh' THEN 1 ELSE 2 END AS w,
+        |        row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS r
+        |      FROM documents)
+        |ORDER BY interleave_key, lang, doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS canonical_doc_id,

@@ -1,0 +1,114 @@
+package graft.engine.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for a training-data pipeline: deterministic
+  * train/val/test splitting, sequence packing, stratified sampling and
+  * weighted source interleaving over the `documents` table.
+  *
+  * Everything is content-deterministic (sha2 of the text, never a RNG) so
+  * assignments are reproducible across runs, engines and partitionings —
+  * the property a 100 TB corpus build actually needs: re-running the
+  * pipeline after adding one shard must not reshuffle the split of every
+  * existing document. All ratios/positions are exact integer arithmetic.
+  */
+object Corpus {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** First 8 hex digits of sha2-256 as a uniform BIGINT in [0, 2^32). */
+  private def hashBucket(text: Column): Column =
+    conv(substring(sha2(text, 256), 1, 8), 16, 10).cast("long")
+
+  /** Deterministic 80/10/10 train/val/test assignment by content hash.
+    *
+    * Hash-based (not modulo-doc_id) so the split is stable under re-ingest,
+    * re-partitioning and id reassignment; near-duplicate texts still hash
+    * apart, so pair leakage across splits is handled upstream by the dedup
+    * stage ([[Dedup]]), which is the correct order of operations.
+    * Pure per-row projection: no shuffle, scales linearly.
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        (hashBucket(col("text")) % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+
+  /** Token budget per packed training sequence. */
+  val PackBudget = 2048L
+
+  /** Contiguous sequence packing: within each source (the shard axis),
+    * documents in doc_id order fill fixed 2048-token context windows;
+    * a document belongs to the pack its first token lands in.
+    *
+    * One shuffle (partition by source) + one sequential window pass per
+    * source. At 100 TB the source axis is the parallelism knob — packing
+    * is order-defined WITHIN a shard, so shard granularity bounds the
+    * longest sequential scan exactly as it does in a real tokenizer run.
+    * `pack_offset` < budget always (the pre-doc fill of the open pack).
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val toks = size(TextAnalysis.wsTokens(col("text"))).cast("long")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), toks.as("n_tokens"))
+      .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("start") / PackBudget).cast("long").as("pack_id"),
+        (col("start") % PackBudget).as("pack_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Rows kept per language class. */
+  val StratifiedK = 20
+
+  /** Class-balanced sample: exactly K documents per language, chosen by
+    * content-hash order (deterministic, unbiased in hash space).
+    *
+    * Plans as row_number + rank filter, which Spark rewrites to
+    * WindowGroupLimit: every map task keeps only its local top-K per
+    * language BEFORE the shuffle, so the exchange carries
+    * O(K · partitions), not the corpus — the reason this beats
+    * a naive per-class sort at scale (asserted in CorpusSpec).
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("lang"))
+      .orderBy(sha2(col("text"), 256), col("doc_id"))
+    docs(spark, dir)
+      .withColumn("rk", row_number().over(order).cast("long"))
+      .filter(col("rk") <= StratifiedK)
+      .select(col("doc_id"), col("lang"), col("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  /** Weighted interleave of language sub-corpora (en×4, zh×1, rest ×2):
+    * the classic "upsample high-resource, downsample low-resource" mixing
+    * schedule, expressed as a deterministic integer sort key.
+    *
+    * The r-th document of a weight-w class gets key (2r−1)·(4/w): reading
+    * in key order yields the target mixing ratio in every prefix of the
+    * corpus (what curriculum schedules require), with ties broken by
+    * (lang, doc_id). Deliberately a sort KEY, not a global row_number —
+    * a total ordinal would funnel every row through one window task,
+    * while orderBy is a range-partitioned sort that scales.
+    */
+  def weightedInterleave(spark: SparkSession, dir: String): DataFrame = {
+    val weight = when(col("lang") === "en", 4L)
+      .when(col("lang") === "zh", 1L).otherwise(2L)
+    val r = row_number()
+      .over(Window.partitionBy(col("lang")).orderBy(col("doc_id"))).cast("long")
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), weight.as("w"), r.as("r"))
+      .select(col("doc_id"), col("lang"),
+        ((col("r") * 2 - 1) * (lit(4L) / col("w")).cast("long"))
+          .as("interleave_key"))
+      .orderBy(col("interleave_key"), col("lang"), col("doc_id"))
+  }
+}

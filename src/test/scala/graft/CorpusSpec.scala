@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.ext.Corpus
+
+/** Corpus-assembly operators: determinism/partition invariants plus the
+  * plan shapes that make them viable at 100 TB.
+  */
+class CorpusSpec extends SparkTestBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("splitAssign partitions the corpus deterministically") {
+    val a = Corpus.splitAssign(spark, sf).collect()
+    val b = Corpus.splitAssign(spark, sf).collect()
+    assert(a.toSeq === b.toSeq) // content-hash, not RNG
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(a.length === total)
+    assert(a.map(_.getAs[String]("split")).toSet.subsetOf(Set("train", "val", "test")))
+    // hash buckets must cover the assignment rule's domain
+    assert(a.forall { r =>
+      val bkt = r.getAs[Long]("bucket"); bkt >= 0 && bkt < 100
+    })
+  }
+
+  test("packSequences fills budget-bounded packs per source") {
+    val rows = Corpus.packSequences(spark, sf).collect()
+    assert(rows.forall(r => r.getAs[Long]("pack_offset") >= 0 &&
+      r.getAs[Long]("pack_offset") < Corpus.PackBudget))
+    // pack ids within a source are contiguous from 0
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (_, rs) =>
+      val packs = rs.map(_.getAs[Long]("pack_id")).distinct.sorted
+      assert(packs.head === 0L)
+      assert(packs === (0L until packs.length).toSeq)
+    }
+  }
+
+  test("stratifiedSample keeps exactly K per class and plans a group limit") {
+    val df = Corpus.stratifiedSample(spark, sf)
+    val counts = df.groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val classSizes = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    classSizes.foreach { case (lang, n) =>
+      assert(counts(lang) === math.min(n, Corpus.StratifiedK.toLong))
+    }
+    // the rank filter must push a partial per-partition limit below the
+    // shuffle (WindowGroupLimit), or the per-class sort carries the corpus
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
+  test("weightedInterleave prefixes approach the 4:2:2:2:1 mix") {
+    val rows = Corpus.weightedInterleave(spark, sf).collect()
+    // keys strictly order the corpus modulo (lang, doc_id) tie-break
+    assert(rows.length ===
+      spark.read.parquet(s"$sf/documents.parquet").count())
+    // in any long prefix, en (w=4) appears ~4x as often as zh (w=1),
+    // as long as neither class has been exhausted
+    val prefix = rows.take(rows.length / 2)
+    val byLang = prefix.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    val langTotals = rows.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    if (langTotals("en") > prefix.length / 2 && langTotals.getOrElse("zh", 0) > 0) {
+      val ratio = byLang("en").toDouble / math.max(byLang.getOrElse("zh", 0), 1)
+      assert(ratio > 2.0, s"en:zh prefix ratio $ratio not upsampled")
+    }
+  }
+}
