@@ -55,6 +55,7 @@ object ExtQueries {
     "corpus_pack" -> ((s, dir) => Corpus.packSequences(s, dir)),
     "corpus_sample" -> ((s, dir) => Corpus.stratifiedSample(s, dir)),
     "corpus_mix" -> ((s, dir) => Corpus.weightedInterleave(s, dir)),
+    "corpus_clean" -> ((s, dir) => Corpus.qualityClean(s, dir)),
     // ------------------------------------------------ dedup
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "dedup_bow" -> ((s, dir) => Dedup.bagOfWords(s, dir)),
@@ -411,6 +412,24 @@ object ExtQueries {
         |        row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS r
         |      FROM documents)
         |ORDER BY interleave_key, lang, doc_id""".stripMargin,
+
+    "corpus_clean" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))::BIGINT
+        |      AS n_tokens,
+        |    (len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000000
+        |      // greatest(length(text), 1))::BIGINT AS punct_ppm,
+        |    regexp_matches(rtrim(text), '[.!?。！？]$') AS terminal
+        |  FROM documents)
+        |SELECT doc_id, lang, source, n_tokens, punct_ppm,
+        |  (reason IS NULL) AS keep, coalesce(reason, '') AS reason
+        |FROM (SELECT *,
+        |        CASE WHEN n_tokens < 5 THEN 'too_short'
+        |             WHEN punct_ppm > 300000 THEN 'too_much_punct'
+        |             WHEN NOT terminal THEN 'no_terminal_punct' END AS reason
+        |      FROM t)
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS canonical_doc_id,

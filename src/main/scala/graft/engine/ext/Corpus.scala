@@ -88,6 +88,29 @@ object Corpus {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** C4-style quality gate with per-document diagnostics: every document
+    * gets a keep/drop verdict plus the FIRST failing rule (priority order),
+    * the shape a corpus-cleaning pass needs for audit sampling. Rules:
+    * ≥5 whitespace tokens, punctuation ≤30% of characters (ppm), and
+    * text ends in terminal punctuation. Pure per-row projection —
+    * no shuffle, one codegen span.
+    */
+  def qualityClean(spark: SparkSession, dir: String): DataFrame = {
+    val toks = size(TextAnalysis.wsTokens(col("text"))).cast("long")
+    val punctPpm = (size(regexp_extract_all(col("text"),
+      lit("[^A-Za-z0-9\\s]"), lit(0))) * lit(1000000L)
+      / greatest(length(col("text")), lit(1))).cast("long")
+    val terminal = rtrim(col("text")).rlike("[.!?。！？]$")
+    val reason = when(toks < 5, "too_short")
+      .when(punctPpm > 300000L, "too_much_punct")
+      .when(!terminal, "no_terminal_punct")
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        toks.as("n_tokens"), punctPpm.as("punct_ppm"),
+        reason.isNull.as("keep"), coalesce(reason, lit("")).as("reason"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Weighted interleave of language sub-corpora (en×4, zh×1, rest ×2):
     * the classic "upsample high-resource, downsample low-resource" mixing
     * schedule, expressed as a deterministic integer sort key.
