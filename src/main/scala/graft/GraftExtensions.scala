@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.engine.plans.RewriteDeclarativeDot)
     ext.injectFunction((
       FunctionIdentifier(NativeFunctions.QdotName),
       info(NativeFunctions.QdotName,
