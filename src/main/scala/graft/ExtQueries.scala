@@ -69,6 +69,7 @@ object ExtQueries {
     "ann_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "ann_label_centroids" -> ((s, dir) => Similarity.labelCentroidSim(s, dir)),
+    "ann_kmeans" -> ((s, dir) => Similarity.kmeansCells(s, dir)),
     // ------------------------------------------------ multimodal
     "mm_features" -> ((s, dir) => {
       import s.implicits._
@@ -579,6 +580,35 @@ object ExtQueries {
         |)
         |SELECT query_id, rank, neighbor_id, dot FROM r
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
+    // ann_kmeans: two Lloyd iterations, all exact integer / floor-mean
+    // arithmetic with explicit tie-breaks — DuckDB replays the training.
+    "ann_kmeans" -> (quantized +
+      """, c0 AS (
+        |  SELECT vec_id AS cell_id, i, q AS c FROM v WHERE vec_id < 16
+        |), d1 AS (
+        |  SELECT v.vec_id, c.cell_id,
+        |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS dist
+        |  FROM v JOIN c0 c ON v.i = c.i GROUP BY 1, 2
+        |), a1 AS (
+        |  SELECT vec_id, cell_id FROM (
+        |    SELECT vec_id, cell_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+        |    FROM d1) WHERE rn = 1
+        |), c1 AS (
+        |  SELECT a1.cell_id, v.i,
+        |    CAST(floor(sum(v.q)::DOUBLE / count(*)) AS BIGINT) AS c
+        |  FROM a1 JOIN v ON v.vec_id = a1.vec_id GROUP BY 1, 2
+        |), d2 AS (
+        |  SELECT v.vec_id, c.cell_id,
+        |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS dist
+        |  FROM v JOIN c1 c ON v.i = c.i GROUP BY 1, 2
+        |)
+        |SELECT vec_id, cell_id, dist FROM (
+        |  SELECT vec_id, cell_id, dist,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+        |  FROM d2) WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin),
 
     "ann_label_centroids" -> (quantized +
       """, cent AS (

@@ -128,6 +128,61 @@ object Similarity {
     * sums + count, exact), then pairwise centroid inner products — the
     * "are these classes separable" diagnostic.
     */
+  /** Deterministic k-means (Lloyd) cell training over the quantized
+    * vectors: `iters` rounds of assign-to-nearest (exact squared-L2 via
+    * three codegen'd dots, ties → lowest cell) then floor-mean centroid
+    * recompute. Returns the final assignment (vec_id, cell_id, dist) —
+    * the trained upgrade of [[ivfTopK]]'s pick-first-N init, and the
+    * piece of an IVF build that actually needs a cluster: everything
+    * else is a broadcast.
+    *
+    * Scale shape per iteration: one broadcast join against ≤nCells
+    * centroids with map-side min_by partial aggregation (the 16×
+    * candidate expansion collapses to one row per vector before the
+    * exchange), plus a posexplode re-aggregation whose groupBy key
+    * space is nCells × dim — constant-size shuffles after partial agg.
+    * Empty cells drop out (deterministically) exactly as in the oracle.
+    * All arithmetic is exact BIGINT / exact-in-double floor-means, so
+    * DuckDB replays the whole training bit-for-bit.
+    */
+  def kmeansCells(spark: SparkSession, dir: String, nCells: Int = 16,
+                  iters: Int = 2): DataFrame =
+    kmeansCells(vectors(spark, dir), nCells, iters)
+
+  def kmeansCells(vs: DataFrame, nCells: Int, iters: Int): DataFrame = {
+    var centroids = vs.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cell_id"), col("q").as("cq"))
+    var assigned: DataFrame = null
+    for (it <- 1 to iters) {
+      val dist = qdot(col("q"), col("q")) - lit(2L) * qdot(col("q"), col("cq")) +
+        qdot(col("cq"), col("cq")) // == Σ(q−c)², exact in BIGINT
+      assigned = vs.join(broadcast(centroids))
+        .select(col("vec_id"), col("q"), col("cell_id"), dist.as("dist"))
+        .groupBy(col("vec_id"))
+        .agg(
+          min_by(struct(col("cell_id"), col("dist")),
+            struct(col("dist"), col("cell_id"))).as("best"),
+          first(col("q")).as("q")) // functionally dependent on vec_id
+        .select(col("vec_id"), col("q"),
+          col("best.cell_id").as("cell_id"), col("best.dist").as("dist"))
+      if (it < iters) {
+        centroids = assigned
+          .select(col("cell_id"), posexplode(col("q")).as(Seq("pos", "v")))
+          .groupBy(col("cell_id"), col("pos"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          // floor-mean, exact: |s| ≤ 64·2000·N and s/n magnitudes stay
+          // far inside double's 2^53 integer range
+          .withColumn("m", floor(col("s").cast("double") / col("n")).cast("long"))
+          .groupBy(col("cell_id"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m")).as("cq"))
+      }
+    }
+    assigned.select(col("vec_id"), col("cell_id"), col("dist"))
+      .orderBy(col("vec_id"))
+  }
+
   def labelCentroidSim(spark: SparkSession, dir: String): DataFrame =
     labelCentroidSim(vectors(spark, dir))
 

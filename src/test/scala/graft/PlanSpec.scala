@@ -50,10 +50,12 @@ class PlanSpec extends SparkTestBase {
     // ann_bruteforce (vec_id =!= query_id vs broadcast queries) and
     // ann_label_centroids (label < label) are deliberate inequality
     // joins against broadcast-small sides (Similarity.scala); ann_ivf's
-    // conditionless centroid joins (every vector × nCells=16 broadcast
-    // rows) are the IVF assignment fan-out, a flatMap in disguise —
-    // every other query must plan without cartesian products or BNLJ.
-    val exempt = Set("ann_bruteforce", "ann_label_centroids", "ann_ivf")
+    // and ann_kmeans' conditionless centroid joins (every vector ×
+    // nCells=16 broadcast rows) are the assignment fan-out, a flatMap
+    // in disguise — every other query must plan without cartesian
+    // products or BNLJ.
+    val exempt = Set("ann_bruteforce", "ann_label_centroids", "ann_ivf",
+      "ann_kmeans")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
