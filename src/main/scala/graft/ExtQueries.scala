@@ -70,6 +70,8 @@ object ExtQueries {
     "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "ann_label_centroids" -> ((s, dir) => Similarity.labelCentroidSim(s, dir)),
     "ann_kmeans" -> ((s, dir) => Similarity.kmeansCells(s, dir)),
+    "ann_quantize" -> ((s, dir) => Similarity.quantizeInt8(s, dir)),
+    "text_keywords" -> ((s, dir) => TextAnalysis.keywords(s, dir)),
     // ------------------------------------------------ multimodal
     "mm_features" -> ((s, dir) => {
       import s.implicits._
@@ -609,6 +611,41 @@ object ExtQueries {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
         |  FROM d2) WHERE rn = 1
         |ORDER BY vec_id""".stripMargin),
+
+    "ann_quantize" -> (quantized +
+      """, sc AS (
+        |  SELECT vec_id, greatest(max(abs(q)), 1)::BIGINT AS s,
+        |    sum(abs(q))::BIGINT AS mag
+        |  FROM v GROUP BY vec_id
+        |), e AS (
+        |  SELECT v.vec_id,
+        |    sum(abs(v.q - (((v.q * 127) // sc.s) * sc.s) // 127))::BIGINT AS err
+        |  FROM v JOIN sc ON v.vec_id = sc.vec_id
+        |  GROUP BY v.vec_id
+        |)
+        |SELECT sc.vec_id, sc.s,
+        |  ((e.err * 1000000) // greatest(sc.mag, 1))::BIGINT AS err_ppm
+        |FROM sc JOIN e ON sc.vec_id = e.vec_id
+        |ORDER BY sc.vec_id""".stripMargin),
+
+    "text_keywords" -> (toks +
+      """, term AS (
+        |  SELECT doc_id, unnest(t) AS term FROM toks
+        |), tf AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf
+        |  FROM term GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+        |  FROM term GROUP BY term
+        |)
+        |SELECT doc_id, rk, term, tf, df, score FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    (tf.tf * 1000000 // df.df)::BIGINT AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |                       ORDER BY (tf.tf * 1000000 // df.df) DESC,
+        |                                tf.term)::BIGINT AS rk
+        |  FROM tf JOIN df ON tf.term = df.term)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
 
     "ann_label_centroids" -> (quantized +
       """, cent AS (

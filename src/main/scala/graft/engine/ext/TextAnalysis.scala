@@ -121,4 +121,35 @@ object TextAnalysis {
           / greatest(sum(col("n_chars_m")), lit(1)))
           .cast("long").as("corpus_punct_ppm"))
       .orderBy(col("lang"), col("source"))
+
+  /** Keyword extraction: top-3 terms per document by a rarity-weighted
+    * integer score `tf · 1e6 / df` (tf-idf with the log dropped so the
+    * score stays exact BIGINT — same ranking direction, cross-engine
+    * reproducible). Ties break by term.
+    *
+    * Scale shape: token explode → (doc, term) tf aggregate → term-df
+    * aggregate → shuffle join on term (vocab is co-partitioned, never
+    * collected) → per-doc rank filter, which Spark plans as
+    * WindowGroupLimit (partial top-K before the exchange).
+    */
+  def keywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    keywords(spark.read.parquet(s"$dir/documents.parquet"), k)
+
+  def keywords(docs: DataFrame, k: Int): DataFrame = {
+    val terms = docs.select(col("doc_id"),
+      explode(wsTokens(lower(col("text")))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(desc("score"), col("term"))
+    tf.join(df, "term")
+      .withColumn("score", (col("tf") * lit(1000000L) / col("df")).cast("long"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
 }
