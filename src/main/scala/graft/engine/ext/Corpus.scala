@@ -95,7 +95,13 @@ object Corpus {
     * text ends in terminal punctuation. Pure per-row projection —
     * no shuffle, one codegen span.
     */
-  def qualityClean(spark: SparkSession, dir: String): DataFrame = {
+  def qualityClean(spark: SparkSession, dir: String): DataFrame =
+    qualityClean(docs(spark, dir)).orderBy(col("doc_id"))
+
+  /** Sort-free core: a pure stateless projection, so the same gate runs
+    * unchanged under Structured Streaming (see StreamingSpec).
+    */
+  def qualityClean(in: DataFrame): DataFrame = {
     val toks = size(TextAnalysis.wsTokens(col("text"))).cast("long")
     val punctPpm = (size(regexp_extract_all(col("text"),
       lit("[^A-Za-z0-9\\s]"), lit(0))) * lit(1000000L)
@@ -104,11 +110,9 @@ object Corpus {
     val reason = when(toks < 5, "too_short")
       .when(punctPpm > 300000L, "too_much_punct")
       .when(!terminal, "no_terminal_punct")
-    docs(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"),
-        toks.as("n_tokens"), punctPpm.as("punct_ppm"),
-        reason.isNull.as("keep"), coalesce(reason, lit("")).as("reason"))
-      .orderBy(col("doc_id"))
+    in.select(col("doc_id"), col("lang"), col("source"),
+      toks.as("n_tokens"), punctPpm.as("punct_ppm"),
+      reason.isNull.as("keep"), coalesce(reason, lit("")).as("reason"))
   }
 
   /** Weighted interleave of language sub-corpora (en×4, zh×1, rest ×2):

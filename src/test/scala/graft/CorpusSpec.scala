@@ -51,6 +51,31 @@ class CorpusSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("qualityClean runs unchanged as a streaming gate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String, String, String)]
+    val gated = Corpus.qualityClean(
+      mem.toDF().toDF("doc_id", "lang", "source", "text"))
+      .groupBy(col("reason")).agg(count(lit(1)).as("n"))
+
+    val q = gated.writeStream.format("memory")
+      .queryName("stream_clean").outputMode("complete").start()
+    try {
+      mem.addData(
+        (1L, "en", "s0", "This is a perfectly reasonable document sentence."),
+        (2L, "en", "s0", "short"),                       // too_short
+        (3L, "en", "s0", "a b c d e f g h with no end"), // no_terminal_punct
+        (4L, "en", "s0", "!!! ??? ### $$$ %%% ^^^ &&&!"))// too_much_punct
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT reason, n FROM stream_clean").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows === Map("" -> 1L, "too_short" -> 1L,
+        "no_terminal_punct" -> 1L, "too_much_punct" -> 1L))
+    } finally q.stop()
+  }
+
   test("weightedInterleave prefixes approach the 4:2:2:2:1 mix") {
     val rows = Corpus.weightedInterleave(spark, sf).collect()
     // keys strictly order the corpus modulo (lang, doc_id) tie-break
