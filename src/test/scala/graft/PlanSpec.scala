@@ -46,6 +46,23 @@ class PlanSpec extends SparkTestBase {
     assert("Exchange".r.findAllIn(p).length <= 3, p.take(800))
   }
 
+  test("corpus operators plan with the promised exchange budget") {
+    import graft.engine.ext.{Corpus, Similarity}
+    // splitAssign: pure projection + output sort — no hash exchange at all
+    val split = plan(Corpus.splitAssign(spark, dir))
+    assert(!split.contains("Exchange hashpartitioning"), split.take(600))
+    // weightedInterleave: a range-partitioned sort, never a single-task
+    // global window (the scaladoc's scale contract)
+    val mix = plan(Corpus.weightedInterleave(spark, dir))
+    assert(mix.contains("Exchange rangepartitioning"), mix.take(600))
+    assert(!mix.contains("Exchange SinglePartition"), mix.take(600))
+    // quantizeInt8: the window partial agg and final groupBy share the
+    // vec_id partitioning — exactly one hash exchange
+    val quant = plan(Similarity.quantizeInt8(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(quant).length === 1,
+      quant.take(800))
+  }
+
   test("no cartesian/broadcast-NL joins outside the two documented sites") {
     // ann_bruteforce (vec_id =!= query_id vs broadcast queries) and
     // ann_label_centroids (label < label) are deliberate inequality
