@@ -1,0 +1,110 @@
+package graft.engine.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+import graft.engine.ext.Dedup
+
+/** Incremental near-duplicate detection over a document STREAM — the
+  * streaming twin of [[Dedup.minhashPairs]], for the ingest-time question
+  * batch dedup can't answer: "is this new document a near-dup of anything
+  * we have EVER accepted?"
+  *
+  * Same math as the batch operator (word n-gram shingles → MinHash(16)
+  * universal-hash signatures → 4-band LSH), restructured for streaming:
+  * the signature is a per-row projection (array_min over the shingle-hash
+  * array instead of an explode + min aggregate — no shuffle, no state),
+  * and bucket membership lives in flatMapGroupsWithState keyed by
+  * (band, bucket). A new document compares against only its bucket's
+  * retained members — the same Σ bucket² bound as the batch LSH join,
+  * amortized over arrival order.
+  *
+  * State bounds: buckets retain at most `maxBucket` members (FIFO-evicted;
+  * an adversarial hot bucket degrades recall, never memory), and a
+  * production deployment adds a watermark + EventTimeTimeout to age
+  * buckets out — the test-facing default keeps NoTimeout so results are
+  * a pure function of the input.
+  *
+  * The same (doc_a, doc_b) pair can surface from several agreeing bands
+  * (each tagged with its band); consumers dedup with a downstream
+  * distinct, exactly like the batch operator does internally.
+  */
+object DedupStream {
+
+  final case class BandDoc(band: Int, bucket: String, doc_id: Long,
+                           sig: Seq[Long])
+  final case class DupPair(doc_a: Long, doc_b: Long, band: Int,
+                           est_jaccard_ppm: Long)
+
+  /** Per-row MinHash signatures — streaming-stateless (no aggregation).
+    * Hash family and constants are identical to [[Dedup.minhashPairs]],
+    * so batch and stream agree bit-for-bit on every signature.
+    */
+  def signatures(docs: DataFrame, n: Int = 3, numHashes: Int = 16): DataFrame = {
+    val p = 2305843009213693951L // 2^61 - 1
+    docs
+      // each stage projected before the next references it: higher-order
+      // functions are interpreted, so an inlined tokenization would be
+      // re-evaluated per lambda call (the 15× trap documented in Dedup)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), Dedup.shinglesFromTokens(col("toks"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        transform(col("sh"), s => Dedup.md5Hash48(s)).as("hs"))
+      .select(col("doc_id"),
+        array((0 until numHashes).map { i =>
+          val a = 2L * i + 3L
+          val b = 7919L * (i + 1)
+          array_min(transform(col("hs"), h => pmod(h * a + b, lit(p))))
+        }: _*).as("sig"))
+  }
+
+  /** Streaming LSH pair emission (Append mode). */
+  def pairs(docs: DataFrame, n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+            minEstPpm: Long = 250000L, maxBucket: Int = 64): Dataset[DupPair] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val perBand = numHashes / bands
+
+    val banded = signatures(docs, n, numHashes)
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("band"),
+        md5(concat_ws(",",
+          slice(col("sig"), col("band") * perBand + 1, lit(perBand))))
+          .as("bucket"),
+        col("doc_id"), col("sig"))
+      .as[BandDoc]
+
+    banded
+      .groupByKey(bd => (bd.band, bd.bucket))
+      .flatMapGroupsWithState[List[BandDoc], DupPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          var members = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[DupPair]
+          // arrival order within a batch is partition order; pairs are
+          // emitted id-ascending so results don't depend on it
+          rows.foreach { r =>
+            if (!members.exists(_.doc_id == r.doc_id)) { // re-delivery guard
+              members.foreach { m =>
+                val agree = m.sig.iterator.zip(r.sig.iterator)
+                  .count { case (x, y) => x == y }
+                val ppm = agree.toLong * 1000000L / numHashes
+                if (ppm >= minEstPpm) {
+                  val (a, b) =
+                    if (m.doc_id < r.doc_id) (m.doc_id, r.doc_id)
+                    else (r.doc_id, m.doc_id)
+                  out += DupPair(a, b, r.band, ppm)
+                }
+              }
+              members = (r :: members).take(maxBucket)
+            }
+          }
+          state.update(members)
+          out.result().iterator
+      }
+  }
+}
