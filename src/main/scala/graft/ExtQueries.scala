@@ -56,6 +56,7 @@ object ExtQueries {
     "corpus_sample" -> ((s, dir) => Corpus.stratifiedSample(s, dir)),
     "corpus_mix" -> ((s, dir) => Corpus.weightedInterleave(s, dir)),
     "corpus_clean" -> ((s, dir) => Corpus.qualityClean(s, dir)),
+    "corpus_contamination" -> ((s, dir) => Corpus.contamination(s, dir)),
     // ------------------------------------------------ dedup
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "dedup_bow" -> ((s, dir) => Dedup.bagOfWords(s, dir)),
@@ -433,6 +434,29 @@ object ExtQueries {
         |             WHEN NOT terminal THEN 'no_terminal_punct' END AS reason
         |      FROM t)
         |ORDER BY doc_id""".stripMargin,
+
+    "corpus_contamination" -> (shingles3 +
+      """, shx AS (
+        |  SELECT doc_id, unnest(sh) AS shingle FROM sh
+        |), dfc AS (
+        |  SELECT shingle FROM shx GROUP BY shingle HAVING count(*) <= 100
+        |), rare AS (
+        |  SELECT shx.doc_id, shx.shingle FROM shx JOIN dfc USING (shingle)
+        |), shared AS (
+        |  SELECT b.doc_id AS bench_doc, t.doc_id AS train_doc,
+        |    count(*)::BIGINT AS n_shared
+        |  FROM rare b JOIN rare t USING (shingle)
+        |  WHERE b.doc_id % 17 = 0 AND t.doc_id % 17 != 0
+        |  GROUP BY 1, 2
+        |), bn AS (
+        |  SELECT doc_id AS bench_doc, count(*)::BIGINT AS bench_n
+        |  FROM shx WHERE doc_id % 17 = 0 GROUP BY 1
+        |)
+        |SELECT s.bench_doc, s.train_doc, s.n_shared,
+        |  (s.n_shared * 1000000 // b.bench_n)::BIGINT AS contam_ppm
+        |FROM shared s JOIN bn b USING (bench_doc)
+        |WHERE s.n_shared >= 2
+        |ORDER BY bench_doc, train_doc""".stripMargin),
 
     "dedup_exact" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS canonical_doc_id,

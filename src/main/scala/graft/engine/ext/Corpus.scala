@@ -115,6 +115,48 @@ object Corpus {
       reason.isNull.as("keep"), coalesce(reason, lit("")).as("reason"))
   }
 
+  /** Benchmark-contamination scan: for every benchmark document (the
+    * deterministic holdout doc_id % benchMod == 0 stands in for an eval
+    * set), find training documents sharing ≥ minShared distinct word
+    * n-gram shingles, with the overlap as ppm of the benchmark doc's
+    * shingles — the decontamination pass an eval-honest training corpus
+    * runs before every release.
+    *
+    * Scale shape: the shingle join is df-capped exactly like
+    * [[Dedup.ngramJaccardPairs]] (shingles in > maxDf docs are dropped
+    * from the JOIN — ubiquitous n-grams carry no contamination signal),
+    * so per-shingle join fan-out is ≤ cap² and the whole scan is
+    * Σ bucket², never |bench| × |train|. The ppm denominator uses the
+    * UNCAPPED shingle count, so scores stay comparable as the cap moves.
+    */
+  def contamination(spark: SparkSession, dir: String, benchMod: Int = 17,
+                    n: Int = 3, maxDf: Int = 100,
+                    minShared: Long = 2L): DataFrame = {
+    val sh = Dedup.shingleRows(
+      docs(spark, dir).select(col("doc_id"), col("text")), n)
+    val isBench = col("doc_id") % benchMod === 0
+    val rare = sh.join(
+      sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select(col("shingle")),
+      "shingle")
+    val bench = rare.filter(isBench)
+      .select(col("shingle"), col("doc_id").as("bench_doc"))
+    val train = rare.filter(!isBench)
+      .select(col("shingle"), col("doc_id").as("train_doc"))
+    val benchN = sh.filter(isBench)
+      .groupBy(col("doc_id").as("bench_doc"))
+      .agg(count(lit(1)).as("bench_n"))
+    bench.join(train, "shingle")
+      .groupBy(col("bench_doc"), col("train_doc"))
+      .agg(count(lit(1)).as("n_shared")) // shingle rows are per-doc distinct
+      .filter(col("n_shared") >= minShared)
+      .join(benchN, "bench_doc")
+      .select(col("bench_doc"), col("train_doc"), col("n_shared"),
+        (col("n_shared") * lit(1000000L) / col("bench_n"))
+          .cast("long").as("contam_ppm"))
+      .orderBy(col("bench_doc"), col("train_doc"))
+  }
+
   /** Weighted interleave of language sub-corpora (en×4, zh×1, rest ×2):
     * the classic "upsample high-resource, downsample low-resource" mixing
     * schedule, expressed as a deterministic integer sort key.
