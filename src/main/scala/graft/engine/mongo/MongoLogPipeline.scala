@@ -205,6 +205,30 @@ object MongoLogPipeline {
             lit(": Invalid JSON. Skipped.")))
           .as("message"))
 
+  /** Name of the routing observation attached by [[observed]]. */
+  val RoutingMetric = "graft_mongo_routing"
+
+  /** Attach single-pass routing metrics to a parsed scan: per-branch row
+    * counts ride the SAME job as accumulator-style aggregates (Spark's
+    * `observe`), so a 100 TB run reports its routing census without one
+    * extra action per branch — re-counting five branches would be five
+    * more full scans. Read the values from `qe.observedMetrics` in a
+    * QueryExecutionListener (batch) or the progress events (streaming);
+    * see ObservabilitySpec.
+    */
+  def observed(scan: DataFrame): DataFrame =
+    scan.observe(RoutingMetric,
+      // each census term is the EXACT predicate of its branch filter
+      // (detailed / errors / nonSlow / parseErrors above)
+      count(lit(1)).as("lines"),
+      sum(when(col("valid") && col("is_slow"), 1L).otherwise(0L)).as("slow"),
+      sum(when(col("is_error"), 1L).otherwise(0L)).as("errors"),
+      sum(when(!col("invalid") && col("pyerr").isNull &&
+        !col("is_slow") && !col("is_error"), 1L).otherwise(0L)).as("non_slow"),
+      sum(when(col("invalid") || col("pyerr").isNotNull ||
+        (!col("schema_ok") && col("is_slow") && !col("is_error")), 1L)
+        .otherwise(0L)).as("parse_errors"))
+
   /** Full run: one persisted scan, four branches + bad-record channel.
     * Caller unpersists via [[Result]] usage lifetime (or spark context end).
     */
