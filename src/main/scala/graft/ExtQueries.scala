@@ -73,6 +73,7 @@ object ExtQueries {
     "ann_kmeans" -> ((s, dir) => Similarity.kmeansCells(s, dir)),
     "ann_quantize" -> ((s, dir) => Similarity.quantizeInt8(s, dir)),
     "text_keywords" -> ((s, dir) => TextAnalysis.keywords(s, dir)),
+    "text_bpe_merges" -> ((s, dir) => TextAnalysis.bpeMerges(s, dir)),
     // ------------------------------------------------ multimodal
     "mm_features" -> ((s, dir) => {
       import s.implicits._
@@ -670,6 +671,22 @@ object ExtQueries {
         |                                tf.term)::BIGINT AS rk
         |  FROM tf JOIN df ON tf.term = df.term)
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
+
+    "text_bpe_merges" -> (toks +
+      """, vocab AS (
+        |  SELECT word, count(*)::BIGINT AS n_w FROM (
+        |    SELECT unnest(t) AS word FROM toks)
+        |  GROUP BY word
+        |), pr AS (
+        |  SELECT substr(word, i::INT, 2) AS pair, n_w
+        |  FROM vocab, unnest(range(1, length(word))) AS u(i)
+        |  WHERE length(word) >= 2
+        |), agg AS (
+        |  SELECT pair, sum(n_w)::BIGINT AS cnt FROM pr GROUP BY pair
+        |)
+        |SELECT row_number() OVER (ORDER BY cnt DESC, pair)::BIGINT AS rank,
+        |  pair, cnt
+        |FROM agg QUALIFY rank <= 20 ORDER BY rank""".stripMargin),
 
     "ann_label_centroids" -> (quantized +
       """, cent AS (

@@ -135,6 +135,40 @@ object TextAnalysis {
   def keywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
     keywords(spark.read.parquet(s"$dir/documents.parquet"), k)
 
+  /** BPE merge selection (the counting core of tokenizer training): build
+    * the word vocabulary with corpus frequencies, expand each word into its
+    * adjacent character pairs, and rank pairs by corpus-weighted count —
+    * the top entry is the merge a BPE trainer would apply first; the
+    * top-k table is the first merge candidates.
+    *
+    * Scale shape: one token explode + word-vocab aggregate (the shuffle
+    * key space is the vocabulary, not the corpus), a per-word bigram
+    * expansion, and a bigram aggregate whose key space is bounded by
+    * charset² — the final ranking window runs over that tiny table, so
+    * the single-partition window is constant-size at any corpus scale.
+    */
+  def bpeMerges(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    bpeMerges(spark.read.parquet(s"$dir/documents.parquet"), k)
+
+  def bpeMerges(docs: DataFrame, k: Int): DataFrame = {
+    val vocab = docs
+      .select(explode(wsTokens(lower(col("text")))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_w"))
+    val pairs = vocab
+      // guard: Spark sequence(1, 0) would generate DESCENDING [1, 0]
+      .filter(length(col("word")) >= 2)
+      .select(col("n_w"),
+        explode(transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("n_w")).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("cnt"), col("pair"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("pair"), col("cnt"))
+      .orderBy(col("rank"))
+  }
+
   def keywords(docs: DataFrame, k: Int): DataFrame = {
     val terms = docs.select(col("doc_id"),
       explode(wsTokens(lower(col("text")))).as("term"))
