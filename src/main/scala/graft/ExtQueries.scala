@@ -72,6 +72,7 @@ object ExtQueries {
     "ann_label_centroids" -> ((s, dir) => Similarity.labelCentroidSim(s, dir)),
     "ann_kmeans" -> ((s, dir) => Similarity.kmeansCells(s, dir)),
     "ann_quantize" -> ((s, dir) => Similarity.quantizeInt8(s, dir)),
+    "ann_ivf_trained" -> ((s, dir) => Similarity.ivfTrainedTopK(s, dir)),
     "text_keywords" -> ((s, dir) => TextAnalysis.keywords(s, dir)),
     "text_bpe_merges" -> ((s, dir) => TextAnalysis.bpeMerges(s, dir)),
     // ------------------------------------------------ multimodal
@@ -636,6 +637,53 @@ object ExtQueries {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
         |  FROM d2) WHERE rn = 1
         |ORDER BY vec_id""".stripMargin),
+
+    // ann_ivf_trained: the ann_kmeans training chain (c0→d1→a1→c1→d2)
+    // extended with L2-ranked probes and inner-product candidate ranking.
+    "ann_ivf_trained" -> (quantized +
+      """, c0 AS (
+        |  SELECT vec_id AS cell_id, i, q AS c FROM v WHERE vec_id < 16
+        |), d1 AS (
+        |  SELECT v.vec_id, c.cell_id,
+        |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS dist
+        |  FROM v JOIN c0 c ON v.i = c.i GROUP BY 1, 2
+        |), a1 AS (
+        |  SELECT vec_id, cell_id FROM (
+        |    SELECT vec_id, cell_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+        |    FROM d1) WHERE rn = 1
+        |), c1 AS (
+        |  SELECT a1.cell_id, v.i,
+        |    CAST(floor(sum(v.q)::DOUBLE / count(*)) AS BIGINT) AS c
+        |  FROM a1 JOIN v ON v.vec_id = a1.vec_id GROUP BY 1, 2
+        |), d2 AS (
+        |  SELECT v.vec_id, c.cell_id,
+        |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS dist
+        |  FROM v JOIN c1 c ON v.i = c.i GROUP BY 1, 2
+        |), a2 AS (
+        |  SELECT vec_id, cell_id FROM (
+        |    SELECT vec_id, cell_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+        |    FROM d2) WHERE rn = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cell_id FROM (
+        |    SELECT vec_id, cell_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS crank
+        |    FROM d2 WHERE vec_id % 50 = 0) WHERE crank <= 4
+        |), cand AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id, a.cell_id,
+        |    CAST(sum(q.q * n.q) AS BIGINT) AS dot
+        |  FROM probes p
+        |  JOIN a2 a ON a.cell_id = p.cell_id AND a.vec_id != p.query_id
+        |  JOIN v q ON q.vec_id = p.query_id
+        |  JOIN v n ON n.vec_id = a.vec_id AND n.i = q.i
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT query_id, rank, neighbor_id, cell_id, dot FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY dot DESC, neighbor_id) AS rank
+        |  FROM cand)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
 
     "ann_quantize" -> (quantized +
       """, sc AS (

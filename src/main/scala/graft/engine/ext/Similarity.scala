@@ -149,7 +149,17 @@ object Similarity {
                   iters: Int = 2): DataFrame =
     kmeansCells(vectors(spark, dir), nCells, iters)
 
-  def kmeansCells(vs: DataFrame, nCells: Int, iters: Int): DataFrame = {
+  def kmeansCells(vs: DataFrame, nCells: Int, iters: Int): DataFrame =
+    kmeansLoop(vs, nCells, iters)._1
+      .select(col("vec_id"), col("cell_id"), col("dist"))
+      .orderBy(col("vec_id"))
+
+  /** The training loop: returns (final assignment incl. the quantized
+    * vector, the centroids that produced it) — the pieces
+    * [[ivfTrainedTopK]] composes into a probed search.
+    */
+  private def kmeansLoop(vs: DataFrame, nCells: Int,
+                         iters: Int): (DataFrame, DataFrame) = {
     var centroids = vs.filter(col("vec_id") < nCells)
       .select(col("vec_id").cast("int").as("cell_id"), col("q").as("cq"))
     var assigned: DataFrame = null
@@ -179,8 +189,50 @@ object Similarity {
             x => x.getField("m")).as("cq"))
       }
     }
-    assigned.select(col("vec_id"), col("cell_id"), col("dist"))
-      .orderBy(col("vec_id"))
+    (assigned, centroids)
+  }
+
+  /** IVF search over TRAINED cells: [[kmeansCells]]' final assignment is
+    * the index, queries probe their nprobe nearest centroids (same exact
+    * squared-L2 + tie-break as training), and candidates rank by inner
+    * product like every other ANN query here. Composes the two proven
+    * pieces — trained cells upgrade recall over [[ivfTopK]]'s
+    * pick-first-N init at identical probe cost, and the whole pipeline
+    * stays deterministic integer math, so the oracle replays training,
+    * probing and ranking end to end.
+    */
+  def ivfTrainedTopK(spark: SparkSession, dir: String, k: Int = 10,
+                     queryMod: Int = 50, nCells: Int = 16, iters: Int = 2,
+                     nprobe: Int = 4): DataFrame =
+    ivfTrainedTopK(vectors(spark, dir), k, queryMod, nCells, iters, nprobe)
+
+  def ivfTrainedTopK(vs: DataFrame, k: Int, queryMod: Int, nCells: Int,
+                     iters: Int, nprobe: Int): DataFrame = {
+    val (assigned, centroids) = kmeansLoop(vs, nCells, iters)
+    val queries = assigned.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+
+    val cdist = qdot(col("qq"), col("qq")) -
+      lit(2L) * qdot(col("qq"), col("cq")) + qdot(col("cq"), col("cq"))
+    val probes = queries.join(broadcast(centroids))
+      .select(col("query_id"), col("qq"), col("cell_id"), cdist.as("cdist"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cdist"), col("cell_id"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qq"), col("cell_id"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("dot"), col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell_id"),
+        qdot(col("qq"), col("q")).as("dot"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cell_id"), col("dot"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Int8 compression diagnostics: per-vector symmetric quantization of

@@ -72,7 +72,7 @@ class PlanSpec extends SparkTestBase {
     // in disguise — every other query must plan without cartesian
     // products or BNLJ.
     val exempt = Set("ann_bruteforce", "ann_label_centroids", "ann_ivf",
-      "ann_kmeans")
+      "ann_kmeans", "ann_ivf_trained")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
