@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.engine.ext.Similarity
 
-/** Invariant tests for the two queries with no exact oracle: IVF ANN
-  * (recall vs brute force) and the sketch rollup (error bounds vs exact).
+/** Invariant tests complementing the exact oracles: ANN recall vs brute
+  * force (the oracle proves determinism, recall proves USEFULNESS) and
+  * the sketch rollup's error bounds vs exact aggregates.
   */
 class ApproxInvariantsSpec extends SparkTestBase {
   import spark.implicits._
@@ -37,6 +38,15 @@ class ApproxInvariantsSpec extends SparkTestBase {
     }
     val meanRecall = recalls.sum / recalls.size
     assert(meanRecall >= 0.8, s"mean recall $meanRecall too low")
+
+    // trained cells must be at least as useful on the same fixture
+    val trained = topSet(Similarity.ivfTrainedTopK(spark, dir, k = 5,
+      queryMod = 10, nCells = 4, iters = 2, nprobe = 2))
+    val trainedRecalls = brute.map { case (q, b) =>
+      trained.get(q).map(i => (i & b).size.toDouble / b.size).getOrElse(0.0)
+    }
+    val meanTrained = trainedRecalls.sum / trainedRecalls.size
+    assert(meanTrained >= 0.8, s"trained mean recall $meanTrained too low")
   }
 
   test("sketch rollup: approx distinct within 5% of exact, percentiles ordered") {
