@@ -35,6 +35,7 @@ object ExtQueries {
     // ------------------------------------------------ events
     "ext_sessions" -> ((s, dir) => Sessionize.sessions(s, dir)),
     "ext_hourly_rollup" -> ((s, dir) => Sessionize.hourlyRollup(s, dir)),
+    "ext_sliding_rollup" -> ((s, dir) => Sessionize.slidingRollup(s, dir)),
     "ext_asof_click" -> ((s, dir) => TemporalJoins.asofClickBeforePurchase(s, dir)),
     "ext_range_views" -> ((s, dir) => TemporalJoins.viewsBeforePurchase(s, dir)),
     "ext_salted_rollup" -> ((s, dir) => Sessionize.saltedTypeRollup(s, dir)),
@@ -304,6 +305,18 @@ object ExtQueries {
         |  count(DISTINCT user_id) AS n_users,
         |  CAST(sum(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Sliding windows: every event is in exactly 2 epoch-aligned 1h/30min
+    // windows — floor30(us) and floor30(us) - 30min — so the oracle
+    // expands each event twice, no containment filter needed.
+    "ext_sliding_rollup" ->
+      """SELECT (epoch_us(ts) - epoch_us(ts) % 1800000000)
+        |         - s.i * 1800000000 AS win_start_us,
+        |  event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        |FROM events, unnest([0, 1]) AS s(i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Exact analog of the sketch surface: HLL distinct -> exact count
     // distinct, GK percentiles -> exact discrete quantiles. Same rows and

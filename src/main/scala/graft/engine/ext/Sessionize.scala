@@ -117,4 +117,28 @@ object Sessionize {
         sum(floor(col("value") * 100).cast("long")).as("sum_value_c"))
       .orderBy(col("hour_start_us"), col("event_type"))
   }
+
+  /** Sliding-window rollup (1 h window, 30 min slide) via Spark's native
+    * `window()` — each event lands in exactly windowLen/slide = 2
+    * epoch-aligned windows; the overlap is what a moving-average monitor
+    * reads. Same single-shuffle shape as the tumbling rollup (the window
+    * expansion is a Generate on the map side); window starts surface as
+    * epoch micros so the result is engine-portable.
+    */
+  def slidingRollup(spark: SparkSession, dir: String): DataFrame =
+    slidingRollup(events(spark, dir))
+
+  def slidingRollup(ev: DataFrame): DataFrame =
+    ev
+      .withColumn("tsts", timestamp_micros(col("ts_us")))
+      .groupBy(window(col("tsts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_value_c"))
+      .select(unix_micros(col("w.start")).as("win_start_us"),
+        col("event_type"), col("n_events"), col("n_users"),
+        col("sum_value_c"))
+      .orderBy(col("win_start_us"), col("event_type"))
 }
