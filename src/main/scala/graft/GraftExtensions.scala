@@ -27,19 +27,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(NativeFunctions.QdotName,
         "exact BIGINT dot product of two array<bigint> columns (codegen'd)",
         "_FUNC_(array(1L,2L), array(3L,4L)) -> 11"),
-      (exprs: Seq[Expression]) => NativeFunctions.LongArrayDot(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => NativeFunctions.buildQdot(exprs)))
     ext.injectFunction((
       FunctionIdentifier(NativeFunctions.PyCheckName),
       info(NativeFunctions.PyCheckName,
         "reference-parity exception text for a mongod log line, NULL if none",
         "_FUNC_(line)"),
-      (exprs: Seq[Expression]) => PyParity.PyParityCheck(exprs(0))))
+      (exprs: Seq[Expression]) => {
+        NativeFunctions.checkArity(NativeFunctions.PyCheckName, 1, exprs)
+        PyParity.PyParityCheck(exprs(0))
+      }))
     ext.injectFunction((
       FunctionIdentifier(NativeFunctions.PyErrorBranchName),
       info(NativeFunctions.PyErrorBranchName,
         "whether the reference would route this mongod line to parse_errors",
         "_FUNC_(line)"),
-      (exprs: Seq[Expression]) => PyParity.PyErrorBranchCheck(exprs(0))))
+      (exprs: Seq[Expression]) => {
+        NativeFunctions.checkArity(NativeFunctions.PyErrorBranchName, 1, exprs)
+        PyParity.PyErrorBranchCheck(exprs(0))
+      }))
   }
 
   private def info(name: String, usage: String, example: String): ExpressionInfo =

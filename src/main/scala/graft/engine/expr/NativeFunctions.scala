@@ -3,7 +3,7 @@ package graft.engine.expr
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, MathUtils}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -21,10 +21,16 @@ object NativeFunctions {
 
   /** Exact BIGINT dot product of two array<bigint> columns (positions past
     * the shorter array ignored; inputs here are always equal-length).
-    * Overflow wraps like every BIGINT product in the engine — callers keep
-    * values in range (quantized components are |q| <= ~2000).
+    *
+    * Overflow behavior follows `failOnError`, mirroring Spark's own
+    * BinaryArithmetic: `false` wraps (LEGACY `*`/`+` semantics — safe for
+    * the engine's quantized data, |q| <= ~2000 per component), `true`
+    * raises Spark's ARITHMETIC_OVERFLOW (ANSI semantics) via
+    * `MathUtils.multiplyExact`/`addExact`, so the expression is a faithful
+    * substitute for the declarative HOF form in ANSI sessions too.
     */
-  case class LongArrayDot(left: Expression, right: Expression)
+  case class LongArrayDot(left: Expression, right: Expression,
+      failOnError: Boolean = false)
       extends BinaryExpression {
     override def dataType: DataType = LongType
     override def checkInputDataTypes()
@@ -45,7 +51,15 @@ object NativeFunctions {
       val n = math.min(x.numElements(), y.numElements())
       var acc = 0L
       var i = 0
-      while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+      if (failOnError) {
+        while (i < n) {
+          acc = MathUtils.addExact(acc,
+            MathUtils.multiplyExact(x.getLong(i), y.getLong(i)))
+          i += 1
+        }
+      } else {
+        while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+      }
       acc
     }
 
@@ -54,11 +68,17 @@ object NativeFunctions {
         val n = ctx.freshName("n")
         val i = ctx.freshName("i")
         val acc = ctx.freshName("acc")
+        val mu = "org.apache.spark.sql.catalyst.util.MathUtils"
+        val step =
+          if (failOnError)
+            s"$acc = $mu.addExact($acc, $mu.multiplyExact($a.getLong($i), $b.getLong($i)));"
+          else
+            s"$acc += $a.getLong($i) * $b.getLong($i);"
         s"""
            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |long $acc = 0L;
            |for (int $i = 0; $i < $n; $i++) {
-           |  $acc += $a.getLong($i) * $b.getLong($i);
+           |  $step
            |}
            |${ev.value} = $acc;
            |""".stripMargin
@@ -73,19 +93,48 @@ object NativeFunctions {
   val PyCheckName = "py_parity_check"
   val PyErrorBranchName = "py_error_branch"
 
+  /** A wrong argument count must fail analysis with the standard
+    * WRONG_NUM_ARGS AnalysisException, not an IndexOutOfBoundsException
+    * from the builder indexing exprs(0)/exprs(1) blind.
+    */
+  def checkArity(name: String, expected: Int, exprs: Seq[Expression]): Unit =
+    if (exprs.length != expected)
+      throw new org.apache.spark.sql.AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> expected.toString,
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
+  /** `qdot_native(a, b)` builder: overflow semantics follow the session's
+    * ANSI setting at analysis time, exactly like a built-in `*`/`+` would.
+    */
+  def buildQdot(exprs: Seq[Expression]): Expression = {
+    checkArity(QdotName, 2, exprs)
+    LongArrayDot(exprs(0), exprs(1),
+      failOnError = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
+  }
+
   /** Idempotently register the expressions in the session's function
     * registry (the public route to a Column over a custom Expression).
     */
   def ensureRegistered(spark: SparkSession): Unit = {
     if (!spark.catalog.functionExists(QdotName))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        QdotName, exprs => LongArrayDot(exprs(0), exprs(1)), "built-in")
+        QdotName, buildQdot, "built-in")
     if (!spark.catalog.functionExists(PyCheckName))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        PyCheckName, exprs => PyParity.PyParityCheck(exprs(0)), "built-in")
+        PyCheckName, exprs => {
+          checkArity(PyCheckName, 1, exprs)
+          PyParity.PyParityCheck(exprs(0))
+        }, "built-in")
     if (!spark.catalog.functionExists(PyErrorBranchName))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        PyErrorBranchName, exprs => PyParity.PyErrorBranchCheck(exprs(0)), "built-in")
+        PyErrorBranchName, exprs => {
+          checkArity(PyErrorBranchName, 1, exprs)
+          PyParity.PyErrorBranchCheck(exprs(0))
+        }, "built-in")
   }
 
   /** Codegen'd exact dot product; caller must have ensureRegistered. */

@@ -23,10 +23,15 @@ import graft.engine.expr.NativeFunctions.LongArrayDot
   * the rewrite emits `if (size(a) = size(b)) dot(a, b) else NULL`, which
   * also yields NULL when either array is NULL (null comparison → else
   * branch, and the O(1) guard keeps everything in one codegen span).
-  * Arithmetic mode: accepted in any EvalMode — the native loop wraps on
-  * BIGINT overflow where ANSI would raise, matching the engine-wide
-  * wrapping contract of [[LongArrayDot]] (all quantized inputs are
-  * overflow-safe by construction: |q| ≤ ~2000 per component).
+  *
+  * Arithmetic mode: the rule is installed cluster-wide, so it must
+  * preserve the overflow semantics of WHATEVER session it fires in, not
+  * just graft's overflow-safe quantized data. LEGACY `*`/`+` wrap →
+  * rewrite to the wrapping loop; ANSI raises ARITHMETIC_OVERFLOW →
+  * rewrite to `LongArrayDot(failOnError = true)` (exact-checked loop,
+  * same error); TRY yields NULL on overflow — no native twin, so TRY
+  * (or mixed-mode) expressions are left interpreted rather than given
+  * silently different results.
   */
 object RewriteDeclarativeDot extends Rule[LogicalPlan] {
 
@@ -50,18 +55,32 @@ object RewriteDeclarativeDot extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** The one loop body we can reproduce natively for this mode pair, if
+    * any: both LEGACY → wrapping loop, both ANSI → exact-checked loop.
+    * TRY (NULL-on-overflow) and mixed modes have no native twin.
+    */
+  private def nativeFailOnError(mulCtx: NumericEvalContext,
+                                addCtx: NumericEvalContext): Option[Boolean] =
+    (mulCtx.evalMode, addCtx.evalMode) match {
+      case (EvalMode.LEGACY, EvalMode.LEGACY) => Some(false)
+      case (EvalMode.ANSI, EvalMode.ANSI) => Some(true)
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case ArrayAggregate(
-            ZipWith(a, b, LambdaFunction(Multiply(x, y, _), zargs, _)),
+            ZipWith(a, b, LambdaFunction(Multiply(x, y, mulCtx), zargs, _)),
             Literal(0L, LongType),
-            LambdaFunction(Add(al, ar, _), margs, _),
+            LambdaFunction(Add(al, ar, addCtx), margs, _),
             LambdaFunction(fin, fargs, _))
           if longArrayNoNulls(a) && longArrayNoNulls(b) &&
             usesBoth(x, y, zargs) && usesBoth(al, ar, margs) &&
-            fargs.length == 1 && sameVar(fin, fargs.head) =>
+            fargs.length == 1 && sameVar(fin, fargs.head) &&
+            nativeFailOnError(mulCtx, addCtx).isDefined =>
         If(EqualTo(Size(a, legacySizeOfNull = false),
             Size(b, legacySizeOfNull = false)),
-          LongArrayDot(a, b), Literal(null, LongType))
+          LongArrayDot(a, b, nativeFailOnError(mulCtx, addCtx).get),
+          Literal(null, LongType))
     }
 }

@@ -57,15 +57,22 @@ object MySqlStream {
   }
 
   /** Slow-log `# Time:` values in the wild are either the legacy
-    * `yymmdd hh:mm:ss` form or ISO-8601 (5.7+, log_timestamps=UTC);
+    * `yymmdd hh:mm:ss` form or ISO-8601 (5.7+, log_timestamps=UTC/SYSTEM);
     * try_to_timestamp keeps unparsable forms as NULL (filtered before
     * the watermark) instead of failing the stream under ANSI mode.
+    *
+    * Zone-suffixed forms (`...Z`, `...+05:30`) parse WITH the designator
+    * (pattern `X`), so a UTC-stamped 5.7+ log yields the correct instant
+    * in ANY session timezone — stripping the `Z` and parsing in session
+    * local time would shift every event by the zone offset and move rows
+    * across windows. Only the zone-less forms fall back to session-time
+    * interpretation (the log carries no better information there).
     */
   def eventTime(time: Column): Column =
     coalesce(
       try_to_timestamp(time, lit("yyMMdd HH:mm:ss")),
-      try_to_timestamp(regexp_replace(time, "Z$", ""),
-        lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")),
+      try_to_timestamp(time, lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX")),
+      try_to_timestamp(time, lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")),
       try_to_timestamp(time))
 
   /** P9-P12 detailed rows on a stream: stateless, append-mode friendly. */

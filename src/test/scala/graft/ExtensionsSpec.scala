@@ -32,4 +32,17 @@ class ExtensionsSpec extends SparkTestBase {
       .collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("qdot_native"))
   }
+
+  test("wrong arity fails analysis with WRONG_NUM_ARGS, not an index error") {
+    val fresh = spark.newSession()
+    for (bad <- Seq(
+        "SELECT qdot_native(array(1L))",
+        "SELECT qdot_native(array(1L), array(2L), array(3L))",
+        "SELECT py_parity_check()",
+        "SELECT py_error_branch('a', 'b')")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](fresh.sql(bad))
+      assert(e.getCondition === "WRONG_NUM_ARGS.WITHOUT_SUGGESTION", bad)
+      assert(e.getMessage.contains("parameters"), bad)
+    }
+  }
 }

@@ -180,6 +180,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("eventTime honors the zone designator under a non-UTC session TZ") {
+    import graft.engine.streaming.MySqlStream
+    import spark.implicits._
+    val df = Seq(
+      "2023-10-26T10:00:01.000000Z",      // UTC instant
+      "2023-10-26T12:30:01.000000+02:30", // SAME instant, offset form
+      "2023-10-26T10:00:01",              // zone-less: session-local by design
+      "231026 10:00:01",                  // legacy: session-local by design
+      "garbage").toDF("t")
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val e = df.select(
+        org.apache.spark.sql.functions.unix_timestamp(
+          MySqlStream.eventTime(org.apache.spark.sql.functions.col("t"))).as("s"))
+        .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+      assert(e(0) === 1698314401L)  // 2023-10-26T10:00:01Z, NOT shifted by -4h
+      assert(e(1) === e(0))         // offset form resolves to the same instant
+      assert(e(2) === e(0) + 4 * 3600) // EDT local reading, 4h later as an instant
+      assert(e(3) === e(2))         // legacy form matches the zone-less reading
+      assert(e(4) === -1L)          // unparsable stays NULL
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("streaming entry restoration matches the batch delimited reader") {
     import graft.engine.streaming.MySqlStream
     import graft.engine.ingest.Sources
