@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Profiling aid: time ONE named query repeatedly under the exact Bench
+  * session config. `runMain graft.BenchOne <name> [reps] [sfDir]` prints a
+  * JSON line with every sample so stalls and steady-state are visible
+  * separately (Bench reports min-of-two; this shows the distribution).
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse(sys.error("usage: BenchOne <query> [reps] [sfDir]"))
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", GraftExtensions.Name)
+      .config("spark.sql.files.openCostInBytes", "131072")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.engine.ingest.Sources.ensureNanosAsLong(spark)
+    val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query: $name"))
+    // same warmup Bench does (codegen/JIT), on the smallest SF
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      try SparkEntry.prepare(spark, warmDir) catch { case _: Throwable => () }
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
+    try SparkEntry.prepare(spark, sfDir) catch { case _: Throwable => () }
+    val samples = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(s"""{"query":"$name","sf":"$sfDir","samples":[${samples.mkString(",")}]}""")
+    spark.stop()
+  }
+}

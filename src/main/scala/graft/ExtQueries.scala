@@ -76,6 +76,16 @@ object ExtQueries {
     "ann_ivf_trained" -> ((s, dir) => Similarity.ivfTrainedTopK(s, dir)),
     "text_keywords" -> ((s, dir) => TextAnalysis.keywords(s, dir)),
     "text_bpe_merges" -> ((s, dir) => TextAnalysis.bpeMerges(s, dir)),
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(s, dir).orderBy(col("doc_id"))),
+    "text_surprisal" -> ((s, dir) =>
+      TextAnalysis.surprisal(s, dir).orderBy(col("doc_id"))),
+    "text_pii_redact" -> ((s, dir) =>
+      TextAnalysis.piiRedact(s, dir).orderBy(col("c_custkey"))),
+    "dedup_incremental" -> ((s, dir) =>
+      Dedup.incremental(s, dir).orderBy(col("doc_id"))),
+    "corpus_chunks" -> ((s, dir) =>
+      Corpus.chunks(s, dir).orderBy(col("doc_id"), col("chunk_no"))),
     // ------------------------------------------------ multimodal
     "mm_features" -> ((s, dir) => {
       import s.implicits._
@@ -825,5 +835,113 @@ object ExtQueries {
         |)
         |SELECT query_id, rank, neighbor_id, cell_id, dot FROM r
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
+    "text_repetition" -> (toks +
+      """, ws AS (
+        |  SELECT doc_id, unnest(t) AS word FROM toks
+        |), pw AS (
+        |  SELECT doc_id, word, count(*)::BIGINT AS c FROM ws GROUP BY 1, 2
+        |), wstat AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_words,
+        |    count(*)::BIGINT AS n_distinct_words, max(c)::BIGINT AS top_word_cnt
+        |  FROM pw GROUP BY 1
+        |), g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 2 THEN
+        |      list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |    ELSE [] END AS b2,
+        |    CASE WHEN len(t) >= 3 THEN
+        |      list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE [] END AS b3
+        |  FROM toks
+        |), gs AS (
+        |  SELECT doc_id, len(b2)::BIGINT AS n2, len(list_distinct(b2))::BIGINT AS d2,
+        |    len(b3)::BIGINT AS n3, len(list_distinct(b3))::BIGINT AS d3
+        |  FROM g
+        |)
+        |SELECT gs.doc_id, w.n_words, w.n_distinct_words, w.top_word_cnt,
+        |  ((w.n_words - w.n_distinct_words) * 1000000 // greatest(w.n_words, 1))::BIGINT
+        |    AS dup_word_ppm,
+        |  (w.top_word_cnt * 1000000 // greatest(w.n_words, 1))::BIGINT AS top_word_ppm,
+        |  ((gs.n2 - gs.d2) * 1000000 // greatest(gs.n2, 1))::BIGINT AS dup_2gram_ppm,
+        |  ((gs.n3 - gs.d3) * 1000000 // greatest(gs.n3, 1))::BIGINT AS dup_3gram_ppm,
+        |  (w.top_word_cnt * 1000000 // greatest(w.n_words, 1) > 200000
+        |   OR (gs.n2 - gs.d2) * 1000000 // greatest(gs.n2, 1) > 200000) AS repetitive
+        |FROM gs JOIN wstat w USING (doc_id) ORDER BY doc_id""".stripMargin),
+
+    "text_surprisal" -> (toks +
+      """, ws AS (
+        |  SELECT doc_id, unnest(t) AS word FROM toks
+        |), c AS (
+        |  SELECT word, count(*)::BIGINT AS cnt FROM ws GROUP BY 1
+        |), w2 AS (
+        |  SELECT ws.doc_id,
+        |    (1000000 * (SELECT sum(cnt) FROM c) // c.cnt)::BIGINT AS wgt
+        |  FROM ws JOIN c USING (word)
+        |)
+        |SELECT doc_id, count(*)::BIGINT AS n_words, sum(wgt)::BIGINT AS surprisal,
+        |  (sum(wgt) // count(*))::BIGINT AS surprisal_per_word
+        |FROM w2 GROUP BY 1 ORDER BY doc_id""".stripMargin),
+
+    "text_pii_redact" ->
+      """WITH tk AS (
+        |  SELECT c_custkey,
+        |    'Customer ' || c_name || ' <' || lower(replace(c_name, '#', '.')) ||
+        |    '@example.com> phone ' ||
+        |    (c_nationkey + 10)::BIGINT || '-' ||
+        |    (c_custkey * 7 % 900 + 100) || '-' ||
+        |    (c_custkey * 13 % 900 + 100) || '-' ||
+        |    (c_custkey * 31 % 9000 + 1000) ||
+        |    ' segment ' || c_mktsegment AS ticket
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  len(regexp_extract_all(ticket,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(ticket,
+        |    '\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\b'))::BIGINT AS n_phones,
+        |  regexp_replace(regexp_replace(ticket,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g') AS redacted
+        |FROM tk ORDER BY c_custkey""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH h AS (
+        |  SELECT doc_id, sha256(text) AS content_hash FROM documents
+        |), corpus AS (
+        |  SELECT content_hash, min(doc_id) AS corpus_canonical
+        |  FROM h WHERE doc_id % 10 < 8 GROUP BY 1
+        |), batch AS (
+        |  SELECT doc_id, content_hash,
+        |    min(doc_id) OVER (PARTITION BY content_hash) AS batch_min
+        |  FROM h WHERE doc_id % 10 >= 8
+        |)
+        |SELECT b.doc_id, b.content_hash,
+        |  CASE WHEN c.corpus_canonical IS NOT NULL THEN 'dup_of_corpus'
+        |       WHEN b.batch_min < b.doc_id THEN 'dup_in_batch'
+        |       ELSE 'new' END AS status,
+        |  coalesce(c.corpus_canonical, b.batch_min) AS canonical_doc_id
+        |FROM batch b LEFT JOIN corpus c USING (content_hash)
+        |ORDER BY doc_id""".stripMargin,
+
+    // chunking keeps original case: tokens split on the RAW text
+    "corpus_chunks" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |                             x -> x != '') AS t
+        |  FROM documents
+        |), n0 AS (
+        |  SELECT doc_id, t, len(t)::BIGINT AS n FROM t0
+        |), k AS (
+        |  SELECT doc_id, t, n,
+        |    unnest(range(0, greatest(1, (n - 32 + 23) // 24 + 1))) AS chunk_no
+        |  FROM n0
+        |)
+        |SELECT doc_id, chunk_no::BIGINT AS chunk_no,
+        |  (chunk_no * 24 + 1)::BIGINT AS start_token,
+        |  least(32, n - chunk_no * 24)::BIGINT AS n_chunk_tokens,
+        |  array_to_string(t[(chunk_no * 24 + 1)::INT :
+        |                    least(chunk_no * 24 + 32, n)::INT], ' ') AS chunk_text
+        |FROM k ORDER BY doc_id, chunk_no""".stripMargin,
   )
 }

@@ -180,4 +180,39 @@ object Corpus {
           .as("interleave_key"))
       .orderBy(col("interleave_key"), col("lang"), col("doc_id"))
   }
+
+  /** RAG/context-window chunking: split each document into overlapping
+    * fixed-size token windows (window `w` tokens, stride `s`) with full
+    * provenance — (doc_id, chunk_no, start_token, n_chunk_tokens, text).
+    * The last window is allowed to be short; every document yields at
+    * least one chunk so provenance joins never drop rows.
+    *
+    * Pure per-row generate (explode of an integer sequence + array
+    * slices): no shuffle, no state, linear in corpus size — chunking
+    * 100 TB is exactly as parallel as reading it. Token re-join uses a
+    * single space, which is lossless for whitespace-tokenized text.
+    */
+  def chunks(spark: SparkSession, dir: String, w: Int = 32, s: Int = 24): DataFrame =
+    chunks(docs(spark, dir), w, s)
+
+  def chunks(d: DataFrame, w: Int, s: Int): DataFrame = {
+    val words = TextAnalysis.wsTokens(col("text"))
+    val n = size(words).cast("long")
+    // ceil((n-w)/s)+1 in integer math, floored at 1 chunk. Spark's integer
+    // `/` truncates toward zero and DuckDB's `//` floors — they disagree
+    // on negative operands (n < w-s+1), so the greatest(1, ·) clamp is
+    // load-bearing for oracle parity, not just for empty docs.
+    val nChunks = greatest(lit(1L),
+      ((n - w + (s - 1)) / s).cast("long") + 1L)
+    d.select(col("doc_id"), words.as("words"), n.as("n"), nChunks.as("nc"))
+      .select(col("doc_id"), col("words"), col("n"),
+        explode(sequence(lit(0L), col("nc") - 1L)).as("chunk_no"))
+      .select(
+        col("doc_id"), col("chunk_no"),
+        (col("chunk_no") * s + 1L).as("start_token"),
+        least(lit(w.toLong), col("n") - col("chunk_no") * s)
+          .as("n_chunk_tokens"),
+        array_join(slice(col("words"), (col("chunk_no") * s + 1L).cast("int"),
+          lit(w)), " ").as("chunk_text"))
+  }
 }

@@ -125,6 +125,45 @@ object Dedup {
   def bagOfWords(spark: SparkSession, dir: String): DataFrame =
     bagOfWords(documents(spark, dir))
 
+  /** Incremental (CDC-style) dedup: classify each NEW-batch document
+    * against an existing corpus snapshot without rehashing the corpus into
+    * the batch — the shape a continuously-ingesting 100 TB pipeline runs
+    * every increment. Statuses: `dup_of_corpus` (hash already in the
+    * snapshot), `dup_in_batch` (first seen earlier in this batch),
+    * `new`. `canonical_doc_id` is the id a downstream exact-dedup pass
+    * would keep.
+    *
+    * One shuffle join batch⋈corpus on the content hash (corpus side is
+    * pre-aggregated to one row per hash, so the join never fans out) plus
+    * one hash-partitioned window inside the batch. The corpus/batch split
+    * here is the deterministic `doc_id % 10` fixture convention; a real
+    * deployment passes its snapshot table.
+    */
+  def incremental(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val hashed = (d: DataFrame) =>
+      d.select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+    val corpusHashes = hashed(corpus)
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("corpus_canonical"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash"))
+    hashed(batch)
+      .withColumn("batch_min", min(col("doc_id")).over(w))
+      .join(corpusHashes, Seq("content_hash"), "left")
+      .select(col("doc_id"), col("content_hash"),
+        when(col("corpus_canonical").isNotNull, "dup_of_corpus")
+          .when(col("batch_min") < col("doc_id"), "dup_in_batch")
+          .otherwise("new").as("status"),
+        coalesce(col("corpus_canonical"), col("batch_min"))
+          .as("canonical_doc_id"))
+  }
+
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    incremental(docs.filter(col("doc_id") % 10 < 8),
+      docs.filter(col("doc_id") % 10 >= 8))
+  }
+
   // ------------------------------------------------------------ n-gram Jaccard
 
   /** Near-dup pairs by exact n-gram Jaccard with shared-shingle blocking.

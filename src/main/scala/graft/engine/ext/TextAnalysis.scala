@@ -169,6 +169,139 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** Gopher-style repetition signals per document: duplicate-word,
+    * top-word and duplicate-n-gram fractions (the published quality
+    * filters drop docs whose top word or duplicate 2-grams exceed a
+    * fraction of the text — all reported here as exact integer ppm, with
+    * a `repetitive` verdict at the classic ~20 % thresholds).
+    *
+    * Scale shape: the word-mode stat (count of the most frequent word)
+    * aggregates via explode → (doc, word) → doc, both with map-side
+    * combine; the n-gram distinct counts are per-doc array projections
+    * (no shuffle). One co-partitioned join on doc_id stitches them.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetition(spark.read.parquet(s"$dir/documents.parquet"))
+
+  def repetition(docs: DataFrame): DataFrame = {
+    val words = wsTokens(lower(col("text")))
+    def grams(n: Int): Column =
+      when(size(words) >= n,
+        transform(sequence(lit(1), size(words) - (n - 1)),
+          i => array_join(slice(words, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    // materialize each gram array once: the transform() HOF is interpreted,
+    // and referencing it from two consumers keeps CollapseProject from
+    // inlining (and thus re-evaluating) it per consumer
+    val gramStats = docs
+      .select(col("doc_id"), grams(2).as("b2"), grams(3).as("b3"))
+      .select(col("doc_id"),
+        size(col("b2")).cast("long").as("n2"),
+        size(array_distinct(col("b2"))).cast("long").as("d2"),
+        size(col("b3")).cast("long").as("n3"),
+        size(array_distinct(col("b3"))).cast("long").as("d3"))
+    val wordStats = docs
+      .select(col("doc_id"), explode(words).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max(col("c")).as("top_word_cnt"))
+    def ppm(num: Column, den: Column): Column =
+      (num * lit(1000000L) / greatest(den, lit(1L))).cast("long")
+    val topPpm = ppm(col("top_word_cnt"), col("n_words"))
+    val dup2Ppm = ppm(col("n2") - col("d2"), col("n2"))
+    // inner join: a zero-word doc has no word rows and no meaningful
+    // repetition stats — it belongs to the length filter, not this one
+    gramStats.join(wordStats, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        col("top_word_cnt"),
+        ppm(col("n_words") - col("n_distinct_words"), col("n_words"))
+          .as("dup_word_ppm"),
+        topPpm.as("top_word_ppm"),
+        dup2Ppm.as("dup_2gram_ppm"),
+        ppm(col("n3") - col("d3"), col("n3")).as("dup_3gram_ppm"),
+        (topPpm > 200000L || dup2Ppm > 200000L).as("repetitive"))
+  }
+
+  /** Unigram surprisal proxy (a perplexity stand-in cheap enough to run
+    * as a corpus filter): every word occurrence scores
+    * `floor(1e6 · N / cnt(word))` — rare words score high — and a
+    * document's score is the sum, normalized per word. Integer-exact, so
+    * cross-engine reproducible (a float log would hash-diverge).
+    *
+    * Scale shape: one vocab aggregate (key space = vocabulary), one
+    * co-partitioned join occurrences⋈vocab on word (stop-word keys are
+    * hot — AQE skew-join splits them; the salted two-phase variant in
+    * [[Sessionize.saltedTypeRollup]] is the manual fallback), one doc
+    * aggregate. The corpus total joins in as a broadcast scalar. BIGINT
+    * holds to ~10^12-word corpora (1e6·N < 2^63); past that, move the
+    * weight to decimal(38,0) — noted rather than paid here.
+    */
+  def surprisal(spark: SparkSession, dir: String): DataFrame =
+    surprisal(spark.read.parquet(s"$dir/documents.parquet"))
+
+  def surprisal(docs: DataFrame): DataFrame = {
+    val ws = docs.select(col("doc_id"),
+      explode(wsTokens(lower(col("text")))).as("word"))
+    val vocab = ws.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    // corpus total from the doc-grain scan (one agg, no token explode) —
+    // joins in as a 1-row broadcast, the canonical scalar-subquery plan
+    val total = docs.agg(
+      sum(size(wsTokens(lower(col("text")))).cast("long")).as("n_total"))
+    ws.join(vocab, "word")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (lit(1000000L) * col("n_total") / col("cnt")).cast("long").as("wgt"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_words"),
+        sum(col("wgt")).as("surprisal"))
+      .select(col("doc_id"), col("n_words"), col("surprisal"),
+        (col("surprisal") / col("n_words")).cast("long")
+          .as("surprisal_per_word"))
+  }
+
+  /** Email pattern for [[piiRedact]] (RE2-safe: same matches in Spark's
+    * Java regex and DuckDB's RE2, which the oracle requires).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** TPC-H-shaped phone numbers: `NN-NNN-NNN-NNNN`. */
+  val PhonePattern = "\\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** PII redaction over synthesized support-ticket text (customer name +
+    * constructed email + deterministic TPC-H-shaped phone from the
+    * `customer` table — the fixture guarantees every row really
+    * exercises both patterns). Pure per-row projection: regexp codegen,
+    * no shuffle, linear at any scale; counts are reported so a
+    * compliance audit can reconcile redactions against expectations.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    piiRedact(spark.read.parquet(s"$dir/customer.parquet"))
+
+  def piiRedact(customers: DataFrame): DataFrame = {
+    // every component lands in-range for its field width (10-34, 100-999,
+    // 1000-9999), so plain casts render the exact digit count
+    val phone = concat_ws("-",
+      (col("c_nationkey").cast("long") + 10).cast("string"),
+      (col("c_custkey") * 7 % 900 + 100).cast("string"),
+      (col("c_custkey") * 13 % 900 + 100).cast("string"),
+      (col("c_custkey") * 31 % 9000 + 1000).cast("string"))
+    val ticket = concat(
+      lit("Customer "), col("c_name"),
+      lit(" <"), lower(regexp_replace(col("c_name"), "#", ".")),
+      lit("@example.com> phone "), phone,
+      lit(" segment "), col("c_mktsegment"))
+    customers.select(
+      col("c_custkey"),
+      size(regexp_extract_all(ticket, lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(ticket, lit(PhonePattern), lit(0)))
+        .cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(ticket, EmailPattern, "[EMAIL]"),
+        PhonePattern, "[PHONE]").as("redacted"))
+  }
+
   def keywords(docs: DataFrame, k: Int): DataFrame = {
     val terms = docs.select(col("doc_id"),
       explode(wsTokens(lower(col("text")))).as("term"))

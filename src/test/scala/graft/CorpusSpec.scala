@@ -91,4 +91,32 @@ class CorpusSpec extends SparkTestBase {
       assert(ratio > 2.0, s"en:zh prefix ratio $ratio not upsampled")
     }
   }
+
+  test("chunks: overlapping windows cover every token with correct provenance") {
+    import spark.implicits._
+    val words56 = (1 to 56).map(i => s"w$i").mkString(" ")
+    val words10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, words56, "en", "a", 0L), (2L, words10, "en", "a", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Corpus.chunks(docs, 32, 24)
+      .orderBy("doc_id", "chunk_no").collect()
+    val d1 = rows.filter(_.getLong(0) == 1L)
+    val d2 = rows.filter(_.getLong(0) == 2L)
+    // 56 tokens, window 32, stride 24 → chunks at 1 and 25, both full-width
+    assert(d1.map(r => (r.getAs[Long]("chunk_no"), r.getAs[Long]("start_token"),
+      r.getAs[Long]("n_chunk_tokens"))).toSeq ===
+      Seq((0L, 1L, 32L), (1L, 25L, 32L)))
+    // a short doc still yields exactly one (short) chunk
+    assert(d2.map(r => (r.getAs[Long]("chunk_no"), r.getAs[Long]("n_chunk_tokens")))
+      .toSeq === Seq((0L, 10L)))
+    // coverage: every token index 1..56 appears in some chunk's window
+    val covered = d1.flatMap { r =>
+      val s = r.getAs[Long]("start_token")
+      s until s + r.getAs[Long]("n_chunk_tokens")
+    }.toSet
+    assert(covered === (1L to 56L).toSet)
+    // the chunk text really is the slice it claims to be
+    assert(d1(1).getAs[String]("chunk_text") ===
+      (25 to 56).map(i => s"w$i").mkString(" "))
+  }
 }

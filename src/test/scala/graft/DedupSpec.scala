@@ -171,4 +171,26 @@ class DedupSpec extends SparkTestBase {
     val dots = top.map(_.getAs[Long]("dot"))
     assert(dots.sameElements(dots.sortBy(-_)))
   }
+
+  test("incremental dedup classifies batch docs against a corpus snapshot") {
+    import spark.implicits._
+    def docs(rows: (Long, String)*) =
+      rows.toDF("doc_id", "text")
+    val corpus = docs(1L -> "alpha", 2L -> "beta")
+    val batch = docs(
+      10L -> "alpha",  // already in corpus
+      11L -> "gamma",  // genuinely new
+      12L -> "gamma",  // dup of 11 within the batch
+      13L -> "delta")
+    val got = Dedup.incremental(corpus, batch)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("status"),
+        r.getAs[Long]("canonical_doc_id")))
+    assert(got.toSeq === Seq(
+      (10L, "dup_of_corpus", 1L),
+      (11L, "new", 11L),
+      (12L, "dup_in_batch", 11L),
+      (13L, "new", 13L)))
+  }
 }

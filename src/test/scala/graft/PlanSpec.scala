@@ -71,8 +71,11 @@ class PlanSpec extends SparkTestBase {
     // nCells=16 broadcast rows) are the assignment fan-out, a flatMap
     // in disguise — every other query must plan without cartesian
     // products or BNLJ.
+    // text_surprisal additionally broadcasts a 1-ROW corpus-total scalar
+    // (the canonical scalar-subquery plan) — a BNLJ with a single build
+    // row, constant work per probe row at any scale.
     val exempt = Set("ann_bruteforce", "ann_label_centroids", "ann_ivf",
-      "ann_kmeans", "ann_ivf_trained")
+      "ann_kmeans", "ann_ivf_trained", "text_surprisal")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.ext.TextAnalysis
+
+/** Round-6 text quality signals: Gopher-style repetition fractions,
+  * unigram surprisal, PII redaction — value-level checks on controlled
+  * fixtures (the DuckDB oracle covers the full corpus separately).
+  */
+class TextSignalsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, "en", "a", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("repetition: top-word and duplicate-2-gram fractions, exact ppm") {
+    val d = docs(
+      1L -> "a a a a b",         // top word 4/5
+      2L -> "x y x y x y",       // bigrams: 5 total, 2 distinct
+      3L -> "one two three four five")
+    val r = TextAnalysis.repetition(d).orderBy("doc_id").collect()
+    val r1 = r(0)
+    assert(r1.getAs[Long]("n_words") === 5L)
+    assert(r1.getAs[Long]("n_distinct_words") === 2L)
+    assert(r1.getAs[Long]("top_word_cnt") === 4L)
+    assert(r1.getAs[Long]("top_word_ppm") === 800000L)
+    assert(r1.getAs[Long]("dup_word_ppm") === 600000L)
+    assert(r1.getAs[Boolean]("repetitive"))
+    val r2 = r(1)
+    assert(r2.getAs[Long]("dup_2gram_ppm") === 600000L) // (5-2)/5
+    assert(r2.getAs[Boolean]("repetitive"))
+    val r3 = r(2)
+    assert(r3.getAs[Long]("dup_word_ppm") === 0L)
+    assert(r3.getAs[Long]("dup_2gram_ppm") === 0L)
+    assert(!r3.getAs[Boolean]("repetitive"))
+  }
+
+  test("surprisal: rare words score higher; integer-exact values") {
+    // corpus: "common" x4, "rare" x1, "mid" x2 -> N = 7
+    val d = docs(
+      1L -> "common common common",
+      2L -> "common rare",
+      3L -> "mid mid")
+    val r = TextAnalysis.surprisal(d).orderBy("doc_id").collect()
+    // weights: common = 1e6*7/4 = 1750000, rare = 7000000, mid = 3500000
+    assert(r(0).getAs[Long]("surprisal") === 3 * 1750000L)
+    assert(r(1).getAs[Long]("surprisal") === 1750000L + 7000000L)
+    assert(r(2).getAs[Long]("surprisal") === 2 * 3500000L)
+    assert(r(1).getAs[Long]("surprisal_per_word") === (1750000L + 7000000L) / 2)
+    // the rare-word doc is the most surprising per word
+    val perWord = r.map(_.getAs[Long]("surprisal_per_word"))
+    assert(perWord(1) === perWord.max)
+  }
+
+  test("piiRedact: emails and phones are gone, counts reconcile") {
+    val cust = Seq((7L, "Customer#000000007", 3, 100.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val r = TextAnalysis.piiRedact(cust).collect()
+    assert(r.length === 1)
+    val red = r(0).getAs[String]("redacted")
+    assert(r(0).getAs[Long]("n_emails") === 1L)
+    assert(r(0).getAs[Long]("n_phones") === 1L)
+    assert(red.contains("[EMAIL]") && red.contains("[PHONE]"))
+    assert(!red.contains("@example.com"))
+    assert(!red.matches(".*\\d{2}-\\d{3}-\\d{3}-\\d{4}.*"))
+    // non-PII content survives redaction
+    assert(red.contains("Customer#000000007") && red.contains("BUILDING"))
+  }
+}
