@@ -25,6 +25,12 @@ object BenchOne {
     spark.sparkContext.setLogLevel("ERROR")
     graft.engine.ingest.Sources.ensureNanosAsLong(spark)
     val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query: $name"))
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+      try SparkEntry.prepare(spark, sfDir) catch { case _: Throwable => () }
+      println(fn(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      spark.stop(); return
+    }
     // same warmup Bench does (codegen/JIT), on the smallest SF
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {

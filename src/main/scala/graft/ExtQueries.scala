@@ -39,6 +39,8 @@ object ExtQueries {
     "ext_asof_click" -> ((s, dir) => TemporalJoins.asofClickBeforePurchase(s, dir)),
     "ext_range_views" -> ((s, dir) => TemporalJoins.viewsBeforePurchase(s, dir)),
     "ext_salted_rollup" -> ((s, dir) => Sessionize.saltedTypeRollup(s, dir)),
+    "ext_funnel" -> ((s, dir) => Sessionize.funnel(s, dir)),
+    "ext_retention" -> ((s, dir) => Sessionize.retention(s, dir)),
     // approximate sketches: oracle computes the EXACT analogs (count
     // distinct, discrete percentiles) — rows/schema must match; hash is
     // exempt by declaration (QUERIES.md) since HLL/GK are approximate.
@@ -74,6 +76,8 @@ object ExtQueries {
     "ann_kmeans" -> ((s, dir) => Similarity.kmeansCells(s, dir)),
     "ann_quantize" -> ((s, dir) => Similarity.quantizeInt8(s, dir)),
     "ann_ivf_trained" -> ((s, dir) => Similarity.ivfTrainedTopK(s, dir)),
+    "ann_pq_codes" -> ((s, dir) => Similarity.pqCodes(s, dir)),
+    "ann_pq_search" -> ((s, dir) => Similarity.pqSearchTopK(s, dir)),
     "text_keywords" -> ((s, dir) => TextAnalysis.keywords(s, dir)),
     "text_bpe_merges" -> ((s, dir) => TextAnalysis.bpeMerges(s, dir)),
     "text_repetition" -> ((s, dir) =>
@@ -145,6 +149,46 @@ object ExtQueries {
       |    CAST(floor(embedding[i]::DOUBLE * 1000) AS BIGINT) AS q
       |  FROM embeddings, range(1, 65) t(i)
       |)""".stripMargin
+
+  /** Per-subspace PQ training chain (shared by ann_pq_codes/_search):
+    * sv = subvector rows, cb0 = init codebook (first 16 vectors), one
+    * assign (a1) + recompute (cb1) + final assign (a2) — the exact
+    * DuckDB replay of Similarity.pqLoop(iters = 2).
+    */
+  private val pqChain =
+    """, sv AS (
+      |  SELECT vec_id, (i - 1) // 8 AS m, (i - 1) % 8 AS j, q FROM v
+      |), cb0 AS (
+      |  SELECT vec_id AS code, m, j, q AS c FROM sv WHERE vec_id < 16
+      |), d1 AS (
+      |  SELECT sv.vec_id, sv.m, cb0.code,
+      |    CAST(sum((sv.q - cb0.c) * (sv.q - cb0.c)) AS BIGINT) AS dist
+      |  FROM sv JOIN cb0 ON sv.m = cb0.m AND sv.j = cb0.j
+      |  GROUP BY 1, 2, 3
+      |), a1 AS (
+      |  SELECT vec_id, m, code FROM (
+      |    SELECT vec_id, m, code,
+      |      row_number() OVER (PARTITION BY vec_id, m
+      |                         ORDER BY dist, code) AS rn
+      |    FROM d1) WHERE rn = 1
+      |), cb1 AS (
+      |  SELECT a1.m, a1.code, sv.j,
+      |    CAST(floor(sum(sv.q)::DOUBLE / count(*)) AS BIGINT) AS c
+      |  FROM a1 JOIN sv ON sv.vec_id = a1.vec_id AND sv.m = a1.m
+      |  GROUP BY 1, 2, 3
+      |), d2 AS (
+      |  SELECT sv.vec_id, sv.m, cb1.code,
+      |    CAST(sum((sv.q - cb1.c) * (sv.q - cb1.c)) AS BIGINT) AS dist
+      |  FROM sv JOIN cb1 ON sv.m = cb1.m AND sv.j = cb1.j
+      |  GROUP BY 1, 2, 3
+      |), a2 AS (
+      |  SELECT vec_id, m, code FROM (
+      |    SELECT vec_id, m, code,
+      |      row_number() OVER (PARTITION BY vec_id, m
+      |                         ORDER BY dist, code) AS rn
+      |    FROM d2) WHERE rn = 1
+      |)
+      |""".stripMargin
 
   private val media =
     """WITH m AS (
@@ -923,6 +967,73 @@ object ExtQueries {
         |  coalesce(c.corpus_canonical, b.batch_min) AS canonical_doc_id
         |FROM batch b LEFT JOIN corpus c USING (content_hash)
         |ORDER BY doc_id""".stripMargin,
+
+    "ext_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events
+        |), f1 AS (
+        |  SELECT user_id, event_type, tsu,
+        |    min(CASE WHEN event_type = 'view' THEN tsu END)
+        |      OVER (PARTITION BY user_id) AS s1_us
+        |  FROM e
+        |), f2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND tsu > s1_us
+        |                     THEN tsu END)
+        |      OVER (PARTITION BY user_id) AS s2_us
+        |  FROM f1
+        |), f3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND tsu > s2_us
+        |                     THEN tsu END)
+        |      OVER (PARTITION BY user_id) AS s3_us
+        |  FROM f2
+        |)
+        |SELECT DISTINCT user_id, s1_us, s2_us, s3_us,
+        |  (CASE WHEN s3_us IS NOT NULL THEN 3
+        |        WHEN s2_us IS NOT NULL THEN 2
+        |        WHEN s1_us IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS depth
+        |FROM f3 ORDER BY user_id""".stripMargin,
+
+    "ext_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        |), c AS (
+        |  SELECT user_id, day,
+        |    min(day) OVER (PARTITION BY user_id) AS cohort_day
+        |  FROM e
+        |), d AS (
+        |  SELECT DISTINCT user_id, cohort_day, day - cohort_day AS day_offset
+        |  FROM c
+        |)
+        |SELECT cohort_day, day_offset, count(*)::BIGINT AS n_active_users
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // PQ: the subspace k-means replay is the ann_kmeans chain with (m, j)
+    // = ((i-1)//8, (i-1)%8) extending every group key; cb1 is the
+    // codebook after the single recompute (iters=2 assigns against it).
+    "ann_pq_codes" -> (quantized + pqChain +
+      """SELECT vec_id, m::BIGINT AS m, code::BIGINT AS code
+        |FROM a2 ORDER BY vec_id, m""".stripMargin),
+
+    "ann_pq_search" -> (quantized + pqChain +
+      """, qs AS (
+        |  SELECT vec_id AS query_id, m, j, q FROM sv WHERE vec_id % 50 = 0
+        |), lut AS (
+        |  SELECT qs.query_id, cb1.m, cb1.code,
+        |    CAST(sum(qs.q * cb1.c) AS BIGINT) AS d
+        |  FROM qs JOIN cb1 ON qs.m = cb1.m AND qs.j = cb1.j
+        |  GROUP BY 1, 2, 3
+        |), sc AS (
+        |  SELECT l.query_id, a2.vec_id AS neighbor_id,
+        |    CAST(sum(l.d) AS BIGINT) AS adc_dot
+        |  FROM a2 JOIN lut l ON l.m = a2.m AND l.code = a2.code
+        |    AND a2.vec_id != l.query_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query_id, rank, neighbor_id, adc_dot FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc_dot DESC, neighbor_id)::INT AS rank
+        |  FROM sc)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
 
     // chunking keeps original case: tokens split on the RAW text
     "corpus_chunks" ->

@@ -141,4 +141,66 @@ object Sessionize {
         col("event_type"), col("n_events"), col("n_users"),
         col("sum_value_c"))
       .orderBy(col("win_start_us"), col("event_type"))
+
+  /** Ordered conversion funnel view → click → purchase per user: step N
+    * counts only if it happens strictly AFTER the user's step N−1 time
+    * (the product-analytics semantics; an unordered count overstates
+    * conversion). NULL step time = never reached; `depth` = furthest
+    * step.
+    *
+    * One shuffle: all three step times are min-over-window computations
+    * on the SAME user_id partitioning (each referencing the previous
+    * step's column), so Catalyst plans a single exchange and three
+    * window passes — no self-joins, no per-step scans.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnel(events(spark, dir))
+
+  def funnel(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    ev
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+      .withColumn("s1_us",
+        min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("s2_us",
+        min(when(col("event_type") === "click" &&
+          col("ts_us") > col("s1_us"), col("ts_us"))).over(w))
+      .withColumn("s3_us",
+        min(when(col("event_type") === "purchase" &&
+          col("ts_us") > col("s2_us"), col("ts_us"))).over(w))
+      .select(col("user_id"), col("s1_us"), col("s2_us"), col("s3_us"))
+      .distinct()
+      .withColumn("depth",
+        when(col("s3_us").isNotNull, 3L)
+          .when(col("s2_us").isNotNull, 2L)
+          .when(col("s1_us").isNotNull, 1L)
+          .otherwise(0L))
+      .orderBy(col("user_id"))
+  }
+
+  /** Retention cohorts: users grouped by first-active day, activity
+    * counted per day offset — the (cohort × age) matrix behind every
+    * retention curve. Day buckets are integer UTC-day indexes of the
+    * microsecond timestamps, so the math is engine-exact.
+    *
+    * Shape: first-day via a window on user_id (one shuffle), distinct
+    * (user, day) map-side, then a cohort×offset aggregate whose key
+    * space is days² at most — tiny at any corpus scale.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame =
+    retention(events(spark, dir))
+
+  def retention(ev: DataFrame): DataFrame = {
+    val dayUs = 86400L * 1000 * 1000
+    val w = Window.partitionBy(col("user_id"))
+    ev // integer `div`, not `/` (long / long is DOUBLE division in Spark)
+      .select(col("user_id"), expr(s"ts_us div ${dayUs}L").as("day"))
+      .withColumn("cohort_day", min(col("day")).over(w))
+      .select(col("user_id"), col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
 }

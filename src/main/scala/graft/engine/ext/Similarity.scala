@@ -235,6 +235,106 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Product-quantization codebook training + encoding: split each 64-dim
+    * quantized vector into M=8 contiguous 8-dim subvectors and run the
+    * SAME deterministic Lloyd loop as [[kmeansCells]] independently per
+    * subspace (init = subvectors of the first K vectors, exact integer
+    * squared-L2, ties → lowest code, floor-mean recompute). The encoding
+    * (vec_id, m, code) compresses each vector to M codes — the 8-byte
+    * representation that lets a 100 TB ANN index live in RAM.
+    *
+    * Scale shape: every iteration is one broadcast join against the
+    * M·K-row codebook with map-side min_by partial agg, then a
+    * constant-size (M·K·subDim keys) re-aggregation — identical budget
+    * to [[kmeansCells]], M times over, with no extra corpus shuffles.
+    */
+  def pqCodes(spark: SparkSession, dir: String, M: Int = 8, subDim: Int = 8,
+              k: Int = 16, iters: Int = 2): DataFrame =
+    pqLoop(vectors(spark, dir), M, subDim, k, iters)._1
+      .select(col("vec_id"), col("m").cast("long").as("m"),
+        col("code").cast("long").as("code"))
+      .orderBy(col("vec_id"), col("m"))
+
+  /** The per-subspace training loop: (final (vec_id, m, code, sq),
+    * codebook (m, code, cq)).
+    */
+  private def pqLoop(vs: DataFrame, M: Int, subDim: Int, k: Int,
+                     iters: Int): (DataFrame, DataFrame) = {
+    val subs = vs
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(M - 1))).as("m"), col("q"))
+      .select(col("vec_id"), col("m"),
+        slice(col("q"), (col("m") * subDim + 1).cast("int"), lit(subDim))
+          .as("sq"))
+    var cb = subs.filter(col("vec_id") < k)
+      .select(col("m"), col("vec_id").cast("int").as("code"),
+        col("sq").as("cq"))
+    var assigned: DataFrame = null
+    for (it <- 1 to iters) {
+      val dist = qdot(col("sq"), col("sq")) -
+        lit(2L) * qdot(col("sq"), col("cq")) + qdot(col("cq"), col("cq"))
+      assigned = subs.join(broadcast(cb), Seq("m"))
+        .select(col("vec_id"), col("m"), col("sq"), col("code"),
+          dist.as("dist"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(
+          min_by(col("code"), struct(col("dist"), col("code"))).as("code"),
+          first(col("sq")).as("sq")) // functionally dependent on (vec_id, m)
+      if (it < iters) {
+        cb = assigned
+          .select(col("m"), col("code"),
+            posexplode(col("sq")).as(Seq("j", "v")))
+          .groupBy(col("m"), col("code"), col("j"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .withColumn("c",
+            floor(col("s").cast("double") / col("n")).cast("long"))
+          .groupBy(col("m"), col("code"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("j"), col("c")))),
+            x => x.getField("c")).as("cq"))
+      }
+    }
+    (assigned, cb)
+  }
+
+  /** PQ asymmetric-distance (ADC) search: queries keep their EXACT
+    * subvectors; each query precomputes a lookup table of dots against
+    * every codebook entry (M·K values — the classic ADC trick), and a
+    * candidate's approximate inner product is the sum of M table lookups
+    * keyed by its codes. Top-k per query over the encoded corpus, self
+    * excluded, ties → lowest neighbor id.
+    *
+    * Scale shape: the corpus side is the (vec_id, m, code) encoding —
+    * 8 small rows per vector, never the raw vectors; the LUT is a
+    * broadcast of nQueries·M·K rows. One hash join + one (query,
+    * neighbor) aggregation + a per-query top-k window. Recall follows
+    * codebook quality; the exact re-rank of the survivors is
+    * [[bruteForceTopK]] on the top-k ids.
+    */
+  def pqSearchTopK(spark: SparkSession, dir: String, topK: Int = 10,
+                   queryMod: Int = 50, M: Int = 8, subDim: Int = 8,
+                   k: Int = 16, iters: Int = 2): DataFrame = {
+    val vs = vectors(spark, dir)
+    val (assigned, cb) = pqLoop(vs, M, subDim, k, iters)
+    val qsubs = assigned.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("m"), col("sq").as("qq"))
+    val lut = qsubs.join(cb, Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        qdot(col("qq"), col("cq")).as("d"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("adc_dot"), col("neighbor_id"))
+    assigned.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).as("adc_dot"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc_dot"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dot"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Int8 compression diagnostics: per-vector symmetric quantization of
     * the milli-quantized components to 8-bit codes (`code = q·127 div s`,
     * s = max |component|), reporting the scale and the reconstruction

@@ -47,6 +47,21 @@ class ApproxInvariantsSpec extends SparkTestBase {
     }
     val meanTrained = trainedRecalls.sum / trainedRecalls.size
     assert(meanTrained >= 0.8, s"trained mean recall $meanTrained too low")
+
+    // PQ ADC over the same fixture: within a tight cluster every member
+    // collapses to the SAME 8 codes, so ADC dots tie exactly and
+    // neighbor-set recall vs the noise-ranked brute force is the wrong
+    // yardstick — the meaningful invariant is cluster PRECISION: all
+    // returned neighbors must be true cluster-mates of the query.
+    val pq = topSet(Similarity.pqSearchTopK(spark, dir, topK = 5,
+      queryMod = 10, M = 8, subDim = 8, k = 4, iters = 2))
+    assert(pq.size === 10, s"expected 10 PQ query groups, got ${pq.size}")
+    pq.foreach { case (q, neighbors) =>
+      assert(neighbors.size === 5, s"query $q returned ${neighbors.size}")
+      assert(neighbors.forall(n => n % 4 == q % 4),
+        s"query $q (cluster ${q % 4}) got cross-cluster neighbors " +
+          neighbors.filter(_ % 4 != q % 4))
+    }
   }
 
   test("sketch rollup: approx distinct within 5% of exact, percentiles ordered") {

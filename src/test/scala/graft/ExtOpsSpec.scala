@@ -74,4 +74,45 @@ class ExtOpsSpec extends SparkTestBase {
     assert(got.toSeq === Seq((1L, 1L, 2L, 400L), (1L, 2L, 1L, 400L),
       (2L, 1L, 1L, 100L)))
   }
+
+  private def eventsFixture(rows: (Long, Long, Long, String)*): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ev").toString
+    rows.map { case (id, tsUs, user, typ) => (id, tsUs, user, typ, 1.0, "{}") }
+      .toDF("event_id", "ts_us_raw", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("ts_us_raw * 1000"))
+      .drop("ts_us_raw")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("funnel counts steps only in view -> click -> purchase order") {
+    val t = 1_700_000_000_000_000L
+    val dir = eventsFixture(
+      // user 1: full ordered funnel
+      (1L, t, 1L, "view"), (2L, t + 10, 1L, "click"), (3L, t + 20, 1L, "purchase"),
+      // user 2: purchase BEFORE click — depth stops at 2
+      (4L, t, 2L, "view"), (5L, t + 5, 2L, "purchase"), (6L, t + 10, 2L, "click"),
+      // user 3: click with no view — depth 0 (no step-1 anchor)
+      (7L, t, 3L, "click"),
+      // user 4: view only
+      (8L, t, 4L, "view"))
+    val got = Sessionize.funnel(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("depth")))
+    assert(got.toSeq === Seq((1L, 3L), (2L, 2L), (3L, 0L), (4L, 1L)))
+  }
+
+  test("retention: cohort is first-active day, offsets count distinct users") {
+    val day = 86_400_000_000L
+    val d0 = 19_000L * day
+    val dir = eventsFixture(
+      (1L, d0, 1L, "view"), (2L, d0 + day, 1L, "view"),     // user 1: day 0, 1
+      (3L, d0 + 10, 2L, "view"), (4L, d0 + day, 2L, "view"), // user 2: day 0, 1
+      (5L, d0 + day, 3L, "view"))                            // user 3: cohort day+1
+    val got = Sessionize.retention(spark, dir).collect()
+      .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("day_offset"),
+        r.getAs[Long]("n_active_users")))
+    assert(got.toSeq === Seq(
+      (19000L, 0L, 2L), (19000L, 1L, 2L), (19001L, 0L, 1L)))
+  }
 }
