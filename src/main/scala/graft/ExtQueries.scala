@@ -60,6 +60,7 @@ object ExtQueries {
     "corpus_mix" -> ((s, dir) => Corpus.weightedInterleave(s, dir)),
     "corpus_clean" -> ((s, dir) => Corpus.qualityClean(s, dir)),
     "corpus_contamination" -> ((s, dir) => Corpus.contamination(s, dir)),
+    "corpus_decontaminated" -> ((s, dir) => Corpus.decontaminated(s, dir)),
     // ------------------------------------------------ dedup
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "dedup_bow" -> ((s, dir) => Dedup.bagOfWords(s, dir)),
@@ -526,6 +527,25 @@ object ExtQueries {
         |FROM shared s JOIN bn b USING (bench_doc)
         |WHERE s.n_shared >= 2
         |ORDER BY bench_doc, train_doc""".stripMargin),
+
+    "corpus_decontaminated" -> (shingles3 +
+      """, shx AS (
+        |  SELECT doc_id, unnest(sh) AS shingle FROM sh
+        |), dfc AS (
+        |  SELECT shingle FROM shx GROUP BY shingle HAVING count(*) <= 100
+        |), rare AS (
+        |  SELECT shx.doc_id, shx.shingle FROM shx JOIN dfc USING (shingle)
+        |), flagged AS (
+        |  SELECT DISTINCT t.doc_id
+        |  FROM rare b JOIN rare t USING (shingle)
+        |  WHERE b.doc_id % 17 = 0 AND t.doc_id % 17 != 0
+        |  GROUP BY b.doc_id, t.doc_id HAVING count(*) >= 2
+        |)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d
+        |WHERE d.doc_id % 17 != 0
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+        |ORDER BY d.doc_id""".stripMargin),
 
     "dedup_exact" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS canonical_doc_id,

@@ -157,6 +157,25 @@ object Corpus {
       .orderBy(col("bench_doc"), col("train_doc"))
   }
 
+  /** Close the contamination loop: the train-side documents that survive
+    * decontamination — everything [[contamination]] flags is removed via a
+    * LEFT ANTI join (the id set is aggregated first, so the anti join
+    * probes one row per contaminated doc, not one per contaminated
+    * pair). `kept` rows carry lang/source so the post-filter mixture is
+    * auditable against the pre-filter one.
+    */
+  def decontaminated(spark: SparkSession, dir: String, benchMod: Int = 17,
+                     n: Int = 3, maxDf: Int = 100,
+                     minShared: Long = 2L): DataFrame = {
+    val flagged = contamination(spark, dir, benchMod, n, maxDf, minShared)
+      .select(col("train_doc").as("doc_id")).distinct()
+    docs(spark, dir)
+      .filter(col("doc_id") % benchMod =!= 0) // the train side only
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Weighted interleave of language sub-corpora (en×4, zh×1, rest ×2):
     * the classic "upsample high-resource, downsample low-resource" mixing
     * schedule, expressed as a deterministic integer sort key.

@@ -63,6 +63,20 @@ class PlanSpec extends SparkTestBase {
       quant.take(800))
   }
 
+  test("event analytics plan on a single user_id exchange") {
+    import graft.engine.ext.Sessionize
+    // funnel: three chained window mins + distinct all share the
+    // hashpartitioning(user_id) — ONE hash exchange, then the output sort
+    val fun = plan(Sessionize.funnel(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(fun).length === 1,
+      fun.take(800))
+    // retention: user_id window + distinct reuse one exchange; the
+    // cohort×offset rollup adds exactly one more (tiny key space)
+    val ret = plan(Sessionize.retention(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(ret).length <= 2,
+      ret.take(800))
+  }
+
   test("no cartesian/broadcast-NL joins outside the two documented sites") {
     // ann_bruteforce (vec_id =!= query_id vs broadcast queries) and
     // ann_label_centroids (label < label) are deliberate inequality
