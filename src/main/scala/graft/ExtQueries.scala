@@ -40,6 +40,7 @@ object ExtQueries {
     "ext_range_views" -> ((s, dir) => TemporalJoins.viewsBeforePurchase(s, dir)),
     "ext_salted_rollup" -> ((s, dir) => Sessionize.saltedTypeRollup(s, dir)),
     "ext_funnel" -> ((s, dir) => Sessionize.funnel(s, dir)),
+    "ext_cms_hitters" -> ((s, dir) => Sessionize.cmsHitters(s, dir)),
     "ext_retention" -> ((s, dir) => Sessionize.retention(s, dir)),
     // approximate sketches: oracle computes the EXACT analogs (count
     // distinct, discrete percentiles) — rows/schema must match; hash is
@@ -1012,6 +1013,27 @@ object ExtQueries {
         |        WHEN s2_us IS NOT NULL THEN 2
         |        WHEN s1_us IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS depth
         |FROM f3 ORDER BY user_id""".stripMargin,
+
+    "ext_cms_hitters" ->
+      """WITH ei AS (
+        |  SELECT user_id, unnest(range(0, 4)) AS i FROM events
+        |), hb AS (
+        |  SELECT user_id, i,
+        |    ('0x' || substring(md5(i || ':' || user_id), 1, 8))::BIGINT % 64 AS b
+        |  FROM ei
+        |), sk AS (
+        |  SELECT i, b, count(*)::BIGINT AS c FROM hb GROUP BY 1, 2
+        |), ex AS (
+        |  SELECT user_id, count(*)::BIGINT AS exact_cnt FROM events GROUP BY 1
+        |), qb AS (
+        |  SELECT DISTINCT user_id, i, b FROM hb
+        |), est AS (
+        |  SELECT qb.user_id, min(sk.c)::BIGINT AS cms_est
+        |  FROM qb JOIN sk USING (i, b) GROUP BY 1
+        |)
+        |SELECT ex.user_id, ex.exact_cnt, est.cms_est,
+        |  (est.cms_est - ex.exact_cnt)::BIGINT AS overcount
+        |FROM ex JOIN est USING (user_id) ORDER BY user_id""".stripMargin,
 
     "ext_retention" ->
       """WITH e AS (

@@ -1,6 +1,6 @@
 package graft.engine.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -141,6 +141,43 @@ object Sessionize {
         col("event_type"), col("n_events"), col("n_users"),
         col("sum_value_c"))
       .orderBy(col("win_start_us"), col("event_type"))
+
+  /** Count-min-sketch heavy-hitter census over event user_ids, with the
+    * exact counts alongside: a d×w integer sketch (d md5-keyed hash rows,
+    * w buckets) built in ONE constant-size aggregation, probed per
+    * distinct user. `overcount = cms_est − exact_cnt ≥ 0` is the CMS
+    * guarantee, checkable row by row.
+    *
+    * Unlike HLL/t-digest sketches ([[sketchRollup]]), every number here
+    * is deterministic integer math, so the DuckDB oracle reproduces the
+    * sketch bit-for-bit. 100 TB shape: the sketch is d·w counters
+    * regardless of stream size (partial sketches merge by addition —
+    * that IS the map-side combine of the groupBy), and probes join
+    * against a broadcast of those counters.
+    */
+  def cmsHitters(spark: SparkSession, dir: String): DataFrame =
+    cmsHitters(events(spark, dir))
+
+  def cmsHitters(ev: DataFrame, d: Int = 4, w: Int = 64): DataFrame = {
+    def bucket(i: Column, key: Column): Column =
+      conv(substring(md5(concat(i.cast("string"), lit(":"),
+        key.cast("string"))), 1, 8), 16, 10).cast("long") % w
+    val sketch = ev
+      .select(col("user_id"), explode(sequence(lit(0), lit(d - 1))).as("i"))
+      .select(col("i"), bucket(col("i"), col("user_id")).as("b"))
+      .groupBy(col("i"), col("b")).agg(count(lit(1)).as("c"))
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+    exact
+      .select(col("user_id"), col("exact_cnt"),
+        explode(sequence(lit(0), lit(d - 1))).as("i"))
+      .withColumn("b", bucket(col("i"), col("user_id")))
+      .join(broadcast(sketch), Seq("i", "b"))
+      .groupBy(col("user_id"), col("exact_cnt")) // exact_cnt fn-dep on user
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("user_id"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"))
+      .orderBy(col("user_id"))
+  }
 
   /** Ordered conversion funnel view → click → purchase per user: step N
     * counts only if it happens strictly AFTER the user's step N−1 time

@@ -18,6 +18,17 @@ object EventStream {
   final case class UserEvent(user_id: Long, event_time: java.sql.Timestamp,
                              value: Double)
 
+  final case class TypedEvent(user_id: Long, event_time: java.sql.Timestamp,
+                              event_type: String)
+
+  /** Funnel state: first qualifying time (µs) of each ordered step, or
+    * MinValue when the step hasn't been reached yet.
+    */
+  final case class FunnelState(s1_us: Long, s2_us: Long, s3_us: Long)
+
+  final case class FunnelSnapshot(user_id: Long, depth: Long,
+                                  s1_us: Long, s2_us: Long, s3_us: Long)
+
   /** Per-user running profile (custom state kept across micro-batches). */
   final case class UserProfile(n_events: Long, sum_value_c: Long,
                                last_seen_us: Long)
@@ -42,6 +53,42 @@ object EventStream {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value_c"))
+
+  /** Streaming twin of [[graft.engine.ext.Sessionize.funnel]]: the
+    * view → click → purchase state machine as O(1) per-user state,
+    * advanced every micro-batch. Within a batch events are applied in
+    * event-time order (the iterator carries no order guarantee); ACROSS
+    * batches a step only fires strictly after the recorded previous-step
+    * time, so results converge to the batch funnel when ingestion is
+    * time-ordered — the monitoring deployment this exists for. Shape:
+    * one shuffle on user_id, 24 bytes of state per user, update-mode.
+    */
+  def funnelStates(events: Dataset[TypedEvent]): Dataset[FunnelSnapshot] = {
+    import events.sparkSession.implicits._
+    val Unset = Long.MinValue
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelSnapshot](GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[TypedEvent], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(Unset, Unset, Unset))
+          evs.toSeq.sortBy(e => (e.event_time.getTime, e.event_type)).foreach { e =>
+            val t = e.event_time.getTime * 1000L
+            e.event_type match {
+              case "view" if s.s1_us == Unset => s = s.copy(s1_us = t)
+              case "click" if s.s2_us == Unset && s.s1_us != Unset &&
+                t > s.s1_us => s = s.copy(s2_us = t)
+              case "purchase" if s.s3_us == Unset && s.s2_us != Unset &&
+                t > s.s2_us => s = s.copy(s3_us = t)
+              case _ => ()
+            }
+          }
+          state.update(s)
+          val depth = if (s.s3_us != Unset) 3L
+            else if (s.s2_us != Unset) 2L
+            else if (s.s1_us != Unset) 1L else 0L
+          FunnelSnapshot(uid, depth, s.s1_us, s.s2_us, s.s3_us)
+      }
+  }
 
   /** Custom per-key state via mapGroupsWithState: a running per-user
     * profile (event count, value sum in cents, last-seen micros) updated

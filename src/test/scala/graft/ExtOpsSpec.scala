@@ -102,6 +102,24 @@ class ExtOpsSpec extends SparkTestBase {
     assert(got.toSeq === Seq((1L, 3L), (2L, 2L), (3L, 0L), (4L, 1L)))
   }
 
+  test("cms sketch never undercounts and is exact for a lone heavy key") {
+    val t = 1_700_000_000_000_000L
+    // user 9 is a planted heavy hitter: 50 events vs 1 each for 3 others
+    val rows = (1 to 50).map(i => (100L + i, t + i, 9L, "view")) ++
+      Seq((1L, t, 1L, "view"), (2L, t, 2L, "view"), (3L, t, 3L, "view"))
+    val dir = eventsFixture(rows: _*)
+    val got = Sessionize.cmsHitters(graft.engine.ingest.Sources.events(spark, dir))
+      .collect()
+    assert(got.length === 4)
+    // CMS guarantee: estimates never undercount
+    assert(got.forall(_.getAs[Long]("overcount") >= 0L))
+    val heavy = got.find(_.getAs[Long]("user_id") == 9L).get
+    assert(heavy.getAs[Long]("exact_cnt") === 50L)
+    // d=4 rows x 64 buckets vs 4 keys: some hash row isolates the heavy
+    // key, so its estimate is exact
+    assert(heavy.getAs[Long]("cms_est") === 50L)
+  }
+
   test("retention: cohort is first-active day, offsets count distinct users") {
     val day = 86_400_000_000L
     val d0 = 19_000L * day

@@ -110,6 +110,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming funnel advances ordered steps across micro-batches") {
+    import graft.engine.streaming.EventStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.TypedEvent]
+    val q = EventStream.funnelStates(mem.toDS())
+      .writeStream.format("memory").queryName("stream_funnel")
+      .outputMode("update").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // batch 1: user 1 views then clicks; user 2 purchases FIRST (must
+      // not count — no prior click)
+      mem.addData(
+        EventStream.TypedEvent(1L, ts("2023-10-25 10:00:00"), "view"),
+        EventStream.TypedEvent(1L, ts("2023-10-25 10:00:10"), "click"),
+        EventStream.TypedEvent(2L, ts("2023-10-25 10:00:00"), "purchase"))
+      q.processAllAvailable()
+      // batch 2: user 1 completes; user 2 starts the funnel properly
+      mem.addData(
+        EventStream.TypedEvent(1L, ts("2023-10-25 10:00:20"), "purchase"),
+        EventStream.TypedEvent(2L, ts("2023-10-25 10:00:30"), "view"))
+      q.processAllAvailable()
+      val depths = spark.sql(
+        """SELECT user_id, max(depth) AS depth FROM stream_funnel
+          |GROUP BY user_id ORDER BY user_id""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(depths.toSeq === Seq((1L, 3L), (2L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: dropDuplicatesWithinWatermark keeps first occurrence") {
     import graft.engine.streaming.EventStream
     implicit val sqlCtx = spark.sqlContext
