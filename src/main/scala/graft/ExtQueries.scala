@@ -41,6 +41,8 @@ object ExtQueries {
     "ext_salted_rollup" -> ((s, dir) => Sessionize.saltedTypeRollup(s, dir)),
     "ext_funnel" -> ((s, dir) => Sessionize.funnel(s, dir)),
     "ext_cms_hitters" -> ((s, dir) => Sessionize.cmsHitters(s, dir)),
+    "ext_type_pivot" -> ((s, dir) => Sessionize.typePivot(s, dir)),
+    "ext_exact_percentiles" -> ((s, dir) => Sessionize.exactPercentiles(s, dir)),
     "ext_retention" -> ((s, dir) => Sessionize.retention(s, dir)),
     // approximate sketches: oracle computes the EXACT analogs (count
     // distinct, discrete percentiles) — rows/schema must match; hash is
@@ -1034,6 +1036,35 @@ object ExtQueries {
         |SELECT ex.user_id, ex.exact_cnt, est.cms_est,
         |  (est.cms_est - ex.exact_cnt)::BIGINT AS overcount
         |FROM ex JOIN est USING (user_id) ORDER BY user_id""".stripMargin,
+
+    "ext_type_pivot" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS "error",
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS "view",
+        |  count(*)::BIGINT AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ext_exact_percentiles" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor("value" * 100) AS BIGINT) AS value_c
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, value_c,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value_c, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e
+        |)
+        |SELECT event_type, n::BIGINT AS n_events,
+        |  min(CASE WHEN rn = (n + 1) // 2 THEN value_c END) AS median_c,
+        |  min(CASE WHEN rn = (n * 9 + 9) // 10 THEN value_c END) AS p90_c
+        |FROM r
+        |WHERE rn = (n + 1) // 2 OR rn = (n * 9 + 9) // 10
+        |GROUP BY event_type, n ORDER BY event_type""".stripMargin,
 
     "ext_retention" ->
       """WITH e AS (
