@@ -46,6 +46,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NativeFunctions.checkArity(NativeFunctions.PyErrorBranchName, 1, exprs)
         PyParity.PyErrorBranchCheck(exprs(0))
       }))
+    ext.injectFunction((
+      FunctionIdentifier(NativeFunctions.OpaqueName),
+      info(NativeFunctions.OpaqueName,
+        "optimizer-opaque identity: value-equal to its argument, blocks " +
+          "predicate pushdown / project collapse through it",
+        "_FUNC_(expensive_expr)"),
+      (exprs: Seq[Expression]) => {
+        NativeFunctions.checkArity(NativeFunctions.OpaqueName, 1, exprs)
+        NativeFunctions.OpaqueBarrier(exprs(0))
+      }))
   }
 
   private def info(name: String, usage: String, example: String): ExpressionInfo =

@@ -89,9 +89,39 @@ object NativeFunctions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Identity wrapper the optimizer cannot see through: evaluates exactly
+    * like its child (same value, same nulls, same codegen) but reports
+    * `deterministic = false`, which blocks the two rewrites that
+    * otherwise DUPLICATE an expensive child expression:
+    *  - PushDownPredicate: a filter conjunct that substitutes to a
+    *    nondeterministic expression is never pushed, so routing-flag
+    *    filters keep testing materialized attributes instead of
+    *    re-deriving from_json/parity/line-render per conjunct inside an
+    *    interpreted Filter (observed: 11 from_json copies in ONE pushed
+    *    filter — Spark 4.1 constant-folds the old `when(rand() < 0, …)`
+    *    barrier away, so this expression is the reliable replacement);
+    *  - CollapseProject: nondeterministic multi-referenced aliases are
+    *    never inlined into consumers.
+    * Evaluation-identical, so oracle parity is untouched.
+    */
+  case class OpaqueBarrier(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override lazy val deterministic: Boolean = false
+    override def foldable: Boolean = false
+    override def dataType: DataType = child.dataType
+    override def nullable: Boolean = child.nullable
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      child.eval(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => c)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   val QdotName = "qdot_native"
   val PyCheckName = "py_parity_check"
   val PyErrorBranchName = "py_error_branch"
+  val OpaqueName = "graft_opaque"
 
   /** A wrong argument count must fail analysis with the standard
     * WRONG_NUM_ARGS AnalysisException, not an IndexOutOfBoundsException
@@ -135,10 +165,21 @@ object NativeFunctions {
           checkArity(PyErrorBranchName, 1, exprs)
           PyParity.PyErrorBranchCheck(exprs(0))
         }, "built-in")
+    if (!spark.catalog.functionExists(OpaqueName))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        OpaqueName, exprs => {
+          checkArity(OpaqueName, 1, exprs)
+          OpaqueBarrier(exprs(0))
+        }, "built-in")
   }
 
   /** Codegen'd exact dot product; caller must have ensureRegistered. */
   def qdotNative(a: Column, b: Column): Column = call_function(QdotName, a, b)
+
+  /** Optimizer-opaque identity (see [[OpaqueBarrier]]); caller must have
+    * ensureRegistered.
+    */
+  def opaque(c: Column): Column = call_function(OpaqueName, c)
 
   /** Python-parity exception text for a mongod log line (see [[PyParity]]);
     * caller must have ensureRegistered.

@@ -215,22 +215,26 @@ object LogGen {
         lit("{\"t\":{\"$date\":\""), ts, lit("\"},\"s\":\"I\",\"c\":\"ACCESS\",\"msg\":\"Successfully authenticated\",\"attr\":{\"principal\":\"u"),
         s(uid), lit("\"}}")))
 
+    // MATERIALIZATION BARRIERS, two distinct jobs:
+    // (a) OpaqueBarrier pins the ~500-node line-rendering expression to
+    //     ONE evaluation per row: without it, CollapseProject re-inlines
+    //     the render into every downstream reference of `line`, and
+    //     PushDownPredicate copies it into pushed filter conjuncts (a
+    //     shuffle alone does NOT stop the latter — predicates push
+    //     through RepartitionByExpression, observed in round 6 as the
+    //     full render + 11 from_json copies in one Filter below this
+    //     exchange).
+    // (b) repartition spreads the tiny single-partition events scan so
+    //     the mongo branch doesn't run one-threaded at bench SFs.
+    graft.engine.expr.NativeFunctions.ensureRegistered(spark)
     ev.select(
-      when(col("event_type") === "click", slowFind)
-        .when(col("event_type") === "purchase", slowAgg)
-        .when(col("event_type") === "error", errorLine)
-        .when(col("event_type") === "view", viewLine)
-        .otherwise(signupLine).as("line"),
+      graft.engine.expr.NativeFunctions.opaque(
+        when(col("event_type") === "click", slowFind)
+          .when(col("event_type") === "purchase", slowAgg)
+          .when(col("event_type") === "error", errorLine)
+          .when(col("event_type") === "view", viewLine)
+          .otherwise(signupLine)).as("line"),
       (eid + 1).as("line_no"))
-      // MATERIALIZATION BARRIER, two jobs in one exchange: (a) the ~500-node
-      // line-rendering expression would otherwise be re-inlined by
-      // CollapseProject into every downstream reference of `line` (routing
-      // flags, parity probe, branch projections — each re-rendering the
-      // line per row); a shuffle pins it to one evaluation, after which
-      // consumers read a plain attribute, exactly like the file-source
-      // path reads a scan column. (b) the tiny events parquet is a single
-      // file-scan partition at bench SFs, and without a spread the whole
-      // mongo branch would inherit it and run one-threaded.
       .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
   }
 }

@@ -52,7 +52,13 @@ object MongoLogPipeline {
     val opts = Map("columnNameOfCorruptRecord" -> Schemas.CorruptField,
       "mode" -> "PERMISSIVE")
     lines
-      .withColumn("j", from_json(col("line"), Schemas.MongodLine, opts))
+      // OpaqueBarrier: from_json must evaluate ONCE per row in this
+      // projection. Without it, every routing-flag filter conjunct that
+      // the optimizer substitutes and pushes re-derives the parse inside
+      // an interpreted Filter (measured: 11 from_json copies in one
+      // pushed filter node at round 6).
+      .withColumn("j", NativeFunctions.opaque(
+        from_json(col("line"), Schemas.MongodLine, opts)))
       // from_json yields a NULL struct (not a corrupt record) for empty /
       // whitespace-only / literal-null input; the reference's json.loads
       // raises on those, so they must route to the parse-error channel too.
@@ -68,17 +74,15 @@ object MongoLogPipeline {
       // jackson parse per cold row via a single codegen'd expression —
       // the declarative variant-probe version of this check was a
       // >1000-node tree that blew up optimizer time per consuming query.
-      // BARRIER: the never-taken non-deterministic first branch makes
-      // this projection opaque to PushDownPredicate/CollapseProject
-      // (both require a fully deterministic project list), so consumer
-      // filters stay simple attribute tests and the parse runs exactly
-      // once per row. rand() (not monotonically_increasing_id, which
-      // streaming rejects) keeps the scan usable under Structured
-      // Streaming; the value is always the non-random branch.
-      .withColumn("pyraw",
-        when(rand() < 0, lit("unreachable"))
-          .when(col("schema_ok") && !col("sus"), lit(null).cast("string"))
-          .otherwise(NativeFunctions.pyParityCheck(col("line"))))
+      // BARRIER: OpaqueBarrier keeps this projection opaque to
+      // PushDownPredicate/CollapseProject so consumer filters stay
+      // simple attribute tests and the parse runs exactly once per row.
+      // (The previous `when(rand() < 0, …)` trick is constant-folded
+      // away by Spark 4.1's rand-range simplification — this custom
+      // expression is the reliable form, and streaming-safe.)
+      .withColumn("pyraw", NativeFunctions.opaque(
+        when(col("schema_ok") && !col("sus"), lit(null).cast("string"))
+          .otherwise(NativeFunctions.pyParityCheck(col("line")))))
       .withColumn("invalid", // coalesce: pyraw is NULL on the fast path
         coalesce(col("pyraw") === PyParity.InvalidJson.toString, lit(false)))
       .withColumn("pyerr",
