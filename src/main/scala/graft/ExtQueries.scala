@@ -82,6 +82,7 @@ object ExtQueries {
     "ann_ivf_trained" -> ((s, dir) => Similarity.ivfTrainedTopK(s, dir)),
     "ann_pq_codes" -> ((s, dir) => Similarity.pqCodes(s, dir)),
     "ann_pq_search" -> ((s, dir) => Similarity.pqSearchTopK(s, dir)),
+    "ann_pq_rerank" -> ((s, dir) => Similarity.pqRerankTopK(s, dir)),
     "text_keywords" -> ((s, dir) => TextAnalysis.keywords(s, dir)),
     "text_bpe_merges" -> ((s, dir) => TextAnalysis.bpeMerges(s, dir)),
     "text_repetition" -> ((s, dir) =>
@@ -1106,6 +1107,39 @@ object ExtQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY adc_dot DESC, neighbor_id)::INT AS rank
         |  FROM sc)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
+    "ann_pq_rerank" -> (quantized + pqChain +
+      """, qs AS (
+        |  SELECT vec_id AS query_id, m, j, q FROM sv WHERE vec_id % 50 = 0
+        |), lut AS (
+        |  SELECT qs.query_id, cb1.m, cb1.code,
+        |    CAST(sum(qs.q * cb1.c) AS BIGINT) AS d
+        |  FROM qs JOIN cb1 ON qs.m = cb1.m AND qs.j = cb1.j
+        |  GROUP BY 1, 2, 3
+        |), sc AS (
+        |  SELECT l.query_id, a2.vec_id AS neighbor_id,
+        |    CAST(sum(l.d) AS BIGINT) AS adc_dot
+        |  FROM a2 JOIN lut l ON l.m = a2.m AND l.code = a2.code
+        |    AND a2.vec_id != l.query_id
+        |  GROUP BY 1, 2
+        |), short AS (
+        |  SELECT query_id, neighbor_id, adc_dot FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dot DESC, neighbor_id) AS srank
+        |    FROM sc) WHERE srank <= 30
+        |), ex AS (
+        |  SELECT s.query_id, s.neighbor_id, s.adc_dot,
+        |    CAST(sum(q.q * n.q) AS BIGINT) AS dot
+        |  FROM short s
+        |  JOIN v q ON q.vec_id = s.query_id
+        |  JOIN v n ON n.vec_id = s.neighbor_id AND n.i = q.i
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT query_id, rank, neighbor_id, dot, adc_dot FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY dot DESC, neighbor_id)::INT AS rank
+        |  FROM ex)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
 
     // chunking keeps original case: tokens split on the RAW text

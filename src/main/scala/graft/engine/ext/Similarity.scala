@@ -335,6 +335,34 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Two-stage retrieval: PQ-ADC shortlist → EXACT inner-product re-rank —
+    * the production ANN pattern (compressed codes prune the corpus, the
+    * few survivors pay the exact dot). `shortlist` candidates per query
+    * come from [[pqSearchTopK]]; the re-rank joins their raw vectors back
+    * (hash join on neighbor id, fan-out = shortlist size per query, never
+    * the corpus) and keeps the final `topK` by exact score.
+    */
+  def pqRerankTopK(spark: SparkSession, dir: String, topK: Int = 10,
+                   shortlist: Int = 30, queryMod: Int = 50): DataFrame = {
+    val vs = vectors(spark, dir)
+    val cand = pqSearchTopK(spark, dir, topK = shortlist, queryMod = queryMod)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dot"))
+    val queries = vs.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("dot"), col("neighbor_id"))
+    cand
+      .join(vs.select(col("vec_id").as("neighbor_id"), col("q")), "neighbor_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("adc_dot"),
+        qdot(col("qq"), col("q")).as("dot"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("dot"), col("adc_dot"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Int8 compression diagnostics: per-vector symmetric quantization of
     * the milli-quantized components to 8-bit codes (`code = q·127 div s`,
     * s = max |component|), reporting the scale and the reconstruction

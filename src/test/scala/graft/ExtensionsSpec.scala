@@ -14,6 +14,17 @@ class ExtensionsSpec extends SparkTestBase {
     assert(r.first().getLong(0) === 32L)
   }
 
+  test("graft_opaque is value-transparent and blocks constant folding") {
+    val fresh = spark.newSession()
+    val r = fresh.sql("SELECT graft_opaque(1 + 2) AS v, graft_opaque(NULL) AS n")
+    val row = r.first()
+    assert(row.getInt(0) === 3)
+    assert(row.isNullAt(1))
+    // the whole point: the wrapped expression must NOT constant-fold
+    assert(r.queryExecution.optimizedPlan.expressions.exists(
+      _.exists(_.isInstanceOf[graft.engine.expr.NativeFunctions.OpaqueBarrier])))
+  }
+
   test("parity functions install in a fresh session") {
     val fresh = spark.newSession()
     val r = fresh.sql(
@@ -39,7 +50,8 @@ class ExtensionsSpec extends SparkTestBase {
         "SELECT qdot_native(array(1L))",
         "SELECT qdot_native(array(1L), array(2L), array(3L))",
         "SELECT py_parity_check()",
-        "SELECT py_error_branch('a', 'b')")) {
+        "SELECT py_error_branch('a', 'b')",
+        "SELECT graft_opaque()")) {
       val e = intercept[org.apache.spark.sql.AnalysisException](fresh.sql(bad))
       assert(e.getCondition === "WRONG_NUM_ARGS.WITHOUT_SUGGESTION", bad)
       assert(e.getMessage.contains("parameters"), bad)
