@@ -105,6 +105,13 @@ object ExtQueries {
       import s.implicits._
       Multimodal.resizeFeatures(s, dir).toDF().orderBy(col("doc_id"))
     }),
+    // ------------------------------------------------ round-6 additions
+    "text_vocab" -> ((s, dir) => TextAnalysis.vocab(s, dir)),
+    "corpus_temperature" -> ((s, dir) => Corpus.temperatureWeights(s, dir)),
+    "dedup_containment" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
+    "layout_zorder" -> ((s, dir) =>
+      graft.engine.ingest.Layout.zorderStats(s, dir)),
+    "ann_srp_topk" -> ((s, dir) => Similarity.srpTopK(s, dir)),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1161,5 +1168,110 @@ object ExtQueries {
         |  array_to_string(t[(chunk_no * 24 + 1)::INT :
         |                    least(chunk_no * 24 + 32, n)::INT], ' ') AS chunk_text
         |FROM k ORDER BY doc_id, chunk_no""".stripMargin,
+
+    // ------------------------------------------------ round-6 additions
+
+    "text_vocab" -> (toks +
+      """, term AS (
+        |  SELECT doc_id, unnest(t) AS term FROM toks
+        |), agg AS (
+        |  SELECT term, count(*)::BIGINT AS tf,
+        |    count(DISTINCT doc_id)::BIGINT AS df
+        |  FROM term GROUP BY term
+        |)
+        |SELECT * FROM (
+        |  SELECT row_number() OVER (ORDER BY tf DESC, term)::BIGINT AS rank,
+        |    term, tf, df
+        |  FROM agg)
+        |WHERE rank <= 100 ORDER BY rank""".stripMargin),
+
+    "corpus_temperature" ->
+      """WITH pl AS (
+        |  SELECT lang, count(*)::BIGINT AS n_docs,
+        |    sum(len(list_filter(string_split_regex(text, '\s+'),
+        |                        x -> x != '')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY lang
+        |), t AS (
+        |  SELECT *, sum(n_tokens) OVER () AS tot,
+        |    floor(sqrt(n_tokens::DOUBLE))::BIGINT AS sq
+        |  FROM pl
+        |), t2 AS (
+        |  SELECT *, sum(sq) OVER () AS sqtot FROM t
+        |)
+        |SELECT lang, n_docs, n_tokens,
+        |  round(n_tokens * 1000000.0 / tot, 2) AS raw_ppm,
+        |  round(sq * 1000000.0 / sqtot, 2) AS temp_ppm,
+        |  round((sq::DOUBLE / sqtot) / (n_tokens::DOUBLE / tot), 4) AS upsample
+        |FROM t2 ORDER BY lang""".stripMargin,
+
+    "dedup_containment" -> (shingles3 +
+      """, ex AS (
+        |  SELECT doc_id, unnest(sh) AS shingle FROM sh
+        |), sizes AS (
+        |  SELECT doc_id, len(sh) AS n_sh FROM sh
+        |), rare AS (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle,
+        |      count(*) OVER (PARTITION BY shingle) AS df
+        |    FROM ex) WHERE df <= 100
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_rare
+        |  FROM rare a JOIN rare b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, shared_rare, sa.n_sh AS n_a, sb.n_sh AS n_b,
+        |  shared_rare * 1000000 // least(sa.n_sh, sb.n_sh) AS containment_ppm
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE shared_rare * 1000000 // least(sa.n_sh, sb.n_sh) >= 400000
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "layout_zorder" ->
+      s"""WITH z AS (
+         |  SELECT l_partkey::BIGINT AS x, l_suppkey::BIGINT AS y,
+         |    ${graft.engine.ingest.Layout.zValueSql("l_partkey::BIGINT", "l_suppkey::BIGINT")} AS z
+         |  FROM lineitem
+         |)
+         |SELECT z >> 16 AS z_bucket, count(*)::BIGINT AS n_rows,
+         |  min(x) AS x_min, max(x) AS x_max,
+         |  min(y) AS y_min, max(y) AS y_max,
+         |  max(x) - min(x) AS x_span, max(y) - min(y) AS y_span
+         |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin,
+
+    "ann_srp_topk" -> (quantized +
+      """, c AS (
+        |  SELECT p, i,
+        |    CASE WHEN ('0x' || substring(md5(p || '_' || i), 1, 1))::INT % 2 = 1
+        |         THEN 1 ELSE -1 END AS cc
+        |  FROM range(0, 16) r(p), range(1, 65) s(i)
+        |), sigv AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)
+        |         AS BIGINT) AS sg
+        |  FROM (SELECT vec_id, p, sum(q * cc) AS proj
+        |        FROM v JOIN c ON v.i = c.i GROUP BY 1, 2)
+        |  GROUP BY vec_id
+        |), bands AS (
+        |  SELECT vec_id, band, (sg >> (band * 4)) & 15 AS bv
+        |  FROM sigv, range(0, 4) r(band)
+        |), cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+        |  FROM bands q JOIN bands n ON q.band = n.band AND q.bv = n.bv
+        |  WHERE q.vec_id % 50 = 0 AND n.vec_id != q.vec_id
+        |), dots AS (
+        |  SELECT query_id, neighbor_id, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+        |  FROM cand
+        |  JOIN v a ON a.vec_id = query_id
+        |  JOIN v b ON b.vec_id = neighbor_id AND b.i = a.i
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY dot DESC, neighbor_id) AS rank
+        |  FROM dots
+        |)
+        |SELECT query_id, rank, neighbor_id, dot FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
   )
 }

@@ -200,6 +200,46 @@ object Corpus {
       .orderBy(col("interleave_key"), col("lang"), col("doc_id"))
   }
 
+  /** Temperature-based multilingual sampling weights (the mBERT/XLM-R
+    * schedule): a language with token share p gets sampling share
+    * p^alpha / Σ p^alpha, here with alpha = 1/2 — upsampling low-resource
+    * languages without flattening the distribution entirely.
+    *
+    * Unlike [[weightedInterleave]]'s fixed weights, these are DERIVED from
+    * the corpus: one tiny aggregation (|languages| rows) computes raw token
+    * shares, the temperature re-weighting is driver-free arithmetic over
+    * that aggregate. Shares are reported in ppm (rounded doubles, 6 dp)
+    * plus the upsample ratio actually applied per language. At 100 TB the
+    * per-language rollup is one map-side-combined shuffle of O(|langs|)
+    * rows; everything after is constant-size.
+    */
+  def temperatureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val toks = size(TextAnalysis.wsTokens(col("text"))).cast("long")
+    val perLang = docs(spark, dir)
+      .select(col("lang"), toks.as("n"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    // Window over |languages| rows (single digits): the unpartitioned
+    // totals are constant-size, not a corpus funnel. p^(1/2) is taken as
+    // floor(sqrt(n_tokens)) — an exact integer in every engine (IEEE sqrt
+    // is correctly rounded), so the normalizing sums are integer-exact and
+    // immune to float-summation-order drift.
+    val all = Window.partitionBy()
+    perLang
+      .withColumn("tot", sum(col("n_tokens")).over(all))
+      .withColumn("sq", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      .withColumn("sqtot", sum(col("sq")).over(all))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") * lit(1000000.0) / col("tot"), 2)
+          .as("raw_ppm"),
+        round(col("sq") * lit(1000000.0) / col("sqtot"), 2)
+          .as("temp_ppm"),
+        round((col("sq").cast("double") / col("sqtot"))
+          / (col("n_tokens").cast("double") / col("tot")), 4)
+          .as("upsample"))
+      .orderBy(col("lang"))
+  }
+
   /** RAG/context-window chunking: split each document into overlapping
     * fixed-size token windows (window `w` tokens, stride `s`) with full
     * provenance — (doc_id, chunk_no, start_token, n_chunk_tokens, text).

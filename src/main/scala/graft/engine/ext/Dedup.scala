@@ -211,6 +211,45 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Partial-duplicate pairs by n-gram CONTAINMENT: shared / min(|A|,|B|).
+    *
+    * Jaccard misses asymmetric duplication — a paragraph quoted inside a
+    * 10× longer page scores |A∩B|/|A∪B| ≈ 0.1 but containment ≈ 1.0. This
+    * is the score LLM-corpus pipelines use to catch quotation/boilerplate
+    * inclusion. Same single-shuffle blocking shape as
+    * [[ngramJaccardPairs]]: shared-shingle buckets (df-capped), local pair
+    * expansion, then two broadcast-size joins against per-doc shingle
+    * counts — never an all-pairs join.
+    */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(documents(spark, dir))
+
+  def containmentPairs(docs: DataFrame, n: Int = 3,
+                       dfCap: Int = 100, minContainPpm: Long = 400000L): DataFrame = {
+    val sh = shingleRows(docs, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+
+    val pairs = sh
+      .groupBy(col("shingle"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, dfCap))
+      .select(explode(localPairs(array_sort(col("ids")))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("shared_rare"))
+
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared_rare"),
+        col("n_a"), col("n_b"),
+        (col("shared_rare") * lit(1000000L) / least(col("n_a"), col("n_b")))
+          .cast("long").as("containment_ppm"))
+      .filter(col("containment_ppm") >= minContainPpm)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ------------------------------------------------------------ SimHash
 
   /** 60-bit SimHash per document from the token multiset: each token

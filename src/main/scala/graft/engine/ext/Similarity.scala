@@ -395,6 +395,67 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** LSH-bucketed top-k retrieval: SRP band buckets generate candidates
+    * (a neighbor must share ≥1 of `bands` signature bands with the query),
+    * then an exact codegen'd inner-product re-rank keeps the top k.
+    *
+    * The hash-bucket alternative to [[ivfTopK]]'s learned cells — no
+    * training pass at all, which is the right trade when the corpus churns
+    * faster than a centroid build. Scale shape: signatures are a pure
+    * projection (nPlanes codegen'd dots per vector, no shuffle); corpus
+    * band rows shuffle ONCE on (band, value); the query side is broadcast.
+    * Candidate count is Σ bucket sizes over the query's bands — bounded by
+    * bucket occupancy, never N·Q. Same output schema as the exact
+    * [[bruteForceTopK]], so recall is measurable by direct diff.
+    */
+  def srpTopK(spark: SparkSession, dir: String, k: Int = 10,
+              queryMod: Int = 50, nPlanes: Int = 16, bands: Int = 4,
+              dims: Int = 64): DataFrame =
+    srpTopK(vectors(spark, dir), k, queryMod, nPlanes, bands, dims)
+
+  def srpTopK(vs: DataFrame, k: Int, queryMod: Int, nPlanes: Int,
+              bands: Int, dims: Int): DataFrame = {
+    require(nPlanes % bands == 0)
+    val bitsPerBand = nPlanes / bands
+    val mask = (1L << bitsPerBand) - 1
+    val planeArrays = (0 until nPlanes).map(p =>
+      array((1 to dims).map(i => lit(Dedup.srpCoefficient(p, i))): _*))
+    val sigCol = (0 until nPlanes).map { p =>
+      when(qdot(col("q"), planeArrays(p)) > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+    val sig = vs.select(col("vec_id"), col("q")).withColumn("sig", sigCol)
+
+    def bandRows(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("vec_id"), col("band"),
+        expr(s"shiftright(sig, cast(band as int) * $bitsPerBand)")
+          .bitwiseAND(lit(mask)).as("band_val"))
+
+    val corpusBands = bandRows(sig)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val queryBands = bandRows(sig.filter(col("vec_id") % queryMod === 0))
+      .withColumnRenamed("vec_id", "query_id")
+
+    val cand = corpusBands.join(broadcast(queryBands), Seq("band", "band_val"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+
+    val queries = sig.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("dot"), col("neighbor_id"))
+    cand
+      .join(vs.select(col("vec_id").as("neighbor_id"), col("q")), "neighbor_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        qdot(col("qq"), col("q")).as("dot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def labelCentroidSim(spark: SparkSession, dir: String): DataFrame =
     labelCentroidSim(vectors(spark, dir))
 

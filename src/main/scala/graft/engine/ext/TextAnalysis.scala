@@ -302,6 +302,34 @@ object TextAnalysis {
         PhonePattern, "[PHONE]").as("redacted"))
   }
 
+  /** Corpus-level vocabulary: the top-k terms by total occurrence count,
+    * with document frequency and a dense 1-based rank. The first artifact
+    * any tokenizer-training or stopword-inference pass needs.
+    *
+    * Two-phase shape: explode → hash-aggregate (partial map-side combine,
+    * one shuffle on term) → `orderBy.limit(k)`, which Spark plans as
+    * TakeOrderedAndProject — every task keeps a local k-heap and the
+    * driver merges V·k rows, never the vocabulary. The rank window runs
+    * AFTER the limit, over k rows, so the unpartitioned window is a
+    * constant-size driver-side step, not a corpus funnel.
+    */
+  def vocab(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    vocab(spark.read.parquet(s"$dir/documents.parquet"), k)
+
+  def vocab(docs: DataFrame, k: Int): DataFrame = {
+    val terms = docs.select(col("doc_id"),
+      explode(wsTokens(lower(col("text")))).as("term"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("tf"), col("term"))
+    terms.groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(desc("tf"), col("term"))
+      .limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("term"), col("tf"), col("df"))
+      .orderBy(col("rank"))
+  }
+
   def keywords(docs: DataFrame, k: Int): DataFrame = {
     val terms = docs.select(col("doc_id"),
       explode(wsTokens(lower(col("text")))).as("term"))

@@ -90,6 +90,38 @@ object EventStream {
       }
   }
 
+  /** Stream-stream INTERVAL join: attribute each purchase to every view
+    * by the same user in the preceding `horizon` — the ad-attribution /
+    * feature-join shape that needs two live streams, not a static dim.
+    *
+    * Both sides carry watermarks and the join predicate bounds view_time
+    * to [purchase_time − horizon, purchase_time], so Spark derives a
+    * finite state-retention window per side and evicts join state as the
+    * watermark advances — without the time bound the join state would
+    * grow forever at 100 TB/day. One shuffle per side on user_id;
+    * append-mode output. Last-touch selection (max view per purchase) is
+    * a chained stateful agg downstream when needed; this operator emits
+    * the full in-horizon pair set.
+    *
+    * Inputs: views(user_id, event_time), purchases(user_id, event_time,
+    * value) — any extra columns pass through the purchase side.
+    */
+  def attributedPurchases(views: DataFrame, purchases: DataFrame,
+                          horizon: String = "1 hour",
+                          watermarkDelay: String = "10 minutes"): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user"), col("event_time").as("view_time"))
+      .withWatermark("view_time", watermarkDelay)
+    val p = purchases
+      .withColumnRenamed("event_time", "purchase_time")
+      .withWatermark("purchase_time", watermarkDelay)
+    p.join(v,
+        col("user_id") === col("v_user") &&
+          col("view_time") <= col("purchase_time") &&
+          col("view_time") >= col("purchase_time") - expr(s"interval $horizon"))
+      .drop("v_user")
+  }
+
   /** Custom per-key state via mapGroupsWithState: a running per-user
     * profile (event count, value sum in cents, last-seen micros) updated
     * every micro-batch — the KeyValueGroupedDataset stateful surface for

@@ -92,6 +92,20 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("temperatureWeights upsamples low-resource languages, shares sum to 1e6") {
+    val w = Corpus.temperatureWeights(spark, sf).collect()
+    assert(w.length >= 2)
+    val rawBySz = w.sortBy(_.getAs[Long]("n_tokens"))
+    // sqrt-temperature: the smallest language's share RISES vs raw, the
+    // largest language's share FALLS
+    assert(rawBySz.head.getAs[Double]("upsample") > 1.0, rawBySz.head.toString)
+    assert(rawBySz.last.getAs[Double]("upsample") < 1.0, rawBySz.last.toString)
+    // both share columns are (rounded) distributions over the corpus
+    def tot(c: String) = w.map(_.getAs[Double](c)).sum
+    assert(math.abs(tot("raw_ppm") - 1e6) < 1.0, tot("raw_ppm").toString)
+    assert(math.abs(tot("temp_ppm") - 1e6) < 1.0, tot("temp_ppm").toString)
+  }
+
   test("chunks: overlapping windows cover every token with correct provenance") {
     import spark.implicits._
     val words56 = (1 to 56).map(i => s"w$i").mkString(" ")

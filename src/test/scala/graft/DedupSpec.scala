@@ -172,6 +172,30 @@ class DedupSpec extends SparkTestBase {
     assert(dots.sameElements(dots.sortBy(-_)))
   }
 
+  test("containment catches a quoted subset that Jaccard misses") {
+    // doc 2 quotes doc 1 verbatim inside 4× more surrounding text:
+    // Jaccard ≈ 1/4 (under the 0.5 a dup filter would use), containment ≈ 1
+    val quote = (1 to 8).map(i => s"quoted$i").mkString(" ")
+    val filler = (1 to 24).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote),
+      (2L, s"$filler $quote"),
+      (3L, "unrelated words entirely different content here"),
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, n = 3, dfCap = 100,
+      minContainPpm = 900000L).collect()
+    assert(cont.length === 1)
+    assert(cont(0).getAs[Long]("doc_a") === 1L)
+    assert(cont(0).getAs[Long]("doc_b") === 2L)
+    assert(cont(0).getAs[Long]("containment_ppm") === 1000000L)
+    // the same pair is BELOW a 50% Jaccard gate — the asymmetry is real
+    val jac = Dedup.ngramJaccardPairs(docs, n = 3, dfCap = 100,
+      minJaccardPpm = 0L).collect()
+      .filter(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(jac.length === 1)
+    assert(jac(0).getAs[Long]("jaccard_ppm") < 500000L)
+  }
+
   test("incremental dedup classifies batch docs against a corpus snapshot") {
     import spark.implicits._
     def docs(rows: (Long, String)*) =

@@ -77,6 +77,25 @@ class PlanSpec extends SparkTestBase {
       ret.take(800))
   }
 
+  test("round-6 additions keep their scale shapes") {
+    import graft.engine.ext.TextAnalysis
+    import graft.engine.ingest.Layout
+    import org.apache.spark.sql.functions.col
+    // vocab: corpus top-k plans as TakeOrderedAndProject (per-task heaps),
+    // never a global sort of the vocabulary
+    val v = plan(TextAnalysis.vocab(spark, dir, 100))
+    assert(v.contains("TakeOrderedAndProject"), v.take(600))
+    // zorder write layout: a range partition on the interleaved key
+    val z = plan(Layout.zorder(
+      spark.read.parquet(s"$dir/lineitem.parquet"),
+      col("l_partkey"), col("l_suppkey"), 8))
+    assert(z.contains("Exchange rangepartitioning"), z.take(600))
+    // zorderStats: exactly one hash exchange (the bucket rollup)
+    val zs = plan(Layout.zorderStats(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(zs).length === 1,
+      zs.take(800))
+  }
+
   test("no cartesian/broadcast-NL joins outside the two documented sites") {
     // ann_bruteforce (vec_id =!= query_id vs broadcast queries) and
     // ann_label_centroids (label < label) are deliberate inequality

@@ -252,6 +252,39 @@ class StreamingSpec extends SparkTestBase {
     assert(d.count() === 2L)
   }
 
+  test("stream-stream interval join attributes purchases to in-horizon views") {
+    import graft.engine.streaming.EventStream
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[EventStream.UserEvent]
+    val purchases = MemoryStream[EventStream.UserEvent]
+    val joined = EventStream.attributedPurchases(
+      views.toDF(), purchases.toDF(), horizon = "1 hour")
+    val q = joined.writeStream.format("memory")
+      .queryName("stream_attr").outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // user 1: two views inside the horizon, one stale view outside it;
+      // user 2: a view but no purchase — must emit nothing.
+      views.addData(
+        EventStream.UserEvent(1L, ts("2023-10-25 08:00:00"), 0.0), // stale
+        EventStream.UserEvent(1L, ts("2023-10-25 09:30:00"), 0.0),
+        EventStream.UserEvent(2L, ts("2023-10-25 09:40:00"), 0.0))
+      purchases.addData(
+        EventStream.UserEvent(1L, ts("2023-10-25 10:00:00"), 9.99))
+      q.processAllAvailable()
+      views.addData(
+        EventStream.UserEvent(1L, ts("2023-10-25 09:50:00"), 0.0)) // late view, still in horizon
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT user_id, view_time FROM stream_attr
+          |ORDER BY view_time""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString))
+      assert(rows.toSeq === Seq(
+        (1L, "2023-10-25 09:30:00.0"),
+        (1L, "2023-10-25 09:50:00.0")))
+    } finally q.stop()
+  }
+
   test("windowed error rollup over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]

@@ -53,6 +53,19 @@ class TextSignalsSpec extends SparkTestBase {
     assert(perWord(1) === perWord.max)
   }
 
+  test("vocab: corpus top-k by total count with document frequency") {
+    val d = docs(
+      1L -> "apple apple banana",
+      2L -> "apple cherry",
+      3L -> "banana apple")
+    val v = TextAnalysis.vocab(d, k = 2).collect()
+    // apple: tf 4 df 3; banana: tf 2 df 2; cherry cut by k
+    assert(v.map(_.getAs[String]("term")).toSeq === Seq("apple", "banana"))
+    assert(v.map(_.getAs[Long]("tf")).toSeq === Seq(4L, 2L))
+    assert(v.map(_.getAs[Long]("df")).toSeq === Seq(3L, 2L))
+    assert(v.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L))
+  }
+
   test("piiRedact: emails and phones are gone, counts reconcile") {
     val cust = Seq((7L, "Customer#000000007", 3, 100.0, "BUILDING"))
       .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
