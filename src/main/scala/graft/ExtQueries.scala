@@ -112,6 +112,12 @@ object ExtQueries {
     "layout_zorder" -> ((s, dir) =>
       graft.engine.ingest.Layout.zorderStats(s, dir)),
     "ann_srp_topk" -> ((s, dir) => Similarity.srpTopK(s, dir)),
+    "dedup_source_stats" -> ((s, dir) => Dedup.dupStats(s, dir)),
+    "mm_frame_samples" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.frameSamples(s, dir).toDF()
+        .orderBy(col("doc_id"), col("frame_no"))
+    }),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1273,5 +1279,22 @@ object ExtQueries {
         |)
         |SELECT query_id, rank, neighbor_id, dot FROM r
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
+    "dedup_source_stats" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |  count(DISTINCT text)::BIGINT AS n_distinct,
+        |  (count(*) - count(DISTINCT text))::BIGINT AS n_dup_rows,
+        |  ((count(*) - count(DISTINCT text)) * 1000000 // count(*))::BIGINT
+        |    AS dup_ppm
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "mm_frame_samples" -> (media +
+      """SELECT doc_id, format, f::INT AS frame_no,
+        |  least((f * n_bytes) // n_frames, n_bytes - 1)::BIGINT AS frame_off,
+        |  ascii(substring(text,
+        |    least((f * n_bytes) // n_frames, n_bytes - 1)::INT + 1, 1))::INT
+        |    AS frame_byte
+        |FROM m, range(0, 8) t(f) WHERE f < n_frames
+        |ORDER BY doc_id, frame_no""".stripMargin),
   )
 }

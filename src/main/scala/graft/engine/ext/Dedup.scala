@@ -211,6 +211,30 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Per-source duplication-rate rollup: the audit table a curation run
+    * publishes after dedup — how much of each ingest source is redundant.
+    *
+    * Distinctness is counted over the sha2-256 content hash, not the text:
+    * the count is identical (collisions are negligible by construction)
+    * but the distinct-aggregation shuffle carries 32-byte hashes instead
+    * of document bodies — the difference between shuffling 100 TB and
+    * shuffling ~tens of GB. Two-phase distinct aggregate, one shuffle.
+    */
+  def dupStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), sha2(col("text"), 256).as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_distinct"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        (col("n_docs") - col("n_distinct")).as("n_dup_rows"),
+        ((col("n_docs") - col("n_distinct")) * lit(1000000L) / col("n_docs"))
+          .cast("long").as("dup_ppm"))
+      .orderBy(col("source"))
+
+  def dupStats(spark: SparkSession, dir: String): DataFrame =
+    dupStats(documents(spark, dir))
+
   /** Partial-duplicate pairs by n-gram CONTAINMENT: shared / min(|A|,|B|).
     *
     * Jaccard misses asymmetric duplication — a paragraph quoted inside a

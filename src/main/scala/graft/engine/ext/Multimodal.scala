@@ -125,6 +125,39 @@ object Multimodal {
       }
   }
 
+  final case class FrameRow(doc_id: Long, format: String, frame_no: Int,
+                            frame_off: Long, frame_byte: Int)
+
+  /** Frame-sampling stage: one output row PER SAMPLED FRAME with full
+    * provenance (frame number, byte offset, sampled value) — the
+    * video/audio analog of [[Corpus.chunks]], feeding per-frame encoders
+    * downstream. Same batched mapPartitions shape as [[decodeFeatures]]
+    * (a real pipeline swaps the stride sample for a demuxer seek+decode
+    * and keeps the surrounding plumbing); output fans out ≤ nFrames rows
+    * per item, linear in media volume, no shuffle beyond the load-spread
+    * repartition.
+    */
+  def frameSamples(spark: SparkSession, dir: String,
+                   batchSize: Int = 32): Dataset[FrameRow] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRecord]
+      .repartition(col("doc_id"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { r =>
+            (0 until r.meta.nFrames).iterator.map { f =>
+              val off =
+                if (r.media.isEmpty) 0L
+                else math.min(f.toLong * r.media.length / r.meta.nFrames,
+                  r.media.length - 1L)
+              FrameRow(r.doc_id, r.meta.format, f, off,
+                FakeCodec.frameSample(r.media, f, r.meta.nFrames))
+            }
+          }
+        }
+      }
+  }
+
   /** Rollup per format — the sanity aggregation a curation job runs after
     * feature extraction.
     */

@@ -62,6 +62,17 @@ class ApproxInvariantsSpec extends SparkTestBase {
         s"query $q (cluster ${q % 4}) got cross-cluster neighbors " +
           neighbors.filter(_ % 4 != q % 4))
     }
+
+    // SRP-LSH buckets: cluster-mates project to near-identical signatures
+    // (the cluster axes dominate every hyperplane dot), so band candidates
+    // recover the true neighbor set without any trained structure.
+    val srp = topSet(Similarity.srpTopK(spark, dir, k = 5, queryMod = 10,
+      nPlanes = 16, bands = 4, dims = 64))
+    val srpRecalls = brute.map { case (q, b) =>
+      srp.get(q).map(i => (i & b).size.toDouble / b.size).getOrElse(0.0)
+    }
+    val meanSrp = srpRecalls.sum / srpRecalls.size
+    assert(meanSrp >= 0.8, s"SRP mean recall $meanSrp too low")
   }
 
   test("sketch rollup: approx distinct within 5% of exact, percentiles ordered") {

@@ -46,6 +46,27 @@ class LayoutSpec extends SparkTestBase {
       Set("l_orderkey", "l_quantity"), scan.requiredSchema.treeString)
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    spark.read.parquet(s"$sf/documents.parquet")
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    // dim carries the selective filter; the fact is only joined on the
+    // partition column — pruning must come from the join at RUNTIME.
+    // The dim must be a real relation (parquet, not a LocalRelation): a
+    // local table constant-folds the filter away and the pruning rule
+    // sees no selective predicate to propagate.
+    val dimPath = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString
+    Seq(("en", "keep"), ("de", "drop"), ("fr", "drop"))
+      .toDF("lang", "verdict").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("verdict") === "keep")
+    val q = spark.read.parquet(out).join(dim, "lang")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no DynamicPruningExpression in the fact scan:\n${plan.take(1200)}")
+    assert(q.count() > 0)
+  }
+
   test("zValue interleaves bits exactly (Morton order)") {
     import graft.engine.ingest.Layout
     import spark.implicits._
