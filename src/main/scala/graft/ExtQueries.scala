@@ -113,6 +113,7 @@ object ExtQueries {
       graft.engine.ingest.Layout.zorderStats(s, dir)),
     "ann_srp_topk" -> ((s, dir) => Similarity.srpTopK(s, dir)),
     "dedup_source_stats" -> ((s, dir) => Dedup.dupStats(s, dir)),
+    "corpus_quota_sample" -> ((s, dir) => Corpus.quotaSample(s, dir)),
     "mm_frame_samples" -> ((s, dir) => {
       import s.implicits._
       Multimodal.frameSamples(s, dir).toDF()
@@ -1287,6 +1288,28 @@ object ExtQueries {
         |  ((count(*) - count(DISTINCT text)) * 1000000 // count(*))::BIGINT
         |    AS dup_ppm
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "corpus_quota_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |                    x -> x != ''))::BIGINT AS n_tokens,
+        |    sha256(text) AS h
+        |  FROM documents
+        |), c AS (
+        |  SELECT lang, sum(n_tokens) AS cell_tokens FROM d GROUP BY lang
+        |), q AS (
+        |  SELECT lang,
+        |    ((20000 * cell_tokens) // sum(cell_tokens) OVER ())::BIGINT AS quota
+        |  FROM c
+        |), cum AS (
+        |  SELECT d.doc_id, d.lang, d.n_tokens, q.quota,
+        |    sum(n_tokens) OVER (PARTITION BY d.lang ORDER BY h, doc_id
+        |                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+        |  FROM d JOIN q ON d.lang = q.lang
+        |)
+        |SELECT doc_id, lang, n_tokens, cum_tokens, quota FROM cum
+        |WHERE cum_tokens <= quota ORDER BY doc_id""".stripMargin,
 
     "mm_frame_samples" -> (media +
       """SELECT doc_id, format, f::INT AS frame_no,

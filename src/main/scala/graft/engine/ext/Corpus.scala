@@ -240,6 +240,43 @@ object Corpus {
       .orderBy(col("lang"))
   }
 
+  /** Token budget the quota sampler fills (total across languages). */
+  val QuotaBudget = 20000L
+
+  /** Budget-quota sampling: fill a fixed total token budget with documents,
+    * allocating each language a quota proportional to its token share and
+    * filling each quota greedily in content-hash order — "give me a 10 B
+    * token mix with today's language proportions" as one deterministic
+    * query. Only documents that fit their cell's remaining quota entirely
+    * are kept (no partial documents).
+    *
+    * Scale shape: the per-language totals are one map-side-combined
+    * aggregation (|langs| rows, broadcast back); selection is one window
+    * cumsum per language — the same per-cell sequential scan as
+    * [[packSequences]], with the cell axis as the parallelism knob. Hash
+    * order makes the fill unbiased and stable under re-partitioning.
+    */
+  def quotaSample(spark: SparkSession, dir: String,
+                  budget: Long = QuotaBudget): DataFrame = {
+    val toks = size(TextAnalysis.wsTokens(col("text"))).cast("long")
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), toks.as("n_tokens"),
+        sha2(col("text"), 256).as("h"))
+    val cells = d.groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("cell_tokens"))
+      .withColumn("total", sum(col("cell_tokens")).over(Window.partitionBy()))
+      .select(col("lang"),
+        (lit(budget) * col("cell_tokens") / col("total")).cast("long")
+          .as("quota"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    d.join(broadcast(cells), "lang")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("cum_tokens"), col("quota"))
+      .orderBy(col("doc_id"))
+  }
+
   /** RAG/context-window chunking: split each document into overlapping
     * fixed-size token windows (window `w` tokens, stride `s`) with full
     * provenance — (doc_id, chunk_no, start_token, n_chunk_tokens, text).
