@@ -1,8 +1,9 @@
 package graft.engine.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming event-pipeline operators: native session windows and a
   * custom-state aggregation — the Structured Streaming face of
@@ -120,6 +121,50 @@ object EventStream {
           col("view_time") <= col("purchase_time") &&
           col("view_time") >= col("purchase_time") - expr(s"interval $horizon"))
       .drop("v_user")
+  }
+
+  /** [[userProfiles]] on the transformWithState API (Spark 4): typed
+    * state variables from a handle instead of one opaque state object.
+    * What the new surface buys at scale: per-variable TTL (`ttl` here —
+    * idle users' state expires without hand-rolled timeout plumbing,
+    * the state-growth answer for a 100 TB/day keyspace), multiple
+    * independent state vars per key, and timers — on the RocksDB state
+    * store (the provider transformWithState requires).
+    */
+  class ProfileProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, UserEvent, UserSnapshot] {
+    @transient private var profile: ValueState[UserProfile] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      profile = getHandle.getValueState[UserProfile]("profile",
+        Encoders.product[UserProfile], ttl)
+
+    override def handleInputRows(uid: Long, rows: Iterator[UserEvent],
+                                 tv: TimerValues): Iterator[UserSnapshot] = {
+      val prev =
+        if (profile.exists()) profile.get()
+        else UserProfile(0L, 0L, Long.MinValue)
+      var n = prev.n_events
+      var sum = prev.sum_value_c
+      var last = prev.last_seen_us
+      rows.foreach { e =>
+        n += 1
+        sum += math.floor(e.value * 100).toLong
+        last = math.max(last, e.event_time.getTime * 1000L)
+      }
+      val next = UserProfile(n, sum, last)
+      profile.update(next)
+      Iterator.single(UserSnapshot(uid, n, sum, last))
+    }
+  }
+
+  def userProfilesTws(events: Dataset[UserEvent],
+                      ttl: TTLConfig = TTLConfig.NONE): Dataset[UserSnapshot] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new ProfileProcessor(ttl),
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Custom per-key state via mapGroupsWithState: a running per-user

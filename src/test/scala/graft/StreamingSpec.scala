@@ -110,6 +110,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("transformWithState accumulates the same profiles on the RocksDB store") {
+    import graft.engine.streaming.EventStream
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[EventStream.UserEvent]
+    val q = EventStream.userProfilesTws(mem.toDS())
+      .writeStream.format("memory").queryName("tws_profiles")
+      .outputMode("update").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData(EventStream.UserEvent(7L, ts("2023-10-25 10:00:00"), 1.0))
+      q.processAllAvailable()
+      mem.addData(EventStream.UserEvent(7L, ts("2023-10-25 10:01:00"), 2.0))
+      q.processAllAvailable()
+      val last = spark.sql(
+        """SELECT n_events, sum_value_c FROM tws_profiles
+          |ORDER BY n_events DESC LIMIT 1""".stripMargin).head()
+      assert(last.getLong(0) === 2L)
+      assert(last.getLong(1) === 300L)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming funnel advances ordered steps across micro-batches") {
     import graft.engine.streaming.EventStream
     implicit val sqlCtx = spark.sqlContext
