@@ -134,20 +134,34 @@ object Corpus {
                     minShared: Long = 2L): DataFrame = {
     val sh = Dedup.shingleRows(
       docs(spark, dir).select(col("doc_id"), col("text")), n)
-    val isBench = col("doc_id") % benchMod === 0
-    val rare = sh.join(
-      sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select(col("shingle")),
-      "shingle")
-    val bench = rare.filter(isBench)
-      .select(col("shingle"), col("doc_id").as("bench_doc"))
-    val train = rare.filter(!isBench)
-      .select(col("shingle"), col("doc_id").as("train_doc"))
-    val benchN = sh.filter(isBench)
-      .groupBy(col("doc_id").as("bench_doc"))
+    // ONE shuffle materializes every shingle's doc list; the shingle
+    // explode (tokenize + n-gram build over the whole corpus) is
+    // evaluated exactly once. The earlier shape self-joined sh against
+    // its own df rollup and re-joined bench×train on the shingle string
+    // — three evaluations of the explode and two shuffles of shingle
+    // STRINGS; this one shuffles them once and everything downstream
+    // carries only BIGINT doc ids.
+    val buckets = sh.groupBy(col("shingle"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+    // uncapped per-bench-doc shingle counts (the ppm denominator),
+    // recovered from the buckets: ids-only rows, map-side combined
+    val benchN = buckets
+      .select(explode(col("ids")).as("doc_id"))
+      .filter(col("doc_id") % benchMod === 0)
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("bench_n"))
-    bench.join(train, "shingle")
-      .groupBy(col("bench_doc"), col("train_doc"))
+      .select(col("doc_id").as("bench_doc"), col("bench_n"))
+    // df-capped buckets emit bench×train pairs LOCALLY (bounded by cap²
+    // per bucket), like Dedup.localPairs — never a shingle equi-join
+    val benchIds = filter(col("ids"), x => x % benchMod === 0)
+    val trainIds = filter(col("ids"), x => x % benchMod =!= 0)
+    buckets
+      .filter(size(col("ids")).between(2, maxDf))
+      .select(explode(flatten(transform(benchIds, b =>
+        transform(trainIds, t =>
+          struct(b.as("bench_doc"), t.as("train_doc")))))).as("p"))
+      .groupBy(col("p.bench_doc").as("bench_doc"),
+        col("p.train_doc").as("train_doc"))
       .agg(count(lit(1)).as("n_shared")) // shingle rows are per-doc distinct
       .filter(col("n_shared") >= minShared)
       .join(benchN, "bench_doc")
