@@ -114,6 +114,7 @@ object ExtQueries {
     "ann_srp_topk" -> ((s, dir) => Similarity.srpTopK(s, dir)),
     "dedup_source_stats" -> ((s, dir) => Dedup.dupStats(s, dir)),
     "corpus_quota_sample" -> ((s, dir) => Corpus.quotaSample(s, dir)),
+    "corpus_pipeline" -> ((s, dir) => Corpus.pipeline(s, dir)),
     "mm_frame_samples" -> ((s, dir) => {
       import s.implicits._
       Multimodal.frameSamples(s, dir).toDF()
@@ -1310,6 +1311,59 @@ object ExtQueries {
         |)
         |SELECT doc_id, lang, n_tokens, cum_tokens, quota FROM cum
         |WHERE cum_tokens <= quota ORDER BY doc_id""".stripMargin,
+
+    "corpus_pipeline" -> (shingles3 +
+      """, shx AS (
+        |  SELECT doc_id, unnest(sh) AS shingle FROM sh
+        |), dfc AS (
+        |  SELECT shingle FROM shx GROUP BY shingle HAVING count(*) <= 100
+        |), rare AS (
+        |  SELECT shx.doc_id, shx.shingle FROM shx JOIN dfc USING (shingle)
+        |), flagged AS (
+        |  SELECT DISTINCT t.doc_id
+        |  FROM rare b JOIN rare t USING (shingle)
+        |  WHERE b.doc_id % 17 = 0 AND t.doc_id % 17 != 0
+        |  GROUP BY b.doc_id, t.doc_id HAVING count(*) >= 2
+        |), q AS (
+        |  SELECT doc_id, lang, source, text,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |                    x -> x != ''))::BIGINT AS n_tokens,
+        |    (len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000000
+        |      // greatest(length(text), 1))::BIGINT AS punct_ppm,
+        |    regexp_matches(rtrim(text), '[.!?。！？]$') AS terminal
+        |  FROM documents
+        |), qr AS (
+        |  SELECT *,
+        |    CASE WHEN n_tokens < 5 THEN 'too_short'
+        |         WHEN punct_ppm > 300000 THEN 'too_much_punct'
+        |         WHEN NOT terminal THEN 'no_terminal_punct' END AS qreason,
+        |    doc_id % 17 = 0 AS is_bench,
+        |    (('0x' || substr(sha256(text), 1, 8))::UBIGINT % 100)::BIGINT AS bucket
+        |  FROM q
+        |), canon AS (
+        |  SELECT *,
+        |    min(CASE WHEN qreason IS NULL AND NOT is_bench THEN doc_id END)
+        |      OVER (PARTITION BY text) AS canonical,
+        |    doc_id IN (SELECT doc_id FROM flagged) AS contaminated
+        |  FROM qr
+        |)
+        |SELECT doc_id, lang, source,
+        |  CASE WHEN is_bench THEN 'holdout'
+        |       WHEN qreason IS NOT NULL THEN 'dropped'
+        |       WHEN doc_id != canonical THEN 'dropped'
+        |       WHEN contaminated THEN 'dropped'
+        |       ELSE 'kept' END AS status,
+        |  CASE WHEN is_bench THEN ''
+        |       WHEN qreason IS NOT NULL THEN qreason
+        |       WHEN doc_id != canonical THEN 'duplicate'
+        |       WHEN contaminated THEN 'contaminated'
+        |       ELSE '' END AS reason,
+        |  CASE WHEN is_bench OR qreason IS NOT NULL
+        |         OR doc_id != canonical OR contaminated THEN ''
+        |       WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM canon ORDER BY doc_id""".stripMargin),
 
     "mm_frame_samples" -> (media +
       """SELECT doc_id, format, f::INT AS frame_no,

@@ -254,6 +254,56 @@ object Corpus {
       .orderBy(col("lang"))
   }
 
+  /** The whole corpus build as ONE composed query: every document gets a
+    * final disposition — `holdout` (benchmark side), `dropped` with the
+    * first failing stage as its reason (`too_short`/`too_much_punct`/
+    * `no_terminal_punct` → `duplicate` → `contaminated`), or `kept` with
+    * its train/val/test split. The audit table a data-governance review
+    * asks for: one row per document, one verdict, one reason.
+    *
+    * Stage semantics: exact-dedup canonicals are chosen among
+    * quality-kept train documents (later stages never resurrect a doc an
+    * earlier stage dropped); the contamination flag is the same set
+    * [[decontaminated]] removes. Catalyst sees the whole thing as one
+    * plan — the scan is shared, the quality gate is a projection, dedup
+    * is one window, contamination is the bucket-join — so composing
+    * stages adds no extra passes over the corpus.
+    */
+  def pipeline(spark: SparkSession, dir: String, benchMod: Int = 17,
+               n: Int = 3, maxDf: Int = 100, minShared: Long = 2L): DataFrame = {
+    val d = docs(spark, dir)
+    val flagged = contamination(spark, dir, benchMod, n, maxDf, minShared)
+      .select(col("train_doc").as("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    val stage = qualityClean(d)
+      .join(d.select(col("doc_id"), col("text")), "doc_id")
+      .withColumn("is_bench", col("doc_id") % benchMod === 0)
+      .withColumn("bucket", hashBucket(col("text")) % 100)
+    val w = Window.partitionBy(col("text"))
+    stage
+      .withColumn("canonical",
+        min(when(col("keep") && !col("is_bench"), col("doc_id"))).over(w))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(col("is_bench"), "holdout")
+          .when(!col("keep"), "dropped")
+          .when(col("doc_id") =!= col("canonical"), "dropped")
+          .when(col("contaminated").isNotNull, "dropped")
+          .otherwise("kept").as("status"),
+        when(col("is_bench"), "")
+          .when(!col("keep"), col("reason"))
+          .when(col("doc_id") =!= col("canonical"), lit("duplicate"))
+          .when(col("contaminated").isNotNull, lit("contaminated"))
+          .otherwise(lit("")).as("reason"),
+        when(col("is_bench") || !col("keep")
+            || col("doc_id") =!= col("canonical")
+            || col("contaminated").isNotNull, "")
+          .when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token budget the quota sampler fills (total across languages). */
   val QuotaBudget = 20000L
 

@@ -96,6 +96,35 @@ class PlanSpec extends SparkTestBase {
       zs.take(800))
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // At 100 TB a fact-fact shuffle join with a selective dim-side filter
+    // should not shuffle the unfiltered probe side in full: Spark's
+    // runtime row-level filtering builds a bloom filter from the filtered
+    // side and semi-prunes the probe side BEFORE its shuffle. Thresholds
+    // are size-based (meant for TB-scale sides), so pin them for the
+    // sf0.001 fixture — the assertion is the plan shape, not the sizes.
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions.col
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_totalprice") > 500000.0) // selective creation side
+      val p = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter on the probe side:\n${p.take(1200)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("no cartesian/broadcast-NL joins outside the two documented sites") {
     // ann_bruteforce (vec_id =!= query_id vs broadcast queries) and
     // ann_label_centroids (label < label) are deliberate inequality
