@@ -115,6 +115,7 @@ object ExtQueries {
     "dedup_source_stats" -> ((s, dir) => Dedup.dupStats(s, dir)),
     "corpus_quota_sample" -> ((s, dir) => Corpus.quotaSample(s, dir)),
     "corpus_pipeline" -> ((s, dir) => Corpus.pipeline(s, dir)),
+    "ann_srp_recall" -> ((s, dir) => Similarity.srpRecall(s, dir)),
     "mm_frame_samples" -> ((s, dir) => {
       import s.implicits._
       Multimodal.frameSamples(s, dir).toDF()
@@ -1281,6 +1282,63 @@ object ExtQueries {
         |)
         |SELECT query_id, rank, neighbor_id, dot FROM r
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
+    "ann_srp_recall" -> (quantized +
+      """, d AS (
+        |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+        |    CAST(sum(q.q * v.q) AS BIGINT) AS dot
+        |  FROM v q JOIN v ON q.i = v.i AND q.vec_id % 50 = 0
+        |                 AND v.vec_id != q.vec_id
+        |  GROUP BY 1, 2
+        |), br AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY dot DESC, neighbor_id) AS rnk
+        |  FROM d
+        |), brute AS (
+        |  SELECT query_id, neighbor_id FROM br WHERE rnk <= 10
+        |), c AS (
+        |  SELECT p, i,
+        |    CASE WHEN ('0x' || substring(md5(p || '_' || i), 1, 1))::INT % 2 = 1
+        |         THEN 1 ELSE -1 END AS cc
+        |  FROM range(0, 16) r(p), range(1, 65) s(i)
+        |), sigv AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)
+        |         AS BIGINT) AS sg
+        |  FROM (SELECT vec_id, p, sum(q * cc) AS proj
+        |        FROM v JOIN c ON v.i = c.i GROUP BY 1, 2)
+        |  GROUP BY vec_id
+        |), bands AS (
+        |  SELECT vec_id, band, (sg >> (band * 4)) & 15 AS bv
+        |  FROM sigv, range(0, 4) r(band)
+        |), cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+        |  FROM bands q JOIN bands n ON q.band = n.band AND q.bv = n.bv
+        |  WHERE q.vec_id % 50 = 0 AND n.vec_id != q.vec_id
+        |), sdots AS (
+        |  SELECT query_id, neighbor_id, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+        |  FROM cand
+        |  JOIN v a ON a.vec_id = query_id
+        |  JOIN v b ON b.vec_id = neighbor_id AND b.i = a.i
+        |  GROUP BY 1, 2
+        |), sr AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY dot DESC, neighbor_id) AS rnk
+        |  FROM sdots
+        |), srp AS (
+        |  SELECT query_id, neighbor_id FROM sr WHERE rnk <= 10
+        |), ov AS (
+        |  SELECT query_id, count(*)::BIGINT AS n_overlap
+        |  FROM brute JOIN srp USING (query_id, neighbor_id) GROUP BY query_id
+        |), tru AS (
+        |  SELECT query_id, count(*)::BIGINT AS n_true FROM brute GROUP BY query_id
+        |)
+        |SELECT t.query_id, coalesce(o.n_overlap, 0)::BIGINT AS n_overlap,
+        |  t.n_true,
+        |  (coalesce(o.n_overlap, 0) * 1000000 // t.n_true)::BIGINT AS recall_ppm
+        |FROM tru t LEFT JOIN ov o USING (query_id)
+        |ORDER BY t.query_id""".stripMargin),
 
     "dedup_source_stats" ->
       """SELECT source, count(*)::BIGINT AS n_docs,

@@ -456,6 +456,32 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** In-engine index QA: recall@k of the SRP-LSH index against the exact
+    * brute-force baseline, per query — the acceptance gate an embedding
+    * pipeline runs before swapping an index into production. Both sides
+    * are the engine's own operators; the overlap join is per-(query,
+    * neighbor) — k·|queries| rows, trivial at any corpus size (the cost
+    * lives in the two retrieval passes, not the comparison).
+    */
+  def srpRecall(spark: SparkSession, dir: String, k: Int = 10,
+                queryMod: Int = 50): DataFrame = {
+    val vs = vectors(spark, dir)
+    val brute = bruteForceTopK(vs, k, queryMod)
+      .select(col("query_id"), col("neighbor_id"))
+    val srp = srpTopK(vs, k, queryMod, nPlanes = 16, bands = 4, dims = 64)
+      .select(col("query_id"), col("neighbor_id"))
+    val overlap = brute.join(srp, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+    brute.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        col("n_true"),
+        (coalesce(col("n_overlap"), lit(0L)) * lit(1000000L) / col("n_true"))
+          .cast("long").as("recall_ppm"))
+      .orderBy(col("query_id"))
+  }
+
   def labelCentroidSim(spark: SparkSession, dir: String): DataFrame =
     labelCentroidSim(vectors(spark, dir))
 

@@ -125,6 +125,42 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // The salted rollup is the hand-built skew answer; this proves the
+    // engine-level one: AQE detects an oversized shuffle partition during
+    // execution and splits it (skew=true in the FINAL adaptive plan), so
+    // one hot key cannot stall a 1000-executor join. Thresholds are
+    // tuned for MB-scale fixtures — production defaults are the same
+    // mechanism at 256 MB.
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions.{col, when, lit, concat}
+      // key 0 carries 55k of 60k rows; the 5k tail ids miss the right side
+      val left = spark.range(60000).select(
+        when(col("id") < 55000, 0L).otherwise(col("id")).as("k"),
+        concat(lit("payload_payload_payload_"), col("id")).as("v"))
+      val right = spark.range(64).select(col("id").as("k"))
+      val q = left.join(right, "k")
+      // execute q's OWN queryExecution (count() would plan a new one and
+      // leave this plan un-finalized)
+      assert(q.collect().length === 55000)
+      val finalPlan = q.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"no skew-split in the final adaptive plan:\n${finalPlan.take(1200)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("no cartesian/broadcast-NL joins outside the two documented sites") {
     // ann_bruteforce (vec_id =!= query_id vs broadcast queries) and
     // ann_label_centroids (label < label) are deliberate inequality
@@ -136,8 +172,10 @@ class PlanSpec extends SparkTestBase {
     // text_surprisal additionally broadcasts a 1-ROW corpus-total scalar
     // (the canonical scalar-subquery plan) — a BNLJ with a single build
     // row, constant work per probe row at any scale.
+    // ann_srp_recall embeds bruteForceTopK (its exact baseline), so it
+    // inherits that documented inequality-vs-broadcast join
     val exempt = Set("ann_bruteforce", "ann_label_centroids", "ann_ivf",
-      "ann_kmeans", "ann_ivf_trained", "text_surprisal")
+      "ann_kmeans", "ann_ivf_trained", "text_surprisal", "ann_srp_recall")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
