@@ -116,6 +116,7 @@ object ExtQueries {
     "corpus_quota_sample" -> ((s, dir) => Corpus.quotaSample(s, dir)),
     "corpus_pipeline" -> ((s, dir) => Corpus.pipeline(s, dir)),
     "ann_srp_recall" -> ((s, dir) => Similarity.srpRecall(s, dir)),
+    "corpus_cell_quality" -> ((s, dir) => Similarity.cellQuality(s, dir)),
     "mm_frame_samples" -> ((s, dir) => {
       import s.implicits._
       Multimodal.frameSamples(s, dir).toDF()
@@ -1339,6 +1340,33 @@ object ExtQueries {
         |  (coalesce(o.n_overlap, 0) * 1000000 // t.n_true)::BIGINT AS recall_ppm
         |FROM tru t LEFT JOIN ov o USING (query_id)
         |ORDER BY t.query_id""".stripMargin),
+
+    "corpus_cell_quality" -> (quantized +
+      """, cent AS (
+        |  SELECT vec_id AS cell_id, i, q AS cq FROM v WHERE vec_id < 16
+        |), adot AS (
+        |  SELECT v.vec_id, c.cell_id, CAST(sum(v.q * c.cq) AS BIGINT) AS d
+        |  FROM v JOIN cent c ON v.i = c.i
+        |  GROUP BY 1, 2
+        |), assigned AS (
+        |  SELECT vec_id, cell_id FROM (
+        |    SELECT vec_id, cell_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell_id) AS rn
+        |    FROM adot) WHERE rn = 1
+        |), verdict AS (
+        |  SELECT doc_id,
+        |    (len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) >= 5
+        |     AND (len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000000
+        |          // greatest(length(text), 1)) <= 300000
+        |     AND regexp_matches(rtrim(text), '[.!?。！？]$')) AS keep
+        |  FROM documents
+        |)
+        |SELECT cell_id, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+        |  (sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000
+        |    // count(*))::BIGINT AS keep_ppm
+        |FROM assigned JOIN verdict ON vec_id = doc_id
+        |GROUP BY cell_id ORDER BY cell_id""".stripMargin),
 
     "dedup_source_stats" ->
       """SELECT source, count(*)::BIGINT AS n_docs,

@@ -482,6 +482,36 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Cross-modal curation diagnostic: text-quality rate per embedding
+    * cell — joins each document's C4-style keep/drop verdict to its
+    * vector's IVF cell and rolls up. The "which clusters are full of
+    * junk" view that decides whether to drop a whole region of embedding
+    * space instead of filtering doc-by-doc. One broadcast assignment
+    * (nCells centroids), one equi-join on the shared id, one tiny
+    * rollup — no new shuffles beyond the operators it composes.
+    */
+  def cellQuality(spark: SparkSession, dir: String, nCells: Int = 16): DataFrame = {
+    val vs = vectors(spark, dir)
+    val centroids = vs.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cell_id"), col("q").as("cq"))
+    val assigned = vs.join(broadcast(centroids))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell_id"),
+        struct(qdot(col("q"), col("cq")).as("d"), (-col("cell_id")).as("t")))
+        .as("cell_id"))
+    val verdicts = Corpus
+      .qualityClean(spark.read.parquet(s"$dir/documents.parquet"))
+      .select(col("doc_id"), col("keep"))
+    assigned.join(verdicts, col("vec_id") === col("doc_id"))
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .select(col("cell_id"), col("n_docs"), col("n_keep"),
+        (col("n_keep") * lit(1000000L) / col("n_docs")).cast("long")
+          .as("keep_ppm"))
+      .orderBy(col("cell_id"))
+  }
+
   def labelCentroidSim(spark: SparkSession, dir: String): DataFrame =
     labelCentroidSim(vectors(spark, dir))
 
