@@ -117,6 +117,8 @@ object ExtQueries {
     "corpus_pipeline" -> ((s, dir) => Corpus.pipeline(s, dir)),
     "ann_srp_recall" -> ((s, dir) => Similarity.srpRecall(s, dir)),
     "corpus_cell_quality" -> ((s, dir) => Similarity.cellQuality(s, dir)),
+    "text_novelty" -> ((s, dir) => TextAnalysis.novelty(s, dir)),
+    "ann_pq_recall" -> ((s, dir) => Similarity.pqRecall(s, dir)),
     "mm_frame_samples" -> ((s, dir) => {
       import s.implicits._
       Multimodal.frameSamples(s, dir).toDF()
@@ -1340,6 +1342,79 @@ object ExtQueries {
         |  (coalesce(o.n_overlap, 0) * 1000000 // t.n_true)::BIGINT AS recall_ppm
         |FROM tru t LEFT JOIN ov o USING (query_id)
         |ORDER BY t.query_id""".stripMargin),
+
+    "ann_pq_recall" -> (quantized + pqChain +
+      """, qs AS (
+        |  SELECT vec_id AS query_id, m, j, q FROM sv WHERE vec_id % 50 = 0
+        |), lut AS (
+        |  SELECT qs.query_id, cb1.m, cb1.code,
+        |    CAST(sum(qs.q * cb1.c) AS BIGINT) AS d
+        |  FROM qs JOIN cb1 ON qs.m = cb1.m AND qs.j = cb1.j
+        |  GROUP BY 1, 2, 3
+        |), sc AS (
+        |  SELECT l.query_id, a2.vec_id AS neighbor_id,
+        |    CAST(sum(l.d) AS BIGINT) AS adc_dot
+        |  FROM a2 JOIN lut l ON l.m = a2.m AND l.code = a2.code
+        |    AND a2.vec_id != l.query_id
+        |  GROUP BY 1, 2
+        |), short AS (
+        |  SELECT query_id, neighbor_id, adc_dot FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dot DESC, neighbor_id) AS srank
+        |    FROM sc) WHERE srank <= 30
+        |), exd AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    CAST(sum(q.q * n.q) AS BIGINT) AS dot
+        |  FROM short s
+        |  JOIN v q ON q.vec_id = s.query_id
+        |  JOIN v n ON n.vec_id = s.neighbor_id AND n.i = q.i
+        |  GROUP BY 1, 2
+        |), pq10 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot DESC, neighbor_id) AS rnk
+        |    FROM exd) WHERE rnk <= 10
+        |), bd AS (
+        |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+        |    CAST(sum(q.q * v.q) AS BIGINT) AS dot
+        |  FROM v q JOIN v ON q.i = v.i AND q.vec_id % 50 = 0
+        |                 AND v.vec_id != q.vec_id
+        |  GROUP BY 1, 2
+        |), brute AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot DESC, neighbor_id) AS rnk
+        |    FROM bd) WHERE rnk <= 10
+        |), ov AS (
+        |  SELECT query_id, count(*)::BIGINT AS n_overlap
+        |  FROM brute JOIN pq10 USING (query_id, neighbor_id) GROUP BY query_id
+        |), tru AS (
+        |  SELECT query_id, count(*)::BIGINT AS n_true FROM brute GROUP BY query_id
+        |)
+        |SELECT t.query_id, coalesce(o.n_overlap, 0)::BIGINT AS n_overlap,
+        |  t.n_true,
+        |  (coalesce(o.n_overlap, 0) * 1000000 // t.n_true)::BIGINT AS recall_ppm
+        |FROM tru t LEFT JOIN ov o USING (query_id)
+        |ORDER BY t.query_id""".stripMargin),
+
+    "text_novelty" -> (toks +
+      """, sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 2 THEN
+        |      list_distinct(list_transform(range(1, len(t)),
+        |        i -> t[i] || ' ' || t[i+1]))
+        |    ELSE [] END AS sh
+        |  FROM toks
+        |), ex AS (
+        |  SELECT doc_id, unnest(sh) AS shingle FROM sh
+        |), dfc AS (
+        |  SELECT doc_id, count(*) OVER (PARTITION BY shingle) AS df FROM ex
+        |)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+        |  (sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000
+        |    // count(*))::BIGINT AS novelty_ppm
+        |FROM dfc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     "corpus_cell_quality" -> (quantized +
       """, cent AS (

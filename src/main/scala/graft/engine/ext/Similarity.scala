@@ -466,11 +466,31 @@ object Similarity {
   def srpRecall(spark: SparkSession, dir: String, k: Int = 10,
                 queryMod: Int = 50): DataFrame = {
     val vs = vectors(spark, dir)
-    val brute = bruteForceTopK(vs, k, queryMod)
-      .select(col("query_id"), col("neighbor_id"))
-    val srp = srpTopK(vs, k, queryMod, nPlanes = 16, bands = 4, dims = 64)
-      .select(col("query_id"), col("neighbor_id"))
-    val overlap = brute.join(srp, Seq("query_id", "neighbor_id"))
+    recallOf(
+      bruteForceTopK(vs, k, queryMod)
+        .select(col("query_id"), col("neighbor_id")),
+      srpTopK(vs, k, queryMod, nPlanes = 16, bands = 4, dims = 64)
+        .select(col("query_id"), col("neighbor_id")))
+  }
+
+  /** Recall@k of the two-stage PQ retrieval ([[pqRerankTopK]]) against
+    * the exact baseline — the same QA gate as [[srpRecall]] for the
+    * compressed-index path, so the two index families are comparable on
+    * one metric.
+    */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(
+      bruteForceTopK(spark, dir)
+        .select(col("query_id"), col("neighbor_id")),
+      pqRerankTopK(spark, dir)
+        .select(col("query_id"), col("neighbor_id")))
+
+  /** Per-query overlap of an approximate top-k against the exact one,
+    * as integer ppm. The comparison is k·|queries| rows — free next to
+    * the retrieval passes it grades.
+    */
+  private def recallOf(brute: DataFrame, approx: DataFrame): DataFrame = {
+    val overlap = brute.join(approx, Seq("query_id", "neighbor_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
     brute.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
       .join(overlap, Seq("query_id"), "left")

@@ -330,6 +330,34 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** Inter-document originality: the fraction of a document's distinct
+    * word bigrams that appear in NO other document. The cross-corpus
+    * complement of [[repetition]] (which is intra-document) — low novelty
+    * means the document is assembled from phrases the corpus already has,
+    * the signal used to down-weight template/boilerplate-heavy text.
+    *
+    * Reuses the dedup shingle machinery (distinct 2-grams per doc,
+    * Generate-guarded explode): document frequency comes from one window
+    * over the shingle partition, then one groupBy back to docs — two
+    * shuffles total, both on hash keys, linear in corpus bigram volume.
+    * Documents with < 2 tokens have no bigrams and no row.
+    */
+  def novelty(spark: SparkSession, dir: String): DataFrame =
+    novelty(spark.read.parquet(s"$dir/documents.parquet"))
+
+  def novelty(docs: DataFrame): DataFrame = {
+    val sh = Dedup.shingleRows(docs, 2)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    sh.withColumn("df", count(lit(1)).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_novel"),
+        (col("n_novel") * lit(1000000L) / col("n_bigrams")).cast("long")
+          .as("novelty_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   def keywords(docs: DataFrame, k: Int): DataFrame = {
     val terms = docs.select(col("doc_id"),
       explode(wsTokens(lower(col("text")))).as("term"))

@@ -172,10 +172,12 @@ class PlanSpec extends SparkTestBase {
     // text_surprisal additionally broadcasts a 1-ROW corpus-total scalar
     // (the canonical scalar-subquery plan) — a BNLJ with a single build
     // row, constant work per probe row at any scale.
-    // ann_srp_recall embeds bruteForceTopK (its exact baseline), so it
-    // inherits that documented inequality-vs-broadcast join
+    // the recall QA queries embed bruteForceTopK (their exact baseline),
+    // so they inherit that documented inequality-vs-broadcast join;
+    // corpus_cell_quality embeds the IVF conditionless centroid fan-out
     val exempt = Set("ann_bruteforce", "ann_label_centroids", "ann_ivf",
-      "ann_kmeans", "ann_ivf_trained", "text_surprisal", "ann_srp_recall")
+      "ann_kmeans", "ann_ivf_trained", "text_surprisal", "ann_srp_recall",
+      "ann_pq_recall", "corpus_cell_quality")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
