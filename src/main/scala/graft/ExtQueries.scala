@@ -119,6 +119,7 @@ object ExtQueries {
     "corpus_cell_quality" -> ((s, dir) => Similarity.cellQuality(s, dir)),
     "text_novelty" -> ((s, dir) => TextAnalysis.novelty(s, dir)),
     "ann_pq_recall" -> ((s, dir) => Similarity.pqRecall(s, dir)),
+    "ext_scd2" -> ((s, dir) => Relational.scd2(s, dir)),
     "mm_frame_samples" -> ((s, dir) => {
       import s.implicits._
       Multimodal.frameSamples(s, dir).toDF()
@@ -1342,6 +1343,31 @@ object ExtQueries {
         |  (coalesce(o.n_overlap, 0) * 1000000 // t.n_true)::BIGINT AS recall_ppm
         |FROM tru t LEFT JOIN ov o USING (query_id)
         |ORDER BY t.query_id""".stripMargin),
+
+    "ext_scd2" ->
+      """WITH o AS (
+        |  SELECT c_custkey::BIGINT AS key, c_mktsegment AS old_seg FROM customer
+        |), n AS (
+        |  SELECT c_custkey::BIGINT AS key,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'NEW-' || c_mktsegment
+        |         ELSE c_mktsegment END AS new_seg
+        |  FROM customer WHERE c_custkey % 13 != 0
+        |), j AS (
+        |  SELECT coalesce(o.key, n.key) AS key, old_seg, new_seg
+        |  FROM o FULL JOIN n ON o.key = n.key
+        |)
+        |SELECT key, seg, version, is_current FROM (
+        |  SELECT key, old_seg AS seg, 1::BIGINT AS version, false AS is_current
+        |  FROM j
+        |  WHERE old_seg IS NOT NULL AND (new_seg IS NULL OR new_seg != old_seg)
+        |  UNION ALL
+        |  SELECT key, old_seg, 1::BIGINT, true FROM j WHERE new_seg = old_seg
+        |  UNION ALL
+        |  SELECT key, new_seg,
+        |    (CASE WHEN old_seg IS NOT NULL THEN 2 ELSE 1 END)::BIGINT, true
+        |  FROM j
+        |  WHERE new_seg IS NOT NULL AND (old_seg IS NULL OR new_seg != old_seg)
+        |) ORDER BY key, version""".stripMargin,
 
     "ann_pq_recall" -> (quantized + pqChain +
       """, qs AS (

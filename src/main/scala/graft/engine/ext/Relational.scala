@@ -157,6 +157,49 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** SCD-type-2 dimension maintenance as one query: reconcile the current
+    * dimension against an incoming snapshot and emit the full history —
+    * unchanged rows stay current at version 1, changed attributes close
+    * the old row (is_current=false) and open a version-2 row, deletions
+    * close without a successor, inserts open at version 1. The MERGE
+    * pattern every warehouse runs nightly, expressed engine-agnostically.
+    *
+    * The incoming snapshot here is a deterministic fixture over the same
+    * `customer` table (every 7th key changes segment, every 13th is
+    * deleted) so an external oracle can replay it. Scale shape: ONE
+    * full-outer shuffle join on the dimension key; the three history
+    * branches are projections of that join (plan-level branch reuse),
+    * and the union is append-only — no second pass over either side.
+    */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").cast("long").as("key"),
+        col("c_mktsegment").as("seg"))
+    val o = cust.withColumnRenamed("seg", "old_seg")
+    val n = cust.filter(col("key") % 13 =!= 0)
+      .select(col("key"),
+        when(col("key") % 7 === 0, concat(lit("NEW-"), col("seg")))
+          .otherwise(col("seg")).as("new_seg"))
+    val j = o.join(n, Seq("key"), "full_outer")
+    val changed = col("new_seg").isNull || col("new_seg") =!= col("old_seg")
+    val closed = j
+      .filter(col("old_seg").isNotNull && changed)
+      .select(col("key"), col("old_seg").as("seg"),
+        lit(1L).as("version"), lit(false).as("is_current"))
+    val carried = j
+      .filter(col("new_seg") === col("old_seg"))
+      .select(col("key"), col("old_seg").as("seg"),
+        lit(1L).as("version"), lit(true).as("is_current"))
+    val opened = j
+      .filter(col("new_seg").isNotNull &&
+        (col("old_seg").isNull || col("new_seg") =!= col("old_seg")))
+      .select(col("key"), col("new_seg").as("seg"),
+        when(col("old_seg").isNotNull, 2L).otherwise(1L).as("version"),
+        lit(true).as("is_current"))
+    closed.unionAll(carried).unionAll(opened)
+      .orderBy(col("key"), col("version"))
+  }
+
   /** Multi-way broadcast join through the dimension chain
     * supplier → nation → region, counting suppliers per region.
     */
