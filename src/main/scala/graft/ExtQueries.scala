@@ -120,6 +120,7 @@ object ExtQueries {
     "text_novelty" -> ((s, dir) => TextAnalysis.novelty(s, dir)),
     "ann_pq_recall" -> ((s, dir) => Similarity.pqRecall(s, dir)),
     "ext_scd2" -> ((s, dir) => Relational.scd2(s, dir)),
+    "ext_q3_unshipped" -> ((s, dir) => Relational.unshippedOrders(s, dir)),
     "mm_frame_samples" -> ((s, dir) => {
       import s.implicits._
       Multimodal.frameSamples(s, dir).toDF()
@@ -1343,6 +1344,22 @@ object ExtQueries {
         |  (coalesce(o.n_overlap, 0) * 1000000 // t.n_true)::BIGINT AS recall_ppm
         |FROM tru t LEFT JOIN ov o USING (query_id)
         |ORDER BY t.query_id""".stripMargin),
+
+    "ext_q3_unshipped" ->
+      """SELECT l_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  o_orderpriority,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |           (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+        |       AS BIGINT) AS revenue_bp
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_bp DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "ext_scd2" ->
       """WITH o AS (

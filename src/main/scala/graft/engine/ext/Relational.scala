@@ -157,6 +157,39 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** TPC-H Q3 shape — top-10 unshipped orders by revenue for one market
+    * segment: selective dimension filter broadcast into a fact-fact
+    * shuffle join, exact integer revenue (price-cents × discount-basis
+    * units, so no decimal rounding ambiguity), and a TakeOrdered top-k
+    * instead of a global sort. The classic "is the optimizer doing its
+    * job" query: both date filters push into the parquet scans, the
+    * customer filter prunes before broadcast.
+    */
+  def unshippedOrders(spark: SparkSession, dir: String,
+                      cutoff: String = "1995-03-15"): DataFrame = {
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp_ntz"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_shipdate") > lit(cutoff).cast("timestamp_ntz"))
+      .select(col("l_orderkey"),
+        (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+          (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
+          .as("rev"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"))
+      .agg(sum(col("rev")).as("revenue_bp"))
+      .orderBy(desc("revenue_bp"), col("l_orderkey"))
+      .limit(10)
+  }
+
   /** SCD-type-2 dimension maintenance as one query: reconcile the current
     * dimension against an incoming snapshot and emit the full history —
     * unchanged rows stay current at version 1, changed attributes close
