@@ -121,6 +121,7 @@ object ExtQueries {
     "ann_pq_recall" -> ((s, dir) => Similarity.pqRecall(s, dir)),
     "ext_scd2" -> ((s, dir) => Relational.scd2(s, dir)),
     "ext_q3_unshipped" -> ((s, dir) => Relational.unshippedOrders(s, dir)),
+    "dedup_pagerank" -> ((s, dir) => Dedup.pagerank(s, dir)),
     "mm_frame_samples" -> ((s, dir) => {
       import s.implicits._
       Multimodal.frameSamples(s, dir).toDF()
@@ -1344,6 +1345,44 @@ object ExtQueries {
         |  (coalesce(o.n_overlap, 0) * 1000000 // t.n_true)::BIGINT AS recall_ppm
         |FROM tru t LEFT JOIN ov o USING (query_id)
         |ORDER BY t.query_id""".stripMargin),
+
+    "dedup_pagerank" -> (simhashSig +
+      """, bnd AS (
+        |  SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS band_val
+        |  FROM sig, range(0, 4) r(band)
+        |), pr AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bnd a JOIN bnd b
+        |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pr
+        |  UNION ALL
+        |  SELECT doc_b AS src, doc_a AS dst FROM pr
+        |), deg AS (
+        |  SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src
+        |), r0 AS (
+        |  SELECT doc_id, 1000000::BIGINT AS pr_rank FROM documents
+        |), r1 AS (
+        |  SELECT d.doc_id,
+        |    (150000 + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS pr_rank
+        |  FROM documents d LEFT JOIN (
+        |    SELECT dst AS doc_id, sum(r0.pr_rank // deg.deg)::BIGINT AS s
+        |    FROM edges
+        |    JOIN r0 ON r0.doc_id = edges.src
+        |    JOIN deg ON deg.src = edges.src
+        |    GROUP BY dst) s ON s.doc_id = d.doc_id
+        |), r2 AS (
+        |  SELECT d.doc_id,
+        |    (150000 + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS pr_rank
+        |  FROM documents d LEFT JOIN (
+        |    SELECT dst AS doc_id, sum(r1.pr_rank // deg.deg)::BIGINT AS s
+        |    FROM edges
+        |    JOIN r1 ON r1.doc_id = edges.src
+        |    JOIN deg ON deg.src = edges.src
+        |    GROUP BY dst) s ON s.doc_id = d.doc_id
+        |)
+        |SELECT doc_id, pr_rank FROM r2 ORDER BY doc_id""".stripMargin),
 
     "ext_q3_unshipped" ->
       """SELECT l_orderkey,

@@ -329,6 +329,45 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Integer-exact PageRank over the SimHash near-dup graph: rank
+    * documents by centrality in the similarity graph — the principled way
+    * to pick a cluster's canonical representative (the most-connected
+    * member), upgrading [[connectedComponents]]' min-id convention.
+    *
+    * All arithmetic is BIGINT: ranks start at 1e6, each neighbor
+    * contributes `rank div degree`, and the damped update is
+    * `150000 + (85 · Σ contrib) div 100` — floor-exact in every engine,
+    * so a fixed iteration count replays bit-for-bit in an oracle.
+    * Scale shape per iteration: one join of the edge list against the
+    * rank table (both hash-partitioned on the same key) + one map-side
+    * combined sum — the standard distributed-PR dataflow; isolated nodes
+    * keep the damping floor and never enter the joins.
+    */
+  def pagerank(spark: SparkSession, dir: String, iters: Int = 2): DataFrame =
+    pagerank(documents(spark, dir), iters)
+
+  def pagerank(docs: DataFrame, iters: Int): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+    val pairs = simhashPairs(docs)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var ranks = ids.withColumn("pr_rank", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"), expr("pr_rank div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = ids
+        .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100"))
+            .as("pr_rank"))
+    }
+    ranks.orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ clustering
 
   /** Connected components over near-dup pair edges: every document gets a

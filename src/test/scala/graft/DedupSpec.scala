@@ -196,6 +196,22 @@ class DedupSpec extends SparkTestBase {
     assert(jac(0).getAs[Long]("jaccard_ppm") < 500000L)
   }
 
+  test("pagerank: near-dup cluster members outrank isolated docs, center outranks leaves") {
+    // 1,2,3 near-identical (a clique in the simhash graph); 4 isolated
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra"),
+      (3L, base + " other"),
+      (4L, "completely different content with nothing shared at all"),
+    ).toDF("doc_id", "text")
+    val pr = Dedup.pagerank(docs, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // isolated doc keeps the damping floor; clique members accumulate
+    assert(pr(4L) === 150000L, pr.toString)
+    assert(Seq(1L, 2L, 3L).forall(pr(_) > 150000L), pr.toString)
+  }
+
   test("incremental dedup classifies batch docs against a corpus snapshot") {
     import spark.implicits._
     def docs(rows: (Long, String)*) =
