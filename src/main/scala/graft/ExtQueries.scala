@@ -122,6 +122,7 @@ object ExtQueries {
     "ext_scd2" -> ((s, dir) => Relational.scd2(s, dir)),
     "ext_q3_unshipped" -> ((s, dir) => Relational.unshippedOrders(s, dir)),
     "dedup_pagerank" -> ((s, dir) => Dedup.pagerank(s, dir)),
+    "corpus_epoch_order" -> ((s, dir) => Corpus.epochOrder(s, dir)),
     "mm_frame_samples" -> ((s, dir) => {
       import s.implicits._
       Multimodal.frameSamples(s, dir).toDF()
@@ -1345,6 +1346,13 @@ object ExtQueries {
         |  (coalesce(o.n_overlap, 0) * 1000000 // t.n_true)::BIGINT AS recall_ppm
         |FROM tru t LEFT JOIN ov o USING (query_id)
         |ORDER BY t.query_id""".stripMargin),
+
+    "corpus_epoch_order" ->
+      """SELECT doc_id, epoch,
+        |  ('0x' || substring(md5(epoch || ':' || doc_id), 1, 15))::BIGINT
+        |    AS order_key
+        |FROM documents, range(0, 3) t(epoch)
+        |ORDER BY epoch, order_key, doc_id""".stripMargin,
 
     "dedup_pagerank" -> (simhashSig +
       """, bnd AS (

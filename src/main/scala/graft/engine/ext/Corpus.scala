@@ -341,6 +341,22 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic per-epoch training order: epoch e reads the corpus in
+    * the order of md5(e:doc_id) — a different, reproducible permutation
+    * every epoch with no RNG state to checkpoint. Each epoch's ordering
+    * is a range-partitioned sort on the hash key (scales like any sort);
+    * the explode is epochs× row growth, which a real run wouldn't
+    * materialize — it reads one epoch's ordering at a time.
+    */
+  def epochOrder(spark: SparkSession, dir: String, epochs: Int = 3): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .select(col("doc_id"), col("epoch"),
+        Dedup.md5Hash60(concat(col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))).as("order_key"))
+      .orderBy(col("epoch"), col("order_key"), col("doc_id"))
+
   /** RAG/context-window chunking: split each document into overlapping
     * fixed-size token windows (window `w` tokens, stride `s`) with full
     * provenance — (doc_id, chunk_no, start_token, n_chunk_tokens, text).
