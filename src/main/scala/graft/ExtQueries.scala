@@ -123,6 +123,8 @@ object ExtQueries {
     "ext_q3_unshipped" -> ((s, dir) => Relational.unshippedOrders(s, dir)),
     "dedup_pagerank" -> ((s, dir) => Dedup.pagerank(s, dir)),
     "corpus_epoch_order" -> ((s, dir) => Corpus.epochOrder(s, dir)),
+    "ext_q1_pricing" -> ((s, dir) => Relational.pricingSummary(s, dir)),
+    "ext_q18_large_orders" -> ((s, dir) => Relational.largeOrders(s, dir)),
     "mm_frame_samples" -> ((s, dir) => {
       import s.implicits._
       Multimodal.frameSamples(s, dir).toDF()
@@ -1346,6 +1348,44 @@ object ExtQueries {
         |  (coalesce(o.n_overlap, 0) * 1000000 // t.n_true)::BIGINT AS recall_ppm
         |FROM tru t LEFT JOIN ov o USING (query_id)
         |ORDER BY t.query_id""".stripMargin),
+
+    "ext_q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_qty_c,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_base_price_c,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |           (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+        |       AS BIGINT) AS sum_disc_price_bp,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |           (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) *
+        |           (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)))
+        |       AS BIGINT) AS sum_charge_mp,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  round(avg(l_extendedprice), 2) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*)::BIGINT AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ext_q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sum_qty_c
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > 12000
+        |)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_price_c,
+        |  sum_qty_c
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_price_c DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "corpus_epoch_order" ->
       """SELECT doc_id, epoch,

@@ -157,6 +157,59 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** TPC-H Q1 shape — the pricing summary report: one scan, map-side
+    * partial aggregation into 4 (returnflag, linestatus) groups, eight
+    * aggregates per group. Money compounds (discounted price, charge)
+    * stay exact: cents × discount-basis × tax-basis integer units, so the
+    * sums are bit-stable under any partitioning; the three averages use
+    * round(avg, 2) like the reference pipelines.
+    */
+  def pricingSummary(spark: SparkSession, dir: String,
+                     cutoff: String = "1998-09-02"): DataFrame = {
+    val priceC = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+    val discBp = floor(col("l_discount") * 100 + 0.5).cast("long")
+    val taxBp = floor(col("l_tax") * 100 + 0.5).cast("long")
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_shipdate") <= lit(cutoff).cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(floor(col("l_quantity") * 100 + 0.5).cast("long")).as("sum_qty_c"),
+        sum(priceC).as("sum_base_price_c"),
+        sum(priceC * (lit(100L) - discBp)).as("sum_disc_price_bp"),
+        sum(priceC * (lit(100L) - discBp) * (lit(100L) + taxBp))
+          .as("sum_charge_mp"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q18 shape — large-volume orders: a HAVING-gated aggregate over
+    * the fact drives a semi-selective join back to orders and customer,
+    * top-20 by order value. The aggregate runs FIRST (map-side combined),
+    * so the join probes only qualifying orderkeys — never the full fact.
+    */
+  def largeOrders(spark: SparkSession, dir: String,
+                  minQtyC: Long = 12000L, k: Int = 20): DataFrame = {
+    val big = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(floor(col("l_quantity") * 100 + 0.5).cast("long")).as("sum_qty_c"))
+      .filter(col("sum_qty_c") > minQtyC)
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("total_price_c"))
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_name"))
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("order_date"), col("total_price_c"), col("sum_qty_c"))
+      .orderBy(desc("total_price_c"), col("o_orderkey"))
+      .limit(k)
+  }
+
   /** TPC-H Q3 shape — top-10 unshipped orders by revenue for one market
     * segment: selective dimension filter broadcast into a fact-fact
     * shuffle join, exact integer revenue (price-cents × discount-basis
