@@ -125,6 +125,7 @@ object ExtQueries {
     "corpus_epoch_order" -> ((s, dir) => Corpus.epochOrder(s, dir)),
     "ext_q1_pricing" -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "ext_q18_large_orders" -> ((s, dir) => Relational.largeOrders(s, dir)),
+    "ext_q17_small_qty" -> ((s, dir) => Relational.smallQtyRevenue(s, dir)),
     "mm_frame_samples" -> ((s, dir) => {
       import s.implicits._
       Multimodal.frameSamples(s, dir).toDF()
@@ -1369,6 +1370,15 @@ object ExtQueries {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ext_q17_small_qty" ->
+      """SELECT count(*) AS n_small_lines,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS revenue_c
+        |FROM lineitem l
+        |WHERE CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT) * 5 <
+        |  (SELECT avg(CAST(floor(i.l_quantity * 100 + 0.5) AS BIGINT))
+        |   FROM lineitem i WHERE i.l_partkey = l.l_partkey)""".stripMargin,
 
     "ext_q18_large_orders" ->
       """WITH big AS (

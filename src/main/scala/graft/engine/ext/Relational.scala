@@ -210,6 +210,28 @@ object Relational {
       .limit(k)
   }
 
+  /** TPC-H Q17 shape — small-quantity revenue via a CORRELATED scalar
+    * subquery, written as the user would write it and left to Catalyst's
+    * decorrelation: the per-part average never executes per-row; the
+    * optimizer rewrites it into one aggregate + one join (asserted
+    * cartesian-free by the PlanSpec sweep). The quantity threshold stays
+    * exact: integer cents × 5 vs avg of an exact integer sum — one double
+    * division per part, bit-identical in any engine.
+    */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .createOrReplaceTempView("graft_q17_lineitem")
+    spark.sql(
+      """SELECT count(*) AS n_small_lines,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS revenue_c
+        |FROM graft_q17_lineitem l
+        |WHERE CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT) * 5 <
+        |  (SELECT avg(CAST(floor(i.l_quantity * 100 + 0.5) AS BIGINT))
+        |   FROM graft_q17_lineitem i WHERE i.l_partkey = l.l_partkey)
+        |""".stripMargin)
+  }
+
   /** TPC-H Q3 shape — top-10 unshipped orders by revenue for one market
     * segment: selective dimension filter broadcast into a fact-fact
     * shuffle join, exact integer revenue (price-cents × discount-basis
