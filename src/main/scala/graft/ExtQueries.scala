@@ -126,6 +126,7 @@ object ExtQueries {
     "ext_q1_pricing" -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "ext_q18_large_orders" -> ((s, dir) => Relational.largeOrders(s, dir)),
     "ext_q17_small_qty" -> ((s, dir) => Relational.smallQtyRevenue(s, dir)),
+    "mm_phash_pairs" -> ((s, dir) => Multimodal.phashPairs(s, dir)),
     "mm_frame_samples" -> ((s, dir) => {
       import s.implicits._
       Multimodal.frameSamples(s, dir).toDF()
@@ -1370,6 +1371,30 @@ object ExtQueries {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "mm_phash_pairs" -> (media +
+      """, pb AS (
+        |  SELECT doc_id, i,
+        |    ascii(substring(text,
+        |      least((i * n_bytes) // 60, n_bytes - 1)::INT + 1, 1)) AS b
+        |  FROM m, range(0, 60) t(i)
+        |), mn AS (
+        |  SELECT doc_id, sum(b) // 60 AS mean FROM pb GROUP BY 1
+        |), psig AS (
+        |  SELECT pb.doc_id,
+        |    CAST(sum(CASE WHEN b > mean THEN (1::BIGINT << i) ELSE 0 END)
+        |         AS BIGINT) AS phash
+        |  FROM pb JOIN mn USING (doc_id) GROUP BY 1
+        |), pbands AS (
+        |  SELECT doc_id, phash, band, (phash >> (band * 15)) & 32767 AS band_val
+        |  FROM psig, range(0, 4) r(band)
+        |)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.phash, b.phash)) AS hamming
+        |FROM pbands a JOIN pbands b
+        |  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 8
+        |ORDER BY doc_a, doc_b""".stripMargin),
 
     "ext_q17_small_qty" ->
       """SELECT count(*) AS n_small_lines,

@@ -158,6 +158,68 @@ object Multimodal {
       }
   }
 
+  final case class PHashRow(doc_id: Long, phash: Long)
+
+  /** Perceptual-hash signature per media item: sample 60 payload points
+    * on a fixed stride grid, threshold each against the integer mean —
+    * the aHash/pHash family's shape (a real impl swaps the stride sample
+    * for DCT coefficients of the decoded image; everything else stands).
+    * 60 bits keeps the signature positive in signed-64 space, matching
+    * the SimHash convention.
+    */
+  def pHashes(spark: SparkSession, dir: String, points: Int = 60,
+              batchSize: Int = 32): Dataset[PHashRow] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRecord]
+      .repartition(col("doc_id"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val n = r.media.length
+            if (n == 0) PHashRow(r.doc_id, 0L)
+            else {
+              val bytes = (0 until points).map { i =>
+                r.media(math.min((i.toLong * n / points).toInt, n - 1)) & 0xff
+              }
+              val mean = bytes.sum / points
+              val sig = bytes.zipWithIndex
+                .foldLeft(0L) { case (acc, (b, i)) =>
+                  if (b > mean) acc | (1L << i) else acc
+                }
+              PHashRow(r.doc_id, sig)
+            }
+          }
+        }
+      }
+  }
+
+  /** Media near-dup pairs by perceptual hash: the same band-blocked
+    * bucket join as text SimHash (4 bands × 15 bits → two items within
+    * Hamming 8 share ≥1 band when ≤3 differing bits land per band is
+    * violated only with probability bounded by the band split), candidate
+    * pairs generated locally per bucket — image/audio dedup at corpus
+    * scale without an all-pairs comparison.
+    */
+  def phashPairs(spark: SparkSession, dir: String,
+                 maxHamming: Int = 8): DataFrame = {
+    import graft.engine.ext.Dedup.localPairs
+    val sig = pHashes(spark, dir).toDF()
+    sig.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("doc_id"), col("phash"), col("band"),
+        expr("shiftright(phash, cast(band as int) * 15)")
+          .bitwiseAND(lit(0x7FFFL)).as("band_val"))
+      .groupBy(col("band"), col("band_val"))
+      .agg(collect_list(struct(col("doc_id"), col("phash"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode(localPairs(array_sort(col("ms")))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        bit_count(col("p.a.phash").bitwiseXOR(col("p.b.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Rollup per format — the sanity aggregation a curation job runs after
     * feature extraction.
     */
