@@ -127,6 +127,8 @@ object ExtQueries {
     "ext_q18_large_orders" -> ((s, dir) => Relational.largeOrders(s, dir)),
     "ext_q17_small_qty" -> ((s, dir) => Relational.smallQtyRevenue(s, dir)),
     "mm_phash_pairs" -> ((s, dir) => Multimodal.phashPairs(s, dir)),
+    "ext_q4_late_priorities" -> ((s, dir) => Relational.latePriorities(s, dir)),
+    "ext_range_frame_revenue" -> ((s, dir) => Relational.nearbyRevenue(s, dir)),
     "mm_frame_samples" -> ((s, dir) => {
       import s.implicits._
       Multimodal.frameSamples(s, dir).toDF()
@@ -1371,6 +1373,30 @@ object ExtQueries {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ext_q4_late_priorities" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "ext_range_frame_revenue" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)::INT AS day,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+        |  FROM orders
+        |)
+        |SELECT o_orderkey, o_custkey, day,
+        |  CAST(sum(price_c) OVER w AS BIGINT) AS nearby_revenue_c,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_nearby
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        |             RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "mm_phash_pairs" -> (media +
       """, pb AS (

@@ -210,6 +210,47 @@ object Relational {
       .limit(k)
   }
 
+  /** TPC-H Q4 shape — order counts by priority for orders with at least
+    * one slow line (shipped > 60 days after the order date), written with
+    * the EXISTS subquery form and left to Catalyst to plan as a LEFT SEMI
+    * join — the declarative twin of [[customersWithOpenOrders]]'s
+    * DataFrame semi join.
+    */
+  def latePriorities(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/orders.parquet")
+      .createOrReplaceTempView("graft_q4_orders")
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .createOrReplaceTempView("graft_q4_lineitem")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM graft_q4_orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM graft_q4_lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL '60' DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** RANGE-frame window: for every order, the same customer's total order
+    * value within ±30 DAYS (a value-based frame, not a row count — rows
+    * don't qualify by position but by key distance, which no rowsBetween
+    * frame can express). One shuffle on the partition key; the frame scan
+    * is a per-partition sliding aggregate.
+    */
+  def nearbyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("o_orderdate"),
+      lit("1970-01-01").cast("timestamp_ntz"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-30, 30)
+    spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), day.as("day"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_c"))
+      .select(col("o_orderkey"), col("o_custkey"), col("day"),
+        sum(col("price_c")).over(w).as("nearby_revenue_c"),
+        count(lit(1)).over(w).as("n_nearby"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** TPC-H Q17 shape — small-quantity revenue via a CORRELATED scalar
     * subquery, written as the user would write it and left to Catalyst's
     * decorrelation: the per-part average never executes per-row; the
