@@ -318,6 +318,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("chained stateful ops: windowed rollup AFTER the stream-stream join") {
+    import graft.engine.streaming.EventStream
+    import org.apache.spark.sql.functions.{window, col, count, lit}
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[EventStream.UserEvent]
+    val purchases = MemoryStream[EventStream.UserEvent]
+    // two stateful operators in one streaming query: interval join, then
+    // a watermark-closed windowed aggregate over the join output
+    val rolled = EventStream.attributedPurchases(
+        views.toDF(), purchases.toDF(), horizon = "1 hour")
+      .groupBy(window(col("purchase_time"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_attributed"))
+    val q = rolled.writeStream.format("memory")
+      .queryName("stream_attr_rollup").outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      views.addData(
+        EventStream.UserEvent(1L, ts("2023-10-25 09:30:00"), 0.0),
+        EventStream.UserEvent(1L, ts("2023-10-25 09:45:00"), 0.0))
+      purchases.addData(
+        EventStream.UserEvent(1L, ts("2023-10-25 10:00:00"), 9.99))
+      q.processAllAvailable()
+      // advance BOTH inputs far past the window so the min-watermark
+      // closes [10:00, 11:00) through the join's delay chain
+      views.addData(EventStream.UserEvent(9L, ts("2023-10-25 15:00:00"), 0.0))
+      purchases.addData(EventStream.UserEvent(9L, ts("2023-10-25 15:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT user_id, n_attributed FROM stream_attr_rollup
+          |WHERE user_id = 1""".stripMargin).collect()
+      assert(rows.length === 1, rows.mkString(","))
+      assert(rows(0).getLong(1) === 2L) // both in-horizon views attributed
+    } finally q.stop()
+  }
+
   test("windowed error rollup over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
