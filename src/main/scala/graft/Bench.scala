@@ -71,11 +71,16 @@ object Bench {
     // A failed query must not masquerade as a timing: report it in "errors"
     // and exclude it from the per-query map and the total.
     val failed = errors.map(_._1).toSet
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val ok = results.filterNot { case (n, _) => failed(n) }
-    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
+    val total = ms(ok.map(_._2).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    // The full line above grows with the query count and has outrun tail
+    // capture before (r6's total was lost). A short summary line LAST
+    // guarantees any tail window contains the headline numbers.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -44,6 +44,13 @@ object ExtQueries {
     "ext_type_pivot" -> ((s, dir) => Sessionize.typePivot(s, dir)),
     "ext_exact_percentiles" -> ((s, dir) => Sessionize.exactPercentiles(s, dir)),
     "ext_retention" -> ((s, dir) => Sessionize.retention(s, dir)),
+    // Batch twins of the two streaming-only operators: the attribution
+    // twin runs the SAME interval-join operator code on bounded input;
+    // the profile twin states the stateful processors' fold as a groupBy.
+    "stream_attribution_batch" -> ((s, dir) =>
+      graft.engine.streaming.EventStream.attributedPurchasesBatch(s, dir)),
+    "stream_profiles_batch" -> ((s, dir) =>
+      graft.engine.streaming.EventStream.userProfilesBatch(s, dir)),
     // approximate sketches: oracle computes the EXACT analogs (count
     // distinct, discrete percentiles) — rows/schema must match; hash is
     // exempt by declaration (QUERIES.md) since HLL/GK are approximate.
@@ -224,6 +231,12 @@ object ExtQueries {
       |)
       |""".stripMargin
 
+  // BYTE semantics throughout, to match the engine exactly: the payload is
+  // text.cast(binary) = UTF-8 bytes, so the oracle measures octet_length and
+  // indexes bytes via a hex-string slice ('0x' || 2 hex chars → INT), never
+  // character positions — char and byte indexing diverge on any non-ASCII
+  // document and the documents schema is explicitly multilingual.
+  // Empty payloads read as byte 0 (engine: FakeCodec returns 0 on empty).
   private val media =
     """WITH m AS (
       |  SELECT doc_id,
@@ -231,15 +244,16 @@ object ExtQueries {
       |    CAST(64 + n_chars % 512 AS INT) AS width,
       |    CAST(64 + (doc_id * 37) % 512 AS INT) AS height,
       |    CAST(1 + doc_id % 8 AS INT) AS n_frames,
-      |    length(text) AS n_bytes,
-      |    ascii(substring(text, 1, 1)) AS first_byte,
-      |    text
+      |    octet_length(encode(text)) AS n_bytes,
+      |    coalesce(try_cast('0x' || substring(hex(encode(text)), 1, 2) AS INT), 0)
+      |      AS first_byte,
+      |    hex(encode(text)) AS hx
       |  FROM documents
       |), fr AS (
       |  SELECT doc_id,
-      |    CAST(sum(ascii(substring(text,
-      |      least((f * n_bytes) // n_frames, n_bytes - 1) + 1, 1))) AS BIGINT)
-      |      AS frame_byte_sum
+      |    CAST(sum(coalesce(try_cast('0x' || substring(hx,
+      |      greatest(least((f * n_bytes) // n_frames, n_bytes - 1), 0) * 2 + 1,
+      |      2) AS INT), 0)) AS BIGINT) AS frame_byte_sum
       |  FROM m, range(0, 8) t(f) WHERE f < n_frames GROUP BY doc_id
       |)""".stripMargin
 
@@ -302,6 +316,26 @@ object ExtQueries {
         |  SELECT 'union_f_o',
         |         (SELECT count(DISTINCT o_custkey) FROM (SELECT * FROM f UNION ALL SELECT * FROM o))
         |) ORDER BY op""".stripMargin,
+
+    // Twin of the streaming interval join: views attributed to purchases by
+    // the same user within [purchase − 1h, purchase], inclusive both ends.
+    "stream_attribution_batch" ->
+      """SELECT p.event_id, p.user_id,
+        |  epoch_us(p.ts) AS purchase_us, epoch_us(v.ts) AS view_us,
+        |  CAST(floor(p."value" * 100 + 0.5) AS BIGINT) AS value_c
+        |FROM events p JOIN events v ON v.user_id = p.user_id
+        |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY p.event_id, view_us""".stripMargin,
+
+    // Twin of the stateful profile processors: count / Σ floor(value·100) /
+    // last-seen truncated to millis then expressed in micros (the
+    // processors read Timestamp.getTime, a millisecond clock).
+    "stream_profiles_batch" ->
+      """SELECT user_id, count(*)::BIGINT AS n_events,
+        |  CAST(sum(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+        |  CAST(max((epoch_us(ts) // 1000) * 1000) AS BIGINT) AS last_seen_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "ext_sessions" ->
       """WITH e AS (
@@ -874,14 +908,15 @@ object ExtQueries {
 
     "mm_resized" -> (media +
       """, rz AS (
-        |  SELECT doc_id, format, n_bytes, text,
+        |  SELECT doc_id, format, n_bytes, hx,
         |    greatest(1, (width * 64) // greatest(width, height)) AS out_w,
         |    greatest(1, (height * 64) // greatest(width, height)) AS out_h
         |  FROM m
         |), g AS (
         |  SELECT doc_id,
-        |    CAST(sum(ascii(substring(text,
-        |      least((i * n_bytes) // (out_w * out_h), n_bytes - 1) + 1, 1)))
+        |    CAST(sum(coalesce(try_cast('0x' || substring(hx,
+        |      greatest(least((i * n_bytes) // (out_w * out_h), n_bytes - 1), 0)
+        |        * 2 + 1, 2) AS INT), 0))
         |      AS BIGINT) AS grid_byte_sum
         |  FROM rz, range(0, 4096) t(i) WHERE i < out_w * out_h
         |  GROUP BY doc_id
@@ -1401,8 +1436,9 @@ object ExtQueries {
     "mm_phash_pairs" -> (media +
       """, pb AS (
         |  SELECT doc_id, i,
-        |    ascii(substring(text,
-        |      least((i * n_bytes) // 60, n_bytes - 1)::INT + 1, 1)) AS b
+        |    coalesce(try_cast('0x' || substring(hx,
+        |      greatest(least((i * n_bytes) // 60, n_bytes - 1), 0)::INT * 2 + 1,
+        |      2) AS INT), 0) AS b
         |  FROM m, range(0, 60) t(i)
         |), mn AS (
         |  SELECT doc_id, sum(b) // 60 AS mean FROM pb GROUP BY 1
@@ -1719,10 +1755,11 @@ object ExtQueries {
 
     "mm_frame_samples" -> (media +
       """SELECT doc_id, format, f::INT AS frame_no,
-        |  least((f * n_bytes) // n_frames, n_bytes - 1)::BIGINT AS frame_off,
-        |  ascii(substring(text,
-        |    least((f * n_bytes) // n_frames, n_bytes - 1)::INT + 1, 1))::INT
-        |    AS frame_byte
+        |  greatest(least((f * n_bytes) // n_frames, n_bytes - 1), 0)::BIGINT
+        |    AS frame_off,
+        |  coalesce(try_cast('0x' || substring(hx,
+        |    greatest(least((f * n_bytes) // n_frames, n_bytes - 1), 0)::INT
+        |      * 2 + 1, 2) AS INT), 0)::INT AS frame_byte
         |FROM m, range(0, 8) t(f) WHERE f < n_frames
         |ORDER BY doc_id, frame_no""".stripMargin),
   )

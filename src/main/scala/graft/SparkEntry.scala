@@ -113,6 +113,11 @@ object SparkEntry {
           .select(lit(0L).as("file_id"), col("entry_no"),
             col("entry_no").as("ord"), col("entry")))
         .aggregate),
+    // Whole-report census: one persisted parse feeding all five branches —
+    // the shape a real report run uses (and what Bench should charge for
+    // "the full mongo report": one scan, not five).
+    "mongo_report_all" -> ((s, dir) =>
+      MongoLogPipeline.reportAll(LogGen.mongoLines(s, dir))),
     // S1 file path: the mongo stats through spark.read.textFile + explicit
     // line numbering instead of the in-memory generated lines.
     "mongo_file_stats" -> ((s, dir) => {
@@ -309,6 +314,35 @@ object SparkEntry {
         |FROM lines
         |WHERE (et = 'view' AND eid % 7 >= 4) OR (et = 'signup' AND eid % 3 <> 0)
         |ORDER BY line_no""".stripMargin),
+
+    // Census of all five report branches: each term reuses the branch
+    // predicate of its standalone oracle above verbatim.
+    "mongo_report_all" -> (mongoGen +
+      """SELECT branch, n_rows, checksum FROM (
+        |  SELECT 'detailed' AS branch, count(*)::BIGINT AS n_rows,
+        |    coalesce(sum(line_no), 0)::BIGINT AS checksum
+        |  FROM lines
+        |  WHERE et IN ('click','purchase') OR (et = 'error' AND eid % 4 = 0)
+        |  UNION ALL
+        |  SELECT 'errors', count(*)::BIGINT, coalesce(sum(cnt), 0)::BIGINT FROM (
+        |    SELECT count(*)::BIGINT AS cnt FROM lines WHERE et = 'error'
+        |    GROUP BY emsg, ecn, eem)
+        |  UNION ALL
+        |  SELECT 'non_slow', count(*)::BIGINT, coalesce(sum(line_no), 0)::BIGINT
+        |  FROM lines
+        |  WHERE (et = 'view' AND eid % 7 >= 4) OR (et = 'signup' AND eid % 3 <> 0)
+        |  UNION ALL
+        |  SELECT 'parse_errors', count(*)::BIGINT, coalesce(sum(line_no), 0)::BIGINT
+        |  FROM lines
+        |  WHERE (et = 'signup' AND eid % 3 = 0) OR (et = 'view' AND eid % 7 <= 3)
+        |  UNION ALL
+        |  SELECT 'query_stats', count(*)::BIGINT, coalesce(sum(ex), 0)::BIGINT FROM (
+        |    SELECT count(*)::BIGINT AS ex FROM lines
+        |    WHERE et IN ('click','purchase') OR (et = 'error' AND eid % 4 = 0)
+        |    GROUP BY CASE WHEN et = 'click' THEN 1
+        |                  WHEN et = 'purchase' AND eid % 2 = 0 THEN 2
+        |                  WHEN et = 'purchase' THEN 3 ELSE 4 END)
+        |) ORDER BY branch""".stripMargin),
 
     "mongo_parse_errors" -> (mongoGen +
       """SELECT line_no,

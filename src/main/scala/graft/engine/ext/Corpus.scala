@@ -329,9 +329,12 @@ object Corpus {
     val cells = d.groupBy(col("lang"))
       .agg(sum(col("n_tokens")).as("cell_tokens"))
       .withColumn("total", sum(col("cell_tokens")).over(Window.partitionBy()))
+      // exact integer floor division (`div`), not double-divide-then-cast:
+      // at large token counts a quotient within half an ULP of an integer
+      // would round UP through the double and flip a boundary document's
+      // kept/dropped decision vs the oracle's `//`.
       .select(col("lang"),
-        (lit(budget) * col("cell_tokens") / col("total")).cast("long")
-          .as("quota"))
+        expr(s"($budget * cell_tokens) div total").as("quota"))
     val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
     d.join(broadcast(cells), "lang")
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))

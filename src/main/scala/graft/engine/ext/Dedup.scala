@@ -347,11 +347,19 @@ object Dedup {
     pagerank(documents(spark, dir), iters)
 
   def pagerank(docs: DataFrame, iters: Int): DataFrame = {
-    val ids = docs.select(col("doc_id"))
+    // Materialize the loop invariants ONCE (see connectedComponents for the
+    // localCheckpoint rationale): edges comes out of the full SimHash-pair
+    // pipeline (shingle explode → 60-bit vote → band buckets), and without
+    // truncation every iteration's join — and the final orderBy action —
+    // re-executes that whole pipeline. Checkpointing ranks per iteration
+    // keeps the lineage linear, so iters=4 costs ~2× iters=2, not ~4×.
+    val ids = docs.select(col("doc_id")).localCheckpoint(true)
     val pairs = simhashPairs(docs)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     var ranks = ids.withColumn("pr_rank", lit(1000000L))
     for (_ <- 1 to iters) {
       val contrib = edges
@@ -364,6 +372,7 @@ object Dedup {
         .select(col("doc_id"),
           (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100"))
             .as("pr_rank"))
+        .localCheckpoint(true)
     }
     ranks.orderBy(col("doc_id"))
   }

@@ -216,20 +216,18 @@ object Relational {
     * join — the declarative twin of [[customersWithOpenOrders]]'s
     * DataFrame semi join.
     */
-  def latePriorities(spark: SparkSession, dir: String): DataFrame = {
-    spark.read.parquet(s"$dir/orders.parquet")
-      .createOrReplaceTempView("graft_q4_orders")
-    spark.read.parquet(s"$dir/lineitem.parquet")
-      .createOrReplaceTempView("graft_q4_lineitem")
+  def latePriorities(spark: SparkSession, dir: String): DataFrame =
+    // Direct file relations (FROM parquet.`path`), not temp views: a query
+    // function must not mutate the session catalog — a fixed view name can
+    // clobber the user's and races concurrent queries in one session.
     spark.sql(
-      """SELECT o_orderpriority, count(*) AS n_orders
-        |FROM graft_q4_orders o
-        |WHERE EXISTS (
-        |  SELECT 1 FROM graft_q4_lineitem l
-        |  WHERE l.l_orderkey = o.o_orderkey
-        |    AND l.l_shipdate > o.o_orderdate + INTERVAL '60' DAY)
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
-  }
+      s"""SELECT o_orderpriority, count(*) AS n_orders
+         |FROM parquet.`$dir/orders.parquet` o
+         |WHERE EXISTS (
+         |  SELECT 1 FROM parquet.`$dir/lineitem.parquet` l
+         |  WHERE l.l_orderkey = o.o_orderkey
+         |    AND l.l_shipdate > o.o_orderdate + INTERVAL '60' DAY)
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 
   /** RANGE-frame window: for every order, the same customer's total order
     * value within ±30 DAYS (a value-based frame, not a row count — rows
@@ -259,19 +257,18 @@ object Relational {
     * exact: integer cents × 5 vs avg of an exact integer sum — one double
     * division per part, bit-identical in any engine.
     */
-  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
-    spark.read.parquet(s"$dir/lineitem.parquet")
-      .createOrReplaceTempView("graft_q17_lineitem")
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame =
+    // Direct file relation, not a temp view — see latePriorities.
     spark.sql(
-      """SELECT count(*) AS n_small_lines,
-        |  CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
-        |       AS BIGINT) AS revenue_c
-        |FROM graft_q17_lineitem l
-        |WHERE CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT) * 5 <
-        |  (SELECT avg(CAST(floor(i.l_quantity * 100 + 0.5) AS BIGINT))
-        |   FROM graft_q17_lineitem i WHERE i.l_partkey = l.l_partkey)
-        |""".stripMargin)
-  }
+      s"""SELECT count(*) AS n_small_lines,
+         |  CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+         |       AS BIGINT) AS revenue_c
+         |FROM parquet.`$dir/lineitem.parquet` l
+         |WHERE CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT) * 5 <
+         |  (SELECT avg(CAST(floor(i.l_quantity * 100 + 0.5) AS BIGINT))
+         |   FROM parquet.`$dir/lineitem.parquet` i
+         |   WHERE i.l_partkey = l.l_partkey)
+         |""".stripMargin)
 
   /** TPC-H Q3 shape — top-10 unshipped orders by revenue for one market
     * segment: selective dimension filter broadcast into a fact-fact

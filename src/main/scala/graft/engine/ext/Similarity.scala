@@ -92,13 +92,15 @@ object Similarity {
 
     // cell assignment: argmax_cell dot(v, centroid); max_by on the
     // (dot, -cell_id) struct gives highest dot, then lowest cell id.
+    // q rides in the GROUP KEY (functionally dependent on vec_id, so the
+    // groups are identical) — deterministic by construction, where a
+    // first(q) would be plan-order-dependent.
     val assigned = vs.join(broadcast(centroids))
-      .groupBy(col("vec_id"), col("label"))
+      .groupBy(col("vec_id"), col("label"), col("q"))
       .agg(
         max_by(col("cell_id"),
           struct(qdot(col("q"), col("cq")).as("d"), (-col("cell_id")).as("t")))
-          .as("cell_id"),
-        first(col("q")).as("q")) // q is functionally dependent on vec_id
+          .as("cell_id"))
     val queries = assigned.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("q").as("qq"))
 

@@ -192,4 +192,49 @@ object EventStream {
           UserSnapshot(uid, next.n_events, next.sum_value_c, next.last_seen_us)
       }
   }
+
+  // ------------------------------------------------------------ batch twins
+  //
+  // Oracle-checkable batch equivalents of the two streaming-only operators,
+  // so their semantics are verified by the same DuckDB gate as everything
+  // else (a streaming query can't be hash-compared against a SQL oracle).
+
+  /** Batch twin of [[attributedPurchases]]: runs the SAME operator — the
+    * interval-join predicate is identical code; `withWatermark` is a no-op
+    * on a bounded Dataset — over the events table, views vs purchases by
+    * the same user within the 1-hour horizon. Timestamps come out as
+    * integer epoch-micros and value as integer cents so the comparison is
+    * exact.
+    */
+  def attributedPurchasesBatch(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): DataFrame = {
+    val ev = graft.engine.ingest.Sources.events(spark, dir)
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_time"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("event_time"), col("value"))
+    attributedPurchases(views, purchases)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("purchase_time")).as("purchase_us"),
+        unix_micros(col("view_time")).as("view_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("value_c"))
+      .orderBy(col("event_id"), col("view_us"))
+  }
+
+  /** Batch twin of [[userProfilesTws]]/[[userProfiles]]: the stateful
+    * processors fold (count, Σ floor(value·100), max last-seen) per user —
+    * over a bounded input that fold IS a groupBy, stated here as one so
+    * the oracle can check it. last_seen replicates the processors'
+    * `Timestamp.getTime * 1000` exactly: millisecond truncation first,
+    * then micros (integer div, not a double round-trip).
+    */
+  def userProfilesBatch(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame =
+    graft.engine.ingest.Sources.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_value_c"),
+        max(expr("(ts_us div 1000) * 1000")).as("last_seen_us"))
+      .orderBy(col("user_id"))
 }
