@@ -348,11 +348,14 @@ object Dedup {
 
   def pagerank(docs: DataFrame, iters: Int): DataFrame = {
     // Materialize the loop invariants ONCE (see connectedComponents for the
-    // localCheckpoint rationale): edges comes out of the full SimHash-pair
+    // localCheckpoint rationale and README "Checkpointed iteration" for the
+    // cluster deployment note): edges comes out of the full SimHash-pair
     // pipeline (shingle explode → 60-bit vote → band buckets), and without
     // truncation every iteration's join — and the final orderBy action —
     // re-executes that whole pipeline. Checkpointing ranks per iteration
-    // keeps the lineage linear, so iters=4 costs ~2× iters=2, not ~4×.
+    // keeps the lineage linear: measured at sf0.1, iterations now cost
+    // ~0.25 s each on a ~3.6 s fixed pair-generation base (was: the whole
+    // pipeline × iters).
     val ids = docs.select(col("doc_id")).localCheckpoint(true)
     val pairs = simhashPairs(docs)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -396,8 +399,8 @@ object Dedup {
     // localCheckpoint (not persist): the labels plan references itself
     // twice per round (self-join), so without truncation the LOGICAL plan
     // tree triples every iteration and the analyzer OOMs around round 10.
-    // Checkpointing materializes AND cuts lineage; a real cluster would
-    // use a reliable checkpoint dir instead of executor-local storage.
+    // Checkpointing materializes AND cuts lineage; for the reliable-
+    // checkpoint-dir deployment note see README "Checkpointed iteration".
     val sym = edges.select(col("doc_a"), col("doc_b"))
       .unionByName(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint(true)

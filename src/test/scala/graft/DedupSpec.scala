@@ -212,6 +212,25 @@ class DedupSpec extends SparkTestBase {
     assert(Seq(1L, 2L, 3L).forall(pr(_) > 150000L), pr.toString)
   }
 
+  test("pagerank: loop invariants are checkpointed — no pair-gen lineage in the result") {
+    // Regression lock for the r6 plan defect: edges/deg/ranks must be
+    // materialized (localCheckpoint → LogicalRDD), so the returned plan
+    // is a sort over a scan, NOT a replay of the SimHash shingle-explode
+    // pipeline for every downstream action/iteration.
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base + " x")).toDF("doc_id", "text")
+    val plan = Dedup.pagerank(docs, iters = 2)
+      .queryExecution.optimizedPlan
+    val hasGenerate = plan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }.nonEmpty
+    assert(!hasGenerate,
+      s"pagerank result re-plans pair generation:\n$plan")
+    val isCheckpointed = plan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    assert(isCheckpointed, s"expected only checkpointed leaves:\n$plan")
+  }
+
   test("incremental dedup classifies batch docs against a corpus snapshot") {
     import spark.implicits._
     def docs(rows: (Long, String)*) =

@@ -143,6 +143,35 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("profile batch twin matches the streaming fold on real events") {
+    import graft.engine.streaming.EventStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // feed the REAL events fixture through the streaming operator…
+    val typed = graft.engine.ingest.Sources.events(spark, dir)
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("event_time"),
+        col("value"))
+      .as[EventStream.UserEvent].collect()
+    val mem = MemoryStream[EventStream.UserEvent]
+    val q = EventStream.userProfiles(mem.toDS())
+      .writeStream.format("memory").queryName("twin_profiles")
+      .outputMode("update").start()
+    try {
+      mem.addData(typed.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        """SELECT user_id, n_events, sum_value_c, last_seen_us
+          |FROM twin_profiles""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      // …and assert the oracle-checked batch twin states the same fold
+      val batch = EventStream.userProfilesBatch(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(streamed.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming funnel advances ordered steps across micro-batches") {
     import graft.engine.streaming.EventStream
     implicit val sqlCtx = spark.sqlContext
