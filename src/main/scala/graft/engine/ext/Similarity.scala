@@ -168,13 +168,15 @@ object Similarity {
     for (it <- 1 to iters) {
       val dist = qdot(col("q"), col("q")) - lit(2L) * qdot(col("q"), col("cq")) +
         qdot(col("cq"), col("cq")) // == Σ(q−c)², exact in BIGINT
+      // q rides in the group key (functionally dependent on vec_id, so
+      // groups are identical) — deterministic where first(q) is plan-order-
+      // dependent. Same convention as ivfTopK.
       assigned = vs.join(broadcast(centroids))
         .select(col("vec_id"), col("q"), col("cell_id"), dist.as("dist"))
-        .groupBy(col("vec_id"))
+        .groupBy(col("vec_id"), col("q"))
         .agg(
           min_by(struct(col("cell_id"), col("dist")),
-            struct(col("dist"), col("cell_id"))).as("best"),
-          first(col("q")).as("q")) // functionally dependent on vec_id
+            struct(col("dist"), col("cell_id"))).as("best"))
         .select(col("vec_id"), col("q"),
           col("best.cell_id").as("cell_id"), col("best.dist").as("dist"))
       if (it < iters) {
@@ -189,9 +191,11 @@ object Similarity {
           .agg(transform(
             array_sort(collect_list(struct(col("pos"), col("m")))),
             x => x.getField("m")).as("cq"))
+          // cut the loop-carried lineage (nCells rows) — see pqLoop.
+          .localCheckpoint(true)
       }
     }
-    (assigned, centroids)
+    (assigned.localCheckpoint(true), centroids)
   }
 
   /** IVF search over TRAINED cells: [[kmeansCells]]' final assignment is
@@ -275,13 +279,14 @@ object Similarity {
     for (it <- 1 to iters) {
       val dist = qdot(col("sq"), col("sq")) -
         lit(2L) * qdot(col("sq"), col("cq")) + qdot(col("cq"), col("cq"))
+      // sq rides in the group key (functionally dependent on (vec_id, m))
+      // — deterministic where first(sq) is plan-order-dependent.
       assigned = subs.join(broadcast(cb), Seq("m"))
         .select(col("vec_id"), col("m"), col("sq"), col("code"),
           dist.as("dist"))
-        .groupBy(col("vec_id"), col("m"))
+        .groupBy(col("vec_id"), col("m"), col("sq"))
         .agg(
-          min_by(col("code"), struct(col("dist"), col("code"))).as("code"),
-          first(col("sq")).as("sq")) // functionally dependent on (vec_id, m)
+          min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
       if (it < iters) {
         cb = assigned
           .select(col("m"), col("code"),
@@ -294,9 +299,16 @@ object Similarity {
           .agg(transform(
             array_sort(collect_list(struct(col("j"), col("c")))),
             x => x.getField("c")).as("cq"))
+          // cut the loop-carried lineage (tiny M·K-row table): without
+          // this, every downstream reference to the final assignment
+          // replays all earlier training rounds — the pagerank lesson
+          // (README "Checkpointed iteration").
+          .localCheckpoint(true)
       }
     }
-    (assigned, cb)
+    // consumers (codes dump, LUT build, ADC join) reference the encoded
+    // corpus several times in one plan: materialize it once.
+    (assigned.localCheckpoint(true), cb)
   }
 
   /** PQ asymmetric-distance (ADC) search: queries keep their EXACT
@@ -388,7 +400,7 @@ object Similarity {
       .withColumn("recon", expr("(code * s) div 127"))
       .groupBy(col("vec_id"))
       .agg(
-        first(col("s")).as("s"), // constant within the vec_id partition
+        max(col("s")).as("s"), // constant within the vec_id partition
         sum(abs(col("x") - col("recon"))).as("err"),
         sum(abs(col("x"))).as("mag"))
       .select(col("vec_id"), col("s"),
