@@ -78,6 +78,7 @@ object ExtQueries {
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "dedup_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(s, dir)),
+    "dedup_minhash_recall" -> ((s, dir) => Dedup.minhashRecall(s, dir)),
     "dedup_embed_pairs" -> ((s, dir) => Dedup.embedCosinePairs(s, dir)),
     "dedup_clusters" -> ((s, dir) => Dedup.simhashClusters(s, dir)),
     // ------------------------------------------------ similarity search
@@ -714,6 +715,68 @@ object ExtQueries {
         |)
         |SELECT doc_a, doc_b, est_jaccard_ppm FROM est
         |WHERE est_jaccard_ppm >= 250000 ORDER BY doc_a, doc_b""".stripMargin),
+
+    // LSH index QA: recall/precision of the banded MinHash candidates vs
+    // exact blocked Jaccard >= 0.5 — both sides are the pipelines of
+    // dedup_ngram_pairs / dedup_minhash_pairs above, CTEs renamed apart.
+    "dedup_minhash_recall" -> (shingles3 +
+      """, gex AS (
+        |  SELECT doc_id, unnest(sh) AS shingle FROM sh
+        |), gsizes AS (
+        |  SELECT doc_id, len(sh) AS n_sh FROM sh
+        |), grare AS (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle,
+        |      count(*) OVER (PARTITION BY shingle) AS df
+        |    FROM gex) WHERE df <= 100
+        |), gpairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_rare
+        |  FROM grare a JOIN grare b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), truth AS (
+        |  SELECT doc_a, doc_b FROM gpairs
+        |  JOIN gsizes sa ON sa.doc_id = doc_a
+        |  JOIN gsizes sb ON sb.doc_id = doc_b
+        |  WHERE shared_rare * 1000000
+        |    // (sa.n_sh + sb.n_sh - shared_rare) >= 500000
+        |), mex AS (
+        |  SELECT doc_id, ('0x' || substring(md5(unnest(sh)), 1, 12))::BIGINT AS h
+        |  FROM sh
+        |), msig AS (
+        |  SELECT doc_id, i,
+        |    min((h * (2*i + 3) + 7919*(i + 1)) % 2305843009213693951) AS mh
+        |  FROM mex, range(0, 16) t(i) GROUP BY 1, 2
+        |), mbands AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |    md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS bucket
+        |  FROM msig GROUP BY doc_id, i // 4
+        |), mcand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM mbands a JOIN mbands b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), lsh AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT doc_a, doc_b,
+        |      CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) * 1000000 // 16
+        |           AS BIGINT) AS est
+        |    FROM mcand
+        |    JOIN msig sa ON sa.doc_id = doc_a
+        |    JOIN msig sb ON sb.doc_id = doc_b AND sb.i = sa.i
+        |    GROUP BY 1, 2)
+        |  WHERE est >= 250000
+        |), counts AS (
+        |  SELECT
+        |    (SELECT count(*) FROM truth) AS n_truth,
+        |    (SELECT count(*) FROM lsh) AS n_lsh,
+        |    (SELECT count(*) FROM truth t WHERE EXISTS (
+        |       SELECT 1 FROM lsh l
+        |       WHERE l.doc_a = t.doc_a AND l.doc_b = t.doc_b)) AS n_hit
+        |)
+        |SELECT n_truth, n_lsh, n_hit,
+        |  n_hit * 1000000 // greatest(n_truth, 1) AS recall_ppm,
+        |  n_hit * 1000000 // greatest(n_lsh, 1) AS precision_ppm
+        |FROM counts""".stripMargin),
 
     "dedup_embed_pairs" -> (quantized +
       """, c AS (

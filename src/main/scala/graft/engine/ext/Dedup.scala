@@ -560,4 +560,42 @@ object Dedup {
       .filter(col("est_jaccard_ppm") >= minEstPpm)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** In-engine QA of the MinHash-LSH index, the dedup analog of
+    * [[Similarity]]'s `ann_*_recall` probes: of the strong near-dup pairs
+    * (exact blocked n-gram Jaccard ≥ `truthPpm`), what fraction does the
+    * banded LSH surface — and what fraction of LSH candidates are strong
+    * pairs. One diagnostic row (n_truth, n_lsh, n_hit, recall_ppm,
+    * precision_ppm), integer-exact.
+    *
+    * Scale shape: both sides are the existing bucket-blocked operators
+    * (never an all-pairs join); the intersection is a semi join on the
+    * pair key, and the three counts come from ONE aggregation over a
+    * tagged union — no scalar cross joins, so the plan-shape sweep's
+    * no-cartesian invariant holds even here.
+    */
+  def minhashRecall(spark: SparkSession, dir: String,
+                    truthPpm: Long = 500000L): DataFrame =
+    minhashRecall(documents(spark, dir), truthPpm)
+
+  def minhashRecall(docs: DataFrame, truthPpm: Long): DataFrame = {
+    val truth = ngramJaccardPairs(docs, n = 3, dfCap = 100,
+      minJaccardPpm = truthPpm).select(col("doc_a"), col("doc_b"))
+    val lsh = minhashPairs(docs).select(col("doc_a"), col("doc_b"))
+    val hits = truth.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
+    def tagged(df: DataFrame, tag: String) = df.select(lit(tag).as("src"))
+    tagged(truth, "truth")
+      .unionByName(tagged(lsh, "lsh"))
+      .unionByName(tagged(hits, "hit"))
+      .agg(
+        coalesce(sum(when(col("src") === "truth", 1L).otherwise(0L)), lit(0L))
+          .as("n_truth"),
+        coalesce(sum(when(col("src") === "lsh", 1L).otherwise(0L)), lit(0L))
+          .as("n_lsh"),
+        coalesce(sum(when(col("src") === "hit", 1L).otherwise(0L)), lit(0L))
+          .as("n_hit"))
+      .select(col("n_truth"), col("n_lsh"), col("n_hit"),
+        expr("(n_hit * 1000000) div greatest(n_truth, 1)").as("recall_ppm"),
+        expr("(n_hit * 1000000) div greatest(n_lsh, 1)").as("precision_ppm"))
+  }
 }
