@@ -183,8 +183,15 @@ object Dedup {
     ngramJaccardPairs(documents(spark, dir))
 
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
-                        dfCap: Int = 100, minJaccardPpm: Long = 100000L): DataFrame = {
-    val sh = shingleRows(docs, n)
+                        dfCap: Int = 100, minJaccardPpm: Long = 100000L): DataFrame =
+    ngramJaccardPairsFromShingles(shingleRows(docs, n), dfCap, minJaccardPpm)
+
+  /** [[ngramJaccardPairs]] over a pre-built (doc_id, shingle) table — lets
+    * callers that need several shingle consumers (e.g. [[minhashRecall]])
+    * materialize the explode once.
+    */
+  def ngramJaccardPairsFromShingles(sh: DataFrame, dfCap: Int,
+                                    minJaccardPpm: Long): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
 
     // Blocking: group per shingle, drop shingles with document frequency
@@ -523,11 +530,18 @@ object Dedup {
 
   def minhashPairs(docs: DataFrame, n: Int = 3,
                    numHashes: Int = 16, bands: Int = 4,
-                   minEstPpm: Long = 250000L): DataFrame = {
+                   minEstPpm: Long = 250000L): DataFrame =
+    minhashPairsFromShingles(shingleRows(docs, n), numHashes, bands, minEstPpm)
+
+  /** [[minhashPairs]] over a pre-built (doc_id, shingle) table — see
+    * [[ngramJaccardPairsFromShingles]].
+    */
+  def minhashPairsFromShingles(sh: DataFrame, numHashes: Int, bands: Int,
+                               minEstPpm: Long): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val perBand = numHashes / bands
 
-    val exploded = shingleRows(docs, n)
+    val exploded = sh
       .select(col("doc_id"), md5Hash48(col("shingle")).as("h"))
 
     // h_i(x) = (a_i * h + b_i) mod p — universal-hash family on the 60-bit
@@ -579,9 +593,17 @@ object Dedup {
     minhashRecall(documents(spark, dir), truthPpm)
 
   def minhashRecall(docs: DataFrame, truthPpm: Long): DataFrame = {
-    val truth = ngramJaccardPairs(docs, n = 3, dfCap = 100,
+    // Shared shingle PLAN, deliberately NOT checkpointed: A/B at sf0.1
+    // measured min 2.99 s recomputing the codegen'd explode per side vs
+    // 3.68 s materializing the ~1M-row shingle table first — unlike the
+    // iterative loops, a straight-line Generate is cheaper to replay
+    // than to store. (shingleRows is itself the Generate-barrier form,
+    // so there's no HOF re-evaluation risk here.)
+    val sh = shingleRows(docs, 3)
+    val truth = ngramJaccardPairsFromShingles(sh, dfCap = 100,
       minJaccardPpm = truthPpm).select(col("doc_a"), col("doc_b"))
-    val lsh = minhashPairs(docs).select(col("doc_a"), col("doc_b"))
+    val lsh = minhashPairsFromShingles(sh, numHashes = 16, bands = 4,
+      minEstPpm = 250000L).select(col("doc_a"), col("doc_b"))
     val hits = truth.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
     def tagged(df: DataFrame, tag: String) = df.select(lit(tag).as("src"))
     tagged(truth, "truth")
