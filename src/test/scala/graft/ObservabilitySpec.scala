@@ -51,4 +51,38 @@ class ObservabilitySpec extends SparkTestBase {
         m.getAs[Long]("non_slow") + m.getAs[Long]("parse_errors") >= total)
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("reportAll census agrees with the observe() routing metrics") {
+    // two independent implementations of the same census — the oracle-
+    // checked report query and the in-job observed metrics — must agree.
+    val got = new ConcurrentLinkedQueue[Row]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.get(MongoLogPipeline.RoutingMetric)
+          .foreach(got.add)
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val lines = LogGen.mongoLines(spark, "/root/testdata/sf0.001")
+      val census = MongoLogPipeline.reportAll(lines).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      MongoLogPipeline.observed(MongoLogPipeline.parsedScan(lines)).count()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (got.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(!got.isEmpty, "no observed metrics delivered")
+      val m = got.poll()
+      assert(census("detailed") === m.getAs[Long]("slow"))
+      assert(census("non_slow") === m.getAs[Long]("non_slow"))
+      assert(census("parse_errors") === m.getAs[Long]("parse_errors"))
+      // errors census counts the GROUPED rollup rows; observed counts
+      // routed rows — compare via the rollup's totalCount sum instead,
+      // which reportAll exposes as the errors checksum.
+      val checksum = MongoLogPipeline.reportAll(lines).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(checksum("errors") === m.getAs[Long]("errors"))
+    } finally spark.listenerManager.unregister(listener)
+  }
 }

@@ -96,6 +96,22 @@ class PlanSpec extends SparkTestBase {
       zs.take(800))
   }
 
+  test("round-7 additions keep their scale shapes") {
+    import graft.engine.streaming.EventStream
+    // profile twin: ONE hash exchange (the user_id aggregate), then the
+    // output sort — the stateful fold's batch statement must not shuffle
+    // more than the streaming operator would
+    val pr = plan(EventStream.userProfilesBatch(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(pr).length === 1,
+      pr.take(800))
+    // attribution twin: an equi-join on user_id with the interval bounds
+    // as join conditions — never a cartesian/BNLJ range join
+    val at = plan(EventStream.attributedPurchasesBatch(spark, dir))
+    assert(at.contains("Join") || at.contains("HashJoin"), at.take(800))
+    assert(!at.contains("CartesianProduct") &&
+      !at.contains("BroadcastNestedLoopJoin"), at.take(800))
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // At 100 TB a fact-fact shuffle join with a selective dim-side filter
     // should not shuffle the unfiltered probe side in full: Spark's
