@@ -88,6 +88,8 @@ object ExtQueries {
     "ann_kmeans" -> ((s, dir) => Similarity.kmeansCells(s, dir)),
     "ann_quantize" -> ((s, dir) => Similarity.quantizeInt8(s, dir)),
     "ann_ivf_trained" -> ((s, dir) => Similarity.ivfTrainedTopK(s, dir)),
+    "ann_ivfpq_search" -> ((s, dir) => Similarity.ivfPqTopK(s, dir)),
+    "ann_ivfpq_recall" -> ((s, dir) => Similarity.ivfPqRecall(s, dir)),
     "ann_pq_codes" -> ((s, dir) => Similarity.pqCodes(s, dir)),
     "ann_pq_search" -> ((s, dir) => Similarity.pqSearchTopK(s, dir)),
     "ann_pq_rerank" -> ((s, dir) => Similarity.pqRerankTopK(s, dir)),
@@ -229,6 +231,74 @@ object ExtQueries {
       |      row_number() OVER (PARTITION BY vec_id, m
       |                         ORDER BY dist, code) AS rn
       |    FROM d2) WHERE rn = 1
+      |)
+      |""".stripMargin
+
+  /** IVF-PQ composed chain (appended after `quantized` + `pqChain`):
+    * kmeans cell training (k-prefixed, disjoint from pqChain's CTE names)
+    * → probes → cell-pruned candidates → ADC over codes → shortlist →
+    * exact re-rank (`ex`). Shared by ann_ivfpq_search / ann_ivfpq_recall.
+    */
+  private val ivfPqChain =
+    """, kc0 AS (
+      |  SELECT vec_id AS cell_id, i, q AS c FROM v WHERE vec_id < 16
+      |), kd1 AS (
+      |  SELECT v.vec_id, c.cell_id,
+      |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS dist
+      |  FROM v JOIN kc0 c ON v.i = c.i GROUP BY 1, 2
+      |), ka1 AS (
+      |  SELECT vec_id, cell_id FROM (
+      |    SELECT vec_id, cell_id,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+      |    FROM kd1) WHERE rn = 1
+      |), kc1 AS (
+      |  SELECT ka1.cell_id, v.i,
+      |    CAST(floor(sum(v.q)::DOUBLE / count(*)) AS BIGINT) AS c
+      |  FROM ka1 JOIN v ON v.vec_id = ka1.vec_id GROUP BY 1, 2
+      |), kd2 AS (
+      |  SELECT v.vec_id, c.cell_id,
+      |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS dist
+      |  FROM v JOIN kc1 c ON v.i = c.i GROUP BY 1, 2
+      |), ka2 AS (
+      |  SELECT vec_id, cell_id FROM (
+      |    SELECT vec_id, cell_id,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+      |    FROM kd2) WHERE rn = 1
+      |), kprobes AS (
+      |  SELECT vec_id AS query_id, cell_id FROM (
+      |    SELECT vec_id, cell_id,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS crank
+      |    FROM kd2 WHERE vec_id % 50 = 0) WHERE crank <= 4
+      |), ccand AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id
+      |  FROM kprobes p
+      |  JOIN ka2 a ON a.cell_id = p.cell_id AND a.vec_id != p.query_id
+      |), qs AS (
+      |  SELECT vec_id AS query_id, m, j, q FROM sv WHERE vec_id % 50 = 0
+      |), lut AS (
+      |  SELECT qs.query_id, cb1.m, cb1.code,
+      |    CAST(sum(qs.q * cb1.c) AS BIGINT) AS d
+      |  FROM qs JOIN cb1 ON qs.m = cb1.m AND qs.j = cb1.j
+      |  GROUP BY 1, 2, 3
+      |), sc AS (
+      |  SELECT c.query_id, c.neighbor_id, CAST(sum(l.d) AS BIGINT) AS adc_dot
+      |  FROM ccand c
+      |  JOIN a2 ON a2.vec_id = c.neighbor_id
+      |  JOIN lut l ON l.query_id = c.query_id
+      |    AND l.m = a2.m AND l.code = a2.code
+      |  GROUP BY 1, 2
+      |), short AS (
+      |  SELECT query_id, neighbor_id, adc_dot FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY adc_dot DESC, neighbor_id) AS srank
+      |    FROM sc) WHERE srank <= 30
+      |), ex AS (
+      |  SELECT s.query_id, s.neighbor_id, s.adc_dot,
+      |    CAST(sum(q.q * n.q) AS BIGINT) AS dot
+      |  FROM short s
+      |  JOIN v q ON q.vec_id = s.query_id
+      |  JOIN v n ON n.vec_id = s.neighbor_id AND n.i = q.i
+      |  GROUP BY 1, 2, 3
       |)
       |""".stripMargin
 
@@ -1235,6 +1305,48 @@ object ExtQueries {
         |    ORDER BY adc_dot DESC, neighbor_id)::INT AS rank
         |  FROM sc)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
+    // IVF-PQ composed search: the kmeans chain (k-prefixed to keep its
+    // CTE names disjoint from pqChain's) prunes candidates to the probed
+    // cells; ADC ranks only those; exact re-rank on the shortlist.
+    "ann_ivfpq_search" -> (quantized + pqChain + ivfPqChain +
+      """SELECT query_id, rank, neighbor_id, dot, adc_dot FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY dot DESC, neighbor_id)::INT AS rank
+        |  FROM ex)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
+    // Recall@10 of the composed index vs the exact baseline (same
+    // comparison tail as ann_pq_recall).
+    "ann_ivfpq_recall" -> (quantized + pqChain + ivfPqChain +
+      """, ivfpq10 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot DESC, neighbor_id) AS rnk
+        |    FROM ex) WHERE rnk <= 10
+        |), bd AS (
+        |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+        |    CAST(sum(q.q * v.q) AS BIGINT) AS dot
+        |  FROM v q JOIN v ON q.i = v.i AND q.vec_id % 50 = 0
+        |                 AND v.vec_id != q.vec_id
+        |  GROUP BY 1, 2
+        |), brute AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot DESC, neighbor_id) AS rnk
+        |    FROM bd) WHERE rnk <= 10
+        |), ov AS (
+        |  SELECT query_id, count(*)::BIGINT AS n_overlap
+        |  FROM brute JOIN ivfpq10 USING (query_id, neighbor_id)
+        |  GROUP BY query_id
+        |), tru AS (
+        |  SELECT query_id, count(*)::BIGINT AS n_true FROM brute GROUP BY query_id
+        |)
+        |SELECT t.query_id, coalesce(o.n_overlap, 0)::BIGINT AS n_overlap,
+        |  t.n_true,
+        |  (coalesce(o.n_overlap, 0) * 1000000 // t.n_true)::BIGINT AS recall_ppm
+        |FROM tru t LEFT JOIN ov o USING (query_id)
+        |ORDER BY t.query_id""".stripMargin),
 
     "ann_pq_rerank" -> (quantized + pqChain +
       """, qs AS (

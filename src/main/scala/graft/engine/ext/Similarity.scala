@@ -241,6 +241,82 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-PQ composed search — the production ANN index shape (FAISS's
+    * default at corpus scale): trained coarse cells prune the corpus to
+    * the query's `nprobe` cells, PQ-ADC ranks ONLY those candidates from
+    * their 8-byte codes, and the exact inner product re-ranks the
+    * shortlist. Composes [[kmeansLoop]] (the IVF index) and [[pqLoop]]
+    * (the compressed codes) — both already oracle-replayed — so the
+    * whole composed pipeline stays deterministic integer math.
+    *
+    * Scale shape: the corpus appears as (cell assignment) + (M code rows)
+    * — never raw vectors until the shortlist re-rank; probes, LUT and
+    * queries are broadcasts. vs the flat [[pqSearchTopK]], the ADC join
+    * touches nprobe/nCells of the corpus; vs [[ivfTrainedTopK]], ranking
+    * reads 8-byte codes instead of 64-dim vectors.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String, topK: Int = 10,
+                shortlist: Int = 30, queryMod: Int = 50, nCells: Int = 16,
+                ivfIters: Int = 2, nprobe: Int = 4, M: Int = 8,
+                subDim: Int = 8, pqK: Int = 16, pqIters: Int = 2): DataFrame = {
+    val vs = vectors(spark, dir)
+    val (cellAssigned, centroids) = kmeansLoop(vs, nCells, ivfIters)
+    val (pqAssigned, cb) = pqLoop(vs, M, subDim, pqK, pqIters)
+
+    // probe list: nprobe nearest TRAINED centroids per query (identical
+    // distance + tie-break to ivfTrainedTopK)
+    val queries = cellAssigned.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val cdist = qdot(col("qq"), col("qq")) -
+      lit(2L) * qdot(col("qq"), col("cq")) + qdot(col("cq"), col("cq"))
+    val probes = queries.join(broadcast(centroids))
+      .select(col("query_id"), col("cell_id"), cdist.as("cdist"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cdist"), col("cell_id"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("cell_id"))
+
+    // cell-pruned candidate pairs (each vector lives in exactly one cell)
+    val cand = cellAssigned.select(col("vec_id"), col("cell_id"))
+      .join(broadcast(probes), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
+    // ADC lookup table: exact query subvectors × trained codebook
+    val qsubs = pqAssigned.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("m"), col("sq"))
+    val lut = qsubs.join(cb, Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        qdot(col("sq"), col("cq")).as("d"))
+
+    val adc = cand
+      .join(pqAssigned.select(col("vec_id").as("neighbor_id"),
+        col("m"), col("code")), Seq("neighbor_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d")).as("adc_dot"))
+
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(desc("adc_dot"), col("neighbor_id"))
+    val short = adc.withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dot"))
+
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(desc("dot"), col("neighbor_id"))
+    short
+      .join(vs.select(col("vec_id").as("neighbor_id"), col("q")), "neighbor_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("adc_dot"),
+        qdot(col("qq"), col("q")).as("dot"))
+      .withColumn("rank", row_number().over(wr).cast("int"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("dot"), col("adc_dot"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Product-quantization codebook training + encoding: split each 64-dim
     * quantized vector into M=8 contiguous 8-dim subvectors and run the
     * SAME deterministic Lloyd loop as [[kmeansCells]] independently per
@@ -497,6 +573,17 @@ object Similarity {
       bruteForceTopK(spark, dir)
         .select(col("query_id"), col("neighbor_id")),
       pqRerankTopK(spark, dir)
+        .select(col("query_id"), col("neighbor_id")))
+
+  /** Recall@k of the composed IVF-PQ retrieval ([[ivfPqTopK]]) against
+    * the exact baseline — quantifies what the cell pruning costs on top
+    * of PQ compression (vs [[pqRecall]], which prices compression alone).
+    */
+  def ivfPqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(
+      bruteForceTopK(spark, dir)
+        .select(col("query_id"), col("neighbor_id")),
+      ivfPqTopK(spark, dir)
         .select(col("query_id"), col("neighbor_id")))
 
   /** Per-query overlap of an approximate top-k against the exact one,

@@ -63,6 +63,21 @@ class ApproxInvariantsSpec extends SparkTestBase {
           neighbors.filter(_ % 4 != q % 4))
     }
 
+    // IVF-PQ composed index on the same fixture: the coarse cells prune
+    // to cluster-mates and ADC ties within a cluster, so (like the flat
+    // PQ check above) the invariant is cluster precision — every
+    // returned neighbor is a true cluster-mate — plus full result shape.
+    val ivfpq = topSet(Similarity.ivfPqTopK(spark, dir, topK = 5,
+      shortlist = 15, queryMod = 10, nCells = 4, ivfIters = 2, nprobe = 2,
+      M = 8, subDim = 8, pqK = 4, pqIters = 2))
+    assert(ivfpq.size === 10, s"expected 10 IVF-PQ query groups, got ${ivfpq.size}")
+    ivfpq.foreach { case (q, neighbors) =>
+      assert(neighbors.size === 5, s"query $q returned ${neighbors.size}")
+      assert(neighbors.forall(n => n % 4 == q % 4),
+        s"query $q (cluster ${q % 4}) got cross-cluster neighbors " +
+          neighbors.filter(_ % 4 != q % 4))
+    }
+
     // SRP-LSH buckets: cluster-mates project to near-identical signatures
     // (the cluster axes dominate every hyperplane dot), so band candidates
     // recover the true neighbor set without any trained structure.

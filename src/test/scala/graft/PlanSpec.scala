@@ -190,10 +190,14 @@ class PlanSpec extends SparkTestBase {
     // row, constant work per probe row at any scale.
     // the recall QA queries embed bruteForceTopK (their exact baseline),
     // so they inherit that documented inequality-vs-broadcast join;
-    // corpus_cell_quality embeds the IVF conditionless centroid fan-out
+    // corpus_cell_quality embeds the IVF conditionless centroid fan-out;
+    // the composed IVF-PQ pair inherits the same centroid fan-out (probe
+    // ranking is query × broadcast trained centroids), and its recall QA
+    // additionally embeds bruteForceTopK
     val exempt = Set("ann_bruteforce", "ann_label_centroids", "ann_ivf",
       "ann_kmeans", "ann_ivf_trained", "text_surprisal", "ann_srp_recall",
-      "ann_pq_recall", "corpus_cell_quality")
+      "ann_pq_recall", "corpus_cell_quality", "ann_ivfpq_search",
+      "ann_ivfpq_recall")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
