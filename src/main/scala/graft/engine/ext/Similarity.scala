@@ -249,11 +249,21 @@ object Similarity {
     * (the compressed codes) — both already oracle-replayed — so the
     * whole composed pipeline stays deterministic integer math.
     *
-    * Scale shape: the corpus appears as (cell assignment) + (M code rows)
-    * — never raw vectors until the shortlist re-rank; probes, LUT and
-    * queries are broadcasts. vs the flat [[pqSearchTopK]], the ADC join
-    * touches nprobe/nCells of the corpus; vs [[ivfTrainedTopK]], ranking
-    * reads 8-byte codes instead of 64-dim vectors.
+    * Scale shape — one corpus shuffle, zero pair shuffles: the index
+    * build co-partitions (cell_id, codes[M]) per vector by vec_id (the
+    * one corpus-keyed exchange, amortizable as a stored index); the
+    * candidate fan-out is a broadcast-hash join against the tiny probe
+    * list, so (query, neighbor) pairs are created AND scored where the
+    * corpus partition lives — each pair's ADC score is M lookups into
+    * the query's broadcast M·K LUT map, no per-code row explosion and no
+    * (query, neighbor) aggregation exchange. The only post-index shuffle
+    * is the shortlist top-k, and that window is WindowGroupLimit-eligible
+    * (each map task ships at most `shortlist` rows per query). vs the
+    * flat [[pqSearchTopK]], the ADC touches nprobe/nCells of the corpus;
+    * vs [[ivfTrainedTopK]], scoring reads M-byte codes, not 64-dim
+    * vectors. The ADC sum is wrapped in the opaque barrier so the
+    * interpreted lookup fold is evaluated once per pair, not re-inlined
+    * per consumer (see OpaqueBarrier).
     */
   def ivfPqTopK(spark: SparkSession, dir: String, topK: Int = 10,
                 shortlist: Int = 30, queryMod: Int = 50, nCells: Int = 16,
@@ -277,26 +287,46 @@ object Similarity {
       .filter(col("crank") <= nprobe)
       .select(col("query_id"), col("cell_id"))
 
-    // cell-pruned candidate pairs (each vector lives in exactly one cell)
-    val cand = cellAssigned.select(col("vec_id"), col("cell_id"))
-      .join(broadcast(probes), Seq("cell_id"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    // index build: ONE corpus-keyed shuffle co-locates each vector's
+    // cell with its M codes packed into a single array row — at 100 TB
+    // this is the stored ANN index, not a per-query cost
+    val codesByVec = pqAssigned
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("m"), col("code")))),
+        x => x.getField("code")).as("codes"))
+    val vecIndex = cellAssigned.select(col("vec_id"), col("cell_id"))
+      .join(codesByVec, "vec_id")
 
-    // ADC lookup table: exact query subvectors × trained codebook
+    // per-query ADC lookup table (exact query subvectors × trained
+    // codebook), flattened to a broadcastable m·K→dot map per query
     val qsubs = pqAssigned.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("m"), col("sq"))
     val lut = qsubs.join(cb, Seq("m"))
-      .select(col("query_id"), col("m"), col("code"),
+      .select(col("query_id"),
+        (col("m") * pqK + col("code")).cast("int").as("slot"),
         qdot(col("sq"), col("cq")).as("d"))
+    val lutMap = lut.groupBy(col("query_id"))
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("d"))))
+        .as("lutmap"))
 
-    val adc = cand
-      .join(pqAssigned.select(col("vec_id").as("neighbor_id"),
-        col("m"), col("code")), Seq("neighbor_id"))
-      .join(broadcast(lut), Seq("query_id", "m", "code"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("d")).as("adc_dot"))
+    // candidate fan-out + scoring, all narrow: each corpus index row
+    // meets its cell's probing queries via the broadcast probe list and
+    // scores itself with M map lookups — no pair rows ever shuffle
+    val adcSum = aggregate(
+      sequence(lit(0), lit(M - 1)), lit(0L),
+      (acc, m) => acc + element_at(col("lutmap"),
+        (m * pqK + element_at(col("codes"), m + 1)).cast("int")))
+    val adc = vecIndex
+      .join(broadcast(probes), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lutMap), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.engine.expr.NativeFunctions.opaque(adcSum).as("adc_dot"))
 
+    // shortlist: the one post-index exchange; rank<=N over row_number
+    // plans a WindowGroupLimit, so map tasks pre-prune to `shortlist`
+    // rows per query before the shuffle
     val ws = Window.partitionBy(col("query_id"))
       .orderBy(desc("adc_dot"), col("neighbor_id"))
     val short = adc.withColumn("srank", row_number().over(ws))

@@ -110,6 +110,13 @@ class PlanSpec extends SparkTestBase {
     assert(at.contains("Join") || at.contains("HashJoin"), at.take(800))
     assert(!at.contains("CartesianProduct") &&
       !at.contains("BroadcastNestedLoopJoin"), at.take(800))
+    // composed IVF-PQ: the shortlist top-k must pre-prune map-side
+    // (WindowGroupLimit), and the candidate scoring path must stay
+    // narrow — broadcast joins only, no sort-merge join of pair rows
+    // (the one allowed SMJ-shaped exchange is the vec_id index build)
+    val pq = plan(graft.engine.ext.Similarity.ivfPqTopK(spark, dir))
+    assert(pq.contains("WindowGroupLimit"), pq.take(1200))
+    assert("BroadcastHashJoin".r.findAllIn(pq).length >= 3, pq.take(1200))
   }
 
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
