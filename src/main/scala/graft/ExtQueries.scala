@@ -119,6 +119,7 @@ object ExtQueries {
     "text_vocab" -> ((s, dir) => TextAnalysis.vocab(s, dir)),
     "corpus_temperature" -> ((s, dir) => Corpus.temperatureWeights(s, dir)),
     "dedup_containment" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
+    "dedup_substring" -> ((s, dir) => Dedup.substringSpans(s, dir)),
     "layout_zorder" -> ((s, dir) =>
       graft.engine.ingest.Layout.zorderStats(s, dir)),
     "ann_srp_topk" -> ((s, dir) => Similarity.srpTopK(s, dir)),
@@ -1459,6 +1460,38 @@ object ExtQueries {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE shared_rare * 1000000 // least(sa.n_sh, sb.n_sh) >= 400000
         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Positional (not distinct-set) shingles: every occurrence keeps its
+    // token position; a run of consecutive matches on one (doc_a, doc_b,
+    // pa-pb) diagonal is a maximal shared span (gaps-and-islands).
+    "dedup_substring" -> (toks +
+      """, pos AS (
+        |  SELECT doc_id, t, unnest(range(0, len(t) - 2)) AS p
+        |  FROM toks WHERE len(t) >= 3
+        |), psh AS (
+        |  SELECT doc_id, p,
+        |    md5(t[p+1] || ' ' || t[p+2] || ' ' || t[p+3]) AS fp
+        |  FROM pos
+        |), bkt AS (
+        |  SELECT doc_id, p, fp, count(*) OVER (PARTITION BY fp) AS df
+        |  FROM psh
+        |), prs AS (
+        |  SELECT x.doc_id AS doc_a, x.p AS pa, y.doc_id AS doc_b, y.p AS pb
+        |  FROM bkt x JOIN bkt y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        |  WHERE x.df <= 100
+        |), isl AS (
+        |  SELECT doc_a, doc_b, pa - pb AS diag, pa,
+        |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+        |                            ORDER BY pa) AS grp
+        |  FROM prs
+        |), sp AS (
+        |  SELECT doc_a, doc_b, diag, grp, count(*) AS cnt, min(pa) AS a_start
+        |  FROM isl GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT doc_a, doc_b, a_start::BIGINT AS a_start,
+        |  (a_start - diag)::BIGINT AS b_start, (cnt + 2)::BIGINT AS span_tokens
+        |FROM sp WHERE cnt + 2 >= 10
+        |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin),
 
     "layout_zorder" ->
       s"""WITH z AS (

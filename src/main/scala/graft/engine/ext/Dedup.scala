@@ -281,6 +281,73 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ------------------------------------------------------- shared spans
+
+  /** Exact shared-span detection ("substring dedup", the technique of
+    * Lee et al. 2022, Deduplicating Training Data Makes Language Models
+    * Better — re-expressed as dataflow instead of a suffix array):
+    * positional n-token shingles are matched across documents, and a
+    * run of consecutive matches along one (doc_a, doc_b, diagonal) is a
+    * shared token span. Emits every MAXIMAL span of at least
+    * `minSpanTokens` tokens with both start positions — the span-level
+    * provenance that whole-document near-dup (Jaccard / SimHash /
+    * MinHash over shingle SETS) cannot see: a 100-token quote inside two
+    * otherwise-unrelated documents scores near zero Jaccard but is
+    * exactly one long diagonal run here.
+    *
+    * Scale shape: positional shingling is linear in tokens behind the
+    * same Generate boundary as [[shingleRows]]; candidate generation is
+    * the df-capped fingerprint bucket join (occurrence lists are capped
+    * at `dfCap`, so boilerplate phrases never go quadratic — a run
+    * passing through a capped shingle splits into sub-runs, which only
+    * under-reports boilerplate spans); run detection is gaps-and-islands:
+    * ONE exchange on (doc_a, doc_b, diag) that the island row_number and
+    * the span aggregation share (the groupBy key is a superset of the
+    * window partition key, so Catalyst reuses the partitioning).
+    */
+  def substringSpans(spark: SparkSession, dir: String): DataFrame =
+    substringSpans(documents(spark, dir))
+
+  def substringSpans(docs: DataFrame, n: Int = 3, dfCap: Int = 100,
+                     minSpanTokens: Int = 10): DataFrame = {
+    // positional shingle fingerprints: (doc_id, p, md5(shingle at p)) —
+    // NOT distinct: every occurrence keeps its position
+    val sh = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - n)).as("p"))
+      .select(col("doc_id"), col("p"),
+        md5(concat_ws(" ",
+          (0 until n).map(j => element_at(col("toks"), col("p") + j + 1)): _*))
+          .as("fp"))
+
+    // df-capped occurrence buckets → cross-document occurrence pairs,
+    // expanded locally (one shuffle, no bucket self-join)
+    val pairs = sh.groupBy(col("fp"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("p")))).as("occ"))
+      .filter(size(col("occ")).between(2, dfCap))
+      .select(explode(localPairs(col("occ"))).as("pr"))
+      .filter(col("pr.a.doc_id") < col("pr.b.doc_id"))
+      .select(col("pr.a.doc_id").as("doc_a"), col("pr.a.p").as("pa"),
+        col("pr.b.doc_id").as("doc_b"), col("pr.b.p").as("pb"))
+
+    // gaps-and-islands on the match diagonal: consecutive pa values on
+    // one (doc_a, doc_b, pa-pb) diagonal share (pa - row_number)
+    val wi = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pa"))
+    pairs
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("isl", col("pa") - row_number().over(wi))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
+      .agg(count(lit(1)).as("cnt"), min(col("pa")).as("a_start"))
+      .filter(col("cnt") + lit(n - 1) >= minSpanTokens)
+      .select(col("doc_a"), col("doc_b"),
+        col("a_start").cast("long").as("a_start"),
+        (col("a_start") - col("diag")).cast("long").as("b_start"),
+        (col("cnt") + lit(n - 1)).cast("long").as("span_tokens"))
+      .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
+  }
+
   // ------------------------------------------------------------ SimHash
 
   /** 60-bit SimHash per document from the token multiset: each token

@@ -196,6 +196,46 @@ class DedupSpec extends SparkTestBase {
     assert(jac(0).getAs[Long]("jaccard_ppm") < 500000L)
   }
 
+  test("substring spans: exact boundaries, maximal runs, two islands stay separate") {
+    // doc 2 embeds tokens 2..13 of doc 1 (a 12-token span) at offset 5,
+    // and ALSO tokens 20..27 (8 tokens) at offset 30 — two disjoint
+    // diagonals. With minSpanTokens=8 both spans surface, with exact
+    // starts; with minSpanTokens=10 only the long one survives.
+    val t1 = (0 until 40).map(i => s"w$i")
+    val fillerA = (0 until 5).map(i => s"fa$i")
+    val fillerB = (0 until 13).map(i => s"fb$i") // pads to offset 30
+    val t2 = fillerA ++ t1.slice(2, 14) ++ fillerB ++ t1.slice(20, 28)
+    val docs = Seq(
+      (1L, t1.mkString(" ")),
+      (2L, t2.mkString(" ")),
+      (3L, "zz yy xx ww vv uu tt ss rr qq"),
+    ).toDF("doc_id", "text")
+
+    val both = Dedup.substringSpans(docs, n = 3, dfCap = 100,
+      minSpanTokens = 8).collect()
+    assert(both.length === 2, both.mkString("; "))
+    val long = both(0)
+    assert(long.getAs[Long]("a_start") === 2L)
+    assert(long.getAs[Long]("b_start") === 5L)
+    assert(long.getAs[Long]("span_tokens") === 12L)
+    val shortSpan = both(1)
+    assert(shortSpan.getAs[Long]("a_start") === 20L)
+    assert(shortSpan.getAs[Long]("b_start") === 30L)
+    assert(shortSpan.getAs[Long]("span_tokens") === 8L)
+
+    val onlyLong = Dedup.substringSpans(docs, n = 3, dfCap = 100,
+      minSpanTokens = 10).collect()
+    assert(onlyLong.length === 1)
+    assert(onlyLong(0).getAs[Long]("span_tokens") === 12L)
+
+    // whole-doc Jaccard on the same pair is far below a dup gate — the
+    // span detector sees what set-similarity can't
+    val jac = Dedup.ngramJaccardPairs(docs, n = 3, dfCap = 100,
+      minJaccardPpm = 0L).collect()
+      .filter(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(jac.forall(_.getAs[Long]("jaccard_ppm") < 500000L))
+  }
+
   test("pagerank: near-dup cluster members outrank isolated docs, center outranks leaves") {
     // 1,2,3 near-identical (a clique in the simhash graph); 4 isolated
     val base = (1 to 40).map(i => s"word$i").mkString(" ")
