@@ -120,6 +120,7 @@ object ExtQueries {
     "corpus_temperature" -> ((s, dir) => Corpus.temperatureWeights(s, dir)),
     "dedup_containment" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
     "dedup_substring" -> ((s, dir) => Dedup.substringSpans(s, dir)),
+    "dedup_span_coverage" -> ((s, dir) => Dedup.spanCoverage(s, dir)),
     "layout_zorder" -> ((s, dir) =>
       graft.engine.ingest.Layout.zorderStats(s, dir)),
     "ann_srp_topk" -> ((s, dir) => Similarity.srpTopK(s, dir)),
@@ -165,6 +166,40 @@ object ExtQueries {
       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
       |    ELSE [] END AS sh
       |  FROM toks
+      |)""".stripMargin
+
+  /** Positional-shingle shared-span chain (dedup_substring /
+    * dedup_span_coverage): `spans` = maximal diagonal runs ≥ 10 tokens
+    * with both start positions, BIGINT throughout.
+    */
+  private val spanChain = toks +
+    """, pos AS (
+      |  SELECT doc_id, t, unnest(range(0, len(t) - 2)) AS p
+      |  FROM toks WHERE len(t) >= 3
+      |), psh AS (
+      |  SELECT doc_id, p,
+      |    md5(t[p+1] || ' ' || t[p+2] || ' ' || t[p+3]) AS fp
+      |  FROM pos
+      |), bkt AS (
+      |  SELECT doc_id, p, fp, count(*) OVER (PARTITION BY fp) AS df
+      |  FROM psh
+      |), prs AS (
+      |  SELECT x.doc_id AS doc_a, x.p AS pa, y.doc_id AS doc_b, y.p AS pb
+      |  FROM bkt x JOIN bkt y ON x.fp = y.fp AND x.doc_id < y.doc_id
+      |  WHERE x.df <= 100
+      |), risl AS (
+      |  SELECT doc_a, doc_b, pa - pb AS diag, pa,
+      |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+      |                            ORDER BY pa) AS grp
+      |  FROM prs
+      |), rsp AS (
+      |  SELECT doc_a, doc_b, diag, grp, count(*) AS cnt, min(pa) AS a_start
+      |  FROM risl GROUP BY 1, 2, 3, 4
+      |), spans AS (
+      |  SELECT doc_a, doc_b, a_start::BIGINT AS a_start,
+      |    (a_start - diag)::BIGINT AS b_start,
+      |    (cnt + 2)::BIGINT AS span_tokens
+      |  FROM rsp WHERE cnt + 2 >= 10
       |)""".stripMargin
 
   private val tokHash =
@@ -1464,34 +1499,46 @@ object ExtQueries {
     // Positional (not distinct-set) shingles: every occurrence keeps its
     // token position; a run of consecutive matches on one (doc_a, doc_b,
     // pa-pb) diagonal is a maximal shared span (gaps-and-islands).
-    "dedup_substring" -> (toks +
-      """, pos AS (
-        |  SELECT doc_id, t, unnest(range(0, len(t) - 2)) AS p
-        |  FROM toks WHERE len(t) >= 3
-        |), psh AS (
-        |  SELECT doc_id, p,
-        |    md5(t[p+1] || ' ' || t[p+2] || ' ' || t[p+3]) AS fp
-        |  FROM pos
-        |), bkt AS (
-        |  SELECT doc_id, p, fp, count(*) OVER (PARTITION BY fp) AS df
-        |  FROM psh
-        |), prs AS (
-        |  SELECT x.doc_id AS doc_a, x.p AS pa, y.doc_id AS doc_b, y.p AS pb
-        |  FROM bkt x JOIN bkt y ON x.fp = y.fp AND x.doc_id < y.doc_id
-        |  WHERE x.df <= 100
-        |), isl AS (
-        |  SELECT doc_a, doc_b, pa - pb AS diag, pa,
-        |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
-        |                            ORDER BY pa) AS grp
-        |  FROM prs
-        |), sp AS (
-        |  SELECT doc_a, doc_b, diag, grp, count(*) AS cnt, min(pa) AS a_start
-        |  FROM isl GROUP BY 1, 2, 3, 4
-        |)
-        |SELECT doc_a, doc_b, a_start::BIGINT AS a_start,
-        |  (a_start - diag)::BIGINT AS b_start, (cnt + 2)::BIGINT AS span_tokens
-        |FROM sp WHERE cnt + 2 >= 10
+    "dedup_substring" -> (spanChain +
+      """SELECT doc_a, doc_b, a_start, b_start, span_tokens
+        |FROM spans
         |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin),
+
+    // Interval-union sweep over each doc's spans (both sides): running
+    // max of ends splits chain-overlaps into islands; an island's union
+    // is contiguous, so coverage = max(e) - min(s).
+    "dedup_span_coverage" -> (spanChain +
+      """, iv AS (
+        |  SELECT DISTINCT doc_id, s, e FROM (
+        |    SELECT doc_a AS doc_id, a_start AS s,
+        |      a_start + span_tokens AS e FROM spans
+        |    UNION ALL
+        |    SELECT doc_b, b_start, b_start + span_tokens FROM spans)
+        |), mrk AS (
+        |  SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv
+        |), cum AS (
+        |  SELECT doc_id, s, e,
+        |    sum(CASE WHEN pmax IS NULL OR s >= pmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM mrk
+        |), cov AS (
+        |  SELECT doc_id, isl, max(e) - min(s) AS covered
+        |  FROM cum GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT doc_id, sum(covered) AS covered_tokens,
+        |    count(*) AS n_spans
+        |  FROM cov GROUP BY 1
+        |)
+        |SELECT a.doc_id, len(t.t)::BIGINT AS n_tokens,
+        |  a.covered_tokens::BIGINT AS covered_tokens,
+        |  a.n_spans::BIGINT AS n_spans,
+        |  (a.covered_tokens * 1000000 // len(t.t))::BIGINT AS dup_ppm
+        |FROM agg a JOIN toks t USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin),
 
     "layout_zorder" ->
       s"""WITH z AS (

@@ -309,7 +309,14 @@ object Dedup {
     substringSpans(documents(spark, dir))
 
   def substringSpans(docs: DataFrame, n: Int = 3, dfCap: Int = 100,
-                     minSpanTokens: Int = 10): DataFrame = {
+                     minSpanTokens: Int = 10): DataFrame =
+    spansOf(docs, n, dfCap, minSpanTokens)
+      .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
+
+  /** [[substringSpans]] without the presentation sort — the shared plan
+    * [[spanCoverage]] builds on. */
+  private def spansOf(docs: DataFrame, n: Int, dfCap: Int,
+                      minSpanTokens: Int): DataFrame = {
     // positional shingle fingerprints: (doc_id, p, md5(shingle at p)) —
     // NOT distinct: every occurrence keeps its position
     val sh = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -345,7 +352,53 @@ object Dedup {
         col("a_start").cast("long").as("a_start"),
         (col("a_start") - col("diag")).cast("long").as("b_start"),
         (col("cnt") + lit(n - 1)).cast("long").as("span_tokens"))
-      .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
+  }
+
+  /** Per-document duplicated-token mass: the union of this document's
+    * shared spans (from [[substringSpans]], both sides), merged by an
+    * interval sweep, as covered tokens and exact ppm of the document —
+    * the decision input for substring-removal ("drop documents that are
+    * mostly boilerplate", "cut the duplicated spans out of the rest").
+    *
+    * The sweep is one window pass per document: running max of interval
+    * ends splits chain-overlapping intervals into islands (an island's
+    * union is contiguous, so its coverage is max(end) − min(start));
+    * both windows and both aggregations share the doc_id exchange.
+    */
+  def spanCoverage(spark: SparkSession, dir: String): DataFrame =
+    spanCoverage(documents(spark, dir))
+
+  def spanCoverage(docs: DataFrame, n: Int = 3, dfCap: Int = 100,
+                   minSpanTokens: Int = 10): DataFrame = {
+    val spans = spansOf(docs, n, dfCap, minSpanTokens)
+    val iv = spans.select(col("doc_a").as("doc_id"), col("a_start").as("s"),
+        (col("a_start") + col("span_tokens")).as("e"))
+      .union(spans.select(col("doc_b").as("doc_id"), col("b_start").as("s"),
+        (col("b_start") + col("span_tokens")).as("e")))
+      .distinct()
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val wPrev = ord.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wCum = ord.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val perDoc = iv
+      .withColumn("pmax", max(col("e")).over(wPrev))
+      .withColumn("flag",
+        when(col("pmax").isNull || col("s") >= col("pmax"), 1L).otherwise(0L))
+      .withColumn("isl", sum(col("flag")).over(wCum))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg((max(col("e")) - min(col("s"))).as("covered"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("covered")).as("covered_tokens"),
+        count(lit(1)).as("n_spans"))
+    val ntok = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    perDoc.join(ntok, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("covered_tokens"),
+        col("n_spans"),
+        expr("covered_tokens * 1000000 div n_tokens").as("dup_ppm"))
+      .orderBy(col("doc_id"))
   }
 
   // ------------------------------------------------------------ SimHash

@@ -236,6 +236,34 @@ class DedupSpec extends SparkTestBase {
     assert(jac.forall(_.getAs[Long]("jaccard_ppm") < 500000L))
   }
 
+  test("span coverage: interval union merges overlaps, ppm is exact integer div") {
+    // doc 1 = w0..w39. doc 2 embeds w2..w13 at offset 5 and w20..w27 at
+    // offset 30. doc 4 = w0..w14 — overlapping doc 1 on [0,15) while
+    // doc 2's shared region gives doc 1 [2,14): the union must merge.
+    val t1 = (0 until 40).map(i => s"w$i")
+    val t2 = (0 until 5).map(i => s"fa$i") ++ t1.slice(2, 14) ++
+      (0 until 13).map(i => s"fb$i") ++ t1.slice(20, 28)
+    val docs = Seq(
+      (1L, t1.mkString(" ")),
+      (2L, t2.mkString(" ")),
+      (3L, "zz yy xx ww vv uu tt ss rr qq"),
+      (4L, t1.slice(0, 15).mkString(" ")),
+    ).toDF("doc_id", "text")
+
+    val cov = Dedup.spanCoverage(docs, n = 3, dfCap = 100,
+      minSpanTokens = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("covered_tokens"),
+          r.getAs[Long]("n_spans"), r.getAs[Long]("dup_ppm")))).toMap
+    // doc 1: [0,15) ∪ [2,14) ∪ [20,28) → 15 + 8 = 23 over two islands
+    assert(cov(1L) === ((40L, 23L, 2L, 575000L)), cov.toString)
+    // doc 2: [5,17) (twice, deduped) ∪ [30,38) → 20; 20e6 div 38
+    assert(cov(2L) === ((38L, 20L, 2L, 526315L)), cov.toString)
+    // doc 4: [0,15) ∪ [2,14) merge into ONE island covering everything
+    assert(cov(4L) === ((15L, 15L, 1L, 1000000L)), cov.toString)
+    assert(!cov.contains(3L))
+  }
+
   test("pagerank: near-dup cluster members outrank isolated docs, center outranks leaves") {
     // 1,2,3 near-identical (a clique in the simhash graph); 4 isolated
     val base = (1 to 40).map(i => s"word$i").mkString(" ")
