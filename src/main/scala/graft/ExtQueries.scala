@@ -94,6 +94,7 @@ object ExtQueries {
     "ann_pq_search" -> ((s, dir) => Similarity.pqSearchTopK(s, dir)),
     "ann_pq_rerank" -> ((s, dir) => Similarity.pqRerankTopK(s, dir)),
     "text_keywords" -> ((s, dir) => TextAnalysis.keywords(s, dir)),
+    "text_tfidf_topk" -> ((s, dir) => TextAnalysis.tfidfTopK(s, dir)),
     "text_bpe_merges" -> ((s, dir) => TextAnalysis.bpeMerges(s, dir)),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(s, dir).orderBy(col("doc_id"))),
@@ -1042,6 +1043,37 @@ object ExtQueries {
         |                                tf.term)::BIGINT AS rk
         |  FROM tf JOIN df ON tf.term = df.term)
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
+
+    // Inverted-index sparse retrieval over word BIGRAMS (phrase
+    // postings): idf²-weighted rare-term match score, integer-exact
+    // (w = 1e6 // df, tf capped at 16 — the rational analogs of
+    // log-idf and sublinear tf).
+    "text_tfidf_topk" -> (toks +
+      """, tt AS (
+        |  SELECT doc_id, t[p+1] || ' ' || t[p+2] AS term
+        |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS p
+        |        FROM toks WHERE len(t) >= 2)
+        |), tfq AS (
+        |  SELECT doc_id, term, least(count(*), 16)::BIGINT AS tf
+        |  FROM tt GROUP BY 1, 2
+        |), rare AS (
+        |  SELECT term, (1000000 // count(*))::BIGINT AS w
+        |  FROM tfq GROUP BY term HAVING count(*) <= 100
+        |), post AS (
+        |  SELECT tfq.term, tfq.doc_id, tfq.tf * r.w AS wt
+        |  FROM tfq JOIN rare r USING (term)
+        |), sc AS (
+        |  SELECT q.doc_id AS query_id, p.doc_id AS neighbor_id,
+        |    sum(q.wt * p.wt)::BIGINT AS score
+        |  FROM post q JOIN post p ON q.term = p.term
+        |    AND q.doc_id % 50 = 0 AND p.doc_id != q.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query_id, rank, neighbor_id, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id)::BIGINT AS rank
+        |  FROM sc) WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin),
 
     "text_bpe_merges" -> (toks +
       """, vocab AS (

@@ -358,6 +358,68 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Sparse lexical retrieval over an inverted index — the BM25-family
+    * complement to the dense-embedding `ann_*` path (production search
+    * is the hybrid of the two): rank, for each query document, the
+    * documents sharing its rare terms by an idf²-weighted term-match
+    * score. The lexical unit is the word `n`-gram (default bigram — a
+    * phrase-postings index): single words carry little discrimination
+    * in a small vocabulary, phrases carry a lot.
+    *
+    * Scoring is deliberately integer-exact for cross-engine replay, so
+    * the classic log-idf and sqrt-cosine are replaced by their rational
+    * analogs: term weight w = 1e6 div df (linear inverse document
+    * frequency), per-doc term weight wt = min(tf, tfCap)·w (the cap is
+    * the sublinear-tf analog), score(q, n) = Σ_t wt_q(t)·wt_n(t).
+    * Bounds: wt ≤ tfCap·1e6, so a pair's per-term product is ≤ 2.6e14
+    * and sums stay far inside BIGINT.
+    *
+    * Scale shape: the postings list (term → capped-df docs) is the
+    * inverted index — ONE term-keyed exchange builds it; the
+    * query-side postings subset joins it term-sharded (never doc ×
+    * doc), the pair score partial-aggregates map-side, and the top-k
+    * is a WindowGroupLimit rank filter. `dfCap` bounds every posting
+    * bucket (a term seen in >dfCap docs carries no discrimination and
+    * would go quadratic), so cost is O(Σ df²) with df ≤ dfCap. The
+    * n-gram build explodes positions behind a Generate boundary (the
+    * [[graft.engine.ext.Dedup.shingleRows]] lesson: an inlined
+    * higher-order shingling expression is re-evaluated per consumer).
+    */
+  def tfidfTopK(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopK(spark.read.parquet(s"$dir/documents.parquet"))
+
+  def tfidfTopK(docs: DataFrame, k: Int = 10, queryMod: Int = 50,
+                n: Int = 2, dfCap: Int = 100, tfCap: Int = 16): DataFrame = {
+    val tf = docs.select(col("doc_id"), wsTokens(lower(col("text"))).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - n)).as("p"))
+      .select(col("doc_id"), concat_ws(" ",
+        (0 until n).map(j => element_at(col("t"), col("p") + j + 1)): _*)
+        .as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(least(count(lit(1)), lit(tfCap.toLong)).as("tf"))
+    val rare = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("term"), expr("1000000 div df").as("w"))
+    val post = tf.join(rare, "term")
+      .select(col("term"), col("doc_id"), (col("tf") * col("w")).as("wt"))
+    val qpost = post.filter(col("doc_id") % queryMod === 0)
+      .select(col("term"), col("doc_id").as("query_id"),
+        col("wt").as("qwt"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(desc("score"), col("neighbor_id"))
+    post.join(qpost, Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
+      .agg(sum(col("qwt") * col("wt")).as("score"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def keywords(docs: DataFrame, k: Int): DataFrame = {
     val terms = docs.select(col("doc_id"),
       explode(wsTokens(lower(col("text")))).as("term"))

@@ -80,4 +80,25 @@ class TextSignalsSpec extends SparkTestBase {
     // non-PII content survives redaction
     assert(red.contains("Customer#000000007") && red.contains("BUILDING"))
   }
+
+  test("tfidf top-k: idf²-weighted bigram scores, rare phrases dominate, ties by id") {
+    val d = docs(
+      0L -> "alpha beta gamma delta", // bigrams: alpha-beta, beta-gamma, gamma-delta
+      1L -> "alpha beta gamma zeta",  // shares TWO bigrams with doc 0
+      2L -> "alpha beta eta theta",   // shares ONE (the most common one)
+      3L -> "iota kappa lambda mu")   // shares nothing
+    // df: "alpha beta"=3 → w=333333; "beta gamma"=2 → w=500000; rest df=1
+    val got = TextAnalysis.tfidfTopK(d, k = 10, queryMod = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Long]("score")))).toMap
+    // query 0: doc 1 = 333333² + 500000² beats doc 2 = 333333²
+    assert(got((0L, 1L)) === ((1L, 333333L * 333333L + 500000L * 500000L)))
+    assert(got((0L, 2L)) === ((2L, 333333L * 333333L)))
+    // query 2: docs 0 and 1 tie on the shared "alpha beta" → id order
+    assert(got((2L, 1L)) === ((0L, 333333L * 333333L)))
+    assert(got((2L, 2L)) === ((1L, 333333L * 333333L)))
+    // doc 3 never appears
+    assert(got.values.forall(_._1 != 3L))
+    assert(got.size === 4)
+  }
 }
