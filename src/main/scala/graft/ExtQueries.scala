@@ -93,6 +93,7 @@ object ExtQueries {
     "ann_pq_codes" -> ((s, dir) => Similarity.pqCodes(s, dir)),
     "ann_pq_search" -> ((s, dir) => Similarity.pqSearchTopK(s, dir)),
     "ann_pq_rerank" -> ((s, dir) => Similarity.pqRerankTopK(s, dir)),
+    "ann_hybrid_rrf" -> ((s, dir) => Similarity.hybridRrf(s, dir)),
     "text_keywords" -> ((s, dir) => TextAnalysis.keywords(s, dir)),
     "text_tfidf_topk" -> ((s, dir) => TextAnalysis.tfidfTopK(s, dir)),
     "text_bpe_merges" -> ((s, dir) => TextAnalysis.bpeMerges(s, dir)),
@@ -932,6 +933,65 @@ object ExtQueries {
         |)
         |SELECT query_id, rank, neighbor_id, dot FROM r
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
+    // Hybrid RRF: dense brute-force top-10 (d/r, as ann_bruteforce) ⊕
+    // lexical bigram tf-idf top-10 (toksh..lt, as text_tfidf_topk),
+    // fused by integer reciprocal rank 1e6 // (60 + rank).
+    "ann_hybrid_rrf" -> (quantized +
+      """, d AS (
+        |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+        |    CAST(sum(q.q * v.q) AS BIGINT) AS dot
+        |  FROM v q JOIN v ON q.i = v.i AND q.vec_id % 50 = 0
+        |                 AND v.vec_id != q.vec_id
+        |  GROUP BY 1, 2
+        |), dt AS (
+        |  SELECT query_id, neighbor_id, rank::BIGINT AS dense_rank FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot DESC, neighbor_id) AS rank
+        |    FROM d) WHERE rank <= 10
+        |), toksh AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             x -> x != '') AS t
+        |  FROM documents
+        |), tt AS (
+        |  SELECT doc_id, t[p+1] || ' ' || t[p+2] AS term
+        |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS p
+        |        FROM toksh WHERE len(t) >= 2)
+        |), tfq AS (
+        |  SELECT doc_id, term, least(count(*), 16)::BIGINT AS tf
+        |  FROM tt GROUP BY 1, 2
+        |), rare AS (
+        |  SELECT term, (1000000 // count(*))::BIGINT AS w
+        |  FROM tfq GROUP BY term HAVING count(*) <= 100
+        |), post AS (
+        |  SELECT tfq.term, tfq.doc_id, tfq.tf * r.w AS wt
+        |  FROM tfq JOIN rare r USING (term)
+        |), sc AS (
+        |  SELECT q.doc_id AS query_id, p.doc_id AS neighbor_id,
+        |    sum(q.wt * p.wt)::BIGINT AS score
+        |  FROM post q JOIN post p ON q.term = p.term
+        |    AND q.doc_id % 50 = 0 AND p.doc_id != q.doc_id
+        |  GROUP BY 1, 2
+        |), lt AS (
+        |  SELECT query_id, neighbor_id, rank::BIGINT AS lex_rank FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, neighbor_id) AS rank
+        |    FROM sc) WHERE rank <= 10
+        |), fused AS (
+        |  SELECT coalesce(dt.query_id, lt.query_id) AS query_id,
+        |    coalesce(dt.neighbor_id, lt.neighbor_id) AS neighbor_id,
+        |    dt.dense_rank, lt.lex_rank,
+        |    coalesce(1000000 // (60 + dt.dense_rank), 0)
+        |      + coalesce(1000000 // (60 + lt.lex_rank), 0) AS rrf_score
+        |  FROM dt FULL OUTER JOIN lt
+        |    ON dt.query_id = lt.query_id AND dt.neighbor_id = lt.neighbor_id
+        |)
+        |SELECT query_id, rank, neighbor_id, rrf_score, dense_rank, lex_rank
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_score DESC, neighbor_id)::BIGINT AS rank
+        |  FROM fused) WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin),
 
     // ann_kmeans: two Lloyd iterations, all exact integer / floor-mean
     // arithmetic with explicit tie-breaks — DuckDB replays the training.

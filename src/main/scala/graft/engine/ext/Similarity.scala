@@ -347,6 +347,44 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion (RRF) of the dense
+    * embedding top-k ([[bruteForceTopK]]) and the sparse lexical top-k
+    * ([[TextAnalysis.tfidfTopK]]) — the production search shape, where
+    * neither channel alone is enough (dense misses exact names/numbers,
+    * lexical misses paraphrase). Fusion is rank-based, so the two
+    * incomparable score spaces never mix: each list contributes
+    * 1e6 div (rrfK + rank) (the integer analog of the standard
+    * 1/(60+rank)), absent = 0.
+    *
+    * Scale shape: both inputs are already top-k-bounded (k·|queries|
+    * rows), so the fusion full-outer join, the fused re-rank window and
+    * the output are all query-bounded — the corpus-sized work happened
+    * inside the two retrieval operators. At 100 TB this is the cheap
+    * last stage over two index scans.
+    */
+  def hybridRrf(spark: SparkSession, dir: String, k: Int = 10,
+                rrfK: Int = 60): DataFrame = {
+    val dense = bruteForceTopK(spark, dir)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("dense_rank"))
+    val lex = TextAnalysis.tfidfTopK(spark, dir)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").as("lex_rank"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("rrf_score"), col("neighbor_id"))
+    dense.join(lex, Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id"), col("neighbor_id"),
+        col("dense_rank"), col("lex_rank"),
+        (coalesce(expr(s"1000000 div ($rrfK + dense_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($rrfK + lex_rank)"), lit(0L)))
+          .as("rrf_score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("rrf_score"), col("dense_rank"), col("lex_rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Product-quantization codebook training + encoding: split each 64-dim
     * quantized vector into M=8 contiguous 8-dim subvectors and run the
     * SAME deterministic Lloyd loop as [[kmeansCells]] independently per

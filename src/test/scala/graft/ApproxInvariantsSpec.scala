@@ -90,6 +90,41 @@ class ApproxInvariantsSpec extends SparkTestBase {
     assert(meanSrp >= 0.8, s"SRP mean recall $meanSrp too low")
   }
 
+  test("hybrid RRF equals an independent fusion of its two input lists") {
+    val dir = "/root/testdata/sf0.001"
+    val dense = Similarity.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Int]("rank").toLong).toMap
+    val lex = graft.engine.ext.TextAnalysis.tfidfTopK(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Long]("rank")).toMap
+    val expected = (dense.keySet ++ lex.keySet).groupBy(_._1).flatMap {
+      case (q, keys) =>
+        keys.toSeq
+          .map { k =>
+            val score = dense.get(k).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+              lex.get(k).map(r => 1000000L / (60 + r)).getOrElse(0L)
+            (k._2, score)
+          }
+          .sortBy { case (n, s) => (-s, n) }.take(10).zipWithIndex
+          .map { case ((n, s), i) => (q, i + 1L, n, s) }
+    }.toSet
+    val got = Similarity.hybridRrf(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("rrf_score"))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // a neighbor present in BOTH lists must carry both rank columns
+    val both = Similarity.hybridRrf(spark, dir).collect()
+      .filter(r => !r.isNullAt(r.fieldIndex("dense_rank")) &&
+        !r.isNullAt(r.fieldIndex("lex_rank")))
+    both.foreach { r =>
+      val s = 1000000L / (60 + r.getAs[Long]("dense_rank")) +
+        1000000L / (60 + r.getAs[Long]("lex_rank"))
+      assert(r.getAs[Long]("rrf_score") === s)
+    }
+  }
+
   test("sketch rollup: approx distinct within 5% of exact, percentiles ordered") {
     val rows = graft.engine.ext.Sessionize
       .sketchRollup(spark, "/root/testdata/sf0.001").collect()
