@@ -81,6 +81,7 @@ object ExtQueries {
     "dedup_minhash_recall" -> ((s, dir) => Dedup.minhashRecall(s, dir)),
     "dedup_embed_pairs" -> ((s, dir) => Dedup.embedCosinePairs(s, dir)),
     "dedup_clusters" -> ((s, dir) => Dedup.simhashClusters(s, dir)),
+    "dedup_canonical" -> ((s, dir) => Dedup.canonicalByQuality(s, dir)),
     // ------------------------------------------------ similarity search
     "ann_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
@@ -795,6 +796,59 @@ object ExtQueries {
         |)
         |SELECT v AS doc_id, min(m) AS cluster_id
         |FROM rr GROUP BY v ORDER BY doc_id""".stripMargin),
+
+    // Canonical-by-quality: the dedup_clusters chain + the corpus_clean
+    // gate; survivor = keep-first, longest, then lowest id.
+    "dedup_canonical" -> ("WITH RECURSIVE " +
+      simhashSig.stripPrefix("WITH ") +
+      """, bands AS (
+        |  SELECT doc_id, simhash, band,
+        |    (simhash >> (band * 15)) & 32767 AS band_val
+        |  FROM sig, range(0, 4) r(band)
+        |), edges AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        |), edges2 AS (
+        |  SELECT doc_a, doc_b FROM edges
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM edges
+        |), rr(v, m) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.doc_b, rr.m FROM rr JOIN edges2 e ON e.doc_a = rr.v
+        |), cl AS (
+        |  SELECT v AS doc_id, min(m) AS cluster_id FROM rr GROUP BY v
+        |), qq AS (
+        |  SELECT doc_id, (CASE WHEN n_tokens < 5 THEN 1
+        |                       WHEN punct_ppm > 300000 THEN 1
+        |                       WHEN NOT terminal THEN 1 ELSE 0 END) = 0 AS keep
+        |  FROM (SELECT doc_id,
+        |          len(list_filter(string_split_regex(text, '\s+'),
+        |                          x -> x != ''))::BIGINT AS n_tokens,
+        |          (len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000000
+        |            // greatest(length(text), 1))::BIGINT AS punct_ppm,
+        |          regexp_matches(rtrim(text), '[.!?。！？]$') AS terminal
+        |        FROM documents)
+        |), mem AS (
+        |  SELECT cl.cluster_id, cl.doc_id, q.keep, d.n_chars
+        |  FROM cl JOIN qq q USING (doc_id) JOIN documents d USING (doc_id)
+        |), pick AS (
+        |  SELECT cluster_id, doc_id, n_chars, keep,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY CASE WHEN keep THEN 0 ELSE 1 END, n_chars DESC, doc_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY cluster_id) AS n_members,
+        |    sum(CASE WHEN keep THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY cluster_id) AS n_kept
+        |  FROM mem
+        |)
+        |SELECT cluster_id, n_members::BIGINT AS n_members,
+        |  n_kept::BIGINT AS n_kept, doc_id AS canonical_doc_id,
+        |  n_chars AS canonical_chars, keep AS canonical_kept
+        |FROM pick WHERE rn = 1 AND n_members >= 2
+        |ORDER BY cluster_id""".stripMargin),
 
     "dedup_minhash_pairs" -> (shingles3 +
       """, ex AS (

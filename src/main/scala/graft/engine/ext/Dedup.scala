@@ -571,6 +571,44 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-aware canonical selection: for every multi-member SimHash
+    * near-dup cluster, the document that SURVIVES dedup is the one the
+    * quality gate keeps, longest first (doc_id ascending breaks exact
+    * ties) — what production pipelines actually do, vs. the min-id
+    * convention of [[exact]] and the centrality ranking of [[pagerank]].
+    * One row per cluster with the survivor and the kept/total census.
+    *
+    * Scale shape: clusters come from the checkpointed pointer-jumping
+    * loop ([[connectedComponents]]); quality is a per-document
+    * projection; the canonical pick is a single min_by aggregate over
+    * (cluster_id) — no window, one exchange past the cluster build.
+    */
+  def canonicalByQuality(spark: SparkSession, dir: String): DataFrame =
+    canonicalByQuality(documents(spark, dir))
+
+  def canonicalByQuality(docs: DataFrame): DataFrame = {
+    val clusters = connectedComponents(docs.select(col("doc_id")),
+      simhashPairs(docs))
+    val quality = Corpus.qualityClean(docs)
+      .select(col("doc_id"), col("keep"))
+    clusters
+      .join(quality, "doc_id")
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        min_by(struct(col("doc_id"), col("n_chars"), col("keep")),
+          struct(when(col("keep"), 0L).otherwise(1L),
+            -col("n_chars"), col("doc_id"))).as("canon"))
+      .filter(col("n_members") >= 2)
+      .select(col("cluster_id"), col("n_members"), col("n_kept"),
+        col("canon.doc_id").as("canonical_doc_id"),
+        col("canon.n_chars").as("canonical_chars"),
+        col("canon.keep").as("canonical_kept"))
+      .orderBy(col("cluster_id"))
+  }
+
   // ------------------------------------------------------- embedding cosine
 
   /** ±1 sign-random-projection hyperplane coefficients, derived from md5 so

@@ -264,6 +264,31 @@ class DedupSpec extends SparkTestBase {
     assert(!cov.contains(3L))
   }
 
+  test("canonical selection: the quality gate outranks length, survivor census exact") {
+    // docs 1/2 are near-identical (one token apart → SimHash-paired):
+    // doc 1 is LONGER but fails the gate (no terminal punctuation),
+    // doc 2 is shorter but kept → 2 must be canonical. doc 3 is a
+    // singleton and must not appear.
+    val base = (1 to 30).map(i => s"word$i").mkString(" ")
+    val rows = Seq(
+      (1L, s"$base trailing extra"),  // no terminal punct → dropped
+      (2L, s"$base."),                // kept
+      (3L, "a completely different singleton document."))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+    val docs = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val got = Dedup.canonicalByQuality(docs).collect()
+    assert(got.length === 1, got.mkString("; "))
+    val r = got(0)
+    assert(r.getAs[Long]("cluster_id") === 1L)
+    assert(r.getAs[Long]("n_members") === 2L)
+    assert(r.getAs[Long]("n_kept") === 1L)
+    assert(r.getAs[Long]("canonical_doc_id") === 2L)
+    assert(r.getAs[Boolean]("canonical_kept"))
+    // sanity: doc 1 IS longer — length alone would have picked it
+    assert(rows(0)._5 > rows(1)._5)
+  }
+
   test("pagerank: near-dup cluster members outrank isolated docs, center outranks leaves") {
     // 1,2,3 near-identical (a clique in the simhash graph); 4 isolated
     val base = (1 to 40).map(i => s"word$i").mkString(" ")
