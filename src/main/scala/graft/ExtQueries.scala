@@ -31,6 +31,7 @@ object ExtQueries {
     "ext_lineitem_cube" -> ((s, dir) => Relational.lineitemCube(s, dir)),
     "ext_status_setops" -> ((s, dir) => Relational.statusSetOps(s, dir)),
     "ext_anti_customers" -> ((s, dir) => Relational.customersWithoutOrders(s, dir)),
+    "ext_q21_sole_late" -> ((s, dir) => Relational.soleLateSuppliers(s, dir)),
     "ext_semi_customers" -> ((s, dir) => Relational.customersWithOpenOrders(s, dir)),
     // ------------------------------------------------ events
     "ext_sessions" -> ((s, dir) => Sessionize.sessions(s, dir)),
@@ -1809,6 +1810,28 @@ object ExtQueries {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Q21 shape: EXISTS (another supplier) + NOT EXISTS (another LATE
+    // supplier) on the same fact; one blame row per (order, supplier).
+    "ext_q21_sole_late" ->
+      """WITH late AS (
+        |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |), blamed AS (
+        |  SELECT t.l_orderkey, t.l_suppkey FROM late t
+        |  WHERE EXISTS (
+        |    SELECT 1 FROM lineitem x
+        |    WHERE x.l_orderkey = t.l_orderkey AND x.l_suppkey != t.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM late y
+        |    WHERE y.l_orderkey = t.l_orderkey AND y.l_suppkey != t.l_suppkey)
+        |)
+        |SELECT s.s_name, count(*)::BIGINT AS numwait
+        |FROM blamed b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name LIMIT 100""".stripMargin,
 
     "ext_q4_late_priorities" ->
       """SELECT o_orderpriority, count(*) AS n_orders

@@ -346,6 +346,56 @@ object Relational {
       .orderBy(col("key"), col("version"))
   }
 
+  /** TPC-H Q21 shape — the "sole blamable supplier": for finished
+    * ('F') orders that MULTIPLE suppliers fed (EXISTS another
+    * supplier's line) where exactly ONE supplier shipped late
+    * (NOT EXISTS another supplier's late line, late = shipped > 60
+    * days after the order date, the [[latePriorities]] convention),
+    * count per supplier how many such orders they held up. The one
+    * query composing a LEFT SEMI and a LEFT ANTI against the same
+    * fact on the same key — the planner shape Q4 (semi only) and
+    * [[customersWithoutOrders]] (anti only) each exercise half of.
+    *
+    * Scale shape: all three lineitem sides shuffle on l_orderkey once
+    * each and join semi/anti (no fan-out — semi/anti emit at most the
+    * probe row); supplier is a broadcast dimension; the final count is
+    * a tiny per-supplier aggregate.
+    */
+  def soleLateSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val s = spark.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey"), col("s_name"))
+
+    // late lines of 'F' orders, tagged with their order date once
+    val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL '60' DAY"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+
+    val others = l.select(col("l_orderkey").as("x_orderkey"),
+      col("l_suppkey").as("x_suppkey"))
+    val lateOthers = late.select(col("l_orderkey").as("y_orderkey"),
+      col("l_suppkey").as("y_suppkey"))
+
+    late
+      // at least one OTHER supplier in the order
+      .join(others, col("l_orderkey") === col("x_orderkey") &&
+        col("l_suppkey") =!= col("x_suppkey"), "left_semi")
+      // ...and no OTHER supplier was late in it
+      .join(lateOthers, col("l_orderkey") === col("y_orderkey") &&
+        col("l_suppkey") =!= col("y_suppkey"), "left_anti")
+      // one blame row per (order, supplier), however many lines were late
+      .distinct()
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(100)
+  }
+
   /** Multi-way broadcast join through the dimension chain
     * supplier → nation → region, counting suppliers per region.
     */

@@ -110,6 +110,13 @@ class PlanSpec extends SparkTestBase {
     assert(at.contains("Join") || at.contains("HashJoin"), at.take(800))
     assert(!at.contains("CartesianProduct") &&
       !at.contains("BroadcastNestedLoopJoin"), at.take(800))
+    // Q21 shape: the EXISTS must plan as a LEFT SEMI, the NOT EXISTS
+    // as a LEFT ANTI (never a fan-out join + dedup), and the supplier
+    // dimension must broadcast
+    val q21 = plan(Relational.soleLateSuppliers(spark, dir))
+    assert(q21.contains("LeftSemi"), q21.take(800))
+    assert(q21.contains("LeftAnti"), q21.take(800))
+    assert(q21.contains("BroadcastHashJoin"), q21.take(800))
     // composed IVF-PQ: the shortlist top-k must pre-prune map-side
     // (WindowGroupLimit), and the candidate scoring path must stay
     // narrow — broadcast joins only, no sort-merge join of pair rows
@@ -204,7 +211,7 @@ class PlanSpec extends SparkTestBase {
     val exempt = Set("ann_bruteforce", "ann_label_centroids", "ann_ivf",
       "ann_kmeans", "ann_ivf_trained", "text_surprisal", "ann_srp_recall",
       "ann_pq_recall", "corpus_cell_quality", "ann_ivfpq_search",
-      "ann_ivfpq_recall")
+      "ann_ivfpq_recall", "ann_hybrid_rrf")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
