@@ -32,6 +32,9 @@ object ExtQueries {
     "ext_status_setops" -> ((s, dir) => Relational.statusSetOps(s, dir)),
     "ext_anti_customers" -> ((s, dir) => Relational.customersWithoutOrders(s, dir)),
     "ext_q21_sole_late" -> ((s, dir) => Relational.soleLateSuppliers(s, dir)),
+    "ext_q22_idle_rich" -> ((s, dir) => Relational.idleRichCustomers(s, dir)),
+    "ext_q15_top_supplier" -> ((s, dir) => Relational.topSupplier(s, dir)),
+    "ext_q20_dominant_suppliers" -> ((s, dir) => Relational.dominantSuppliers(s, dir)),
     "ext_semi_customers" -> ((s, dir) => Relational.customersWithOpenOrders(s, dir)),
     // ------------------------------------------------ events
     "ext_sessions" -> ((s, dir) => Sessionize.sessions(s, dir)),
@@ -1832,6 +1835,67 @@ object ExtQueries {
         |FROM blamed b JOIN supplier s ON b.l_suppkey = s.s_suppkey
         |GROUP BY s.s_name
         |ORDER BY numwait DESC, s.s_name LIMIT 100""".stripMargin,
+
+    // Q22 shape: uncorrelated scalar-subquery average gate (exact, by
+    // cross-multiplication) + NOT EXISTS anti join, per-nation census.
+    "ext_q22_idle_rich" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+        |  FROM customer
+        |)
+        |SELECT c_nationkey, count(*)::BIGINT AS n_custs,
+        |  CAST(sum(bal_c) AS BIGINT) AS total_bal_c
+        |FROM c
+        |WHERE bal_c * (SELECT count(*) FROM c WHERE bal_c > 0)
+        |        > (SELECT sum(bal_c) FROM c WHERE bal_c > 0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // Q15 shape: per-supplier quarterly revenue, rows selected by the
+    // scalar-subquery MAX (ties surface; no sort-limit).
+    "ext_q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |             (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+        |         AS BIGINT) AS total_rev_bp
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1995-04-01'
+        |  GROUP BY 1
+        |)
+        |SELECT s.s_suppkey, s.s_name, r.total_rev_bp
+        |FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.total_rev_bp = (SELECT max(total_rev_bp) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin,
+
+    // Q20 shape: per-(part, supplier) 1995 quantity, per-part total via a
+    // window over the aggregate, exact 20% share gate (qty·5 > total).
+    "ext_q20_dominant_suppliers" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS supp_qty_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  GROUP BY 1, 2
+        |), dom AS (
+        |  SELECT l_suppkey, supp_qty_c
+        |  FROM (SELECT l_suppkey, supp_qty_c,
+        |          sum(supp_qty_c) OVER (PARTITION BY l_partkey) AS part_qty_c
+        |        FROM ps)
+        |  WHERE supp_qty_c * 5 > part_qty_c
+        |)
+        |SELECT s.s_suppkey, s.s_name,
+        |  count(*)::BIGINT AS n_dominant_parts,
+        |  CAST(sum(d.supp_qty_c) AS BIGINT) AS dominant_qty_c
+        |FROM dom d JOIN supplier s ON d.l_suppkey = s.s_suppkey
+        |GROUP BY 1, 2
+        |ORDER BY n_dominant_parts DESC, s.s_suppkey""".stripMargin,
 
     "ext_q4_late_priorities" ->
       """SELECT o_orderpriority, count(*) AS n_orders

@@ -396,6 +396,108 @@ object Relational {
       .limit(100)
   }
 
+  /** TPC-H Q22 shape — "idle rich" customers: above-average balance and
+    * no finished ('F') order, counted per nation. (Q22 proper anti-joins
+    * against ALL orders; this generator gives every customer at least
+    * one order, so the status-restricted anti keeps the identical plan
+    * shape non-degenerate.) Exercises the one subquery form Q17
+    * (correlated scalar) and Q4 (correlated EXISTS) don't: the
+    * UNCORRELATED scalar subquery, which Spark executes once and
+    * broadcasts into every row's predicate. The average gate stays
+    * integer-exact by cross-multiplication — `bal_c · n > Σ bal_c` over
+    * positive balances — instead of comparing against an
+    * order-dependent double average.
+    *
+    * Scale shape: the two scalar subqueries reduce one customer scan to
+    * a single row each (no shuffle beyond the final partial-agg
+    * all-reduce); the NOT EXISTS plans as a LEFT ANTI join shuffled on
+    * custkey; the per-nation aggregate is tiny.
+    */
+  def idleRichCustomers(spark: SparkSession, dir: String): DataFrame =
+    // Direct file relations, not temp views — see latePriorities.
+    spark.sql(
+      s"""WITH c AS (
+         |  SELECT c_custkey, c_nationkey,
+         |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+         |  FROM parquet.`$dir/customer.parquet`
+         |)
+         |SELECT c_nationkey, count(*) AS n_custs, sum(bal_c) AS total_bal_c
+         |FROM c
+         |WHERE bal_c * (SELECT count(*) FROM c WHERE bal_c > 0)
+         |        > (SELECT sum(bal_c) FROM c WHERE bal_c > 0)
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM parquet.`$dir/orders.parquet` o
+         |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+
+  /** TPC-H Q15 shape — the top supplier(s) by quarterly discounted
+    * revenue: a per-supplier aggregate whose MAXIMUM selects the output
+    * rows. The max-selection is a 1-row aggregate broadcast back as an
+    * equi-join gate — no global sort, no window over the whole
+    * aggregate, and ties all surface (which a `limit 1` would drop).
+    * Revenue stays exact: cents × discount-basis integer units.
+    *
+    * Scale shape: one fact scan with the date filter pushed to parquet,
+    * one shuffle for the supplier aggregate; the max side reduces to a
+    * single row (partial max map-side, all-reduce), so the gate join
+    * broadcasts 8 bytes; the supplier dimension joins broadcast.
+    */
+  def topSupplier(spark: SparkSession, dir: String,
+                  qStart: String = "1995-01-01",
+                  qEnd: String = "1995-04-01"): DataFrame = {
+    val rev = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit(qStart).cast("timestamp_ntz") &&
+        col("l_shipdate") < lit(qEnd).cast("timestamp_ntz"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+        (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
+        .as("total_rev_bp"))
+    val mx = rev.agg(max(col("total_rev_bp")).as("max_rev_bp"))
+    val s = spark.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey"), col("s_name"))
+    rev.join(broadcast(mx), col("total_rev_bp") === col("max_rev_bp"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_bp"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q20 shape — dominant-share suppliers: suppliers who shipped
+    * more than 20% of a part's total 1995 quantity, with how many parts
+    * they dominate. Q20's nested agg-threshold semi-join restated as an
+    * aggregate-on-aggregate: the per-(part, supplier) rollup feeds a
+    * per-part total via a WINDOW over the aggregate (same key prefix —
+    * no self-join back on partkey), the share gate is exact integer
+    * cross-multiplication (qty·5 > total), and only then does the tiny
+    * qualifying set meet the broadcast supplier dimension.
+    *
+    * Scale shape: one fact scan (year filter pushed down), one shuffle
+    * keyed (partkey, suppkey) with map-side partial sums, one
+    * repartition to partkey for the window (aggregate-sized input, not
+    * fact-sized), and a final tiny per-supplier aggregate.
+    */
+  def dominantSuppliers(spark: SparkSession, dir: String,
+                        yStart: String = "1995-01-01",
+                        yEnd: String = "1996-01-01"): DataFrame = {
+    val ps = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit(yStart).cast("timestamp_ntz") &&
+        col("l_shipdate") < lit(yEnd).cast("timestamp_ntz"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(floor(col("l_quantity") * 100 + 0.5).cast("long")).as("supp_qty_c"))
+    val w = Window.partitionBy(col("l_partkey"))
+    val s = spark.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey"), col("s_name"))
+    ps
+      .withColumn("part_qty_c", sum(col("supp_qty_c")).over(w))
+      .filter(col("supp_qty_c") * 5 > col("part_qty_c"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_dominant_parts"),
+        sum(col("supp_qty_c")).as("dominant_qty_c"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_dominant_parts"),
+        col("dominant_qty_c"))
+      .orderBy(desc("n_dominant_parts"), col("s_suppkey"))
+  }
+
   /** Multi-way broadcast join through the dimension chain
     * supplier → nation → region, counting suppliers per region.
     */

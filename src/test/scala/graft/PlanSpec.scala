@@ -126,6 +126,31 @@ class PlanSpec extends SparkTestBase {
     assert("BroadcastHashJoin".r.findAllIn(pq).length >= 3, pq.take(1200))
   }
 
+  test("TPC-H Q22/Q15/Q20 shapes plan without cartesians or extra shuffles") {
+    // Q22: the NOT EXISTS must plan as a LEFT ANTI (never fan-out +
+    // dedup), and the uncorrelated scalar subqueries must never become
+    // a per-row nested loop
+    val q22 = plan(Relational.idleRichCustomers(spark, dir))
+    assert(q22.contains("LeftAnti"), q22.take(800))
+    assert(!q22.contains("CartesianProduct"), q22.take(800))
+    // Q15: the 1-row max gate and the supplier dimension both join
+    // broadcast — no shuffle join anywhere in the plan
+    val q15 = plan(Relational.topSupplier(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(q15).length === 2, q15.take(800))
+    assert(!q15.contains("SortMergeJoin") &&
+      !q15.contains("ShuffledHashJoin"), q15.take(800))
+    // Q20: per-part totals come from a Window OVER the aggregate (no
+    // self-join back on partkey), so the whole query is exactly three
+    // hash exchanges — (part,supp) agg, partkey window, suppkey agg —
+    // plus the broadcast dimension
+    val q20 = plan(Relational.dominantSuppliers(spark, dir))
+    assert(q20.contains("Window"), q20.take(800))
+    assert("Exchange hashpartitioning".r.findAllIn(q20).length === 3,
+      q20.take(1200))
+    assert(q20.contains("BroadcastHashJoin"), q20.take(800))
+    assert(!q20.contains("SortMergeJoin"), q20.take(800))
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // At 100 TB a fact-fact shuffle join with a selective dim-side filter
     // should not shuffle the unfiltered probe side in full: Spark's
