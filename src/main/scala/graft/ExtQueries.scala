@@ -47,6 +47,7 @@ object ExtQueries {
     "ext_cms_hitters" -> ((s, dir) => Sessionize.cmsHitters(s, dir)),
     "ext_type_pivot" -> ((s, dir) => Sessionize.typePivot(s, dir)),
     "ext_exact_percentiles" -> ((s, dir) => Sessionize.exactPercentiles(s, dir)),
+    "ext_mad_outliers" -> ((s, dir) => Sessionize.madOutliers(s, dir)),
     "ext_retention" -> ((s, dir) => Sessionize.retention(s, dir)),
     // Batch twins of the two streaming-only operators: the attribution
     // twin runs the SAME interval-join operator code on bounded input;
@@ -1449,6 +1450,43 @@ object ExtQueries {
         |FROM r
         |WHERE rn = (n + 1) // 2 OR rn = (n * 9 + 9) // 10
         |GROUP BY event_type, n ORDER BY event_type""".stripMargin,
+
+    // Exact median / MAD / 3-MAD outlier census per event type — both
+    // medians as rank-selected window VALUES (no join-back), matching
+    // the engine's one-exchange plan.
+    "ext_mad_outliers" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor("value" * 100) AS BIGINT) AS value_c
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, event_id, value_c,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value_c, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e
+        |), m AS (
+        |  SELECT event_type, event_id, value_c, n,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN value_c END)
+        |      OVER (PARTITION BY event_type) AS median_c
+        |  FROM r
+        |), d AS (
+        |  SELECT event_type, event_id, n, median_c,
+        |    abs(value_c - median_c) AS dev,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY abs(value_c - median_c), event_id) AS rn2
+        |  FROM m
+        |), dm AS (
+        |  SELECT event_type, n, median_c, dev,
+        |    max(CASE WHEN rn2 = (n + 1) // 2 THEN dev END)
+        |      OVER (PARTITION BY event_type) AS mad_c
+        |  FROM d
+        |)
+        |SELECT event_type, max(n)::BIGINT AS n_events,
+        |  max(median_c) AS median_c, max(mad_c) AS mad_c,
+        |  CAST(sum(CASE WHEN dev > mad_c * 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dm GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "ext_retention" ->
       """WITH e AS (

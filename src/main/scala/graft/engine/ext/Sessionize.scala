@@ -198,6 +198,52 @@ object Sessionize {
       .orderBy(col("event_type"))
   }
 
+  /** Robust anomaly detection per event type: exact discrete median,
+    * MAD (median absolute deviation) and the count of |v − median| >
+    * 3·MAD outliers — the rank-based alternative to mean/stddev
+    * z-scores, which a single extreme value corrupts (the mean chases
+    * the outlier it is supposed to flag; the median doesn't move).
+    *
+    * MAD is inherently two-pass (the second median is over deviations
+    * FROM the first), but both passes share one partitioning: the
+    * median is computed as a windowed VALUE (max of the rank-selected
+    * row over the unbounded frame) instead of a filtered aggregate
+    * joined back, so deviations, the deviation ranks and the outlier
+    * test all stay in the same event_type partition — ONE exchange of
+    * the fact, two in-partition sorts, no self-join, single scan.
+    * Same key-count caveat as [[exactPercentiles]]: parallelism is
+    * bounded by the number of event types (document-count keys at
+    * 100 TB would use this exact plan unchanged).
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame =
+    madOutliers(events(spark, dir))
+
+  def madOutliers(ev: DataFrame): DataFrame = {
+    val wu = Window.partitionBy(col("event_type"))
+    val ws = Window.partitionBy(col("event_type"))
+      .orderBy(col("value_c"), col("event_id"))
+    val wd = Window.partitionBy(col("event_type"))
+      .orderBy(col("dev"), col("event_id"))
+    ev
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("value_c"))
+      .withColumn("rn", row_number().over(ws).cast("long"))
+      .withColumn("n", count(lit(1)).over(wu))
+      .withColumn("median_c",
+        max(when(col("rn") === expr("(n + 1) div 2"), col("value_c"))).over(wu))
+      .withColumn("dev", abs(col("value_c") - col("median_c")))
+      .withColumn("rn2", row_number().over(wd).cast("long"))
+      .withColumn("mad_c",
+        max(when(col("rn2") === expr("(n + 1) div 2"), col("dev"))).over(wu))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        max(col("median_c")).as("median_c"),
+        max(col("mad_c")).as("mad_c"),
+        sum(when(col("dev") > col("mad_c") * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   /** Count-min-sketch heavy-hitter census over event user_ids, with the
     * exact counts alongside: a d×w integer sketch (d md5-keyed hash rows,
     * w buckets) built in ONE constant-size aggregation, probed per

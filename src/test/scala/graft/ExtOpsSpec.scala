@@ -120,6 +120,21 @@ class ExtOpsSpec extends SparkTestBase {
     assert(heavy.getAs[Long]("cms_est") === 50L)
   }
 
+  test("madOutliers: median and MAD ignore the extreme value that corrupts a mean") {
+    // values 1,2,3,4,100 → median 3.00; deviations 2,1,0,1,97 →
+    // MAD 1.00; only the 100 exceeds median ± 3·MAD
+    val ev = Seq(
+      (1L, "view", 1.0), (2L, "view", 2.0), (3L, "view", 3.0),
+      (4L, "view", 4.0), (5L, "view", 100.0))
+      .toDF("event_id", "event_type", "value")
+    val r = Sessionize.madOutliers(ev).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_events") === 5L)
+    assert(r(0).getAs[Long]("median_c") === 300L)
+    assert(r(0).getAs[Long]("mad_c") === 100L)
+    assert(r(0).getAs[Long]("n_outliers") === 1L)
+  }
+
   test("retention: cohort is first-active day, offsets count distinct users") {
     val day = 86_400_000_000L
     val d0 = 19_000L * day

@@ -75,6 +75,13 @@ class PlanSpec extends SparkTestBase {
     val ret = plan(Sessionize.retention(spark, dir))
     assert("Exchange hashpartitioning".r.findAllIn(ret).length <= 2,
       ret.take(800))
+    // MAD outliers: both median passes, the deviations and the final
+    // per-type aggregate all share hashpartitioning(event_type) — ONE
+    // hash exchange of the fact, no self-join
+    val mad = plan(Sessionize.madOutliers(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(mad).length === 1,
+      mad.take(1000))
+    assert(!mad.contains("Join"), mad.take(1000))
   }
 
   test("round-6 additions keep their scale shapes") {
