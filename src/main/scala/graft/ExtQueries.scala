@@ -86,6 +86,7 @@ object ExtQueries {
     "dedup_minhash_recall" -> ((s, dir) => Dedup.minhashRecall(s, dir)),
     "dedup_embed_pairs" -> ((s, dir) => Dedup.embedCosinePairs(s, dir)),
     "dedup_clusters" -> ((s, dir) => Dedup.simhashClusters(s, dir)),
+    "dedup_semantic_clusters" -> ((s, dir) => Dedup.semanticClusters(s, dir)),
     "dedup_canonical" -> ((s, dir) => Dedup.canonicalByQuality(s, dir)),
     // ------------------------------------------------ similarity search
     "ann_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
@@ -237,6 +238,46 @@ object ExtQueries {
       |    CAST(floor(embedding[i]::DOUBLE * 1000) AS BIGINT) AS q
       |  FROM embeddings, range(1, 65) t(i)
       |)""".stripMargin
+
+  /** SRP cosine-pair chain (shared by dedup_embed_pairs /
+    * dedup_semantic_clusters): appended after [[quantized]], yields
+    * `sprs` = (va, vb, dot, na, nb) pairs passing the exact 2/5 cosine
+    * threshold. Ends after the closing paren of `sprs`, so callers
+    * either start their SELECT directly or continue the CTE list with
+    * a leading ", ".
+    */
+  private val srpPairChain =
+    """, c AS (
+      |  SELECT p, i,
+      |    CASE WHEN ('0x' || substring(md5(p || '_' || i), 1, 1))::INT % 2 = 1
+      |         THEN 1 ELSE -1 END AS cc
+      |  FROM range(0, 16) r(p), range(1, 65) s(i)
+      |), sigv AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)
+      |         AS BIGINT) AS sg
+      |  FROM (SELECT vec_id, p, sum(q * cc) AS proj
+      |        FROM v JOIN c ON v.i = c.i GROUP BY 1, 2)
+      |  GROUP BY vec_id
+      |), norms AS (
+      |  SELECT vec_id, sum(q * q) AS n2 FROM v GROUP BY 1
+      |), bands AS (
+      |  SELECT vec_id, band, (sg >> (band * 4)) & 15 AS bv
+      |  FROM sigv, range(0, 4) r(band)
+      |), cand AS (
+      |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
+      |), dots AS (
+      |  SELECT va, vb, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+      |  FROM cand JOIN v a ON a.vec_id = va JOIN v b ON b.vec_id = vb AND b.i = a.i
+      |  GROUP BY 1, 2
+      |), sprs AS (
+      |  SELECT va, vb, dot, na.n2 AS na, nb.n2 AS nb
+      |  FROM dots JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb
+      |  WHERE dot > 0 AND dot * dot * 25 >= na.n2 * nb.n2 * 4
+      |)
+      |""".stripMargin
 
   /** Per-subspace PQ training chain (shared by ann_pq_codes/_search):
     * sv = subvector rows, cb0 = init codebook (first 16 vectors), one
@@ -945,38 +986,28 @@ object ExtQueries {
         |  n_hit * 1000000 // greatest(n_lsh, 1) AS precision_ppm
         |FROM counts""".stripMargin),
 
-    "dedup_embed_pairs" -> (quantized +
-      """, c AS (
-        |  SELECT p, i,
-        |    CASE WHEN ('0x' || substring(md5(p || '_' || i), 1, 1))::INT % 2 = 1
-        |         THEN 1 ELSE -1 END AS cc
-        |  FROM range(0, 16) r(p), range(1, 65) s(i)
-        |), sigv AS (
-        |  SELECT vec_id,
-        |    CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)
-        |         AS BIGINT) AS sg
-        |  FROM (SELECT vec_id, p, sum(q * cc) AS proj
-        |        FROM v JOIN c ON v.i = c.i GROUP BY 1, 2)
-        |  GROUP BY vec_id
-        |), norms AS (
-        |  SELECT vec_id, sum(q * q) AS n2 FROM v GROUP BY 1
-        |), bands AS (
-        |  SELECT vec_id, band, (sg >> (band * 4)) & 15 AS bv
-        |  FROM sigv, range(0, 4) r(band)
-        |), cand AS (
-        |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
-        |), dots AS (
-        |  SELECT va, vb, CAST(sum(a.q * b.q) AS BIGINT) AS dot
-        |  FROM cand JOIN v a ON a.vec_id = va JOIN v b ON b.vec_id = vb AND b.i = a.i
-        |  GROUP BY 1, 2
+    "dedup_embed_pairs" -> (quantized + srpPairChain +
+      """SELECT va AS vec_a, vb AS vec_b, dot,
+        |  CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb
+        |FROM sprs ORDER BY vec_a, vec_b""".stripMargin),
+
+    // SemDeDup shape: connected components over the SRP cosine pair
+    // graph; canonical member = the one equal to its (min-id) label.
+    "dedup_semantic_clusters" -> ("WITH RECURSIVE " +
+      quantized.stripPrefix("WITH ") + srpPairChain +
+      """, rr(x, m) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e.db, rr.m FROM rr JOIN
+        |    (SELECT va AS da, vb AS db FROM sprs
+        |     UNION ALL SELECT vb, va FROM sprs) e ON e.da = rr.x
+        |), cl AS (
+        |  SELECT x AS vec_id, min(m) AS cluster_id FROM rr GROUP BY x
         |)
-        |SELECT va AS vec_a, vb AS vec_b, dot,
-        |  CAST(na.n2 AS BIGINT) AS na, CAST(nb.n2 AS BIGINT) AS nb
-        |FROM dots JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb
-        |WHERE dot > 0 AND dot * dot * 25 >= na.n2 * nb.n2 * 4
-        |ORDER BY vec_a, vec_b""".stripMargin),
+        |SELECT vec_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |  vec_id = cluster_id AS keep
+        |FROM cl ORDER BY vec_id""".stripMargin),
 
     "ann_bruteforce" -> (quantized +
       """, d AS (

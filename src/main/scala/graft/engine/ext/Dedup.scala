@@ -675,6 +675,36 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** SemDeDup-shaped semantic dedup (Abbas et al. 2023, arXiv:2303.09540,
+    * as dataflow): connected components over the EMBEDDING-cosine
+    * near-dup graph ([[embedCosinePairs]] — SRP-bucketed, exact integer
+    * threshold), rather than the lexical SimHash graph of
+    * [[simhashClusters]]. Paraphrases and translations land in the same
+    * semantic cluster even when they share no n-grams, which is exactly
+    * what lexical dedup misses. Disposition per vector: its cluster, the
+    * cluster size, and `keep` — the canonical member is the one whose id
+    * EQUALS the cluster label (components labels every cluster with its
+    * minimum member id, so no second pass computes the survivor).
+    *
+    * Scale shape: pair generation is the bucket-join (never vec × vec),
+    * the component loop localCheckpoints every round
+    * ([[connectedComponents]]), and the size/keep annotation is one
+    * window over cluster-sized data.
+    */
+  def semanticClusters(spark: SparkSession, dir: String): DataFrame =
+    semanticClusters(spark, spark.read.parquet(s"$dir/embeddings.parquet"))
+
+  def semanticClusters(spark: SparkSession, embeddings: DataFrame): DataFrame = {
+    val edges = embedCosinePairs(spark, embeddings)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    connectedComponents(embeddings.select(col("vec_id").as("doc_id")), edges)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("keep", col("vec_id") === col("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
   // ------------------------------------------------------------ MinHash + LSH
 
   /** MinHash signatures (numHashes permutations approximated by seeded

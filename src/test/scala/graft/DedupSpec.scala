@@ -172,6 +172,24 @@ class DedupSpec extends SparkTestBase {
     assert(dots.sameElements(dots.sortBy(-_)))
   }
 
+  test("semantic clusters group parallel vectors, canonical is the min-id member") {
+    // 0 and 1 are near-parallel (cosine ≈ 1), 2 is orthogonal-ish, 3 is
+    // anti-parallel: expect cluster {0, 1} with 0 canonical, 2 and 3
+    // singletons (cosine threshold is 2/5)
+    val emb = Seq(
+      (0L, Seq.fill(64)(1.0f), 0),
+      (1L, Seq.fill(64)(0.9f), 0),
+      (2L, (Seq.fill(32)(1.0f) ++ Seq.fill(32)(-1.0f)), 1),
+      (3L, Seq.fill(64)(-1.0f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val got = Dedup.semanticClusters(spark, emb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size"), r.getAs[Boolean]("keep")))
+    assert(got.toSeq === Seq(
+      (0L, 0L, 2L, true), (1L, 0L, 2L, false),
+      (2L, 2L, 1L, true), (3L, 3L, 1L, true)))
+  }
+
   test("containment catches a quoted subset that Jaccard misses") {
     // doc 2 quotes doc 1 verbatim inside 4× more surrounding text:
     // Jaccard ≈ 1/4 (under the 0.5 a dup filter would use), containment ≈ 1
