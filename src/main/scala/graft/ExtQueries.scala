@@ -108,6 +108,8 @@ object ExtQueries {
       TextAnalysis.repetition(s, dir).orderBy(col("doc_id"))),
     "text_surprisal" -> ((s, dir) =>
       TextAnalysis.surprisal(s, dir).orderBy(col("doc_id"))),
+    "text_bigram_surprisal" -> ((s, dir) =>
+      TextAnalysis.bigramSurprisal(s, dir)),
     "text_pii_redact" -> ((s, dir) =>
       TextAnalysis.piiRedact(s, dir).orderBy(col("c_custkey"))),
     "dedup_incremental" -> ((s, dir) =>
@@ -1366,6 +1368,29 @@ object ExtQueries {
         |SELECT doc_id, count(*)::BIGINT AS n_words, sum(wgt)::BIGINT AS surprisal,
         |  (sum(wgt) // count(*))::BIGINT AS surprisal_per_word
         |FROM w2 GROUP BY 1 ORDER BY doc_id""".stripMargin),
+
+    // Conditional bigram surprisal: inverse conditional-probability
+    // mass floor(1e6 · cnt(w1·) / cnt(w1 w2)) per bigram occurrence;
+    // prefix totals as a window over the bigram vocab.
+    "text_bigram_surprisal" -> (toks +
+      """, bgr AS (
+        |  SELECT doc_id, t[p+1] AS w1, t[p+1] || ' ' || t[p+2] AS bg
+        |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS p
+        |        FROM toks WHERE len(t) >= 2)
+        |), vb AS (
+        |  SELECT bg, w1, count(*)::BIGINT AS c2 FROM bgr GROUP BY 1, 2
+        |), vw AS (
+        |  SELECT bg, c2,
+        |    CAST(sum(c2) OVER (PARTITION BY w1) AS BIGINT) AS c1
+        |  FROM vb
+        |), wgt AS (
+        |  SELECT b.doc_id, ((1000000 * c1) // c2)::BIGINT AS wgt
+        |  FROM bgr b JOIN vw USING (bg)
+        |)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  sum(wgt)::BIGINT AS surprisal,
+        |  (sum(wgt) // count(*))::BIGINT AS surprisal_per_bigram
+        |FROM wgt GROUP BY 1 ORDER BY doc_id""".stripMargin),
 
     "text_pii_redact" ->
       """WITH tk AS (

@@ -261,6 +261,52 @@ object TextAnalysis {
           .as("surprisal_per_word"))
   }
 
+  /** Conditional bigram surprisal — the 2-gram upgrade of [[surprisal]]
+    * and the closest integer-exact stand-in for LM perplexity scoring
+    * without a model: each bigram occurrence contributes the inverse
+    * CONDITIONAL probability mass floor(1e6 · cnt(w1·) / cnt(w1 w2)),
+    * where cnt(w1·) counts every bigram starting with w1. A document of
+    * common words in unusual ORDER scores high here but unremarkable on
+    * unigram surprisal — that ordering signal is what the 1-gram proxy
+    * cannot see (and what quality filters use it for).
+    *
+    * Scale shape: bigram instances explode behind a Generate boundary
+    * (the [[graft.engine.ext.Dedup.shingleRows]] lesson); the counts
+    * live on the bigram VOCAB (one shuffle), the prefix totals are a
+    * window over that vocab keyed by w1 (vocab-sized, not corpus-sized),
+    * and instances join the finished vocab by bigram — never a
+    * corpus-grain window. All arithmetic is integer `div` for DuckDB
+    * `//` parity.
+    */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    bigramSurprisal(spark.read.parquet(s"$dir/documents.parquet"))
+
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), wsTokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 2)).as("i"))
+      .select(col("doc_id"),
+        element_at(col("toks"), col("i") + 1).as("w1"),
+        concat_ws(" ", element_at(col("toks"), col("i") + 1),
+          element_at(col("toks"), col("i") + 2)).as("bg"))
+    // w1 is functionally dependent on bg — carried in the group key
+    // (the no-first() convention), so the prefix window needs no re-parse
+    val vocab = bg.groupBy(col("bg"), col("w1"))
+      .agg(count(lit(1)).as("c2"))
+      .withColumn("c1", sum(col("c2")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
+    bg.select(col("doc_id"), col("bg"))
+      .join(vocab.select(col("bg"), col("c1"), col("c2")), "bg")
+      .select(col("doc_id"), expr("(1000000 * c1) div c2").as("wgt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("wgt")).as("surprisal"))
+      .select(col("doc_id"), col("n_bigrams"), col("surprisal"),
+        expr("surprisal div n_bigrams").as("surprisal_per_bigram"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Email pattern for [[piiRedact]] (RE2-safe: same matches in Spark's
     * Java regex and DuckDB's RE2, which the oracle requires).
     */

@@ -53,6 +53,21 @@ class TextSignalsSpec extends SparkTestBase {
     assert(perWord(1) === perWord.max)
   }
 
+  test("bigram surprisal: rare CONTINUATIONS score higher than common ones") {
+    // corpus bigrams starting 'a': "a b" ×2, "a c" ×1 → cnt(a·) = 3.
+    // doc 3's "a c" is the rare continuation: 1e6·3/1 = 3,000,000 vs
+    // doc 1/2's "a b" at 1e6·3/2 = 1,500,000 — same words, the ORDER
+    // carries the signal
+    val d = docs(1L -> "a b", 2L -> "a b", 3L -> "a c")
+    val r = TextAnalysis.bigramSurprisal(d).orderBy("doc_id").collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("n_bigrams"),
+        x.getAs[Long]("surprisal"), x.getAs[Long]("surprisal_per_bigram")))
+    assert(r.toSeq === Seq(
+      (1L, 1L, 1500000L, 1500000L),
+      (2L, 1L, 1500000L, 1500000L),
+      (3L, 1L, 3000000L, 3000000L)))
+  }
+
   test("vocab: corpus top-k by total count with document frequency") {
     val d = docs(
       1L -> "apple apple banana",
