@@ -103,6 +103,7 @@ object ExtQueries {
     "ann_hybrid_rrf" -> ((s, dir) => Similarity.hybridRrf(s, dir)),
     "text_keywords" -> ((s, dir) => TextAnalysis.keywords(s, dir)),
     "text_tfidf_topk" -> ((s, dir) => TextAnalysis.tfidfTopK(s, dir)),
+    "rag_chunk_topk" -> ((s, dir) => TextAnalysis.ragChunkTopK(s, dir)),
     "text_bpe_merges" -> ((s, dir) => TextAnalysis.bpeMerges(s, dir)),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(s, dir).orderBy(col("doc_id"))),
@@ -1226,6 +1227,68 @@ object ExtQueries {
         |    ORDER BY score DESC, neighbor_id)::BIGINT AS rank
         |  FROM sc) WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin),
+
+    // RAG retrieval: tf-idf scoring of 32/24 sliding-window CHUNKS
+    // (corpus_chunks' exact chunking, query docs held out of the index)
+    // against whole-doc queries; chunk-grain df, provenance returned.
+    "rag_chunk_topk" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |                             x -> x != '') AS t
+        |  FROM documents WHERE doc_id % 50 != 0
+        |), n0 AS (
+        |  SELECT doc_id, t, len(t)::BIGINT AS n FROM t0
+        |), k AS (
+        |  SELECT doc_id, t, n,
+        |    unnest(range(0, greatest(1, (n - 32 + 23) // 24 + 1))) AS chunk_no
+        |  FROM n0
+        |), ct AS (
+        |  SELECT doc_id, chunk_no,
+        |    t[(chunk_no * 24 + 1)::INT : least(chunk_no * 24 + 32, n)::INT]
+        |      AS ctoks
+        |  FROM k
+        |), ctt AS (
+        |  SELECT doc_id, chunk_no,
+        |    lower(ctoks[p+1]) || ' ' || lower(ctoks[p+2]) AS term
+        |  FROM (SELECT doc_id, chunk_no, ctoks,
+        |          unnest(range(0, len(ctoks) - 1)) AS p
+        |        FROM ct WHERE len(ctoks) >= 2)
+        |), ctf AS (
+        |  SELECT doc_id, chunk_no, term, least(count(*), 16)::BIGINT AS tf
+        |  FROM ctt GROUP BY 1, 2, 3
+        |), rare AS (
+        |  SELECT term, (1000000 // count(*))::BIGINT AS w
+        |  FROM ctf GROUP BY term HAVING count(*) <= 100
+        |), post AS (
+        |  SELECT ctf.term, ctf.doc_id, ctf.chunk_no, ctf.tf * r.w AS wt
+        |  FROM ctf JOIN rare r USING (term)
+        |), qt AS (
+        |  SELECT doc_id AS query_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x != '') AS t
+        |  FROM documents WHERE doc_id % 50 = 0
+        |), qtt AS (
+        |  SELECT query_id, t[p+1] || ' ' || t[p+2] AS term
+        |  FROM (SELECT query_id, t, unnest(range(0, len(t) - 1)) AS p
+        |        FROM qt WHERE len(t) >= 2)
+        |), qtf AS (
+        |  SELECT query_id, term, least(count(*), 16)::BIGINT AS tf
+        |  FROM qtt GROUP BY 1, 2
+        |), qpost AS (
+        |  SELECT q.term, q.query_id, q.tf * r.w AS qwt
+        |  FROM qtf q JOIN rare r USING (term)
+        |), sc AS (
+        |  SELECT qp.query_id, p.doc_id, p.chunk_no,
+        |    sum(qp.qwt * p.wt)::BIGINT AS score
+        |  FROM post p JOIN qpost qp ON p.term = qp.term
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT query_id, rank, doc_id, chunk_no::BIGINT AS chunk_no,
+        |  (chunk_no * 24 + 1)::BIGINT AS start_token, score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, doc_id, chunk_no)::BIGINT AS rank
+        |      FROM sc)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "text_bpe_merges" -> (toks +
       """, vocab AS (

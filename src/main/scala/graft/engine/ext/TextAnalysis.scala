@@ -466,6 +466,67 @@ object TextAnalysis {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** RAG retrieval end-to-end: rank CHUNKS ([[Corpus.chunks]] — the
+    * 32/24 sliding windows a vector store would ingest) against
+    * whole-document queries with the [[tfidfTopK]] scorer, returning
+    * chunk-grain provenance (doc, chunk_no, start_token) — what a
+    * retrieval-augmented pipeline actually needs back, not just a
+    * document id. Query docs (id % queryMod = 0) are held OUT of the
+    * index; document frequency, and hence every idf weight, is
+    * chunk-grain (a term filling one long doc no longer looks rare).
+    *
+    * Scale shape: identical to [[tfidfTopK]] — the chunk postings list
+    * is the inverted index (term-keyed exchange, df ≤ dfCap caps every
+    * bucket), queries join it term-sharded, scores partial-aggregate
+    * map-side, and the per-query top-k is a WindowGroupLimit rank
+    * filter. start_token is recomputed from chunk_no (deterministic),
+    * not joined back.
+    */
+  def ragChunkTopK(spark: SparkSession, dir: String): DataFrame =
+    ragChunkTopK(spark.read.parquet(s"$dir/documents.parquet"))
+
+  def ragChunkTopK(docs: DataFrame, k: Int = 3, queryMod: Int = 50,
+                   win: Int = 32, stride: Int = 24,
+                   dfCap: Int = 100, tfCap: Int = 16): DataFrame = {
+    def bigrams(df: DataFrame, keys: Seq[String], text: Column): DataFrame =
+      df.select(keys.map(col) :+ wsTokens(lower(text)).as("t"): _*)
+        .filter(size(col("t")) >= 2)
+        .select(keys.map(col) :+ col("t") :+
+          explode(sequence(lit(0), size(col("t")) - 2)).as("p"): _*)
+        .select(keys.map(col) :+ concat_ws(" ",
+          element_at(col("t"), col("p") + 1),
+          element_at(col("t"), col("p") + 2)).as("term"): _*)
+        .groupBy((keys :+ "term").map(col): _*)
+        .agg(least(count(lit(1)), lit(tfCap.toLong)).as("tf"))
+
+    val cTf = bigrams(
+      Corpus.chunks(docs.filter(col("doc_id") % queryMod =!= 0), win, stride),
+      Seq("doc_id", "chunk_no"), col("chunk_text"))
+    val rare = cTf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("term"), expr("1000000 div df").as("w"))
+    val post = cTf.join(rare, "term")
+      .select(col("term"), col("doc_id"), col("chunk_no"),
+        (col("tf") * col("w")).as("wt"))
+    val qpost = bigrams(
+      docs.filter(col("doc_id") % queryMod === 0)
+        .select(col("doc_id").as("query_id"), col("text")),
+      Seq("query_id"), col("text"))
+      .join(rare, "term")
+      .select(col("term"), col("query_id"), (col("tf") * col("w")).as("qwt"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(desc("score"), col("doc_id"), col("chunk_no"))
+    post.join(qpost, Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"), col("chunk_no"))
+      .agg(sum(col("qwt") * col("wt")).as("score"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("chunk_no"),
+        (col("chunk_no") * stride + 1L).as("start_token"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def keywords(docs: DataFrame, k: Int): DataFrame = {
     val terms = docs.select(col("doc_id"),
       explode(wsTokens(lower(col("text")))).as("term"))

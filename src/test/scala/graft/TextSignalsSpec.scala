@@ -68,6 +68,20 @@ class TextSignalsSpec extends SparkTestBase {
       (3L, 1L, 3000000L, 3000000L)))
   }
 
+  test("rag chunks: the phrase's CHUNK surfaces with its start_token, not just the doc") {
+    // doc 0 (a query: 0 % 50 == 0) asks for "alpha beta"; doc 1 hides it
+    // at tokens 35-36, which only chunk 1 (tokens 25-56) covers — chunk 0
+    // (tokens 1-32) must not match
+    val filler = (1 to 40).map(i => if (i == 35) "alpha" else if (i == 36) "beta"
+      else s"w$i").mkString(" ")
+    val d = docs(0L -> "alpha beta gamma", 1L -> filler)
+    val r = TextAnalysis.ragChunkTopK(d).collect()
+      .map(x => (x.getAs[Long]("query_id"), x.getAs[Long]("rank"),
+        x.getAs[Long]("doc_id"), x.getAs[Long]("chunk_no"),
+        x.getAs[Long]("start_token")))
+    assert(r.toSeq === Seq((0L, 1L, 1L, 1L, 25L)))
+  }
+
   test("vocab: corpus top-k by total count with document frequency") {
     val d = docs(
       1L -> "apple apple banana",
