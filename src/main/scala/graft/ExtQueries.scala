@@ -130,6 +130,7 @@ object ExtQueries {
     // ------------------------------------------------ round-6 additions
     "text_vocab" -> ((s, dir) => TextAnalysis.vocab(s, dir)),
     "corpus_temperature" -> ((s, dir) => Corpus.temperatureWeights(s, dir)),
+    "corpus_dedup_weights" -> ((s, dir) => Corpus.dedupWeights(s, dir)),
     "dedup_containment" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
     "dedup_substring" -> ((s, dir) => Dedup.substringSpans(s, dir)),
     "dedup_span_coverage" -> ((s, dir) => Dedup.spanCoverage(s, dir)),
@@ -233,6 +234,33 @@ object ExtQueries {
       |    CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END)
       |         AS BIGINT) AS simhash
       |  FROM vote GROUP BY doc_id
+      |)""".stripMargin
+
+  /** SimHash connected-components chain (shared by dedup_clusters /
+    * dedup_canonical / corpus_dedup_weights): appended after
+    * [[simhashSig]] under a WITH RECURSIVE header; yields `cl` =
+    * (doc_id, cluster_id = min member id).
+    */
+  private val simhashCcChain =
+    """, bands AS (
+      |  SELECT doc_id, simhash, band,
+      |    (simhash >> (band * 15)) & 32767 AS band_val
+      |  FROM sig, range(0, 4) r(band)
+      |), edges AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+      |), edges2 AS (
+      |  SELECT doc_a, doc_b FROM edges
+      |  UNION ALL
+      |  SELECT doc_b, doc_a FROM edges
+      |), rr(v, m) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.doc_b, rr.m FROM rr JOIN edges2 e ON e.doc_a = rr.v
+      |), cl AS (
+      |  SELECT v AS doc_id, min(m) AS cluster_id FROM rr GROUP BY v
       |)""".stripMargin
 
   private val quantized =
@@ -824,52 +852,41 @@ object ExtQueries {
         |ORDER BY doc_a, doc_b""".stripMargin),
 
     "dedup_clusters" -> ("WITH RECURSIVE " +
-      simhashSig.stripPrefix("WITH ") +
-      """, bands AS (
-        |  SELECT doc_id, simhash, band,
-        |    (simhash >> (band * 15)) & 32767 AS band_val
-        |  FROM sig, range(0, 4) r(band)
-        |), edges AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
-        |), edges2 AS (
-        |  SELECT doc_a, doc_b FROM edges
-        |  UNION ALL
-        |  SELECT doc_b, doc_a FROM edges
-        |), rr(v, m) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.doc_b, rr.m FROM rr JOIN edges2 e ON e.doc_a = rr.v
+      simhashSig.stripPrefix("WITH ") + simhashCcChain +
+      """
+        |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin),
+
+    // Cluster-size-aware sampling weights: every duplicate cluster
+    // contributes ONE document's worth of mass, split across members
+    // (weight_ppm = 1e6 // size); per-language effective token mass.
+    "corpus_dedup_weights" -> ("WITH RECURSIVE " +
+      simhashSig.stripPrefix("WITH ") + simhashCcChain +
+      """, sz AS (
+        |  SELECT doc_id, cluster_id,
+        |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |  FROM cl
+        |), dt AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |                    x -> x != ''))::BIGINT AS n_tokens
+        |  FROM documents
         |)
-        |SELECT v AS doc_id, min(m) AS cluster_id
-        |FROM rr GROUP BY v ORDER BY doc_id""".stripMargin),
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+        |  CAST(sum(n_tokens * (1000000 // cluster_size)) AS BIGINT)
+        |    AS eff_tokens_micro,
+        |  CAST(sum(n_tokens * (1000000 // cluster_size)) // sum(n_tokens)
+        |       AS BIGINT) AS eff_ppm
+        |FROM dt JOIN sz USING (doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin),
 
     // Canonical-by-quality: the dedup_clusters chain + the corpus_clean
     // gate; survivor = keep-first, longest, then lowest id.
     "dedup_canonical" -> ("WITH RECURSIVE " +
-      simhashSig.stripPrefix("WITH ") +
-      """, bands AS (
-        |  SELECT doc_id, simhash, band,
-        |    (simhash >> (band * 15)) & 32767 AS band_val
-        |  FROM sig, range(0, 4) r(band)
-        |), edges AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
-        |), edges2 AS (
-        |  SELECT doc_a, doc_b FROM edges
-        |  UNION ALL
-        |  SELECT doc_b, doc_a FROM edges
-        |), rr(v, m) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.doc_b, rr.m FROM rr JOIN edges2 e ON e.doc_a = rr.v
-        |), cl AS (
-        |  SELECT v AS doc_id, min(m) AS cluster_id FROM rr GROUP BY v
-        |), qq AS (
+      simhashSig.stripPrefix("WITH ") + simhashCcChain +
+      """, qq AS (
         |  SELECT doc_id, (CASE WHEN n_tokens < 5 THEN 1
         |                       WHEN punct_ppm > 300000 THEN 1
         |                       WHEN NOT terminal THEN 1 ELSE 0 END) = 0 AS keep

@@ -227,6 +227,43 @@ object Corpus {
     * per-language rollup is one map-side-combined shuffle of O(|langs|)
     * rows; everything after is constant-size.
     */
+  /** Cluster-size-aware dedup weighting — the production alternative to
+    * dropping duplicates: every SimHash near-dup cluster contributes
+    * ONE document's worth of sampling mass, split evenly across its
+    * members (weight = 1e6 // cluster_size ppm), so repeated content is
+    * down-weighted in the mix instead of discarded (what large-corpus
+    * training recipes do when near-dups still carry unique spans).
+    * Emits the per-language raw vs. effective token mass and the
+    * effective-fraction ppm — the inputs a mixing step ([[mix]] /
+    * [[temperatureWeights]]) would consume.
+    *
+    * Scale shape: the cluster build is [[graft.engine.ext.Dedup
+    * .simhashClusters]] (bucketed pairs + checkpointed pointer jumping);
+    * the size annotation is one window over cluster-grain rows; the
+    * token counts ride the document scan; the rollup is |languages|
+    * rows.
+    */
+  def dedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val cl = graft.engine.ext.Dedup.simhashClusters(spark, dir)
+      .withColumn("cluster_size", count(lit(1)).over(
+        Window.partitionBy(col("cluster_id"))))
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tokens"))
+      .join(cl, "doc_id")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_size") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("n_tokens")).as("raw_tokens"),
+        sum(col("n_tokens") * expr("1000000 div cluster_size"))
+          .as("eff_tokens_micro"))
+      .select(col("lang"), col("n_docs"), col("n_dup_docs"),
+        col("raw_tokens"), col("eff_tokens_micro"),
+        expr("eff_tokens_micro div raw_tokens").as("eff_ppm"))
+      .orderBy(col("lang"))
+  }
+
   def temperatureWeights(spark: SparkSession, dir: String): DataFrame = {
     val toks = size(TextAnalysis.wsTokens(col("text"))).cast("long")
     val perLang = docs(spark, dir)

@@ -22,6 +22,27 @@ class CorpusSpec extends SparkTestBase {
     })
   }
 
+  test("dedupWeights: a duplicate pair shares one doc's mass, uniques keep full weight") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dw").toString
+    val dup = "the quick brown fox jumps over the lazy dog today"
+    Seq(
+      (1L, dup, "en", "a", dup.length.toLong),
+      (2L, dup, "en", "a", dup.length.toLong),
+      (3L, "completely unrelated words about spacecraft navigation systems engineering", "zh", "b", 74L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Corpus.dedupWeights(spark, dir).collect()
+      .map(x => (x.getAs[String]("lang"), x.getAs[Long]("n_docs"),
+        x.getAs[Long]("n_dup_docs"), x.getAs[Long]("raw_tokens"),
+        x.getAs[Long]("eff_tokens_micro"), x.getAs[Long]("eff_ppm"))).toSeq
+    // en: the two 10-token dups each weigh 500000 ppm → 20 raw tokens
+    // carry 10,000,000 micro-tokens of mass (half); zh keeps full weight
+    assert(r === Seq(
+      ("en", 2L, 2L, 20L, 10000000L, 500000L),
+      ("zh", 1L, 0L, 8L, 8000000L, 1000000L)))
+  }
+
   test("packSequences fills budget-bounded packs per source") {
     val rows = Corpus.packSequences(spark, sf).collect()
     assert(rows.forall(r => r.getAs[Long]("pack_offset") >= 0 &&
