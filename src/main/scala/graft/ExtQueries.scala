@@ -36,6 +36,12 @@ object ExtQueries {
     "ext_q15_top_supplier" -> ((s, dir) => Relational.topSupplier(s, dir)),
     "ext_q20_dominant_suppliers" -> ((s, dir) => Relational.dominantSuppliers(s, dir)),
     "ext_semi_customers" -> ((s, dir) => Relational.customersWithOpenOrders(s, dir)),
+    "ext_q5_local_revenue" -> ((s, dir) => Relational.localRevenue(s, dir)),
+    "ext_q2_min_cost" -> ((s, dir) => Relational.minCostSuppliers(s, dir)),
+    "ext_q13_order_counts" -> ((s, dir) => Relational.orderCountHistogram(s, dir)),
+    "ext_q14_promo_share" -> ((s, dir) => Relational.promoShare(s, dir)),
+    "ext_q19_disjunctive" -> ((s, dir) => Relational.disjunctiveRevenue(s, dir)),
+    "ext_q11_important_parts" -> ((s, dir) => Relational.importantParts(s, dir)),
     // ------------------------------------------------ events
     "ext_sessions" -> ((s, dir) => Sessionize.sessions(s, dir)),
     "ext_hourly_rollup" -> ((s, dir) => Sessionize.hourlyRollup(s, dir)),
@@ -2070,6 +2076,121 @@ object ExtQueries {
         |FROM dom d JOIN supplier s ON d.l_suppkey = s.s_suppkey
         |GROUP BY 1, 2
         |ORDER BY n_dominant_parts DESC, s.s_suppkey""".stripMargin,
+
+    // Q5 shape: six-table join, supplier constrained to the customer's
+    // own nation (the dual-role nation equality).
+    "ext_q5_local_revenue" ->
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |           (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+        |       AS BIGINT) AS revenue_bp,
+        |  count(*)::BIGINT AS n_lines
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |              AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY revenue_bp DESC, n_name""".stripMargin,
+
+    // Q2 shape: cheapest-offer supplier per STANDARD part among EUROPE
+    // suppliers; offer = min lineitem price per (part, supplier).
+    "ext_q2_min_cost" ->
+      """WITH sup AS (
+        |  SELECT s.s_suppkey, s.s_name, n.n_name,
+        |    CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c
+        |  FROM supplier s
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'EUROPE'
+        |), offers AS (
+        |  SELECT p.p_partkey, p.p_brand, p.p_size,
+        |    s.s_suppkey, s.s_name, s.n_name, s.acctbal_c,
+        |    CAST(min(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS min_offer_c
+        |  FROM lineitem l
+        |  JOIN sup s ON l.l_suppkey = s.s_suppkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_type = 'STANDARD'
+        |  GROUP BY 1, 2, 3, 4, 5, 6, 7
+        |)
+        |SELECT acctbal_c, s_name, n_name, p_partkey, p_brand, p_size,
+        |       min_offer_c
+        |FROM (SELECT *,
+        |        min(min_offer_c) OVER (PARTITION BY p_partkey) AS part_min_c
+        |      FROM offers)
+        |WHERE min_offer_c = part_min_c
+        |ORDER BY acctbal_c DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    // Q13 shape: order-count histogram over ALL customers (zero-order
+    // customers included), non-LOW priority orders only.
+    "ext_q13_order_counts" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, count(*)::BIGINT AS cnt
+        |  FROM orders WHERE o_orderpriority <> '5-LOW' GROUP BY 1
+        |)
+        |SELECT coalesce(pc.cnt, 0)::BIGINT AS c_count,
+        |       count(*)::BIGINT AS custdist
+        |FROM customer c LEFT JOIN pc ON c.c_custkey = pc.o_custkey
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // Q14 shape: promo revenue share as exact integer ppm.
+    "ext_q14_promo_share" ->
+      """WITH m AS (
+        |  SELECT (p.p_type = 'PROMO') AS is_promo,
+        |    CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |      (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)) AS rev_bp
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+        |    AND l.l_shipdate < TIMESTAMP '1996-04-01'
+        |)
+        |SELECT
+        |  CAST(sum(CASE WHEN is_promo THEN rev_bp ELSE 0 END) AS BIGINT)
+        |    AS promo_rev_bp,
+        |  CAST(sum(rev_bp) AS BIGINT) AS total_rev_bp,
+        |  CAST(sum(CASE WHEN is_promo THEN rev_bp ELSE 0 END) * 1000000
+        |       // sum(rev_bp) AS BIGINT) AS promo_ppm
+        |FROM m""".stripMargin,
+
+    // Q19 shape: OR of three (brand, size, qty) conjunction groups.
+    "ext_q19_disjunctive" ->
+      """SELECT
+        |  CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |           (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+        |       AS BIGINT) AS revenue_bp,
+        |  count(*)::BIGINT AS n_lines
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+        |       AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+        |       AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // Q11 shape: per-part value from one nation's suppliers, HAVING
+    // against a global scalar — kept when value > 2 × the mean part
+    // value (exact integer cross-multiplication, scale-stable gate).
+    "ext_q11_important_parts" ->
+      """WITH pp AS (
+        |  SELECT l.l_partkey,
+        |    CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS value_c
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE n.n_name = 'NATION_3'
+        |  GROUP BY 1
+        |)
+        |SELECT l_partkey AS p_partkey, value_c
+        |FROM pp
+        |WHERE value_c * (SELECT count(*) FROM pp)
+        |      > (SELECT sum(value_c) FROM pp) * 2
+        |ORDER BY value_c DESC, p_partkey""".stripMargin,
 
     "ext_q4_late_priorities" ->
       """SELECT o_orderpriority, count(*) AS n_orders

@@ -512,4 +512,221 @@ object Relational {
         sum(floor(col("s_acctbal") * 100 + 0.5).cast("long")).as("sum_acctbal_c"))
       .orderBy(col("r_name"))
   }
+
+  private def centsC(c: org.apache.spark.sql.Column) =
+    floor(c * 100 + 0.5).cast("long")
+
+  /** TPC-H Q5 shape — local-supplier revenue per nation: the six-table
+    * join (customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region)
+    * whose distinguishing constraint is the DUAL-ROLE nation equality —
+    * the supplier must sit in the customer's own nation, so the supplier
+    * join carries a second, non-hierarchical condition.
+    *
+    * Scale shape: orders (year filter pushed down) shuffle-joins customer
+    * on custkey — both are entity-grain tables that outgrow broadcast at
+    * large SF — then the result shuffle-joins the fact once on orderkey.
+    * supplier/nation/region stay broadcast; the nation-equality rides the
+    * supplier broadcast join as a second conjunct, never a separate join.
+    */
+  def localRevenue(spark: SparkSession, dir: String,
+                   yStart: String = "1996-01-01",
+                   yEnd: String = "1997-01-01",
+                   region: String = "ASIA"): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderdate") >= lit(yStart).cast("timestamp_ntz") &&
+        col("o_orderdate") < lit(yEnd).cast("timestamp_ntz"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (centsC(col("l_extendedprice")) *
+          (lit(100L) - centsC(col("l_discount")))).as("rev_bp"))
+    val sup = spark.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    val r = spark.read.parquet(s"$dir/region.parquet")
+      .filter(col("r_name") === region)
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev_bp")).as("revenue_bp"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(desc("revenue_bp"), col("n_name"))
+  }
+
+  /** TPC-H Q2 shape — min-cost supplier per part: for every STANDARD
+    * part, the EUROPE supplier(s) whose cheapest observed line price hits
+    * the part's minimum (the schema has no partsupp, so the offer
+    * relation is distilled from lineitem: min extended price per
+    * (part, supplier)). Q2's correlated min-subquery is decorrelated as a
+    * window MIN over the SAME partition key the aggregate just produced —
+    * no self-join back on partkey, no subquery re-scan.
+    *
+    * Scale shape: the region gate broadcasts into the supplier dimension
+    * BEFORE the offer aggregate, so the fact shuffle (partkey, suppkey)
+    * only carries qualifying suppliers' rows; the window re-shuffles
+    * aggregate-grain rows on the partkey prefix; part is a broadcast gate.
+    */
+  def minCostSuppliers(spark: SparkSession, dir: String,
+                       partType: String = "STANDARD",
+                       region: String = "EUROPE",
+                       k: Int = 100): DataFrame = {
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    val r = spark.read.parquet(s"$dir/region.parquet")
+      .filter(col("r_name") === region)
+    val sup = spark.read.parquet(s"$dir/supplier.parquet")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        centsC(col("s_acctbal")).as("acctbal_c"))
+    val p = spark.read.parquet(s"$dir/part.parquet")
+      .filter(col("p_type") === partType)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val offers = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_partkey"), col("l_suppkey"),
+        centsC(col("l_extendedprice")).as("price_c"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_brand"), col("p_size"),
+        col("s_suppkey"), col("s_name"), col("n_name"), col("acctbal_c"))
+      .agg(min(col("price_c")).as("min_offer_c"))
+    offers
+      .withColumn("part_min_c",
+        min(col("min_offer_c")).over(Window.partitionBy(col("p_partkey"))))
+      .filter(col("min_offer_c") === col("part_min_c"))
+      .select(col("acctbal_c"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"), col("p_size"), col("min_offer_c"))
+      .orderBy(desc("acctbal_c"), col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q13 shape — the customer order-count distribution: every
+    * customer (including the order-less — the outer side matters), their
+    * count of non-LOW-priority orders, then the histogram of those
+    * counts. Q13's LEFT OUTER JOIN with an ON-clause filter is restated
+    * aggregate-first: orders pre-aggregate to customer grain (map-side
+    * combined), and the outer join then matches entity-grain rows — the
+    * join input shrinks from O(orders) to O(customers) and the null/zero
+    * routing (coalesce) reproduces the unmatched-outer semantics exactly.
+    *
+    * Scale shape: one fact scan + shuffle to custkey grain, one
+    * entity-grain shuffle join, and a |distinct counts|-row histogram.
+    */
+  def orderCountHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderpriority") =!= "5-LOW")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"))
+    spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** TPC-H Q14 shape — promotion revenue share: one month of the fact
+    * against the part dimension, a conditional aggregate split by part
+    * type, and an exact integer ppm ratio (promo·1e6 div total) instead
+    * of Q14's floating 100·sum/sum.
+    *
+    * Scale shape: the month filter prunes the fact scan; the part side
+    * pre-projects to (key, is_promo) — 9 bytes a row — and joins without
+    * a hint so AQE picks broadcast where it fits and shuffle where it
+    * doesn't; the aggregate is a single all-reduce row.
+    */
+  def promoShare(spark: SparkSession, dir: String,
+                 mStart: String = "1996-03-01",
+                 mEnd: String = "1996-04-01"): DataFrame = {
+    val p = spark.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit(mStart).cast("timestamp_ntz") &&
+        col("l_shipdate") < lit(mEnd).cast("timestamp_ntz"))
+      .select(col("l_partkey"),
+        (centsC(col("l_extendedprice")) *
+          (lit(100L) - centsC(col("l_discount")))).as("rev_bp"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("is_promo"), col("rev_bp")).otherwise(0L))
+          .as("promo_rev_bp"),
+        sum(col("rev_bp")).as("total_rev_bp"))
+      .select(col("promo_rev_bp"), col("total_rev_bp"),
+        expr("promo_rev_bp * 1000000L div total_rev_bp").as("promo_ppm"))
+  }
+
+  /** TPC-H Q19 shape — disjunctive-predicate revenue: the join whose
+    * residual condition is an OR of three (brand, size-range, qty-range)
+    * conjunction groups. The plan property under test: Catalyst's CNF
+    * conversion must push the part-only disjunction (brand ∈ {…} AND
+    * size ≤ 15) into the part scan and the quantity envelope into the
+    * fact scan, so the join touches candidate rows only — a naive plan
+    * joins everything and filters after.
+    *
+    * Scale shape: both scans pruned by the extracted common predicates;
+    * the filtered part side is tiny and broadcasts; one conditional
+    * aggregate row out.
+    */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = spark.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_partkey"), col("l_quantity"),
+        (centsC(col("l_extendedprice")) *
+          (lit(100L) - centsC(col("l_discount")))).as("rev_bp"))
+    val clause =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    l.join(p, col("l_partkey") === col("p_partkey") && clause)
+      .agg(sum(col("rev_bp")).as("revenue_bp"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q11 shape — important parts: each part's lineitem value from
+    * one nation's suppliers, kept only when it exceeds `factor` × the
+    * nation's MEAN part value — the HAVING-against-a-global-scalar form
+    * (contrast [[smallQtyRevenue]]'s per-group correlated scalar). The
+    * scalar rides a broadcast 1-row cross join: the relational spelling
+    * of the scalar-subquery plan. Q11's fixed fraction (0.0001/SF) is
+    * restated mean-relative so the gate's selectivity is scale-stable —
+    * a fixed ppm threshold selects everything at small SF and nothing at
+    * large SF as the part population grows.
+    *
+    * Scale shape: the nation gate broadcasts into supplier, the fact
+    * shuffles once to part grain with map-side partials, the global
+    * (count, sum) all-reduces to one row and broadcasts back; the gate
+    * is exact integer cross-multiplication (value·n_parts > f·total).
+    */
+  def importantParts(spark: SparkSession, dir: String,
+                     nation: String = "NATION_3",
+                     factor: Long = 2L): DataFrame = {
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+      .filter(col("n_name") === nation)
+    val sup = spark.read.parquet(s"$dir/supplier.parquet")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_partkey"), col("l_suppkey"),
+        centsC(col("l_extendedprice")).as("price_c"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("price_c")).as("value_c"))
+    val total = perPart.agg(count(lit(1)).as("n_parts"),
+      sum(col("value_c")).as("total_c"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value_c") * col("n_parts") > col("total_c") * factor)
+      .select(col("l_partkey").as("p_partkey"), col("value_c"))
+      .orderBy(desc("value_c"), col("p_partkey"))
+  }
 }

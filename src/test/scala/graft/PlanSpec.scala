@@ -223,6 +223,43 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("TPC-H Q5/Q2/Q13/Q14/Q19/Q11 shapes keep their scale plans") {
+    // Q5: orders⋈customer and the fact join shuffle; supplier/nation/
+    // region ride broadcasts (the dual-role nation equality must stay a
+    // second conjunct on the supplier join, never a cartesian)
+    val q5 = plan(Relational.localRevenue(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(q5).length >= 3, q5.take(1200))
+    assert(!q5.contains("CartesianProduct") &&
+      !q5.contains("BroadcastNestedLoopJoin"), q5.take(1200))
+    // Q2: the correlated min decorrelates to a Window over the offer
+    // aggregate (no self-join back on partkey), top-k stays a
+    // TakeOrderedAndProject, and every dimension hop broadcasts — the
+    // only hash exchanges are the offer aggregate and the partkey window
+    val q2 = plan(Relational.minCostSuppliers(spark, dir))
+    assert(q2.contains("Window"), q2.take(1200))
+    assert(q2.contains("TakeOrderedAndProject"), q2.take(1200))
+    assert("BroadcastHashJoin".r.findAllIn(q2).length >= 4, q2.take(1600))
+    assert(!q2.contains("SortMergeJoin"), q2.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(q2).length === 2,
+      q2.take(1600))
+    // Q13: the outer join runs at CUSTOMER grain — the orders aggregate
+    // must sit below the join, so the join carries no fact-sized side
+    val q13 = plan(Relational.orderCountHistogram(spark, dir))
+    assert(q13.contains("LeftOuter"), q13.take(1200))
+    assert(!q13.contains("CartesianProduct"), q13.take(1200))
+    // Q14/Q19: single-row conditional aggregates over a pruned join;
+    // Q19's part-only disjunction must reach the part side as a filter
+    // (CNF extraction), not survive only as a join residual
+    val q14 = plan(Relational.promoShare(spark, dir))
+    assert(!q14.contains("CartesianProduct") &&
+      !q14.contains("BroadcastNestedLoopJoin"), q14.take(1200))
+    val q19opt = Relational.disjunctiveRevenue(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert("Brand#34".r.findAllIn(q19opt).length >= 2,
+      "part-side disjunction was not extracted below the join:\n" +
+        q19opt.take(1600))
+  }
+
   test("no cartesian/broadcast-NL joins outside the two documented sites") {
     // ann_bruteforce (vec_id =!= query_id vs broadcast queries) and
     // ann_label_centroids (label < label) are deliberate inequality
@@ -240,10 +277,12 @@ class PlanSpec extends SparkTestBase {
     // the composed IVF-PQ pair inherits the same centroid fan-out (probe
     // ranking is query × broadcast trained centroids), and its recall QA
     // additionally embeds bruteForceTopK
+    // ext_q11_important_parts broadcasts a 1-ROW global (count, sum)
+    // scalar exactly like text_surprisal — constant work per probe row.
     val exempt = Set("ann_bruteforce", "ann_label_centroids", "ann_ivf",
       "ann_kmeans", "ann_ivf_trained", "text_surprisal", "ann_srp_recall",
       "ann_pq_recall", "corpus_cell_quality", "ann_ivfpq_search",
-      "ann_ivfpq_recall", "ann_hybrid_rrf")
+      "ann_ivfpq_recall", "ann_hybrid_rrf", "ext_q11_important_parts")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
