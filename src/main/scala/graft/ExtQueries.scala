@@ -101,6 +101,7 @@ object ExtQueries {
     "ann_kmeans" -> ((s, dir) => Similarity.kmeansCells(s, dir)),
     "ann_quantize" -> ((s, dir) => Similarity.quantizeInt8(s, dir)),
     "ann_ivf_trained" -> ((s, dir) => Similarity.ivfTrainedTopK(s, dir)),
+    "ann_index_update" -> ((s, dir) => Similarity.ivfIndexUpdate(s, dir)),
     "ann_ivfpq_search" -> ((s, dir) => Similarity.ivfPqTopK(s, dir)),
     "ann_ivfpq_recall" -> ((s, dir) => Similarity.ivfPqRecall(s, dir)),
     "ann_pq_codes" -> ((s, dir) => Similarity.pqCodes(s, dir)),
@@ -1137,6 +1138,64 @@ object ExtQueries {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
         |  FROM d2) WHERE rn = 1
         |ORDER BY vec_id""".stripMargin),
+
+    // ann_index_update: kmeans trains on the BASE slice only (seeds +
+    // 4 of 5 remaining ids), the held-out batch assigns to the frozen
+    // final centroids (c1), and the census full-outer-joins both sides.
+    "ann_index_update" -> (quantized +
+      """, vb AS (
+        |  SELECT * FROM v WHERE vec_id < 16 OR vec_id % 5 != 4
+        |), vn AS (
+        |  SELECT * FROM v WHERE vec_id >= 16 AND vec_id % 5 = 4
+        |), c0 AS (
+        |  SELECT vec_id AS cell_id, i, q AS c FROM vb WHERE vec_id < 16
+        |), d1 AS (
+        |  SELECT vb.vec_id, c.cell_id,
+        |    CAST(sum((vb.q - c.c) * (vb.q - c.c)) AS BIGINT) AS dist
+        |  FROM vb JOIN c0 c ON vb.i = c.i GROUP BY 1, 2
+        |), a1 AS (
+        |  SELECT vec_id, cell_id FROM (
+        |    SELECT vec_id, cell_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+        |    FROM d1) WHERE rn = 1
+        |), c1 AS (
+        |  SELECT a1.cell_id, vb.i,
+        |    CAST(floor(sum(vb.q)::DOUBLE / count(*)) AS BIGINT) AS c
+        |  FROM a1 JOIN vb ON vb.vec_id = a1.vec_id GROUP BY 1, 2
+        |), d2 AS (
+        |  SELECT vb.vec_id, c.cell_id,
+        |    CAST(sum((vb.q - c.c) * (vb.q - c.c)) AS BIGINT) AS dist
+        |  FROM vb JOIN c1 c ON vb.i = c.i GROUP BY 1, 2
+        |), a2 AS (
+        |  SELECT vec_id, cell_id, dist FROM (
+        |    SELECT vec_id, cell_id, dist,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+        |    FROM d2) WHERE rn = 1
+        |), nd AS (
+        |  SELECT vn.vec_id, c.cell_id,
+        |    CAST(sum((vn.q - c.c) * (vn.q - c.c)) AS BIGINT) AS dist
+        |  FROM vn JOIN c1 c ON vn.i = c.i GROUP BY 1, 2
+        |), na AS (
+        |  SELECT vec_id, cell_id, dist FROM (
+        |    SELECT vec_id, cell_id, dist,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+        |    FROM nd) WHERE rn = 1
+        |), bc AS (
+        |  SELECT cell_id, count(*)::BIGINT AS n_base,
+        |    max(dist) AS max_base_dist FROM a2 GROUP BY 1
+        |), nc AS (
+        |  SELECT cell_id, count(*)::BIGINT AS n_new,
+        |    max(dist) AS max_new_dist FROM na GROUP BY 1
+        |)
+        |SELECT coalesce(bc.cell_id, nc.cell_id) AS cell_id,
+        |  coalesce(n_base, 0)::BIGINT AS n_base,
+        |  coalesce(n_new, 0)::BIGINT AS n_new,
+        |  coalesce(max_base_dist, 0)::BIGINT AS max_base_dist,
+        |  coalesce(max_new_dist, 0)::BIGINT AS max_new_dist,
+        |  CAST(coalesce(n_new, 0) * 1000000
+        |       // greatest(coalesce(n_base, 0), 1) AS BIGINT) AS growth_ppm
+        |FROM bc FULL OUTER JOIN nc ON bc.cell_id = nc.cell_id
+        |ORDER BY cell_id""".stripMargin),
 
     // ann_ivf_trained: the ann_kmeans training chain (c0→d1→a1→c1→d2)
     // extended with L2-ranked probes and inner-product candidate ranking.

@@ -241,6 +241,52 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Incremental IVF index maintenance — the ANN twin of
+    * [[Dedup.incremental]]: a new embedding batch is assigned to the
+    * ALREADY-TRAINED centroids (no retrain — the production path when
+    * vectors arrive faster than the index can be rebuilt), and the
+    * output is the per-cell growth census an index operator watches to
+    * decide WHEN a retrain is due: base/new member counts, growth ppm,
+    * and the max assignment distance drift (a new batch that lands far
+    * from every centroid is the retrain signal).
+    *
+    * The base/batch split is deterministic and scale-stable (seeds stay
+    * in the base: vec_id < nCells, plus 4 of every 5 remaining ids).
+    *
+    * Scale shape: training touches only the base (same checkpointed
+    * [[kmeansLoop]]); the batch assignment is one broadcast join against
+    * nCells centroid rows — the batch never shuffles; both censuses are
+    * map-side-combined counts at cell grain (nCells rows).
+    */
+  def ivfIndexUpdate(spark: SparkSession, dir: String, nCells: Int = 16,
+                     iters: Int = 2): DataFrame = {
+    val vs = vectors(spark, dir)
+    val isBase = col("vec_id") < nCells || col("vec_id") % 5 =!= 4
+    val (assignedBase, centroids) = kmeansLoop(vs.filter(isBase), nCells, iters)
+    val dist = qdot(col("q"), col("q")) - lit(2L) * qdot(col("q"), col("cq")) +
+      qdot(col("cq"), col("cq"))
+    val assignedNew = vs.filter(!isBase).join(broadcast(centroids))
+      .select(col("vec_id"), col("q"), col("cell_id"), dist.as("dist"))
+      .groupBy(col("vec_id"), col("q"))
+      .agg(min_by(struct(col("cell_id"), col("dist")),
+        struct(col("dist"), col("cell_id"))).as("best"))
+      .select(col("vec_id"), col("best.cell_id").as("cell_id"),
+        col("best.dist").as("dist"))
+    val baseC = assignedBase.groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_base"), max(col("dist")).as("max_base_dist"))
+    val newC = assignedNew.groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_new"), max(col("dist")).as("max_new_dist"))
+    baseC.join(newC, Seq("cell_id"), "full_outer")
+      .select(col("cell_id"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("max_base_dist"), lit(0L)).as("max_base_dist"),
+        coalesce(col("max_new_dist"), lit(0L)).as("max_new_dist"))
+      .withColumn("growth_ppm",
+        expr("n_new * 1000000 div greatest(n_base, 1)"))
+      .orderBy(col("cell_id"))
+  }
+
   /** IVF-PQ composed search — the production ANN index shape (FAISS's
     * default at corpus scale): trained coarse cells prune the corpus to
     * the query's `nprobe` cells, PQ-ADC ranks ONLY those candidates from

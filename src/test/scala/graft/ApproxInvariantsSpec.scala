@@ -125,6 +125,24 @@ class ApproxInvariantsSpec extends SparkTestBase {
     }
   }
 
+  test("ivfIndexUpdate census partitions every vector exactly once") {
+    val dir = "/root/testdata/sf0.001"
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val rows = Similarity.ivfIndexUpdate(spark, dir).collect()
+    // the base/new split is a partition: every vector lands in exactly
+    // one cell on exactly one side
+    assert(rows.map(_.getAs[Long]("n_base")).sum +
+      rows.map(_.getAs[Long]("n_new")).sum === total)
+    // the batch is non-degenerate (~1/5 of non-seed ids) and every cell
+    // row is internally consistent
+    assert(rows.map(_.getAs[Long]("n_new")).sum > 0)
+    rows.foreach { r =>
+      val (nb, nn) = (r.getAs[Long]("n_base"), r.getAs[Long]("n_new"))
+      assert(r.getAs[Long]("growth_ppm") === nn * 1000000L / math.max(nb, 1L))
+      assert(nb > 0 || nn > 0)
+    }
+  }
+
   test("sketch rollup: approx distinct within 5% of exact, percentiles ordered") {
     val rows = graft.engine.ext.Sessionize
       .sketchRollup(spark, "/root/testdata/sf0.001").collect()
