@@ -42,6 +42,9 @@ object ExtQueries {
     "ext_q14_promo_share" -> ((s, dir) => Relational.promoShare(s, dir)),
     "ext_q19_disjunctive" -> ((s, dir) => Relational.disjunctiveRevenue(s, dir)),
     "ext_q11_important_parts" -> ((s, dir) => Relational.importantParts(s, dir)),
+    "ext_q7_volume_shipping" -> ((s, dir) => Relational.volumeShipping(s, dir)),
+    "ext_q16_supplier_variety" -> ((s, dir) => Relational.supplierVariety(s, dir)),
+    "corpus_manifest" -> ((s, dir) => Corpus.manifest(s, dir)),
     // ------------------------------------------------ events
     "ext_sessions" -> ((s, dir) => Sessionize.sessions(s, dir)),
     "ext_hourly_rollup" -> ((s, dir) => Sessionize.hourlyRollup(s, dir)),
@@ -2230,6 +2233,54 @@ object ExtQueries {
         |       AND l.l_quantity BETWEEN 10 AND 20)
         |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
         |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // Q7 shape: bilateral nation-pair revenue by flow direction and
+    // ship year — the disjunction spans two dimension roles.
+    "ext_q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l.l_shipdate)::INT AS l_year,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |           (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+        |       AS BIGINT) AS revenue_bp,
+        |  count(*)::BIGINT AS n_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        |   OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // Q16 shape: distinct suppliers per surviving part class, denylist
+    // (negative balance) excluded via anti join.
+    "ext_q16_supplier_variety" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |  count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#45' AND p.p_type <> 'PROMO'
+        |  AND p.p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l.l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // Per-source manifest: counts, masses, id span and an
+    // order-insensitive 60-bit XOR content signature.
+    "corpus_manifest" ->
+      """SELECT source,
+        |  count(*)::BIGINT AS n_docs,
+        |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+        |                           x -> x != ''))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  min(doc_id) AS min_doc_id,
+        |  max(doc_id) AS max_doc_id,
+        |  bit_xor(try_cast('0x' || substring(sha256(text), 1, 15)
+        |                   AS BIGINT)) AS content_sig
+        |FROM documents
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // Q11 shape: per-part value from one nation's suppliers, HAVING
     // against a global scalar — kept when value > 2 × the mean part

@@ -243,6 +243,34 @@ object Corpus {
     * token counts ride the document scan; the rollup is |languages|
     * rows.
     */
+  /** Per-source dataset manifest — the data-versioning record a 100 TB
+    * pipeline publishes per shard/source: document and token counts,
+    * character mass, the doc-id span, and an ORDER-INSENSITIVE content
+    * signature (XOR of each document's 60-bit sha256 prefix) that two
+    * independent runs can compare without agreeing on row order or
+    * partitioning. Any single changed/added/dropped document flips the
+    * signature; XOR makes it associative-commutative, so it reduces
+    * map-side under any partitioning, like every sum here.
+    *
+    * Scale shape: one scan, one |sources|-row shuffle; the signature
+    * shuffles 8 bytes per source, never content.
+    */
+  def manifest(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tokens"),
+        conv(substring(sha2(col("text"), 256), 1, 15), 16, 10)
+          .cast("long").as("h60"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        expr("bit_xor(h60)").as("content_sig"))
+      .orderBy(col("source"))
+
   def dedupWeights(spark: SparkSession, dir: String): DataFrame = {
     val cl = graft.engine.ext.Dedup.simhashClusters(spark, dir)
       .withColumn("cluster_size", count(lit(1)).over(

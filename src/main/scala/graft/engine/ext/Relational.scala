@@ -693,6 +693,84 @@ object Relational {
         count(lit(1)).as("n_lines"))
   }
 
+  /** TPC-H Q7 shape — volume shipping between a nation PAIR: revenue by
+    * (supplier nation, customer nation, ship year) for the two flow
+    * directions of one bilateral pair. The distinguishing predicate is
+    * the disjunction ACROSS two dimension roles — (n1=A ∧ n2=B) ∨
+    * (n1=B ∧ n2=A) — whose single-column residues (n1 ∈ {A,B},
+    * n2 ∈ {A,B}) must reach each nation dimension independently via CNF
+    * extraction, with the cross-role exclusion evaluated after both
+    * dimensions resolve.
+    *
+    * Scale shape: the fact shuffle-joins orders then customer once each;
+    * supplier and both nation roles broadcast; the pair gate prunes the
+    * broadcast sides to 2 rows each before the fact ever joins them.
+    */
+  def volumeShipping(spark: SparkSession, dir: String,
+                     nA: String = "NATION_3",
+                     nB: String = "NATION_8"): DataFrame = {
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        (centsC(col("l_extendedprice")) *
+          (lit(100L) - centsC(col("l_discount")))).as("rev_bp"))
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val s = spark.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    val n1 = n.select(col("n_nationkey").as("n1_key"),
+      col("n_name").as("supp_nation"))
+    val n2 = n.select(col("n_nationkey").as("n2_key"),
+      col("n_name").as("cust_nation"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter(
+        (col("supp_nation") === nA && col("cust_nation") === nB) ||
+        (col("supp_nation") === nB && col("cust_nation") === nA))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("rev_bp")).as("revenue_bp"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q16 shape — supplier variety per part class: how many
+    * DISTINCT suppliers ship each surviving (brand, type, size) class,
+    * excluding a denylisted supplier set (negative account balance — the
+    * schema's analog of Q16's complaints filter). The two shapes under
+    * test: a DISTINCT aggregate over a join product, and a broadcast
+    * LEFT ANTI exclusion (never NOT IN's null-trap semantics).
+    *
+    * Scale shape: part prunes broadcast-side first (its three predicates
+    * push to the scan), the denylist anti-join broadcasts a handful of
+    * keys, and the distinct-count runs as the standard two-phase
+    * aggregate — partial distinct on (class, suppkey), then count.
+    */
+  def supplierVariety(spark: SparkSession, dir: String,
+                      sizes: Seq[Int] = Seq(3, 9, 14, 19, 23, 36, 45, 49))
+      : DataFrame = {
+    val denied = spark.read.parquet(s"$dir/supplier.parquet")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val p = spark.read.parquet(s"$dir/part.parquet")
+      .filter(col("p_brand") =!= "Brand#45" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(sizes: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(denied), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
   /** TPC-H Q11 shape — important parts: each part's lineitem value from
     * one nation's suppliers, kept only when it exceeds `factor` × the
     * nation's MEAN part value — the HAVING-against-a-global-scalar form

@@ -43,6 +43,31 @@ class CorpusSpec extends SparkTestBase {
       ("zh", 1L, 0L, 8L, 8000000L, 1000000L)))
   }
 
+  test("manifest signature is order-insensitive and content-sensitive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mf").toString
+    def write(rows: Seq[(Long, String)], parts: Int): Unit =
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(parts)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val base = Seq(1L -> "alpha beta", 2L -> "gamma delta", 3L -> "epsilon")
+    write(base, 1)
+    val sig1 = Corpus.manifest(spark, dir).collect()
+      .map(r => r.getAs[Long]("content_sig")).head
+    // same content, different row order and partitioning → same signature
+    write(base.reverse, 3)
+    val sig2 = Corpus.manifest(spark, dir).collect()
+      .map(r => r.getAs[Long]("content_sig")).head
+    assert(sig1 === sig2)
+    // one changed document → signature flips
+    write(base.init :+ (3L -> "epsilon CHANGED"), 1)
+    val sig3 = Corpus.manifest(spark, dir).collect()
+      .map(r => r.getAs[Long]("content_sig")).head
+    assert(sig1 !== sig3)
+  }
+
   test("packSequences fills budget-bounded packs per source") {
     val rows = Corpus.packSequences(spark, sf).collect()
     assert(rows.forall(r => r.getAs[Long]("pack_offset") >= 0 &&

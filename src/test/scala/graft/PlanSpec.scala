@@ -258,6 +258,20 @@ class PlanSpec extends SparkTestBase {
     assert("Brand#34".r.findAllIn(q19opt).length >= 2,
       "part-side disjunction was not extracted below the join:\n" +
         q19opt.take(1600))
+    // Q7: the cross-role disjunction's single-column residues
+    // (n ∈ {A,B}) must reach EACH nation dimension — two pushed IN
+    // filters besides the residual pair gate
+    val q7opt = Relational.volumeShipping(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert("NATION_3".r.findAllIn(q7opt).length >= 3,
+      "nation-pair residues were not pushed to both dimension roles:\n" +
+        q7opt.take(2400))
+    // Q16: the denylist must stay a LEFT ANTI (never NOT IN's
+    // null-trap rewrite into a nested loop)
+    val q16 = plan(Relational.supplierVariety(spark, dir))
+    assert(q16.contains("LeftAnti"), q16.take(1200))
+    assert(!q16.contains("CartesianProduct") &&
+      !q16.contains("BroadcastNestedLoopJoin"), q16.take(1200))
   }
 
   test("no cartesian/broadcast-NL joins outside the two documented sites") {
@@ -279,10 +293,14 @@ class PlanSpec extends SparkTestBase {
     // additionally embeds bruteForceTopK
     // ext_q11_important_parts broadcasts a 1-ROW global (count, sum)
     // scalar exactly like text_surprisal — constant work per probe row.
+    // ann_index_update inherits the kmeans conditionless centroid
+    // fan-out (batch × nCells broadcast rows) for both the training
+    // and the frozen-centroid batch assignment.
     val exempt = Set("ann_bruteforce", "ann_label_centroids", "ann_ivf",
       "ann_kmeans", "ann_ivf_trained", "text_surprisal", "ann_srp_recall",
       "ann_pq_recall", "corpus_cell_quality", "ann_ivfpq_search",
-      "ann_ivfpq_recall", "ann_hybrid_rrf", "ext_q11_important_parts")
+      "ann_ivfpq_recall", "ann_hybrid_rrf", "ext_q11_important_parts",
+      "ann_index_update")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
