@@ -44,6 +44,8 @@ object ExtQueries {
     "ext_q11_important_parts" -> ((s, dir) => Relational.importantParts(s, dir)),
     "ext_q7_volume_shipping" -> ((s, dir) => Relational.volumeShipping(s, dir)),
     "ext_q16_supplier_variety" -> ((s, dir) => Relational.supplierVariety(s, dir)),
+    "ext_q9_product_profit" -> ((s, dir) => Relational.productProfit(s, dir)),
+    "ext_q8_market_share" -> ((s, dir) => Relational.marketShare(s, dir)),
     "corpus_manifest" -> ((s, dir) => Corpus.manifest(s, dir)),
     // ------------------------------------------------ events
     "ext_sessions" -> ((s, dir) => Sessionize.sessions(s, dir)),
@@ -2281,6 +2283,50 @@ object ExtQueries {
         |                   AS BIGINT)) AS content_sig
         |FROM documents
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Q9 shape: product-line (LIKE-pruned) profit by supplier nation
+    // and order year.
+    "ext_q9_product_profit" ->
+      """SELECT n.n_name, year(o.o_orderdate)::INT AS o_year,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |           (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+        |       AS BIGINT) AS revenue_bp,
+        |  count(*)::BIGINT AS n_lines
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE p.p_name LIKE '%gear%'
+        |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin,
+
+    // Q8 shape: one nation's share of one region's product-line revenue
+    // per order year, exact integer ppm.
+    "ext_q8_market_share" ->
+      """WITH base AS (
+        |  SELECT year(o.o_orderdate)::INT AS o_year, n1.n_name AS supp_nation,
+        |    CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |      (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)) AS rev_bp
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE p.p_name LIKE '%gear%'
+        |    AND o.o_custkey IN (
+        |      SELECT c.c_custkey FROM customer c
+        |      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |      JOIN region r ON n2.n_regionkey = r.r_regionkey
+        |      WHERE r.r_name = 'ASIA')
+        |)
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_bp
+        |                ELSE 0 END) AS BIGINT) AS nation_rev_bp,
+        |  CAST(sum(rev_bp) AS BIGINT) AS total_rev_bp,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_bp
+        |                ELSE 0 END) * 1000000 // sum(rev_bp) AS BIGINT)
+        |    AS share_ppm
+        |FROM base GROUP BY 1 ORDER BY o_year""".stripMargin,
 
     // Q11 shape: per-part value from one nation's suppliers, HAVING
     // against a global scalar — kept when value > 2 × the mean part

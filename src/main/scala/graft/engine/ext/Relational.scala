@@ -771,6 +771,89 @@ object Relational {
         col("p_size"))
   }
 
+  /** TPC-H Q9 shape — product-line profit by supplier nation and order
+    * year: the five-way join whose part filter is a substring LIKE (the
+    * '%green%' pattern of the original, adapted to this schema's part
+    * vocabulary). The amount is discounted revenue — the schema carries
+    * no partsupp cost side.
+    *
+    * Scale shape: the LIKE prunes part BEFORE broadcast; supplier and
+    * nation broadcast; the only fact-sized shuffle is lineitem ⋈ orders
+    * on orderkey (orders pre-projected to key + year).
+    */
+  def productProfit(spark: SparkSession, dir: String,
+                    namePat: String = "%gear%"): DataFrame = {
+    val p = spark.read.parquet(s"$dir/part.parquet")
+      .filter(col("p_name").like(namePat)).select(col("p_partkey"))
+    val s = spark.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (centsC(col("l_extendedprice")) *
+          (lit(100L) - centsC(col("l_discount")))).as("rev_bp"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(sum(col("rev_bp")).as("revenue_bp"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("n_name"), desc("o_year"))
+  }
+
+  /** TPC-H Q8 shape — market share: within one region's customers and
+    * one product line, the share of revenue supplied by ONE nation per
+    * order year — a conditional-ratio aggregate PER GROUP (contrast
+    * [[promoShare]]'s single global ratio), exact integer ppm.
+    *
+    * Scale shape: part (LIKE-pruned) and the supplier/nation/region
+    * dimension chain broadcast; lineitem ⋈ orders and ⋈ customer are the
+    * two fact-sized shuffles; the per-year ratio is a map-side-combined
+    * conditional aggregate over |years| groups.
+    */
+  def marketShare(spark: SparkSession, dir: String,
+                  supplierNation: String = "NATION_3",
+                  custRegion: String = "ASIA",
+                  namePat: String = "%gear%"): DataFrame = {
+    val p = spark.read.parquet(s"$dir/part.parquet")
+      .filter(col("p_name").like(namePat)).select(col("p_partkey"))
+    val nDim = spark.read.parquet(s"$dir/nation.parquet")
+    val r = spark.read.parquet(s"$dir/region.parquet")
+      .filter(col("r_name") === custRegion)
+    val custIn = spark.read.parquet(s"$dir/customer.parquet")
+      .join(broadcast(nDim), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val sup = spark.read.parquet(s"$dir/supplier.parquet")
+      .join(broadcast(nDim.select(col("n_nationkey"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (centsC(col("l_extendedprice")) *
+          (lit(100L) - centsC(col("l_discount")))).as("rev_bp"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(custIn, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === supplierNation, col("rev_bp"))
+          .otherwise(0L)).as("nation_rev_bp"),
+        sum(col("rev_bp")).as("total_rev_bp"))
+      .select(col("o_year"), col("nation_rev_bp"), col("total_rev_bp"),
+        expr("nation_rev_bp * 1000000 div total_rev_bp").as("share_ppm"))
+      .orderBy(col("o_year"))
+  }
+
   /** TPC-H Q11 shape — important parts: each part's lineitem value from
     * one nation's suppliers, kept only when it exceeds `factor` × the
     * nation's MEAN part value — the HAVING-against-a-global-scalar form
