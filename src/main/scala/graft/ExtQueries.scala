@@ -143,6 +143,7 @@ object ExtQueries {
     "text_vocab" -> ((s, dir) => TextAnalysis.vocab(s, dir)),
     "corpus_temperature" -> ((s, dir) => Corpus.temperatureWeights(s, dir)),
     "corpus_dedup_weights" -> ((s, dir) => Corpus.dedupWeights(s, dir)),
+    "corpus_dup_quality" -> ((s, dir) => Corpus.dupQuality(s, dir)),
     "dedup_containment" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
     "dedup_substring" -> ((s, dir) => Dedup.substringSpans(s, dir)),
     "dedup_span_coverage" -> ((s, dir) => Dedup.spanCoverage(s, dir)),
@@ -893,6 +894,35 @@ object ExtQueries {
         |       AS BIGINT) AS eff_ppm
         |FROM dt JOIN sz USING (doc_id)
         |GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // Duplication × quality audit: the dedup_clusters chain + the
+    // corpus_clean gate, rolled up per (lang, duplicated?) cell.
+    "corpus_dup_quality" -> ("WITH RECURSIVE " +
+      simhashSig.stripPrefix("WITH ") + simhashCcChain +
+      """, sz AS (
+        |  SELECT doc_id,
+        |    (count(*) OVER (PARTITION BY cluster_id)) > 1 AS is_dup
+        |  FROM cl
+        |), qt AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |                    x -> x != ''))::BIGINT AS n_tokens,
+        |    (len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000000
+        |      // greatest(length(text), 1))::BIGINT AS punct_ppm,
+        |    regexp_matches(rtrim(text), '[.!?。！？]$') AS terminal
+        |  FROM documents
+        |), qk AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    (n_tokens >= 5 AND punct_ppm <= 300000 AND terminal) AS keep
+        |  FROM qt
+        |)
+        |SELECT lang, is_dup, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000
+        |       // count(*) AS BIGINT) AS keep_ppm,
+        |  CAST(sum(n_tokens) // count(*) AS BIGINT) AS mean_tokens
+        |FROM qk JOIN sz USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY lang, is_dup""".stripMargin),
 
     // Canonical-by-quality: the dedup_clusters chain + the corpus_clean
     // gate; survivor = keep-first, longest, then lowest id.

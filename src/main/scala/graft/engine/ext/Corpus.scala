@@ -292,6 +292,35 @@ object Corpus {
       .orderBy(col("lang"))
   }
 
+  /** Duplication × quality audit — the cross-signal census a cleaning
+    * pipeline runs before choosing gate order: per (language,
+    * duplicated?) cell, how many documents pass the quality gate
+    * ([[qualityClean]]) and their mean length. If duplicated content
+    * fails quality at a much higher rate, dedup-first saves the quality
+    * pass's work (and vice versa); the keep-rate ppm is the evidence.
+    *
+    * Scale shape: the cluster build is the checkpointed SimHash CC
+    * pipeline; quality is a pure projection riding the document scan;
+    * the join is doc-grain on doc_id; the rollup is ≤ 2·|languages|
+    * rows, map-side combined.
+    */
+  def dupQuality(spark: SparkSession, dir: String): DataFrame = {
+    val cl = graft.engine.ext.Dedup.simhashClusters(spark, dir)
+      .withColumn("cluster_size", count(lit(1)).over(
+        Window.partitionBy(col("cluster_id"))))
+      .select(col("doc_id"), (col("cluster_size") > 1).as("is_dup"))
+    qualityClean(docs(spark, dir))
+      .join(cl, "doc_id")
+      .groupBy(col("lang"), col("is_dup"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .select(col("lang"), col("is_dup"), col("n_docs"), col("n_keep"),
+        expr("n_keep * 1000000 div n_docs").as("keep_ppm"),
+        expr("sum_tokens div n_docs").as("mean_tokens"))
+      .orderBy(col("lang"), col("is_dup"))
+  }
+
   def temperatureWeights(spark: SparkSession, dir: String): DataFrame = {
     val toks = size(TextAnalysis.wsTokens(col("text"))).cast("long")
     val perLang = docs(spark, dir)

@@ -43,6 +43,21 @@ class CorpusSpec extends SparkTestBase {
       ("zh", 1L, 0L, 8L, 8000000L, 1000000L)))
   }
 
+  test("dupQuality cells partition the corpus and keep_ppm is exact integer") {
+    val r = Corpus.dupQuality(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(r.map(_.getAs[Long]("n_docs")).sum === total) // cells partition docs
+    r.foreach { row =>
+      val (n, k, ppm) = (row.getAs[Long]("n_docs"), row.getAs[Long]("n_keep"),
+        row.getAs[Long]("keep_ppm"))
+      assert(k >= 0 && k <= n)
+      assert(ppm === k * 1000000L / n) // exact integer div, oracle's // semantics
+    }
+    // (lang, is_dup) is a key: no duplicate cells
+    val keys = r.map(x => (x.getAs[String]("lang"), x.getAs[Boolean]("is_dup")))
+    assert(keys.distinct.length === keys.length)
+  }
+
   test("manifest signature is order-insensitive and content-sensitive") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mf").toString
