@@ -46,6 +46,9 @@ object ExtQueries {
     "ext_q16_supplier_variety" -> ((s, dir) => Relational.supplierVariety(s, dir)),
     "ext_q9_product_profit" -> ((s, dir) => Relational.productProfit(s, dir)),
     "ext_q8_market_share" -> ((s, dir) => Relational.marketShare(s, dir)),
+    "ext_q6_forecast" -> ((s, dir) => Relational.forecastRevenue(s, dir)),
+    "ext_q10_returned_items" -> ((s, dir) => Relational.returnedItemRevenue(s, dir)),
+    "ext_q12_priority_lines" -> ((s, dir) => Relational.priorityLineCounts(s, dir)),
     "corpus_manifest" -> ((s, dir) => Corpus.manifest(s, dir)),
     // ------------------------------------------------ events
     "ext_sessions" -> ((s, dir) => Sessionize.sessions(s, dir)),
@@ -2377,6 +2380,54 @@ object ExtQueries {
         |WHERE value_c * (SELECT count(*) FROM pp)
         |      > (SELECT sum(value_c) FROM pp) * 2
         |ORDER BY value_c DESC, p_partkey""".stripMargin,
+
+    // Q6 shape: single-scan range-predicate revenue, discount band in
+    // integer cents, no join.
+    "ext_q6_forecast" ->
+      """SELECT
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |           CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS revenue_bp,
+        |  count(*)::BIGINT AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_quantity < 24
+        |  AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+        |      BETWEEN 5 AND 7""".stripMargin,
+
+    // Q10 shape: returned-item revenue per customer for one quarter,
+    // top 20 by revenue cost.
+    "ext_q10_returned_items" ->
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c,
+        |  n.n_name,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |           (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+        |       AS BIGINT) AS revenue_bp,
+        |  count(*)::BIGINT AS n_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue_bp DESC, c_custkey LIMIT 20""".stripMargin,
+
+    // Q12 shape: join + pivoted CASE-WHEN split counts per class
+    // (returnflag stands in for the schema's absent shipmode).
+    "ext_q12_priority_lines" ->
+      """SELECT l.l_returnflag,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "ext_q4_late_priorities" ->
       """SELECT o_orderpriority, count(*) AS n_orders

@@ -890,4 +890,100 @@ object Relational {
       .select(col("l_partkey").as("p_partkey"), col("value_c"))
       .orderBy(desc("value_c"), col("p_partkey"))
   }
+
+  /** TPC-H Q6 shape — the forecasting-revenue-change query: a single
+    * fact scan with three range predicates and one aggregate row, no
+    * join at all. The whole query is a pushdown test: the year bounds
+    * the shipdate, the discount band is compared in integer CENTS
+    * (0.05..0.07 → 5..7, exact — a double BETWEEN risks boundary-ULP
+    * disagreement between engines), and the amount is extendedprice ×
+    * discount in cents·cents basis points.
+    *
+    * Scale shape: all three predicates reach the parquet scan
+    * (PushedFilters on l_shipdate/l_quantity; the cents band folds to a
+    * double range), zero shuffles besides the final 1-row all-reduce.
+    */
+  def forecastRevenue(spark: SparkSession, dir: String,
+                      yStart: String = "1996-01-01",
+                      yEnd: String = "1997-01-01",
+                      centLo: Long = 5L, centHi: Long = 7L,
+                      qtyMax: Double = 24.0): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit(yStart).cast("timestamp_ntz") &&
+        col("l_shipdate") < lit(yEnd).cast("timestamp_ntz") &&
+        col("l_quantity") < qtyMax)
+      .select(centsC(col("l_discount")).as("disc_c"),
+        centsC(col("l_extendedprice")).as("price_c"))
+      .filter(col("disc_c").between(centLo, centHi))
+      .agg(sum(col("price_c") * col("disc_c")).as("revenue_bp"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q10 shape — returned-item reporting: customers who returned
+    * goods in one quarter, ranked by the revenue they cost. The fact is
+    * filtered on BOTH sides of the join (returnflag on lineitem,
+    * order-date window on orders) before the shuffle, then grouped at
+    * customer grain and top-k'd.
+    *
+    * Scale shape: both fact scans are predicate-pruned; lineitem ⋈
+    * orders is the one fact shuffle; customer and nation broadcast; the
+    * top-20 plans as TakeOrderedAndProject, never a global sort.
+    */
+  def returnedItemRevenue(spark: SparkSession, dir: String,
+                          qStart: String = "1996-01-01",
+                          qEnd: String = "1996-04-01",
+                          k: Int = 20): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (centsC(col("l_extendedprice")) *
+          (lit(100L) - centsC(col("l_discount")))).as("rev_bp"))
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderdate") >= lit(qStart).cast("timestamp_ntz") &&
+        col("o_orderdate") < lit(qEnd).cast("timestamp_ntz"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_name"),
+        centsC(col("c_acctbal")).as("acctbal_c"), col("c_nationkey"))
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("acctbal_c"),
+        col("n_name"))
+      .agg(sum(col("rev_bp")).as("revenue_bp"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(desc("revenue_bp"), col("c_custkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q12 shape — shipping-priority classification: a fact-fact
+    * join whose entire output is a conditional (pivoted) aggregate —
+    * per class, how many lines belong to critical-priority orders vs
+    * not. Q12 classifies by shipmode; this schema carries none, so the
+    * class key is l_returnflag — the SHAPE under test (join + CASE-WHEN
+    * split counts) is identical.
+    *
+    * Scale shape: the year window prunes the lineitem scan; orders
+    * pre-projects to (key, priority) before the single fact shuffle;
+    * the output is |classes| rows, map-side combined.
+    */
+  def priorityLineCounts(spark: SparkSession, dir: String,
+                         yStart: String = "1996-01-01",
+                         yEnd: String = "1997-01-01"): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit(yStart).cast("timestamp_ntz") &&
+        col("l_shipdate") < lit(yEnd).cast("timestamp_ntz"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_lines"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_lines"))
+      .orderBy(col("l_returnflag"))
+  }
 }

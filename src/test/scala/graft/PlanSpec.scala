@@ -274,6 +274,35 @@ class PlanSpec extends SparkTestBase {
       !q16.contains("BroadcastNestedLoopJoin"), q16.take(1200))
   }
 
+  test("TPC-H Q6/Q10/Q12 shapes keep their scale plans") {
+    // Q6: no join at all — the whole query is one pruned scan; the
+    // shipdate window and quantity cap must reach the parquet reader
+    val q6 = Relational.forecastRevenue(spark, dir)
+    val q6p = plan(q6)
+    assert(!q6p.contains("Join"), q6p.take(800))
+    val q6scan = q6.queryExecution.executedPlan.toString
+    assert(q6scan.contains("PushedFilters") &&
+      q6scan.contains("l_quantity"), q6scan.take(1600))
+    // Q10: customer + nation broadcast (the quarter-filtered orders
+    // side may ALSO broadcast at tiny SF — a size choice, not shape);
+    // top-20 plans as TakeOrderedAndProject
+    val q10 = plan(Relational.returnedItemRevenue(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(q10).length >= 2, q10.take(1200))
+    assert(q10.contains("TakeOrderedAndProject"), q10.take(1200))
+    assert(!q10.contains("CartesianProduct") &&
+      !q10.contains("BroadcastNestedLoopJoin"), q10.take(1200))
+    // Q12: the year window must prune the fact scan BEFORE the join,
+    // and the conditional split aggregates map-side (partial agg below
+    // the class-key exchange)
+    val q12opt = Relational.priorityLineCounts(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(q12opt.contains("1996"), q12opt.take(1200))
+    val q12 = plan(Relational.priorityLineCounts(spark, dir))
+    assert(!q12.contains("CartesianProduct") &&
+      !q12.contains("BroadcastNestedLoopJoin"), q12.take(1200))
+    assert(q12.contains("partial"), q12.take(1200))
+  }
+
   test("no cartesian/broadcast-NL joins outside the two documented sites") {
     // ann_bruteforce (vec_id =!= query_id vs broadcast queries) and
     // ann_label_centroids (label < label) are deliberate inequality
