@@ -108,6 +108,7 @@ object ExtQueries {
     "ann_label_centroids" -> ((s, dir) => Similarity.labelCentroidSim(s, dir)),
     "ann_kmeans" -> ((s, dir) => Similarity.kmeansCells(s, dir)),
     "ann_quantize" -> ((s, dir) => Similarity.quantizeInt8(s, dir)),
+    "ann_dim_stats" -> ((s, dir) => Similarity.dimStats(s, dir)),
     "ann_ivf_trained" -> ((s, dir) => Similarity.ivfTrainedTopK(s, dir)),
     "ann_index_update" -> ((s, dir) => Similarity.ivfIndexUpdate(s, dir)),
     "ann_ivfpq_search" -> ((s, dir) => Similarity.ivfPqTopK(s, dir)),
@@ -144,6 +145,7 @@ object ExtQueries {
     }),
     // ------------------------------------------------ round-6 additions
     "text_vocab" -> ((s, dir) => TextAnalysis.vocab(s, dir)),
+    "text_ngram_census" -> ((s, dir) => TextAnalysis.ngramCensus(s, dir)),
     "corpus_temperature" -> ((s, dir) => Corpus.temperatureWeights(s, dir)),
     "corpus_dedup_weights" -> ((s, dir) => Corpus.dedupWeights(s, dir)),
     "corpus_dup_quality" -> ((s, dir) => Corpus.dupQuality(s, dir)),
@@ -154,6 +156,7 @@ object ExtQueries {
       graft.engine.ingest.Layout.zorderStats(s, dir)),
     "ann_srp_topk" -> ((s, dir) => Similarity.srpTopK(s, dir)),
     "dedup_source_stats" -> ((s, dir) => Dedup.dupStats(s, dir)),
+    "dedup_source_overlap" -> ((s, dir) => Dedup.sourceOverlap(s, dir)),
     "corpus_quota_sample" -> ((s, dir) => Corpus.quotaSample(s, dir)),
     "corpus_pipeline" -> ((s, dir) => Corpus.pipeline(s, dir)),
     "ann_srp_recall" -> ((s, dir) => Similarity.srpRecall(s, dir)),
@@ -1297,6 +1300,37 @@ object ExtQueries {
         |  ((e.err * 1000000) // greatest(sc.mag, 1))::BIGINT AS err_ppm
         |FROM sc JOIN e ON sc.vec_id = e.vec_id
         |ORDER BY sc.vec_id""".stripMargin),
+
+    // Per-dimension quantized census (quantizer calibration). DuckDB //
+    // truncates toward zero like Spark div, so mean_q is exact even for
+    // negative sums.
+    "ann_dim_stats" -> (quantized +
+      """SELECT i - 1 AS dim, count(*)::BIGINT AS n_vecs,
+        |  min(q)::BIGINT AS min_q, max(q)::BIGINT AS max_q,
+        |  sum(q)::BIGINT AS sum_q,
+        |  CAST(sum(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  (sum(q) // count(*))::BIGINT AS mean_q
+        |FROM v GROUP BY 1 ORDER BY dim""".stripMargin),
+
+    // Per-language trigram occurrence census, top-20 per language.
+    "text_ngram_census" ->
+      """WITH tk AS (
+        |  SELECT lang, list_filter(string_split_regex(lower(text), '\s+'),
+        |                           x -> x != '') AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT lang, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS gram
+        |  FROM (SELECT lang, t, unnest(range(0, len(t) - 2)) AS i
+        |        FROM tk WHERE len(t) >= 3)
+        |), c AS (
+        |  SELECT lang, gram, count(*)::BIGINT AS n FROM g GROUP BY 1, 2
+        |), r AS (
+        |  SELECT lang, gram, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS rk
+        |  FROM c
+        |)
+        |SELECT lang, rk::BIGINT AS rank, gram, n FROM r WHERE rk <= 20
+        |ORDER BY lang, rank""".stripMargin,
 
     "text_keywords" -> (toks +
       """, term AS (
@@ -2697,6 +2731,42 @@ object ExtQueries {
         |  ((count(*) - count(DISTINCT text)) * 1000000 // count(*))::BIGINT
         |    AS dup_ppm
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Cross-source shingle-overlap matrix via per-shingle source
+    // bitmasks — the pair expansion runs over the tiny mask census.
+    "dedup_source_overlap" -> (shingles3 +
+      """, shx AS (
+        |  SELECT d.source, unnest(sh.sh) AS shingle
+        |  FROM sh JOIN documents d USING (doc_id)
+        |), si AS (
+        |  SELECT source, row_number() OVER (ORDER BY source) - 1 AS idx
+        |  FROM (SELECT DISTINCT source FROM documents)
+        |), ss AS (
+        |  SELECT DISTINCT si.idx, shingle FROM shx JOIN si USING (source)
+        |), pc AS (
+        |  SELECT idx, count(*)::BIGINT AS n_sh FROM ss GROUP BY 1
+        |), mk AS (
+        |  SELECT shingle, bit_or(1::BIGINT << idx::INT) AS mask
+        |  FROM ss GROUP BY 1
+        |), mc AS (
+        |  SELECT mask, count(*)::BIGINT AS cnt FROM mk GROUP BY 1
+        |), pr AS (
+        |  SELECT ti.i AS idx_a, tj.j AS idx_b,
+        |    sum(cnt)::BIGINT AS shared_shingles
+        |  FROM mc, range(0, 63) ti(i), range(0, 63) tj(j)
+        |  WHERE ti.i < tj.j
+        |    AND ((mask >> ti.i::INT) % 2) = 1
+        |    AND ((mask >> tj.j::INT) % 2) = 1
+        |  GROUP BY 1, 2
+        |)
+        |SELECT sa.source AS src_a, sb.source AS src_b, pr.shared_shingles,
+        |  a.n_sh AS n_a, b.n_sh AS n_b,
+        |  (pr.shared_shingles * 1000000
+        |   // (a.n_sh + b.n_sh - pr.shared_shingles))::BIGINT AS jaccard_ppm
+        |FROM pr
+        |JOIN pc a ON a.idx = pr.idx_a JOIN pc b ON b.idx = pr.idx_b
+        |JOIN si sa ON sa.idx = pr.idx_a JOIN si sb ON sb.idx = pr.idx_b
+        |ORDER BY src_a, src_b""".stripMargin),
 
     "corpus_quota_sample" ->
       """WITH d AS (

@@ -1,6 +1,7 @@
 package graft.engine.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline over the
@@ -807,5 +808,60 @@ object Dedup {
       .select(col("n_truth"), col("n_lsh"), col("n_hit"),
         expr("(n_hit * 1000000) div greatest(n_truth, 1)").as("recall_ppm"),
         expr("(n_hit * 1000000) div greatest(n_lsh, 1)").as("precision_ppm"))
+  }
+
+  /** Cross-SOURCE overlap matrix — the between-datasets contamination
+    * audit ([[ngramJaccardPairs]] finds near-dup DOC pairs; this finds
+    * which DATASETS share content before they're mixed): for every
+    * source pair, the number of shared distinct 3-gram shingles and the
+    * exact shingle-set Jaccard in ppm. Pairs sharing nothing are absent.
+    *
+    * Scale shape: one shuffle of distinct (source, shingle) rows, then
+    * a per-shingle BITMASK rollup (bit_or of 1<<source_index) and a
+    * mask-census aggregation — the pair expansion runs over the census
+    * (≤ 2^|sources| rows, in practice a handful), never over shingles,
+    * so 100× more data grows only the two shingle-grain aggregations.
+    * The bitmask bounds |sources| at 63 — a DATASET census (one row per
+    * corpus/crawl being mixed), not per-domain provenance.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlap(documents(spark, dir))
+
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    // dense source index, alphabetical — tiny dimension, broadcast back
+    val si = docs.select(col("source")).distinct()
+      .withColumn("idx",
+        row_number().over(Window.orderBy(col("source"))).cast("long") - 1)
+    // distinct (idx, shingle): source grain, not doc grain
+    val ss = shingleRows(docs.select(col("doc_id"), col("text")), 3)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .join(broadcast(si), "source")
+      .select(col("idx"), col("shingle")).distinct()
+    val perSource = ss.groupBy(col("idx")).agg(count(lit(1)).as("n_sh"))
+    // per-shingle source bitmask, then the tiny mask census
+    val census = ss
+      .groupBy(col("shingle"))
+      .agg(expr("bit_or(shiftleft(1L, cast(idx AS int)))").as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+    val pairs = census
+      .select(col("cnt"), explode(localPairs(
+        expr("filter(sequence(0L, 62L), i -> (shiftright(mask, cast(i AS int)) % 2) = 1)")))
+        .as("p"))
+      .groupBy(col("p.a").as("idx_a"), col("p.b").as("idx_b"))
+      .agg(sum(col("cnt")).as("shared_shingles"))
+    pairs
+      .join(broadcast(perSource.select(col("idx").as("idx_a"),
+        col("n_sh").as("n_a"))), "idx_a")
+      .join(broadcast(perSource.select(col("idx").as("idx_b"),
+        col("n_sh").as("n_b"))), "idx_b")
+      .join(broadcast(si.select(col("idx").as("idx_a"),
+        col("source").as("src_a"))), "idx_a")
+      .join(broadcast(si.select(col("idx").as("idx_b"),
+        col("source").as("src_b"))), "idx_b")
+      .select(col("src_a"), col("src_b"), col("shared_shingles"),
+        col("n_a"), col("n_b"),
+        expr("shared_shingles * 1000000 div (n_a + n_b - shared_shingles)")
+          .as("jaccard_ppm"))
+      .orderBy(col("src_a"), col("src_b"))
   }
 }

@@ -579,6 +579,32 @@ object Similarity {
     * window partial aggregates and the final groupBy share the vec_id
     * hash partitioning, so Catalyst plans a single exchange.
     */
+  /** Per-DIMENSION census of the quantized corpus — the calibration
+    * pass every quantizer (int8 scale choice, PQ sub-space ranges, SRP
+    * plane scaling) runs before committing to a layout: for each of the
+    * d dimensions, the population count, exact min/max/sum, zero count
+    * (sparsity), and truncated integer mean.
+    *
+    * Scale shape: one posexplode projection (rows = N·d but bytes/row
+    * is ~16) into a d-group aggregate with map-side partials — output
+    * is d rows regardless of corpus size, no joins, no window.
+    */
+  def dimStats(spark: SparkSession, dir: String): DataFrame =
+    dimStats(vectors(spark, dir))
+
+  def dimStats(vs: DataFrame): DataFrame =
+    vs.select(posexplode(col("q")).as(Seq("pos", "x")))
+      .groupBy(col("pos").cast("long").as("dim"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("x")).as("min_q"), max(col("x")).as("max_q"),
+        sum(col("x")).as("sum_q"),
+        sum(when(col("x") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .select(col("dim"), col("n_vecs"), col("min_q"), col("max_q"),
+        col("sum_q"), col("n_zero"),
+        expr("sum_q div n_vecs").as("mean_q"))
+      .orderBy(col("dim"))
+
   def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
     quantizeInt8(vectors(spark, dir))
 

@@ -527,6 +527,41 @@ object TextAnalysis {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Per-language n-gram frequency census — the top-k most frequent
+    * word trigrams per language by OCCURRENCE count (contrast
+    * [[keywords]]' per-document tf-idf): the corpus-level boilerplate
+    * detector (headers, license blurbs, navigation chrome all surface
+    * here) and the evidence for language-specific stop-gram lists.
+    *
+    * Scale shape: positional trigrams ride the same Generate-barrier
+    * shape as [[Dedup.shingleRows]] (explode positions, never inline
+    * HOF shingling); one shuffle to (lang, gram) counts with map-side
+    * partials; the per-language top-k prunes map-side via
+    * WindowGroupLimit before the final |langs|·k rows.
+    */
+  def ngramCensus(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    ngramCensus(spark.read.parquet(s"$dir/documents.parquet"), k)
+
+  def ngramCensus(docs: DataFrame, k: Int): DataFrame = {
+    val n = 3
+    val grams = docs
+      .select(col("lang"), graft.engine.ext.Dedup.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("lang"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - n)).as("i"))
+      .select(col("lang"),
+        concat_ws(" ",
+          (0 until n).map(j => element_at(col("toks"), col("i") + j + 1)): _*)
+          .as("gram"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(desc("n"), col("gram"))
+    grams.groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("gram"), col("n"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   def keywords(docs: DataFrame, k: Int): DataFrame = {
     val terms = docs.select(col("doc_id"),
       explode(wsTokens(lower(col("text")))).as("term"))

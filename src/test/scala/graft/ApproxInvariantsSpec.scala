@@ -143,6 +143,20 @@ class ApproxInvariantsSpec extends SparkTestBase {
     }
   }
 
+  test("dimStats covers every dimension with the full population, bounds ordered") {
+    val dir = "/root/testdata/sf0.001"
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val r = Similarity.dimStats(spark, dir).collect()
+    assert(r.length === 64) // one row per embedding dimension
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_vecs") === n) // no dim dropped or padded
+      val (lo, hi, mean) = (row.getAs[Long]("min_q"),
+        row.getAs[Long]("max_q"), row.getAs[Long]("mean_q"))
+      assert(lo <= mean && mean <= hi)
+      assert(row.getAs[Long]("n_zero") <= n)
+    }
+  }
+
   test("sketch rollup: approx distinct within 5% of exact, percentiles ordered") {
     val rows = graft.engine.ext.Sessionize
       .sketchRollup(spark, "/root/testdata/sf0.001").collect()

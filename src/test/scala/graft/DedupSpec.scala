@@ -342,6 +342,21 @@ class DedupSpec extends SparkTestBase {
     assert(isCheckpointed, s"expected only checkpointed leaves:\n$plan")
   }
 
+  test("sourceOverlap: shared-shingle pairs exact, non-overlapping sources absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4", "srcA"), // shingles {w1 w2 w3, w2 w3 w4}
+      (2L, "w1 w2 w3", "srcB"),    // shingles {w1 w2 w3}
+      (3L, "p q r", "srcC"))       // disjoint from both
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlap(docs).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b"),
+        r.getAs[Long]("shared_shingles"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Long]("jaccard_ppm")))
+    // only the overlapping pair appears; jaccard = 1 / (2 + 1 - 1)
+    assert(got.toSeq === Seq(("srcA", "srcB", 1L, 2L, 1L, 500000L)))
+  }
+
   test("incremental dedup classifies batch docs against a corpus snapshot") {
     import spark.implicits._
     def docs(rows: (Long, String)*) =

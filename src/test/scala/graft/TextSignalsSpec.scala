@@ -95,6 +95,17 @@ class TextSignalsSpec extends SparkTestBase {
     assert(v.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L))
   }
 
+  test("ngramCensus: occurrence counts (not doc counts), rank ties by gram") {
+    val d = docs(1L -> "a b c a b c a b c")
+    // 7 positional trigrams: "a b c"×3, "b c a"×2, "c a b"×2
+    val got = TextAnalysis.ngramCensus(d, 2).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("rank"),
+        r.getAs[String]("gram"), r.getAs[Long]("n")))
+    assert(got.toSeq === Seq(
+      ("en", 1L, "a b c", 3L),
+      ("en", 2L, "b c a", 2L))) // beats "c a b" on the gram tiebreak
+  }
+
   test("piiRedact: emails and phones are gone, counts reconcile") {
     val cust = Seq((7L, "Customer#000000007", 3, 100.0, "BUILDING"))
       .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
