@@ -52,6 +52,7 @@ object ExtQueries {
     "corpus_manifest" -> ((s, dir) => Corpus.manifest(s, dir)),
     // ------------------------------------------------ events
     "ext_sessions" -> ((s, dir) => Sessionize.sessions(s, dir)),
+    "ext_transitions" -> ((s, dir) => Sessionize.transitions(s, dir)),
     "ext_hourly_rollup" -> ((s, dir) => Sessionize.hourlyRollup(s, dir)),
     "ext_sliding_rollup" -> ((s, dir) => Sessionize.slidingRollup(s, dir)),
     "ext_asof_click" -> ((s, dir) => TemporalJoins.asofClickBeforePurchase(s, dir)),
@@ -100,6 +101,8 @@ object ExtQueries {
     "dedup_minhash_recall" -> ((s, dir) => Dedup.minhashRecall(s, dir)),
     "dedup_embed_pairs" -> ((s, dir) => Dedup.embedCosinePairs(s, dir)),
     "dedup_clusters" -> ((s, dir) => Dedup.simhashClusters(s, dir)),
+    "dedup_cluster_sizes" -> ((s, dir) => Dedup.clusterSizeHist(s, dir)),
+    "corpus_length_stats" -> ((s, dir) => Corpus.lengthStats(s, dir)),
     "dedup_semantic_clusters" -> ((s, dir) => Dedup.semanticClusters(s, dir)),
     "dedup_canonical" -> ((s, dir) => Dedup.canonicalByQuality(s, dir)),
     // ------------------------------------------------ similarity search
@@ -569,6 +572,26 @@ object ExtQueries {
         |FROM t GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
 
+    // First-order event-type transition matrix with per-from shares.
+    "ext_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type
+        |  FROM events
+        |), l AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY tsu, event_id) AS next_type
+        |  FROM e
+        |), c AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |    count(*)::BIGINT AS n
+        |  FROM l WHERE next_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n,
+        |  (n * 1000000 // sum(n) OVER (PARTITION BY from_type))::BIGINT
+        |    AS share_ppm
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+
     "ext_lineitem_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
@@ -874,6 +897,17 @@ object ExtQueries {
       simhashSig.stripPrefix("WITH ") + simhashCcChain +
       """
         |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin),
+
+    // Cluster-size histogram over the same CC chain.
+    "dedup_cluster_sizes" -> ("WITH RECURSIVE " +
+      simhashSig.stripPrefix("WITH ") + simhashCcChain +
+      """, cs AS (
+        |  SELECT cluster_id, count(*)::BIGINT AS cluster_size
+        |  FROM cl GROUP BY 1
+        |)
+        |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+        |  (cluster_size * count(*))::BIGINT AS n_docs
+        |FROM cs GROUP BY 1 ORDER BY cluster_size""".stripMargin),
 
     // Cluster-size-aware sampling weights: every duplicate cluster
     // contributes ONE document's worth of mass, split across members
@@ -2767,6 +2801,28 @@ object ExtQueries {
         |JOIN pc a ON a.idx = pr.idx_a JOIN pc b ON b.idx = pr.idx_b
         |JOIN si sa ON sa.idx = pr.idx_a JOIN si sb ON sb.idx = pr.idx_b
         |ORDER BY src_a, src_b""".stripMargin),
+
+    // Per-source length profile, exact ceil(p·n) rank percentiles —
+    // min/max ride the same rank window as ranks 1 and n.
+    "corpus_length_stats" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents
+        |)
+        |SELECT source, n::BIGINT AS n_docs,
+        |  min(CASE WHEN rn = 1 THEN n_chars END)::BIGINT AS min_chars,
+        |  min(CASE WHEN rn = (n + 1) // 2 THEN n_chars END)::BIGINT
+        |    AS median_chars,
+        |  min(CASE WHEN rn = (n * 9 + 9) // 10 THEN n_chars END)::BIGINT
+        |    AS p90_chars,
+        |  min(CASE WHEN rn = n THEN n_chars END)::BIGINT AS max_chars
+        |FROM r
+        |WHERE rn = 1 OR rn = n OR rn = (n + 1) // 2
+        |   OR rn = (n * 9 + 9) // 10
+        |GROUP BY source, n ORDER BY source""".stripMargin,
 
     "corpus_quota_sample" ->
       """WITH d AS (

@@ -321,6 +321,44 @@ object Corpus {
       .orderBy(col("lang"), col("is_dup"))
   }
 
+  /** Per-source document-length profile with EXACT rank-based
+    * percentiles (the ceil(p·n) discrete convention of
+    * [[graft.engine.ext.Sessionize.exactPercentiles]]): min / median /
+    * p90 / max characters per source — the profiling pass that catches
+    * a truncated crawl (max collapses) or a boilerplate flood (median
+    * detaches from p90) before the source enters a mix.
+    *
+    * Scale shape: one rank window per source (per-source cardinality,
+    * never global); min and max ride the SAME window as rank 1 and
+    * rank n, so the whole profile is a single exchange + a
+    * |sources|-row aggregate.
+    */
+  def lengthStats(spark: SparkSession, dir: String): DataFrame =
+    lengthStats(docs(spark, dir))
+
+  def lengthStats(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    documents.select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("source"))))
+      .filter(col("rn") === 1L || col("rn") === col("n") ||
+        col("rn") === expr("(n + 1) div 2") ||
+        col("rn") === expr("(n * 9 + 9) div 10"))
+      .groupBy(col("source"), col("n"))
+      .agg(
+        min(when(col("rn") === 1L, col("n_chars"))).as("min_chars"),
+        min(when(col("rn") === expr("(n + 1) div 2"), col("n_chars")))
+          .as("median_chars"),
+        min(when(col("rn") === expr("(n * 9 + 9) div 10"), col("n_chars")))
+          .as("p90_chars"),
+        min(when(col("rn") === col("n"), col("n_chars"))).as("max_chars"))
+      .select(col("source"), col("n").as("n_docs"), col("min_chars"),
+        col("median_chars"), col("p90_chars"), col("max_chars"))
+      .orderBy(col("source"))
+  }
+
   def temperatureWeights(spark: SparkSession, dir: String): DataFrame = {
     val toks = size(TextAnalysis.wsTokens(col("text"))).cast("long")
     val perLang = docs(spark, dir)

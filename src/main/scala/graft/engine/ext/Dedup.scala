@@ -572,6 +572,28 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-dup cluster-SIZE histogram — the one-look dedup diagnostic:
+    * how many clusters have k members, and how much of the corpus they
+    * carry. Size-1 rows are the untouched majority; a fat tail means a
+    * boilerplate template is eating the corpus and the dedup threshold
+    * (or the down-weighting policy, [[graft.engine.ext.Corpus.dedupWeights]])
+    * needs attention.
+    *
+    * Scale shape: rides the checkpointed [[simhashClusters]] build;
+    * two further map-side-combined aggregations collapse doc grain →
+    * cluster grain → |distinct sizes| rows. No joins, no windows.
+    */
+  def clusterSizeHist(spark: SparkSession, dir: String): DataFrame = {
+    simhashClusters(spark, dir)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** Quality-aware canonical selection: for every multi-member SimHash
     * near-dup cluster, the document that SURVIVES dedup is the one the
     * quality gate keeps, longest first (doc_id ascending breaks exact

@@ -63,6 +63,38 @@ object Sessionize {
   def hourlyRollup(spark: SparkSession, dir: String): DataFrame =
     hourlyRollup(events(spark, dir))
 
+  /** Event-type TRANSITION matrix — first-order Markov census of user
+    * behavior: for every (from, to) pair of consecutive events within a
+    * user's timeline, the occurrence count and the per-from-type share
+    * in exact ppm. The sequence-mining primitive behind funnel
+    * discovery (which paths exist, before [[funnel]]-style queries pin
+    * one) and bot detection (self-loops dominate).
+    *
+    * Scale shape: one shuffle to order each user's timeline (window
+    * lead — per-user cardinality, never global), then a map-side-
+    * combined count to |types|² rows; the share is a window over that
+    * tiny matrix, not the fact.
+    */
+  def transitions(spark: SparkSession, dir: String): DataFrame =
+    transitions(events(spark, dir))
+
+  def transitions(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    ev.select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("from_total",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000000 div from_total").as("share_ppm"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** Salted two-phase aggregation: event_type has ~5 distinct values —
     * catastrophic key skew at 100 TB (5 reducers own everything). Phase 1
     * aggregates on (key, salt) spreading each hot key over `salts`

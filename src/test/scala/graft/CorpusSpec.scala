@@ -43,6 +43,22 @@ class CorpusSpec extends SparkTestBase {
       ("zh", 1L, 0L, 8L, 8000000L, 1000000L)))
   }
 
+  test("lengthStats: exact ceil(p·n) rank percentiles per source") {
+    import spark.implicits._
+    val d = (Seq(10L, 20L, 30L, 40L, 50L).zipWithIndex.map { case (c, i) =>
+      (i.toLong, "x", "en", "a", c)
+    } :+ ((9L, "x", "en", "b", 7L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Corpus.lengthStats(d).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("min_chars"), r.getAs[Long]("median_chars"),
+        r.getAs[Long]("p90_chars"), r.getAs[Long]("max_chars")))
+    // a: n=5 → median rank 3 (30), p90 rank ceil(4.5)=5 (50)
+    assert(got.toSeq === Seq(
+      ("a", 5L, 10L, 30L, 50L, 50L),
+      ("b", 1L, 7L, 7L, 7L, 7L)))
+  }
+
   test("dupQuality cells partition the corpus and keep_ppm is exact integer") {
     val r = Corpus.dupQuality(spark, sf).collect()
     val total = spark.read.parquet(s"$sf/documents.parquet").count()

@@ -342,6 +342,18 @@ class DedupSpec extends SparkTestBase {
     assert(isCheckpointed, s"expected only checkpointed leaves:\n$plan")
   }
 
+  test("clusterSizeHist partitions the corpus: sum of n_docs equals doc count") {
+    val dir = "/root/testdata/sf0.001"
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    val r = Dedup.clusterSizeHist(spark, dir).collect()
+    assert(r.map(_.getAs[Long]("n_docs")).sum === total)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_docs") ===
+        row.getAs[Long]("cluster_size") * row.getAs[Long]("n_clusters"))
+    }
+    assert(r.map(_.getAs[Long]("cluster_size")).contains(1L)) // unique docs exist
+  }
+
   test("sourceOverlap: shared-shingle pairs exact, non-overlapping sources absent") {
     import spark.implicits._
     val docs = Seq(

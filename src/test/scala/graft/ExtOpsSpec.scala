@@ -102,6 +102,24 @@ class ExtOpsSpec extends SparkTestBase {
     assert(got.toSeq === Seq((1L, 3L), (2L, 2L), (3L, 0L), (4L, 1L)))
   }
 
+  test("transitions count consecutive pairs per user, shares sum per from-type") {
+    val t = 1_700_000_000_000_000L
+    val dir = eventsFixture(
+      // user 1: view -> click -> view -> click  (v->c ×2, c->v ×1)
+      (1L, t, 1L, "view"), (2L, t + 10, 1L, "click"),
+      (3L, t + 20, 1L, "view"), (4L, t + 30, 1L, "click"),
+      // user 2: view -> view (self-loop); single-event users emit nothing
+      (5L, t, 2L, "view"), (6L, t + 10, 2L, "view"),
+      (7L, t, 3L, "purchase"))
+    val got = Sessionize.transitions(spark, dir).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"),
+        r.getAs[Long]("n"), r.getAs[Long]("share_ppm")))
+    assert(got.toSeq === Seq(
+      ("click", "view", 1L, 1000000L),
+      ("view", "click", 2L, 666666L),   // 2/3 of view's outgoing edges
+      ("view", "view", 1L, 333333L)))
+  }
+
   test("cms sketch never undercounts and is exact for a lone heavy key") {
     val t = 1_700_000_000_000_000L
     // user 9 is a planted heavy hitter: 50 events vs 1 each for 3 others
