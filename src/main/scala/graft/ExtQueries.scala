@@ -53,6 +53,8 @@ object ExtQueries {
     // ------------------------------------------------ events
     "ext_sessions" -> ((s, dir) => Sessionize.sessions(s, dir)),
     "ext_transitions" -> ((s, dir) => Sessionize.transitions(s, dir)),
+    "ext_props_rollup" -> ((s, dir) => Sessionize.propsRollup(s, dir)),
+    "corpus_batch_drift" -> ((s, dir) => Corpus.batchDrift(s, dir)),
     "ext_hourly_rollup" -> ((s, dir) => Sessionize.hourlyRollup(s, dir)),
     "ext_sliding_rollup" -> ((s, dir) => Sessionize.slidingRollup(s, dir)),
     "ext_asof_click" -> ((s, dir) => TemporalJoins.asofClickBeforePurchase(s, dir)),
@@ -571,6 +573,42 @@ object ExtQueries {
         |  CAST(sum(value_c) AS BIGINT) AS sum_value_c
         |FROM t GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    // JSON props field census per event type.
+    "ext_props_rollup" ->
+      """SELECT event_type, count(*)::BIGINT AS n_events,
+        |  CAST(sum(CASE WHEN json_extract(props, '$.k') IS NULL
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_k,
+        |  CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+        |  min(json_extract(props, '$.k')::BIGINT)::BIGINT AS min_k,
+        |  max(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k,
+        |  count(DISTINCT json_extract(props, '$.k')::BIGINT)::BIGINT
+        |    AS n_distinct_k
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // Ingestion-order quality drift per (source, 25-doc batch).
+    "corpus_batch_drift" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |                    x -> x != ''))::BIGINT AS n_tokens,
+        |    (len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000000
+        |      // greatest(length(text), 1))::BIGINT AS punct_ppm,
+        |    regexp_matches(rtrim(text), '[.!?。！？]$') AS terminal,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), k AS (
+        |  SELECT source, (rn - 1) // 25 AS batch_no, n_tokens,
+        |    (n_tokens >= 5 AND punct_ppm <= 300000 AND terminal) AS keep
+        |  FROM q
+        |)
+        |SELECT source, batch_no::BIGINT AS batch_no,
+        |  count(*)::BIGINT AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000
+        |       // count(*) AS BIGINT) AS keep_ppm,
+        |  CAST(sum(n_tokens) // count(*) AS BIGINT) AS mean_tokens
+        |FROM k GROUP BY 1, 2 ORDER BY source, batch_no""".stripMargin,
 
     // First-order event-type transition matrix with per-from shares.
     "ext_transitions" ->

@@ -359,6 +359,36 @@ object Corpus {
       .orderBy(col("source"))
   }
 
+  /** Ingestion-order DRIFT census — quality over time within each
+    * source: documents are batched in arrival order (doc_id rank
+    * within source, `batch` docs per bucket) and each (source, batch)
+    * cell reports its quality-gate keep rate and mean length. A
+    * crawl that degrades mid-stream (encoding breaks, a template
+    * change floods boilerplate) shows as a keep_ppm cliff long before
+    * the aggregate per-source numbers move.
+    *
+    * Scale shape: [[qualityClean]] is a pure projection; the rank
+    * window is per-source (bounded cardinality per partition); the
+    * rollup is (|sources|·|batches|) rows, map-side combined.
+    */
+  def batchDrift(spark: SparkSession, dir: String, batch: Int = 25): DataFrame =
+    batchDrift(docs(spark, dir), batch)
+
+  def batchDrift(documents: DataFrame, batch: Int): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    qualityClean(documents)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("batch_no", expr(s"(rn - 1) div $batch"))
+      .groupBy(col("source"), col("batch_no"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .select(col("source"), col("batch_no"), col("n_docs"), col("n_keep"),
+        expr("n_keep * 1000000 div n_docs").as("keep_ppm"),
+        expr("sum_tokens div n_docs").as("mean_tokens"))
+      .orderBy(col("source"), col("batch_no"))
+  }
+
   def temperatureWeights(spark: SparkSession, dir: String): DataFrame = {
     val toks = size(TextAnalysis.wsTokens(col("text"))).cast("long")
     val perLang = docs(spark, dir)

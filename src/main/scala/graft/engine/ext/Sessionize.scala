@@ -63,6 +63,32 @@ object Sessionize {
   def hourlyRollup(spark: SparkSession, dir: String): DataFrame =
     hourlyRollup(events(spark, dir))
 
+  /** Semi-structured property rollup — the JSON-sidecar census: parse
+    * the `props` JSON column and profile the extracted field per event
+    * type (count, missing count, sum/min/max, distinct). One key →
+    * `get_json_object` (codegen'd, no schema needed); extracting
+    * several keys should switch to a single `from_json` projection so
+    * the document parses once, not once per key.
+    *
+    * Scale shape: the parse is a pure projection riding the scan; the
+    * rollup is |types| rows with map-side partials; distinct-count is
+    * the only extra exchange (two-phase distinct aggregate).
+    */
+  def propsRollup(spark: SparkSession, dir: String): DataFrame =
+    propsRollup(events(spark, dir))
+
+  def propsRollup(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_missing_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy(col("event_type"))
+
   /** Event-type TRANSITION matrix — first-order Markov census of user
     * behavior: for every (from, to) pair of consecutive events within a
     * user's timeline, the occurrence count and the per-from-type share

@@ -43,6 +43,26 @@ class CorpusSpec extends SparkTestBase {
       ("zh", 1L, 0L, 8L, 8000000L, 1000000L)))
   }
 
+  test("batchDrift buckets arrival order per source and scores each batch") {
+    import spark.implicits._
+    val good = "one two three four five."   // 5 tokens, terminal → keep
+    val bad = "short"                        // too_short
+    val d = Seq(
+      (1L, good, "en", "a"), (2L, bad, "en", "a"),  // batch 0: 1/2 keep
+      (3L, good, "en", "a"), (4L, good, "en", "a"), // batch 1: 2/2 keep
+      (5L, bad, "en", "b"))                          // b batch 0: 0/1
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = Corpus.batchDrift(d, batch = 2).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("batch_no"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_keep"),
+        r.getAs[Long]("keep_ppm")))
+    assert(got.toSeq === Seq(
+      ("a", 0L, 2L, 1L, 500000L),
+      ("a", 1L, 2L, 2L, 1000000L),
+      ("b", 0L, 1L, 0L, 0L)))
+  }
+
   test("lengthStats: exact ceil(p·n) rank percentiles per source") {
     import spark.implicits._
     val d = (Seq(10L, 20L, 30L, 40L, 50L).zipWithIndex.map { case (c, i) =>

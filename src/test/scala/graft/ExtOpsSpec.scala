@@ -102,6 +102,25 @@ class ExtOpsSpec extends SparkTestBase {
     assert(got.toSeq === Seq((1L, 3L), (2L, 2L), (3L, 0L), (4L, 1L)))
   }
 
+  test("propsRollup parses the JSON sidecar and counts missing keys") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pr").toString
+    Seq(
+      (1L, 1_700_000_000_000_000_000L, 1L, "click", 1.0, """{"k": 5}"""),
+      (2L, 1_700_000_000_000_000_000L, 1L, "click", 1.0, """{"k": 7}"""),
+      (3L, 1_700_000_000_000_000_000L, 2L, "view", 1.0, """{"x": 9}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Sessionize.propsRollup(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_missing_k"),
+        Option(r.getAs[java.lang.Long]("sum_k")).map(_.longValue),
+        r.getAs[Long]("n_distinct_k")))
+    assert(got.toSeq === Seq(
+      ("click", 2L, 0L, Some(12L), 2L),
+      ("view", 1L, 1L, None, 0L))) // all-null k group: SQL sum is NULL
+  }
+
   test("transitions count consecutive pairs per user, shares sum per from-type") {
     val t = 1_700_000_000_000_000L
     val dir = eventsFixture(
