@@ -54,6 +54,8 @@ object ExtQueries {
     "ext_sessions" -> ((s, dir) => Sessionize.sessions(s, dir)),
     "ext_transitions" -> ((s, dir) => Sessionize.transitions(s, dir)),
     "ext_props_rollup" -> ((s, dir) => Sessionize.propsRollup(s, dir)),
+    "ext_gap_histogram" -> ((s, dir) => Sessionize.gapHistogram(s, dir)),
+    "ext_user_lifetime" -> ((s, dir) => Sessionize.userLifetime(s, dir)),
     "corpus_batch_drift" -> ((s, dir) => Corpus.batchDrift(s, dir)),
     "ext_hourly_rollup" -> ((s, dir) => Sessionize.hourlyRollup(s, dir)),
     "ext_sliding_rollup" -> ((s, dir) => Sessionize.slidingRollup(s, dir)),
@@ -609,6 +611,40 @@ object ExtQueries {
         |       // count(*) AS BIGINT) AS keep_ppm,
         |  CAST(sum(n_tokens) // count(*) AS BIGINT) AS mean_tokens
         |FROM k GROUP BY 1, 2 ORDER BY source, batch_no""".stripMargin,
+
+    // Log2-bucketed inter-arrival gaps per (user, type) timeline.
+    "ext_gap_histogram" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS tsu
+        |  FROM events
+        |), l AS (
+        |  SELECT event_type,
+        |    tsu - lag(tsu) OVER (PARTITION BY user_id, event_type
+        |                         ORDER BY tsu, event_id) AS gap
+        |  FROM e
+        |)
+        |SELECT event_type,
+        |  (CASE WHEN gap = 0 THEN 0
+        |        ELSE length(bin(gap)) END)::BIGINT AS bucket,
+        |  count(*)::BIGINT AS n_gaps,
+        |  min(gap)::BIGINT AS min_gap_us, max(gap)::BIGINT AS max_gap_us
+        |FROM l WHERE gap IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
+    // Active-days population histogram from the per-user lifetime fold.
+    "ext_user_lifetime" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        |), u AS (
+        |  SELECT user_id, count(DISTINCT day) AS active_days,
+        |    count(*) AS n_events, max(day) - min(day) + 1 AS span_days
+        |  FROM e GROUP BY 1
+        |)
+        |SELECT active_days::BIGINT AS active_days,
+        |  count(*)::BIGINT AS n_users, sum(n_events)::BIGINT AS n_events,
+        |  sum(span_days)::BIGINT AS sum_span_days,
+        |  max(span_days)::BIGINT AS max_span_days
+        |FROM u GROUP BY 1 ORDER BY active_days""".stripMargin,
 
     // First-order event-type transition matrix with per-from shares.
     "ext_transitions" ->

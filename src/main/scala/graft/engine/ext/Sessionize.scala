@@ -400,4 +400,65 @@ object Sessionize {
       .agg(count(lit(1)).as("n_active_users"))
       .orderBy(col("cohort_day"), col("day_offset"))
   }
+
+  /** Inter-arrival GAP histogram — per event type, the distribution of
+    * time between a user's consecutive events of that type, bucketed on
+    * a log2 scale (`bucket = len(bin(gap_us))`, i.e. floor(log2)+1;
+    * bucket 0 = simultaneous). Bot traffic shows as a spike in one
+    * narrow bucket (metronomic retries); organic use spreads across
+    * the seconds-to-days decades. Integer-exact end to end: micros
+    * arithmetic and a binary-string-length log2, no floats.
+    *
+    * Scale shape: one shuffle for the (user_id, event_type) lag window
+    * — per-partition state is one prior row; the rollup output is
+    * |types|·~64 rows with map-side partials. Survives 1000 executors
+    * because window state is bounded by the timeline, not the volume.
+    */
+  def gapHistogram(spark: SparkSession, dir: String): DataFrame =
+    gapHistogram(events(spark, dir))
+
+  def gapHistogram(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    ev
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts_us"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .select(col("event_type"), (col("ts_us") - col("prev_ts")).as("gap_us"))
+      .withColumn("bucket",
+        when(col("gap_us") === 0L, 0L)
+          .otherwise(length(bin(col("gap_us"))).cast("long")))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  /** User LIFETIME census — the activity-distribution rollup behind
+    * engagement/churn dashboards: per user, active days (distinct
+    * calendar days), total events and first-to-last span; then the
+    * population histogram keyed by active_days. Two aggregations: the
+    * per-user fold shuffles on user_id (bounded per-key state), the
+    * histogram is at most a few thousand rows regardless of corpus
+    * size — the per-user intermediate never leaves the executors.
+    */
+  def userLifetime(spark: SparkSession, dir: String): DataFrame =
+    userLifetime(events(spark, dir))
+
+  def userLifetime(ev: DataFrame): DataFrame = {
+    val dayUs = 86400L * 1000 * 1000
+    ev
+      .select(col("user_id"), expr(s"ts_us div ${dayUs}L").as("day"))
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("day")).as("active_days"),
+        count(lit(1)).as("n_events"),
+        (max(col("day")) - min(col("day")) + 1).as("span_days"))
+      .groupBy(col("active_days"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("span_days")).as("sum_span_days"),
+        max(col("span_days")).as("max_span_days"))
+      .orderBy(col("active_days"))
+  }
 }

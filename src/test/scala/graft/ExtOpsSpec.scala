@@ -121,6 +121,42 @@ class ExtOpsSpec extends SparkTestBase {
       ("view", 1L, 1L, None, 0L))) // all-null k group: SQL sum is NULL
   }
 
+  test("gapHistogram buckets same-type gaps on a log2 scale") {
+    val t = 1_700_000_000_000_000L
+    val dir = eventsFixture(
+      // user 1 clicks: gaps 1us (bucket 1), 7us (bucket 3 = len('111'))
+      (1L, t, 1L, "click"), (2L, t + 1, 1L, "click"), (3L, t + 8, 1L, "click"),
+      // user 2 clicks: simultaneous pair -> gap 0 -> bucket 0
+      (4L, t, 2L, "click"), (5L, t, 2L, "click"),
+      // user 2 view: single event, no gap emitted; cross-type gap ignored
+      (6L, t + 100, 2L, "view"))
+    val got = Sessionize.gapHistogram(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("n_gaps"), r.getAs[Long]("min_gap_us"),
+        r.getAs[Long]("max_gap_us")))
+    assert(got.toSeq === Seq(
+      ("click", 0L, 1L, 0L, 0L),
+      ("click", 1L, 1L, 1L, 1L),
+      ("click", 3L, 1L, 7L, 7L)))
+  }
+
+  test("userLifetime rolls the per-user fold into an active-days histogram") {
+    val day = 86_400_000_000L
+    val t = 1_700_000_000_000_000L
+    val dir = eventsFixture(
+      // user 1: 2 events, 1 day  -> active_days 1, span 1
+      (1L, t, 1L, "view"), (2L, t + 10, 1L, "click"),
+      // user 2: days 0 and 2     -> active_days 2, span 3
+      (3L, t, 2L, "view"), (4L, t + 2 * day, 2L, "view"),
+      // user 3: one event        -> active_days 1, span 1
+      (5L, t, 3L, "purchase"))
+    val got = Sessionize.userLifetime(spark, dir).collect()
+      .map(r => (r.getAs[Long]("active_days"), r.getAs[Long]("n_users"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("sum_span_days"),
+        r.getAs[Long]("max_span_days")))
+    assert(got.toSeq === Seq((1L, 2L, 3L, 2L, 1L), (2L, 1L, 2L, 3L, 3L)))
+  }
+
   test("transitions count consecutive pairs per user, shares sum per from-type") {
     val t = 1_700_000_000_000_000L
     val dir = eventsFixture(
