@@ -153,6 +153,9 @@ object ExtQueries {
     // ------------------------------------------------ round-6 additions
     "text_vocab" -> ((s, dir) => TextAnalysis.vocab(s, dir)),
     "text_ngram_census" -> ((s, dir) => TextAnalysis.ngramCensus(s, dir)),
+    "text_freq_spectrum" -> ((s, dir) => TextAnalysis.freqSpectrum(s, dir)),
+    "text_distinctive_ngrams" ->
+      ((s, dir) => TextAnalysis.distinctiveNgrams(s, dir)),
     "corpus_temperature" -> ((s, dir) => Corpus.temperatureWeights(s, dir)),
     "corpus_dedup_weights" -> ((s, dir) => Corpus.dedupWeights(s, dir)),
     "corpus_dup_quality" -> ((s, dir) => Corpus.dupQuality(s, dir)),
@@ -1421,6 +1424,53 @@ object ExtQueries {
         |FROM v GROUP BY 1 ORDER BY dim""".stripMargin),
 
     // Per-language trigram occurrence census, top-20 per language.
+    // Frequency-of-frequencies per language, log2-bucketed k.
+    "text_freq_spectrum" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x != '')) AS token
+        |  FROM documents
+        |), c AS (
+        |  SELECT lang, token, count(*)::BIGINT AS k FROM tok GROUP BY 1, 2
+        |)
+        |SELECT lang, length(bin(k))::BIGINT AS bucket,
+        |  count(*)::BIGINT AS n_types, sum(k)::BIGINT AS n_tokens,
+        |  min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k
+        |FROM c GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+
+    // Per-source top-k 3-grams by exact-ppm lift over the corpus share.
+    "text_distinctive_ngrams" ->
+      """WITH tk AS (
+        |  SELECT source, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             x -> x != '') AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT source, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS gram
+        |  FROM (SELECT source, t, unnest(range(0, len(t) - 2)) AS i
+        |        FROM tk WHERE len(t) >= 3)
+        |), ps AS (
+        |  SELECT source, gram, count(*)::BIGINT AS n_src FROM g GROUP BY 1, 2
+        |), ts AS (
+        |  SELECT source, sum(n_src)::BIGINT AS total_src FROM ps GROUP BY 1
+        |), pa AS (
+        |  SELECT gram, sum(n_src)::BIGINT AS n_all FROM ps GROUP BY 1
+        |), ta AS (
+        |  SELECT sum(n_src)::BIGINT AS total_all FROM ps
+        |), l AS (
+        |  SELECT ps.source, ps.gram, ps.n_src, pa.n_all,
+        |    ps.n_src * ta.total_all * 1000000 // (pa.n_all * ts.total_src)
+        |      AS lift_ppm
+        |  FROM ps JOIN pa USING (gram) JOIN ts USING (source) CROSS JOIN ta
+        |  WHERE ps.n_src >= 3
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY lift_ppm DESC, gram) AS rank
+        |  FROM l
+        |)
+        |SELECT source, rank::BIGINT AS rank, gram, n_src, n_all,
+        |  lift_ppm::BIGINT AS lift_ppm
+        |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
+
     "text_ngram_census" ->
       """WITH tk AS (
         |  SELECT lang, list_filter(string_split_regex(lower(text), '\s+'),

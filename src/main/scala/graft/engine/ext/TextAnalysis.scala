@@ -579,4 +579,83 @@ object TextAnalysis {
         col("score"))
       .orderBy(col("doc_id"), col("rk"))
   }
+
+  /** Token frequency SPECTRUM (frequency-of-frequencies): per language,
+    * how many distinct token types occur k times, with k folded onto a
+    * log2 scale (`len(bin(k))`, same integer-exact log as
+    * [[Sessionize.gapHistogram]]). This is the Heaps/Zipf diagnostic a
+    * corpus curator reads before tokenizer fitting: a healthy natural
+    * corpus shows a long hapax-heavy slope; machine-generated or
+    * boilerplate-flooded sources bulge in the mid buckets.
+    *
+    * Scale shape: one shuffle to (lang, token) counts with map-side
+    * partials, then a rollup to |langs|·~40 rows. The token census is
+    * the only big intermediate and it never leaves the executors.
+    */
+  def freqSpectrum(spark: SparkSession, dir: String): DataFrame =
+    freqSpectrum(spark.read.parquet(s"$dir/documents.parquet"))
+
+  def freqSpectrum(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), explode(Dedup.tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("k"))
+      .withColumn("bucket", length(bin(col("k"))).cast("long"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("k")).as("n_tokens"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("lang"), col("bucket"))
+
+  /** DISTINCTIVE n-grams per source — the template/boilerplate detector:
+    * for each source, the top-k 3-grams by lift = share-in-source /
+    * share-in-corpus (exact ppm, integer arithmetic), over grams with a
+    * minimum in-source support. A crawler's cookie banner or footer
+    * shows as a >100× lift long before it dominates raw counts.
+    *
+    * Scale shape: the gram census shuffles once to (source, gram); the
+    * global gram table reuses it (one more shuffle on gram); totals are
+    * a 20-row broadcast and a 1-row broadcast crossJoin (canonical
+    * scalar subquery). The support filter prunes the candidate set
+    * BEFORE the per-gram join, so the lift join runs over repeated
+    * grams only — a tiny fraction of the census at corpus scale.
+    * The `n_src * total_all * 1e6` product fits a Long here; a 100 TB
+    * deployment should lift via pre-divided ppm shares instead
+    * (`(n_src*1e6 div total_src) * 1e6 div (n_all*1e6 div total_all)`)
+    * to stay overflow-safe — same ranking, 1-ulp different rounding.
+    */
+  def distinctiveNgrams(spark: SparkSession, dir: String, k: Int = 10,
+      minSupport: Int = 3): DataFrame =
+    distinctiveNgrams(spark.read.parquet(s"$dir/documents.parquet"), k, minSupport)
+
+  def distinctiveNgrams(docs: DataFrame, k: Int, minSupport: Int): DataFrame = {
+    val n = 3
+    val grams = docs
+      .select(col("source"), Dedup.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("source"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - n)).as("i"))
+      .select(col("source"),
+        concat_ws(" ",
+          (0 until n).map(j => element_at(col("toks"), col("i") + j + 1)): _*)
+          .as("gram"))
+    val perSrc = grams.groupBy(col("source"), col("gram"))
+      .agg(count(lit(1)).as("n_src"))
+    val totSrc = perSrc.groupBy(col("source")).agg(sum("n_src").as("total_src"))
+    val perAll = perSrc.groupBy(col("gram")).agg(sum("n_src").as("n_all"))
+    val totAll = perSrc.agg(sum("n_src").as("total_all"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(desc("lift_ppm"), col("gram"))
+    perSrc.filter(col("n_src") >= minSupport)
+      .join(perAll, "gram")
+      .join(broadcast(totSrc), "source")
+      .crossJoin(broadcast(totAll))
+      .withColumn("lift_ppm",
+        expr("n_src * total_all * 1000000 div (n_all * total_src)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("gram"), col("n_src"),
+        col("n_all"), col("lift_ppm"))
+      .orderBy(col("source"), col("rank"))
+  }
 }

@@ -106,6 +106,38 @@ class TextSignalsSpec extends SparkTestBase {
       ("en", 2L, "b c a", 2L))) // beats "c a b" on the gram tiebreak
   }
 
+  test("freqSpectrum folds token counts onto log2 buckets per lang") {
+    val d = docs(1L -> "a a a b b c")
+    // a×3 (bucket 2), b×2 (bucket 2), c×1 (bucket 1)
+    val got = TextAnalysis.freqSpectrum(d).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("n_types"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("min_k"), r.getAs[Long]("max_k")))
+    assert(got.toSeq === Seq(
+      ("en", 1L, 1L, 1L, 1L, 1L),
+      ("en", 2L, 2L, 5L, 2L, 3L)))
+  }
+
+  test("distinctiveNgrams ranks by exact-ppm lift; shared grams dilute") {
+    val d = Seq(
+      (1L, "x y z x y z x y z x y z", "en", "a"),
+      (2L, "p q r p q r p q r x y z", "en", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = TextAnalysis.distinctiveNgrams(d, k = 10, minSupport = 3)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rank"),
+        r.getAs[String]("gram"), r.getAs[Long]("n_src"),
+        r.getAs[Long]("n_all"), r.getAs[Long]("lift_ppm")))
+    // source a: "x y z" leaks into b (n_all 5) -> lift 1.6e6, below the
+    // a-exclusive grams at exactly 2e6 (= total_all/total_src).
+    assert(got.toSeq === Seq(
+      ("a", 1L, "y z x", 3L, 3L, 2000000L),
+      ("a", 2L, "z x y", 3L, 3L, 2000000L),
+      ("a", 3L, "x y z", 4L, 5L, 1600000L),
+      ("b", 1L, "p q r", 3L, 3L, 2000000L)))
+  }
+
   test("piiRedact: emails and phones are gone, counts reconcile") {
     val cust = Seq((7L, "Customer#000000007", 3, 100.0, "BUILDING"))
       .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
