@@ -146,6 +146,8 @@ object ExtQueries {
       Multimodal.decodeFeatures(s, dir).toDF().orderBy(col("doc_id"))
     }),
     "mm_format_rollup" -> ((s, dir) => Multimodal.formatRollup(s, dir)),
+    "mm_dupes" -> ((s, dir) => Multimodal.payloadDupes(s, dir)),
+    "ext_key_skew" -> ((s, dir) => Relational.keySkew(s, dir)),
     "mm_resized" -> ((s, dir) => {
       import s.implicits._
       Multimodal.resizeFeatures(s, dir).toDF().orderBy(col("doc_id"))
@@ -446,6 +448,27 @@ object ExtQueries {
       |  GROUP BY 1, 2, 3
       |)
       |""".stripMargin
+
+  // One UNION ALL block of the ext_key_skew oracle: ceil-rank percentiles
+  // read off the count-of-counts cumulative sum, mirroring the engine's
+  // census-not-sort plan so the arithmetic (and rounding) is identical.
+  private def keySkewOracle(key: String): String =
+    s"""SELECT '$key' AS key_name, CAST(n_rows AS BIGINT) AS n_rows,
+       |  CAST(n_keys AS BIGINT) AS n_keys, max_n,
+       |  min(CASE WHEN cum >= (n_keys + 1) // 2 THEN n END)::BIGINT AS p50_n,
+       |  min(CASE WHEN cum >= (n_keys * 99 + 99) // 100 THEN n END)::BIGINT
+       |    AS p99_n,
+       |  CAST(max_n * 1000000 // n_rows AS BIGINT) AS top_share_ppm
+       |FROM (
+       |  SELECT n, cnt,
+       |    sum(cnt) OVER (ORDER BY n ROWS UNBOUNDED PRECEDING) AS cum,
+       |    sum(cnt) OVER () AS n_keys, sum(n * cnt) OVER () AS n_rows,
+       |    max(n) OVER () AS max_n
+       |  FROM (SELECT n, count(*)::BIGINT AS cnt
+       |        FROM (SELECT $key, count(*)::BIGINT AS n
+       |              FROM lineitem GROUP BY 1)
+       |        GROUP BY 1))
+       |GROUP BY n_rows, n_keys, max_n""".stripMargin
 
   // BYTE semantics throughout, to match the engine exactly: the payload is
   // text.cast(binary) = UTF-8 bytes, so the oracle measures octet_length and
@@ -1651,6 +1674,30 @@ object ExtQueries {
         |)
         |SELECT rz.doc_id, format, out_w, out_h, grid_byte_sum
         |FROM rz JOIN g ON rz.doc_id = g.doc_id ORDER BY rz.doc_id""".stripMargin),
+
+    // Exact payload-dup census: 60-bit sha2 prefix + byte length key,
+    // matching the engine's hashes-not-bodies shuffle key exactly.
+    "mm_dupes" ->
+      """WITH m AS (
+        |  SELECT ['jpeg','png','wav','mp4'][(doc_id % 4 + 1)::INT] AS format,
+        |    octet_length(encode(text))::BIGINT AS n_bytes,
+        |    try_cast('0x' || substring(sha256(text), 1, 15) AS BIGINT) AS h
+        |  FROM documents
+        |), g AS (
+        |  SELECT format, h, n_bytes, count(*)::BIGINT AS clones
+        |  FROM m GROUP BY 1, 2, 3
+        |)
+        |SELECT format, count(*)::BIGINT AS n_payloads,
+        |  sum(clones)::BIGINT AS n_media,
+        |  sum(clones - 1)::BIGINT AS n_dup_items,
+        |  max(clones)::BIGINT AS max_clones,
+        |  CAST(sum((clones - 1) * n_bytes) AS BIGINT) AS wasted_bytes
+        |FROM g GROUP BY 1 ORDER BY format""".stripMargin,
+
+    // Count-of-counts skew census, one block per lineitem join key.
+    "ext_key_skew" -> Seq("l_orderkey", "l_partkey", "l_suppkey")
+      .map(keySkewOracle)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY key_name"),
 
     "mm_format_rollup" -> (media +
       """SELECT format, count(*) AS n_media,

@@ -230,4 +230,32 @@ object Multimodal {
         sum(col("n_bytes")).as("total_bytes"),
         sum(col("frame_byte_sum")).as("sum_frame_bytes"))
       .orderBy(col("format"))
+
+  /** Exact payload DEDUP census per format — byte-identical media items
+    * (re-crawled images, mirrored videos) found by hashing the payload:
+    * distinct payloads, clone counts, and the storage the duplicates
+    * waste. Only 60-bit sha2 prefixes and byte lengths shuffle, never
+    * payloads (the [[Dedup]] "hashes shuffle, not bodies" rule); a
+    * 100 TB run should widen the key to the two 64-bit halves of the
+    * full sha2 to keep collision odds negligible at trillions of items
+    * — same plan, one more column.
+    */
+  def payloadDupes(spark: SparkSession, dir: String): DataFrame =
+    payloadDupes(mediaTable(spark, dir))
+
+  def payloadDupes(media: DataFrame): DataFrame =
+    media
+      .select(col("meta.format").as("format"),
+        length(col("media")).cast("long").as("n_bytes"),
+        expr("conv(substring(sha2(media, 256), 1, 15), 16, 10)")
+          .cast("long").as("h"))
+      .groupBy(col("format"), col("h"), col("n_bytes"))
+      .agg(count(lit(1)).as("clones"))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_payloads"),
+        sum(col("clones")).as("n_media"),
+        sum(col("clones") - 1).as("n_dup_items"),
+        max(col("clones")).as("max_clones"),
+        sum((col("clones") - 1) * col("n_bytes")).as("wasted_bytes"))
+      .orderBy(col("format"))
 }

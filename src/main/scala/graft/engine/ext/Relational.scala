@@ -986,4 +986,47 @@ object Relational {
           .otherwise(1L)).as("low_lines"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** JOIN-KEY SKEW census over lineitem's three join keys — the input to
+    * every salting / AQE-skew decision: per key, total rows, distinct
+    * keys, the max and exact p50/p99 per-key multiplicities, and the
+    * heaviest key's row share in ppm.
+    *
+    * Scale shape: the percentiles come from the COUNT-OF-COUNTS census,
+    * not a global sort of per-key counts — per-key counts fold to
+    * (multiplicity, n_keys) pairs (at most ~max-multiplicity rows, a
+    * few thousand at any corpus size), and the ceil-rank percentile is
+    * a cumulative-sum lookup over that tiny table. The only unbounded
+    * shuffles are the three per-key groupBys on the fact table, each
+    * with map-side partials; the unpartitioned cumsum window and the
+    * 1-row totals broadcast run on census-sized data only.
+    */
+  def keySkew(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    Seq("l_orderkey", "l_partkey", "l_suppkey")
+      .map(k => keySkewOne(li, k))
+      .reduce(_.union(_))
+      .orderBy(col("key_name"))
+  }
+
+  private def keySkewOne(df: DataFrame, key: String): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val freq = counts.groupBy(col("n")).agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum(col("cnt")).as("n_keys"),
+      sum(col("n") * col("cnt")).as("n_rows"), max(col("n")).as("max_n"))
+    // census-sized window (≤ distinct multiplicities), so no partitionBy
+    val w = Window.orderBy(col("n"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    freq.withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("n_keys"), col("n_rows"), col("max_n"))
+      .agg(
+        min(when(col("cum") >= expr("(n_keys + 1) div 2"), col("n")))
+          .as("p50_n"),
+        min(when(col("cum") >= expr("(n_keys * 99 + 99) div 100"), col("n")))
+          .as("p99_n"))
+      .select(lit(key).as("key_name"), col("n_rows"), col("n_keys"),
+        col("max_n"), col("p50_n"), col("p99_n"),
+        expr("max_n * 1000000 div n_rows").as("top_share_ppm"))
+  }
 }

@@ -157,6 +157,43 @@ class ExtOpsSpec extends SparkTestBase {
     assert(got.toSeq === Seq((1L, 2L, 3L, 2L, 1L), (2L, 1L, 2L, 3L, 3L)))
   }
 
+  test("payloadDupes counts byte-identical payloads per format") {
+    import spark.implicits._
+    val m = Seq((1L, "aa"), (5L, "aa"), (2L, "bb")) // 1,5 -> png; 2 -> wav
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("media"),
+        struct(
+          element_at(array(lit("jpeg"), lit("png"), lit("wav"), lit("mp4")),
+            (col("doc_id") % 4 + 1).cast("int")).as("format"),
+          lit(1).as("width"), lit(1).as("height"), lit(1).as("nFrames"))
+          .as("meta"))
+    val got = graft.engine.ext.Multimodal.payloadDupes(m).collect()
+      .map(r => (r.getAs[String]("format"), r.getAs[Long]("n_payloads"),
+        r.getAs[Long]("n_media"), r.getAs[Long]("n_dup_items"),
+        r.getAs[Long]("max_clones"), r.getAs[Long]("wasted_bytes")))
+    assert(got.toSeq === Seq(
+      ("png", 1L, 2L, 1L, 2L, 2L),
+      ("wav", 1L, 1L, 0L, 1L, 0L)))
+  }
+
+  test("keySkew reads exact percentiles off the count-of-counts census") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ks").toString
+    Seq((1L, 10L, 100L), (1L, 11L, 100L), (1L, 12L, 101L),
+        (2L, 10L, 100L), (2L, 10L, 102L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.engine.ext.Relational.keySkew(spark, dir).collect()
+      .map(r => (r.getAs[String]("key_name"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_keys"), r.getAs[Long]("max_n"),
+        r.getAs[Long]("p50_n"), r.getAs[Long]("p99_n"),
+        r.getAs[Long]("top_share_ppm")))
+    assert(got.toSeq === Seq(
+      ("l_orderkey", 5L, 2L, 3L, 2L, 3L, 600000L),
+      ("l_partkey", 5L, 3L, 3L, 1L, 3L, 600000L),
+      ("l_suppkey", 5L, 3L, 3L, 1L, 3L, 600000L)))
+  }
+
   test("transitions count consecutive pairs per user, shares sum per from-type") {
     val t = 1_700_000_000_000_000L
     val dir = eventsFixture(
