@@ -56,6 +56,8 @@ object ExtQueries {
     "ext_props_rollup" -> ((s, dir) => Sessionize.propsRollup(s, dir)),
     "ext_gap_histogram" -> ((s, dir) => Sessionize.gapHistogram(s, dir)),
     "ext_user_lifetime" -> ((s, dir) => Sessionize.userLifetime(s, dir)),
+    "ext_conversion_lag" -> ((s, dir) => Sessionize.conversionLag(s, dir)),
+    "ext_yoy_revenue" -> ((s, dir) => Relational.yoyRevenue(s, dir)),
     "corpus_batch_drift" -> ((s, dir) => Corpus.batchDrift(s, dir)),
     "ext_hourly_rollup" -> ((s, dir) => Sessionize.hourlyRollup(s, dir)),
     "ext_sliding_rollup" -> ((s, dir) => Sessionize.slidingRollup(s, dir)),
@@ -656,6 +658,36 @@ object ExtQueries {
         |  min(gap)::BIGINT AS min_gap_us, max(gap)::BIGINT AS max_gap_us
         |FROM l WHERE gap IS NOT NULL
         |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
+    // First-view -> first-later-purchase lag, log2 buckets.
+    "ext_conversion_lag" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+        |  FROM events GROUP BY 1
+        |), l AS (
+        |  SELECT p - v AS lag_us FROM f WHERE p > v
+        |)
+        |SELECT length(bin(lag_us))::BIGINT AS bucket,
+        |  count(*)::BIGINT AS n_users,
+        |  min(lag_us)::BIGINT AS min_lag_us, max(lag_us)::BIGINT AS max_lag_us
+        |FROM l GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // Monthly revenue with exact (year-1, month) alignment.
+    "ext_yoy_revenue" ->
+      """WITH mth AS (
+        |  SELECT year(o_orderdate)::BIGINT AS y,
+        |    month(o_orderdate)::BIGINT AS m, count(*)::BIGINT AS n_orders,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS revenue_c
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT a.y, a.m, a.n_orders, a.revenue_c,
+        |  b.revenue_c AS prev_revenue_c,
+        |  a.revenue_c - b.revenue_c AS yoy_delta_c
+        |FROM mth a LEFT JOIN mth b ON b.y = a.y - 1 AND b.m = a.m
+        |ORDER BY a.y, a.m""".stripMargin,
 
     // Active-days population histogram from the per-user lifetime fold.
     "ext_user_lifetime" ->

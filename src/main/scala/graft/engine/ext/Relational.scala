@@ -987,6 +987,30 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Year-over-year monthly revenue: calendar rollup + a self-join on
+    * (year−1, month) — exact month alignment whether or not every month
+    * is populated, unlike a lag(12) that silently slides across gaps.
+    * The monthly aggregate is |months| rows at any SF, so the YoY join
+    * broadcasts; first-year months carry NULL prev/delta. Money stays
+    * integer cents end to end.
+    */
+  def yoyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val mth = spark.read.parquet(s"$dir/orders.parquet")
+      .select(year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("y"), col("m"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("revenue_c"))
+    val prev = mth.select((col("y") + 1).as("py"), col("m").as("pm"),
+      col("revenue_c").as("prev_revenue_c"))
+    mth.join(broadcast(prev),
+        col("y") === col("py") && col("m") === col("pm"), "left")
+      .select(col("y"), col("m"), col("n_orders"), col("revenue_c"),
+        col("prev_revenue_c"),
+        (col("revenue_c") - col("prev_revenue_c")).as("yoy_delta_c"))
+      .orderBy(col("y"), col("m"))
+  }
+
   /** JOIN-KEY SKEW census over lineitem's three join keys — the input to
     * every salting / AQE-skew decision: per key, total rows, distinct
     * keys, the max and exact p50/p99 per-key multiplicities, and the

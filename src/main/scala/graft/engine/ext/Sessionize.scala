@@ -435,6 +435,30 @@ object Sessionize {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** CONVERSION-LAG histogram — time from a user's first `view` to their
+    * first later `purchase`, log2-bucketed (same integer bin-length log
+    * as [[gapHistogram]]). The funnel-latency census behind "how long
+    * does conversion take": marketing reads the modal bucket, streaming
+    * reads the tail to size the interval-join bounds
+    * ([[graft.engine.streaming.EventStream]] attribution window).
+    * One shuffle (user_id fold to two mins), then a census-sized rollup.
+    */
+  def conversionLag(spark: SparkSession, dir: String): DataFrame =
+    conversionLag(events(spark, dir))
+
+  def conversionLag(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts_us"))).as("v"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("p"))
+      .filter(col("p") > col("v")) // drops null v/p too (never-converted)
+      .select((col("p") - col("v")).as("lag_us"))
+      .withColumn("bucket", length(bin(col("lag_us"))).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("lag_us")).as("min_lag_us"),
+        max(col("lag_us")).as("max_lag_us"))
+      .orderBy(col("bucket"))
+
   /** User LIFETIME census — the activity-distribution rollup behind
     * engagement/churn dashboards: per user, active days (distinct
     * calendar days), total events and first-to-last span; then the

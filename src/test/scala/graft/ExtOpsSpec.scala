@@ -157,6 +157,41 @@ class ExtOpsSpec extends SparkTestBase {
     assert(got.toSeq === Seq((1L, 2L, 3L, 2L, 1L), (2L, 1L, 2L, 3L, 3L)))
   }
 
+  test("conversionLag buckets first-view to first-later-purchase time") {
+    val t = 1_700_000_000_000_000L
+    val dir = eventsFixture(
+      // user 1: lag 7us -> bucket 3
+      (1L, t, 1L, "view"), (2L, t + 7, 1L, "purchase"),
+      // user 2: purchase BEFORE first view -> not a conversion
+      (3L, t, 2L, "purchase"), (4L, t + 5, 2L, "view"),
+      // user 3: view only; user 4: later purchase picks FIRST view, lag 1
+      (5L, t, 3L, "view"),
+      (6L, t, 4L, "view"), (7L, t + 10, 4L, "view"), (8L, t + 1, 4L, "purchase"))
+    val got = Sessionize.conversionLag(spark, dir).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_users"),
+        r.getAs[Long]("min_lag_us"), r.getAs[Long]("max_lag_us")))
+    assert(got.toSeq === Seq((1L, 1L, 1L, 1L), (3L, 1L, 7L, 7L)))
+  }
+
+  test("yoyRevenue aligns on (year-1, month), first year gets NULLs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("yoy").toString
+    Seq(("1995-03-01", 10.0), ("1995-03-02", 20.0), ("1996-03-05", 50.0),
+        ("1997-01-01", 5.0)) // 1997-01 has no 1996-01 -> NULL prev
+      .toDF("d", "o_totalprice")
+      .select(col("d").cast("timestamp_ntz").as("o_orderdate"),
+        col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.engine.ext.Relational.yoyRevenue(spark, dir).collect()
+      .map(r => (r.getAs[Long]("y"), r.getAs[Long]("m"),
+        r.getAs[Long]("revenue_c"),
+        Option(r.getAs[java.lang.Long]("yoy_delta_c")).map(_.longValue)))
+    assert(got.toSeq === Seq(
+      (1995L, 3L, 3000L, None),
+      (1996L, 3L, 5000L, Some(2000L)),
+      (1997L, 1L, 500L, None)))
+  }
+
   test("payloadDupes counts byte-identical payloads per format") {
     import spark.implicits._
     val m = Seq((1L, "aa"), (5L, "aa"), (2L, "bb")) // 1,5 -> png; 2 -> wav
