@@ -158,6 +158,65 @@ object EventStream {
     }
   }
 
+  /** Conversion state: earliest view / purchase micros seen so far
+    * (MaxValue = none yet). A min-fold, so snapshots converge to the
+    * batch answer regardless of batch boundaries OR within-batch order —
+    * stronger than the funnel's ordered-ingestion caveat.
+    */
+  final case class ConvState(min_view_us: Long, min_purchase_us: Long)
+
+  /** Snapshot carries the (monotone, non-increasing) state mins so any
+    * downstream consumer — or a test — can recover the final state with
+    * a plain min-aggregate instead of trusting sink row order.
+    */
+  final case class ConvSnapshot(user_id: Long, min_view_us: Long,
+                                min_purchase_us: Long, converted: Boolean,
+                                lag_us: Long)
+
+  /** Streaming twin of the oracle-checked `ext_conversion_lag` fold:
+    * per-user earliest view and earliest purchase as typed
+    * transformWithState state; a user converts when the earliest
+    * purchase is strictly after the earliest view. TTL evicts idle
+    * users' 16-byte state — the state-growth answer when the keyspace
+    * is a 100 TB/day userbase.
+    */
+  class ConversionProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, TypedEvent, ConvSnapshot] {
+    @transient private var st: ValueState[ConvState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[ConvState]("conv",
+        Encoders.product[ConvState], ttl)
+
+    override def handleInputRows(uid: Long, rows: Iterator[TypedEvent],
+                                 tv: TimerValues): Iterator[ConvSnapshot] = {
+      val Unset = Long.MaxValue
+      val prev = if (st.exists()) st.get() else ConvState(Unset, Unset)
+      var v = prev.min_view_us
+      var p = prev.min_purchase_us
+      rows.foreach { e =>
+        val t = e.event_time.getTime * 1000L
+        e.event_type match {
+          case "view"     => v = math.min(v, t)
+          case "purchase" => p = math.min(p, t)
+          case _          => ()
+        }
+      }
+      st.update(ConvState(v, p))
+      val conv = v != Unset && p != Unset && p > v
+      Iterator.single(ConvSnapshot(uid, v, p, conv, if (conv) p - v else 0L))
+    }
+  }
+
+  def conversionLagTws(events: Dataset[TypedEvent],
+                       ttl: TTLConfig = TTLConfig.NONE): Dataset[ConvSnapshot] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new ConversionProcessor(ttl),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   def userProfilesTws(events: Dataset[UserEvent],
                       ttl: TTLConfig = TTLConfig.NONE): Dataset[UserSnapshot] = {
     import events.sparkSession.implicits._

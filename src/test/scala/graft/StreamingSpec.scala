@@ -172,6 +172,58 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming conversion lag converges to the batch fold across batches") {
+    import graft.engine.streaming.EventStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val dir = "/root/testdata/sf0.001"
+    val typed = graft.engine.ingest.Sources.events(spark, dir)
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("event_time"),
+        col("event_type"))
+      .as[EventStream.TypedEvent].collect()
+    val mem = MemoryStream[EventStream.TypedEvent]
+    val q = EventStream.conversionLagTws(mem.toDS())
+      .writeStream.format("memory").queryName("tws_conv")
+      .outputMode("update").start()
+    try {
+      // arbitrary split: min-fold state must converge regardless
+      val (a, b) = typed.splitAt(typed.length / 3)
+      mem.addData(a.toSeq); q.processAllAvailable()
+      mem.addData(b.toSeq); q.processAllAvailable()
+      // the emitted mins are monotone: min() over all snapshots IS the
+      // final state, no reliance on sink row order
+      val streamed = spark.sql(
+        """SELECT user_id, min(min_purchase_us) - min(min_view_us) AS lag_us
+          |FROM tws_conv GROUP BY user_id
+          |HAVING min(min_view_us) < 9223372036854775807
+          |   AND min(min_purchase_us) > min(min_view_us)
+          |   AND min(min_purchase_us) < 9223372036854775807""".stripMargin)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val batch = graft.engine.ingest.Sources.events(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view",
+            expr("(ts_us div 1000) * 1000"))).as("v"),
+          min(when(col("event_type") === "purchase",
+            expr("(ts_us div 1000) * 1000"))).as("p"))
+        .filter(col("p") > col("v"))
+        .select(col("user_id"), (col("p") - col("v")).as("lag_us")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(streamed.nonEmpty && streamed.toSeq === batch.toSeq)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming funnel advances ordered steps across micro-batches") {
     import graft.engine.streaming.EventStream
     implicit val sqlCtx = spark.sqlContext
