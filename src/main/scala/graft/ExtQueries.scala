@@ -58,6 +58,8 @@ object ExtQueries {
     "ext_user_lifetime" -> ((s, dir) => Sessionize.userLifetime(s, dir)),
     "ext_conversion_lag" -> ((s, dir) => Sessionize.conversionLag(s, dir)),
     "ext_yoy_revenue" -> ((s, dir) => Relational.yoyRevenue(s, dir)),
+    "ext_type_unpivot" -> ((s, dir) => Sessionize.typeUnpivot(s, dir)),
+    "ext_integrity_audit" -> ((s, dir) => Relational.integrityAudit(s, dir)),
     "corpus_batch_drift" -> ((s, dir) => Corpus.batchDrift(s, dir)),
     "ext_hourly_rollup" -> ((s, dir) => Sessionize.hourlyRollup(s, dir)),
     "ext_sliding_rollup" -> ((s, dir) => Sessionize.slidingRollup(s, dir)),
@@ -658,6 +660,50 @@ object ExtQueries {
         |  min(gap)::BIGINT AS min_gap_us, max(gap)::BIGINT AS max_gap_us
         |FROM l WHERE gap IS NOT NULL
         |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
+    // Pivot -> unpivot round trip: equals the plain long-form census.
+    "ext_type_unpivot" ->
+      """SELECT user_id, event_type, count(*)::BIGINT AS n
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+
+    // One row per declared constraint; healthy tables report zeros.
+    "ext_integrity_audit" ->
+      """SELECT 'customer_negative_balance' AS check_name,
+        |  count(*)::BIGINT AS n_rows,
+        |  CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violations,
+        |  CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) * 1000000
+        |       // count(*) AS BIGINT) AS violation_ppm
+        |FROM customer
+        |UNION ALL
+        |SELECT 'lineitem_fk_orders', count(*)::BIGINT,
+        |  CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT),
+        |  CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |       * 1000000 // count(*) AS BIGINT)
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |UNION ALL
+        |SELECT 'lineitem_qty_domain', count(*)::BIGINT,
+        |  CAST(sum(CASE WHEN l_quantity <= 0 OR l_quantity > 50
+        |               THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN l_quantity <= 0 OR l_quantity > 50
+        |               THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orders_fk_customer', count(*)::BIGINT,
+        |  CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT),
+        |  CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |       * 1000000 // count(*) AS BIGINT)
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |UNION ALL
+        |SELECT 'orders_pk_unique', CAST(sum(n) AS BIGINT),
+        |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) * 1000000
+        |       // sum(n) AS BIGINT)
+        |FROM (SELECT o_orderkey, count(*)::BIGINT AS n
+        |      FROM orders GROUP BY 1)
+        |ORDER BY check_name""".stripMargin,
 
     // First-view -> first-later-purchase lag, log2 buckets.
     "ext_conversion_lag" ->

@@ -987,6 +987,64 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Data-quality CONSTRAINT census (the Deequ shape): one row per
+    * declared constraint with rows checked, violations and exact ppm —
+    * referential integrity via a single-pass left join + null-count
+    * (the FK key is unique on the build side, so no fanout and one
+    * aggregate per check, never a count()-then-count() double scan),
+    * uniqueness via the count-per-key fold, domain checks as pure
+    * projections. Healthy tables report zeros; the census proves it
+    * rather than assuming it. All checks are independent single jobs —
+    * on a cluster they run concurrently from one action via the union.
+    */
+  def integrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+
+    def finish(df: DataFrame, name: String): DataFrame =
+      df.select(lit(name).as("check_name"), col("n_rows"),
+        col("n_violations"),
+        expr("n_violations * 1000000 div n_rows").as("violation_ppm"))
+
+    val fkLineitem = finish(
+      li.select(col("l_orderkey"))
+        .join(orders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+            .as("n_violations")),
+      "lineitem_fk_orders")
+    val fkOrders = finish(
+      orders.select(col("o_custkey"))
+        .join(broadcast(customer.select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
+            .as("n_violations")),
+      "orders_fk_customer")
+    val pkOrders = finish(
+      orders.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).as("n_rows"),
+          sum(when(col("n") > 1L, col("n")).otherwise(0L))
+            .as("n_violations")),
+      "orders_pk_unique")
+    val qtyDomain = finish(
+      li.agg(count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity") <= 0.0 || col("l_quantity") > 50.0, 1L)
+          .otherwise(0L)).as("n_violations")),
+      "lineitem_qty_domain")
+    val negBal = finish(
+      customer.agg(count(lit(1)).as("n_rows"),
+        sum(when(col("c_acctbal") < 0.0, 1L).otherwise(0L))
+          .as("n_violations")),
+      "customer_negative_balance")
+
+    Seq(fkLineitem, fkOrders, pkOrders, qtyDomain, negBal)
+      .reduce(_.union(_))
+      .orderBy(col("check_name"))
+  }
+
   /** Year-over-year monthly revenue: calendar rollup + a self-join on
     * (year−1, month) — exact month alignment whether or not every month
     * is populated, unlike a lag(12) that silently slides across gaps.

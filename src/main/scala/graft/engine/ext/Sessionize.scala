@@ -219,6 +219,24 @@ object Sessionize {
         EventTypes.map(col).reduce(_ + _))
       .orderBy(col("user_id"))
 
+  /** UNPIVOT (melt) — the inverse of [[typePivot]]: the wide per-user
+    * census back to long (user_id, event_type, n) form, zero cells
+    * dropped on the way. Spark's native `unpivot` keeps this a single
+    * narrow projection (a Generate of |types| rows per input row — no
+    * shuffle at all beyond the pivot's own); the round trip
+    * pivot→unpivot equals the plain groupBy census, which is exactly
+    * what the oracle checks.
+    */
+  def typeUnpivot(spark: SparkSession, dir: String): DataFrame =
+    typeUnpivot(events(spark, dir))
+
+  def typeUnpivot(ev: DataFrame): DataFrame =
+    typePivot(ev)
+      .unpivot(Array(col("user_id")), EventTypes.map(col).toArray,
+        "event_type", "n")
+      .filter(col("n") > 0L)
+      .orderBy(col("user_id"), col("event_type"))
+
   /** EXACT discrete percentiles (lower median, p90) of the cent-quantized
     * value per event type — the oracle-able complement of
     * [[sketchRollup]]'s t-digest: rank = ceil(p·n) over a deterministic

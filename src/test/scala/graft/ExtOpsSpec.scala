@@ -157,6 +157,41 @@ class ExtOpsSpec extends SparkTestBase {
     assert(got.toSeq === Seq((1L, 2L, 3L, 2L, 1L), (2L, 1L, 2L, 3L, 3L)))
   }
 
+  test("typeUnpivot melts the pivot back to the long census, no cells lost") {
+    val t = 1_700_000_000_000_000L
+    val dir = eventsFixture(
+      (1L, t, 1L, "click"), (2L, t + 1, 1L, "click"), (3L, t + 2, 1L, "view"),
+      (4L, t, 2L, "error"))
+    val got = Sessionize.typeUnpivot(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n")))
+    assert(got.toSeq === Seq(
+      (1L, "click", 2L), (1L, "view", 1L), (2L, "error", 1L)))
+  }
+
+  test("integrityAudit reports per-constraint violation counts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ia").toString
+    Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 99L)) // dup pk 2; orphan cust 99
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, 5.0), (11L, -2.0)) // one negative balance
+      .toDF("c_custkey", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, 10.0), (4L, 60.0)) // orphan orderkey 4; qty 60 out of domain
+      .toDF("l_orderkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.engine.ext.Relational.integrityAudit(spark, dir).collect()
+      .map(r => (r.getAs[String]("check_name"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_violations"), r.getAs[Long]("violation_ppm")))
+    assert(got.toSeq === Seq(
+      ("customer_negative_balance", 2L, 1L, 500000L),
+      ("lineitem_fk_orders", 2L, 1L, 500000L),
+      ("lineitem_qty_domain", 2L, 1L, 500000L),
+      ("orders_fk_customer", 4L, 1L, 250000L),
+      ("orders_pk_unique", 4L, 2L, 500000L)))
+  }
+
   test("conversionLag buckets first-view to first-later-purchase time") {
     val t = 1_700_000_000_000_000L
     val dir = eventsFixture(
