@@ -60,6 +60,9 @@ object ExtQueries {
     "ext_yoy_revenue" -> ((s, dir) => Relational.yoyRevenue(s, dir)),
     "ext_type_unpivot" -> ((s, dir) => Sessionize.typeUnpivot(s, dir)),
     "ext_integrity_audit" -> ((s, dir) => Relational.integrityAudit(s, dir)),
+    "corpus_pack_stats" -> ((s, dir) => Corpus.packStats(s, dir)),
+    "ann_cell_balance" -> ((s, dir) => Similarity.cellBalance(s, dir)),
+    "ext_basket_pairs" -> ((s, dir) => Relational.basketPairs(s, dir)),
     "corpus_batch_drift" -> ((s, dir) => Corpus.batchDrift(s, dir)),
     "ext_hourly_rollup" -> ((s, dir) => Sessionize.hourlyRollup(s, dir)),
     "ext_sliding_rollup" -> ((s, dir) => Sessionize.slidingRollup(s, dir)),
@@ -304,6 +307,39 @@ object ExtQueries {
       |    CAST(floor(embedding[i]::DOUBLE * 1000) AS BIGINT) AS q
       |  FROM embeddings, range(1, 65) t(i)
       |)""".stripMargin
+
+  /** The ann_kmeans training replay (two Lloyd iterations, exact
+    * integer / floor-mean arithmetic, explicit tie-breaks), ending in
+    * `fin` = the final (vec_id, cell_id, dist) assignment — shared by
+    * ann_kmeans and the ann_cell_balance audit so both read the
+    * identical trained index.
+    */
+  private val kmeansFin = quantized +
+    """, c0 AS (
+      |  SELECT vec_id AS cell_id, i, q AS c FROM v WHERE vec_id < 16
+      |), d1 AS (
+      |  SELECT v.vec_id, c.cell_id,
+      |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS dist
+      |  FROM v JOIN c0 c ON v.i = c.i GROUP BY 1, 2
+      |), a1 AS (
+      |  SELECT vec_id, cell_id FROM (
+      |    SELECT vec_id, cell_id,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+      |    FROM d1) WHERE rn = 1
+      |), c1 AS (
+      |  SELECT a1.cell_id, v.i,
+      |    CAST(floor(sum(v.q)::DOUBLE / count(*)) AS BIGINT) AS c
+      |  FROM a1 JOIN v ON v.vec_id = a1.vec_id GROUP BY 1, 2
+      |), d2 AS (
+      |  SELECT v.vec_id, c.cell_id,
+      |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS dist
+      |  FROM v JOIN c1 c ON v.i = c.i GROUP BY 1, 2
+      |), fin AS (
+      |  SELECT vec_id, cell_id, dist FROM (
+      |    SELECT vec_id, cell_id, dist,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+      |    FROM d2) WHERE rn = 1)
+      |""".stripMargin
 
   /** SRP cosine-pair chain (shared by dedup_embed_pairs /
     * dedup_semantic_clusters): appended after [[quantized]], yields
@@ -660,6 +696,46 @@ object ExtQueries {
         |  min(gap)::BIGINT AS min_gap_us, max(gap)::BIGINT AS max_gap_us
         |FROM l WHERE gap IS NOT NULL
         |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
+    // Per-source pack-boundary straddles + tail fill, 2048-token budget.
+    "corpus_pack_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |                    x -> x != ''))::BIGINT AS n_tokens
+        |  FROM documents
+        |), s AS (
+        |  SELECT source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+        |  FROM t
+        |), g AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(n_tokens)::BIGINT AS total_tokens,
+        |    CAST(sum(CASE WHEN n_tokens > 0 AND
+        |        start // 2048 != (start + n_tokens - 1) // 2048
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+        |  FROM s GROUP BY 1
+        |)
+        |SELECT source, n_docs, total_tokens,
+        |  (total_tokens + 2047) // 2048 AS n_packs, n_split_docs,
+        |  n_split_docs * 1000000 // n_docs AS split_ppm,
+        |  CASE WHEN total_tokens % 2048 = 0 THEN 1000000
+        |       ELSE (total_tokens % 2048) * 1000000 // 2048
+        |  END AS tail_fill_ppm
+        |FROM g ORDER BY source""".stripMargin,
+
+    // Co-purchased part pairs, top-20 by distinct containing orders.
+    "ext_basket_pairs" ->
+      """WITH p AS (
+        |  SELECT a.l_orderkey AS ok, a.l_partkey AS part_a,
+        |    b.l_partkey AS part_b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |)
+        |SELECT part_a, part_b, count(DISTINCT ok)::BIGINT AS n_orders
+        |FROM p GROUP BY 1, 2
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
 
     // Pivot -> unpivot round trip: equals the plain long-form census.
     "ext_type_unpivot" ->
@@ -1365,32 +1441,17 @@ object ExtQueries {
 
     // ann_kmeans: two Lloyd iterations, all exact integer / floor-mean
     // arithmetic with explicit tie-breaks — DuckDB replays the training.
-    "ann_kmeans" -> (quantized +
-      """, c0 AS (
-        |  SELECT vec_id AS cell_id, i, q AS c FROM v WHERE vec_id < 16
-        |), d1 AS (
-        |  SELECT v.vec_id, c.cell_id,
-        |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS dist
-        |  FROM v JOIN c0 c ON v.i = c.i GROUP BY 1, 2
-        |), a1 AS (
-        |  SELECT vec_id, cell_id FROM (
-        |    SELECT vec_id, cell_id,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
-        |    FROM d1) WHERE rn = 1
-        |), c1 AS (
-        |  SELECT a1.cell_id, v.i,
-        |    CAST(floor(sum(v.q)::DOUBLE / count(*)) AS BIGINT) AS c
-        |  FROM a1 JOIN v ON v.vec_id = a1.vec_id GROUP BY 1, 2
-        |), d2 AS (
-        |  SELECT v.vec_id, c.cell_id,
-        |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS dist
-        |  FROM v JOIN c1 c ON v.i = c.i GROUP BY 1, 2
-        |)
-        |SELECT vec_id, cell_id, dist FROM (
-        |  SELECT vec_id, cell_id, dist,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
-        |  FROM d2) WHERE rn = 1
-        |ORDER BY vec_id""".stripMargin),
+    "ann_kmeans" -> (kmeansFin +
+      "SELECT vec_id, cell_id, dist FROM fin ORDER BY vec_id"),
+
+    // Cell-population / distortion audit over the SAME trained index.
+    "ann_cell_balance" -> (kmeansFin +
+      """SELECT cell_id, count(*)::BIGINT AS n_vectors,
+        |  CAST(count(*) * 1000000 // sum(count(*)) OVER () AS BIGINT)
+        |    AS share_ppm,
+        |  CAST(sum(dist) AS BIGINT) AS sum_dist,
+        |  max(dist)::BIGINT AS max_dist
+        |FROM fin GROUP BY 1 ORDER BY cell_id""".stripMargin),
 
     // ann_index_update: kmeans trains on the BASE slice only (seeds +
     // 4 of 5 remaining ids), the held-out batch assigns to the frozen

@@ -66,6 +66,38 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** PACKING-EFFICIENCY audit over [[packSequences]]'s stream-packing
+    * model: per source, how many documents straddle a pack boundary
+    * (the cross-document-attention / truncation concern when packs feed
+    * a trainer) and how full the tail pack is. Same single per-source
+    * window pass as the packer, folded straight into a |sources|-row
+    * rollup — the audit costs no more than the packing itself.
+    */
+  def packStats(spark: SparkSession, dir: String): DataFrame =
+    packStats(docs(spark, dir), PackBudget)
+
+  def packStats(documents: DataFrame, b: Long): DataFrame = {
+    val toks = size(TextAnalysis.wsTokens(col("text"))).cast("long")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"), toks.as("n_tokens"))
+      .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("n_tokens") > 0L &&
+            expr(s"start div $b") =!= expr(s"(start + n_tokens - 1) div $b"),
+          1L).otherwise(0L)).as("n_split_docs"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        expr(s"(total_tokens + $b - 1) div $b").as("n_packs"),
+        col("n_split_docs"),
+        expr("n_split_docs * 1000000 div n_docs").as("split_ppm"),
+        when(expr(s"total_tokens % $b") === 0L, 1000000L)
+          .otherwise(expr(s"(total_tokens % $b) * 1000000 div $b"))
+          .as("tail_fill_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** Rows kept per language class. */
   val StratifiedK = 20
 

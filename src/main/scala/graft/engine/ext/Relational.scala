@@ -987,6 +987,26 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** MARKET-BASKET pairs — parts co-purchased in the same order, top-20
+    * by the number of distinct orders containing both. The pair
+    * expansion is a self equi-join on l_orderkey (shuffle once, expand
+    * locally): with TPC-H's ~4 lines/order the blow-up is ≤ C(7,2) per
+    * order regardless of total volume — the bounded-blocking shape every
+    * dedup pair generator here uses. Top-k is orderBy+limit
+    * (TakeOrderedAndProject: per-partition heaps, no global sort).
+    */
+  def basketPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("part_a"))
+    val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("part_b"))
+    a.join(b, col("ok") === col("ok2") && col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(countDistinct(col("ok")).as("n_orders"))
+      .orderBy(desc("n_orders"), col("part_a"), col("part_b"))
+      .limit(k)
+  }
+
   /** Data-quality CONSTRAINT census (the Deequ shape): one row per
     * declared constraint with rows checked, violations and exact ppm —
     * referential integrity via a single-pass left join + null-count

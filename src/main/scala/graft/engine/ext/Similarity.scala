@@ -156,6 +156,33 @@ object Similarity {
       .select(col("vec_id"), col("cell_id"), col("dist"))
       .orderBy(col("vec_id"))
 
+  /** IVF index-health audit: per-cell population share and distortion
+    * (sum / max of the exact integer squared distance to the assigned
+    * centroid). A skewed share column means hot cells at probe time —
+    * the signal to retrain or raise nCells; rising distortion flags a
+    * drifted index. Derived from the SAME training loop the index
+    * queries use, so the audit sees exactly what the index serves.
+    * The share window runs over nCells rows (constant).
+    */
+  def cellBalance(spark: SparkSession, dir: String, nCells: Int = 16,
+                  iters: Int = 2): DataFrame =
+    cellBalance(vectors(spark, dir), nCells, iters)
+
+  def cellBalance(vs: DataFrame, nCells: Int, iters: Int): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+    kmeansLoop(vs, nCells, iters)._1
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("dist")).as("sum_dist"), max(col("dist")).as("max_dist"))
+      .withColumn("total", sum(col("n_vectors")).over(all))
+      .select(col("cell_id"), col("n_vectors"),
+        expr("n_vectors * 1000000 div total").as("share_ppm"),
+        col("sum_dist"), col("max_dist"))
+      .orderBy(col("cell_id"))
+  }
+
   /** The training loop: returns (final assignment incl. the quantized
     * vector, the centroids that produced it) — the pieces
     * [[ivfTrainedTopK]] composes into a probed search.

@@ -43,6 +43,22 @@ class CorpusSpec extends SparkTestBase {
       ("zh", 1L, 0L, 8L, 8000000L, 1000000L)))
   }
 
+  test("packStats counts boundary straddles and tail fill per source") {
+    import spark.implicits._
+    // 6-token docs, budget 10: starts 0,6,12 -> doc 2 straddles the
+    // pack-0/1 boundary; doc 3 sits inside pack 1; tail = 18 % 10
+    val six = "t1 t2 t3 t4 t5 t6"
+    val d = Seq((1L, six, "en", "a"), (2L, six, "en", "a"), (3L, six, "en", "a"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = Corpus.packStats(d, b = 10L).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("total_tokens"), r.getAs[Long]("n_packs"),
+        r.getAs[Long]("n_split_docs"), r.getAs[Long]("split_ppm"),
+        r.getAs[Long]("tail_fill_ppm")))
+    assert(got.toSeq === Seq(("a", 3L, 18L, 2L, 1L, 333333L, 800000L)))
+  }
+
   test("batchDrift buckets arrival order per source and scores each batch") {
     import spark.implicits._
     val good = "one two three four five."   // 5 tokens, terminal → keep

@@ -157,6 +157,22 @@ class ExtOpsSpec extends SparkTestBase {
     assert(got.toSeq === Seq((1L, 2L, 3L, 2L, 1L), (2L, 1L, 2L, 3L, 3L)))
   }
 
+  test("basketPairs counts distinct containing orders, not line pairs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bp").toString
+    Seq((1L, 5L), (1L, 7L), (1L, 5L),  // order 1: parts {5,5,7} -> (5,7)x2 lines
+        (2L, 5L), (2L, 7L),            // order 2: (5,7)
+        (3L, 5L), (3L, 9L))            // order 3: (5,9)
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.engine.ext.Relational.basketPairs(spark, dir, k = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+        r.getAs[Long]("n_orders")))
+    // (5,7) appears in 2 orders (3 line pairs — distinct-order count wins)
+    assert(got.toSeq === Seq((5L, 7L, 2L), (5L, 9L, 1L)))
+  }
+
   test("typeUnpivot melts the pivot back to the long census, no cells lost") {
     val t = 1_700_000_000_000_000L
     val dir = eventsFixture(
