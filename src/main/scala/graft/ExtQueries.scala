@@ -63,6 +63,9 @@ object ExtQueries {
     "corpus_pack_stats" -> ((s, dir) => Corpus.packStats(s, dir)),
     "ann_cell_balance" -> ((s, dir) => Similarity.cellBalance(s, dir)),
     "ext_basket_pairs" -> ((s, dir) => Relational.basketPairs(s, dir)),
+    "text_surprisal_mix" -> ((s, dir) => TextAnalysis.surprisalMix(s, dir)),
+    "dedup_threshold_hist" -> ((s, dir) => Dedup.thresholdHist(s, dir)),
+    "ext_fulfillment_lag" -> ((s, dir) => Relational.fulfillmentLag(s, dir)),
     "corpus_batch_drift" -> ((s, dir) => Corpus.batchDrift(s, dir)),
     "ext_hourly_rollup" -> ((s, dir) => Sessionize.hourlyRollup(s, dir)),
     "ext_sliding_rollup" -> ((s, dir) => Sessionize.slidingRollup(s, dir)),
@@ -1131,6 +1134,35 @@ object ExtQueries {
         |WHERE shared_rare * 1000000 // (sa.n_sh + sb.n_sh - shared_rare) >= 100000
         |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // Blocked-candidate Jaccard decile histogram (threshold 0).
+    "dedup_threshold_hist" -> (shingles3 +
+      """, ex AS (
+        |  SELECT doc_id, unnest(sh) AS shingle FROM sh
+        |), sizes AS (
+        |  SELECT doc_id, len(sh) AS n_sh FROM sh
+        |), rare AS (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle,
+        |      count(*) OVER (PARTITION BY shingle) AS df
+        |    FROM ex) WHERE df <= 100
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_rare
+        |  FROM rare a JOIN rare b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), jp AS (
+        |  SELECT shared_rare * 1000000
+        |      // (sa.n_sh + sb.n_sh - shared_rare) AS jaccard_ppm
+        |  FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |)
+        |SELECT CAST(jaccard_ppm // 100000 AS BIGINT) AS bucket,
+        |  count(*)::BIGINT AS n_pairs,
+        |  min(jaccard_ppm)::BIGINT AS min_ppm,
+        |  max(jaccard_ppm)::BIGINT AS max_ppm
+        |FROM jp GROUP BY 1 ORDER BY bucket""".stripMargin),
+
     "dedup_simhash" -> (simhashSig +
       """SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin),
 
@@ -1929,6 +1961,55 @@ object ExtQueries {
         |SELECT doc_id, count(*)::BIGINT AS n_words, sum(wgt)::BIGINT AS surprisal,
         |  (sum(wgt) // count(*))::BIGINT AS surprisal_per_word
         |FROM w2 GROUP BY 1 ORDER BY doc_id""".stripMargin),
+
+    // Surprisal x source mix: per-doc pipeline + source join + rollup.
+    "text_surprisal_mix" -> (toks +
+      """, ws AS (
+        |  SELECT doc_id, unnest(t) AS word FROM toks
+        |), c AS (
+        |  SELECT word, count(*)::BIGINT AS cnt FROM ws GROUP BY 1
+        |), w2 AS (
+        |  SELECT ws.doc_id,
+        |    (1000000 * (SELECT sum(cnt) FROM c) // c.cnt)::BIGINT AS wgt
+        |  FROM ws JOIN c USING (word)
+        |), d AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_words,
+        |    (sum(wgt) // count(*))::BIGINT AS spw
+        |  FROM w2 GROUP BY 1
+        |)
+        |SELECT doc.source, length(bin(d.spw))::BIGINT AS bucket,
+        |  count(*)::BIGINT AS n_docs, sum(d.n_words)::BIGINT AS n_words
+        |FROM d JOIN documents doc USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin),
+
+    // Order-to-ship day lag percentiles off the count-of-counts census.
+    "ext_fulfillment_lag" ->
+      """WITH f AS (
+        |  SELECT o_orderpriority,
+        |    datediff('day', o_orderdate::DATE, l_shipdate::DATE)::BIGINT
+        |      AS lag_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), q AS (
+        |  SELECT o_orderpriority, lag_days, count(*)::BIGINT AS cnt
+        |  FROM f GROUP BY 1, 2
+        |), w AS (
+        |  SELECT o_orderpriority, lag_days, cnt,
+        |    sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY lag_days
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY o_orderpriority) AS n_lines,
+        |    min(lag_days) OVER (PARTITION BY o_orderpriority) AS min_lag,
+        |    max(lag_days) OVER (PARTITION BY o_orderpriority) AS max_lag
+        |  FROM q
+        |)
+        |SELECT o_orderpriority, CAST(n_lines AS BIGINT) AS n_lines,
+        |  min_lag,
+        |  min(CASE WHEN cum >= (n_lines + 1) // 2 THEN lag_days END)::BIGINT
+        |    AS p50_lag,
+        |  min(CASE WHEN cum >= (n_lines * 99 + 99) // 100 THEN lag_days
+        |      END)::BIGINT AS p99_lag,
+        |  max_lag
+        |FROM w GROUP BY o_orderpriority, n_lines, min_lag, max_lag
+        |ORDER BY o_orderpriority""".stripMargin,
 
     // Conditional bigram surprisal: inverse conditional-probability
     // mass floor(1e6 · cnt(w1·) / cnt(w1 w2)) per bigram occurrence;

@@ -219,6 +219,27 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** THRESHOLD-SENSITIVITY histogram for near-dup dedup: the blocked
+    * candidate pairs (threshold 0, same df-capped blocking) bucketed by
+    * Jaccard decile. Reading this table is how a curator picks the
+    * dedup threshold — a cliff between buckets means a robust cutoff, a
+    * flat tail means the threshold is arbitrary and containment/SimHash
+    * evidence should decide instead. Costs one run of the pair pipeline
+    * (identical shape to [[ngramJaccardPairs]], no threshold filter)
+    * plus a census-sized rollup.
+    */
+  def thresholdHist(spark: SparkSession, dir: String): DataFrame =
+    thresholdHist(documents(spark, dir))
+
+  def thresholdHist(docs: DataFrame): DataFrame =
+    ngramJaccardPairs(docs, 3, 100, 0L)
+      .withColumn("bucket", expr("jaccard_ppm div 100000"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("jaccard_ppm")).as("min_ppm"),
+        max(col("jaccard_ppm")).as("max_ppm"))
+      .orderBy(col("bucket"))
+
   /** Per-source duplication-rate rollup: the audit table a curation run
     * publishes after dedup — how much of each ingest source is redundant.
     *

@@ -987,6 +987,47 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** FULFILLMENT-LAG census: order-to-ship day difference per order
+    * priority with exact min/p50/p99/max — the operational-latency
+    * rollup. Percentiles ride the count-of-counts pattern ([[keySkew]]):
+    * the day-difference census folds to (priority, lag_days) rows — at
+    * most a few thousand per priority at ANY volume — and every window
+    * below is partitioned by priority over that census, never over the
+    * fact table. One fact-fact shuffle join + one census shuffle total.
+    * (On this synthetic data ship and order dates are independent, so
+    * negative lags appear — which is exactly what the census is for.)
+    */
+  def fulfillmentLag(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_shipdate").cast("date").as("ship"))
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("ordd"),
+        col("o_orderpriority"))
+    val freq = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("ship"), col("ordd")).cast("long").as("lag_days"))
+      .groupBy(col("o_orderpriority"), col("lag_days"))
+      .agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy(col("o_orderpriority")).orderBy(col("lag_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wp = Window.partitionBy(col("o_orderpriority"))
+    freq
+      .withColumn("cum", sum(col("cnt")).over(wc))
+      .withColumn("n_lines", sum(col("cnt")).over(wp))
+      .withColumn("min_lag", min(col("lag_days")).over(wp))
+      .withColumn("max_lag", max(col("lag_days")).over(wp))
+      .groupBy(col("o_orderpriority"), col("n_lines"), col("min_lag"),
+        col("max_lag"))
+      .agg(
+        min(when(col("cum") >= expr("(n_lines + 1) div 2"), col("lag_days")))
+          .as("p50_lag"),
+        min(when(col("cum") >= expr("(n_lines * 99 + 99) div 100"),
+          col("lag_days"))).as("p99_lag"))
+      .select(col("o_orderpriority"), col("n_lines"), col("min_lag"),
+        col("p50_lag"), col("p99_lag"), col("max_lag"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** MARKET-BASKET pairs — parts co-purchased in the same order, top-20
     * by the number of distinct orders containing both. The pair
     * expansion is a self equi-join on l_orderkey (shuffle once, expand

@@ -261,6 +261,25 @@ object TextAnalysis {
           .as("surprisal_per_word"))
   }
 
+  /** Surprisal × source MIX matrix — the perplexity-binned mixing
+    * diagnostic: per (source, log2 bucket of per-word surprisal), doc
+    * and token mass. This is the table a data-mixing run reads to see
+    * which sources contribute the low-surprisal (boilerplate-like) vs
+    * high-surprisal (rare-vocabulary) mass before weighting them.
+    * Rides the [[surprisal]] pipeline unchanged plus one broadcast-able
+    * doc→source join and a census-sized rollup.
+    */
+  def surprisalMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    surprisal(d)
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("bucket",
+        length(bin(col("surprisal_per_word"))).cast("long"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
   /** Conditional bigram surprisal — the 2-gram upgrade of [[surprisal]]
     * and the closest integer-exact stand-in for LM perplexity scoring
     * without a model: each bigram occurrence contributes the inverse

@@ -55,6 +55,25 @@ class DedupSpec extends SparkTestBase {
       .toSeq === Seq(1L -> 3L, 4L -> 1L))
   }
 
+  test("thresholdHist buckets blocked pairs by Jaccard decile") {
+    val dir = java.nio.file.Files.createTempDirectory("th").toString
+    Seq(
+      (1L, "a b c d e f", "en", "s", 11L),
+      (2L, "a b c d e f", "en", "s", 11L),   // jaccard 1e6 -> bucket 10
+      (3L, "a b c x y z", "en", "s", 11L),   // shares "a b c" with 1,2
+      (4L, "unrelated words only here", "en", "s", 25L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.thresholdHist(spark, dir).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("min_ppm"), r.getAs[Long]("max_ppm")))
+    // (1,3) and (2,3): 1 shared of 7 distinct -> 142857 ppm, bucket 1;
+    // (1,2): identical -> bucket 10
+    assert(got.toSeq === Seq(
+      (1L, 2L, 142857L, 142857L),
+      (10L, 1L, 1000000L, 1000000L)))
+  }
+
   test("ngram Jaccard pairs: near-dup found, jaccard in [0, 1e6], symmetric blocking") {
     val dir = java.nio.file.Files.createTempDirectory("docs2").toString
     val base = "alpha beta gamma delta epsilon zeta eta theta"

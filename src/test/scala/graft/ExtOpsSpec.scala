@@ -157,6 +157,29 @@ class ExtOpsSpec extends SparkTestBase {
     assert(got.toSeq === Seq((1L, 2L, 3L, 2L, 1L), (2L, 1L, 2L, 3L, 3L)))
   }
 
+  test("fulfillmentLag: exact ceil-rank percentiles incl. negative lags") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fl").toString
+    // one priority, lags: -2, 1, 1, 3 -> p50 = ceil(4/2)=2nd = 1,
+    // p99 = ceil(396/100)=4th = 3
+    Seq((1L, "1995-01-03"), (2L, "1995-01-02"), (3L, "1995-01-02"),
+        (4L, "1995-01-04"))
+      .toDF("l_orderkey", "d")
+      .select(col("l_orderkey"), col("d").cast("timestamp_ntz").as("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "1995-01-05", "1-URGENT"), (2L, "1995-01-01", "1-URGENT"),
+        (3L, "1995-01-01", "1-URGENT"), (4L, "1995-01-01", "1-URGENT"))
+      .toDF("o_orderkey", "d", "o_orderpriority")
+      .select(col("o_orderkey"), col("d").cast("timestamp_ntz").as("o_orderdate"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.engine.ext.Relational.fulfillmentLag(spark, dir).collect()
+      .map(r => (r.getAs[String]("o_orderpriority"), r.getAs[Long]("n_lines"),
+        r.getAs[Long]("min_lag"), r.getAs[Long]("p50_lag"),
+        r.getAs[Long]("p99_lag"), r.getAs[Long]("max_lag")))
+    assert(got.toSeq === Seq(("1-URGENT", 4L, -2L, 1L, 3L, 3L)))
+  }
+
   test("basketPairs counts distinct containing orders, not line pairs") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bp").toString
