@@ -329,13 +329,14 @@ class PlanSpec extends SparkTestBase {
     // total (corpus gram count / per-key-count census totals) — the
     // same canonical scalar-subquery plan as text_surprisal.
     // ann_cell_balance audits the kmeans index, inheriting its
-    // conditionless centroid fan-out.
+    // conditionless centroid fan-out; text_surprisal_mix rolls up the
+    // text_surprisal pipeline and inherits its 1-row total broadcast.
     val exempt = Set("ann_bruteforce", "ann_label_centroids", "ann_ivf",
       "ann_kmeans", "ann_ivf_trained", "text_surprisal", "ann_srp_recall",
       "ann_pq_recall", "corpus_cell_quality", "ann_ivfpq_search",
       "ann_ivfpq_recall", "ann_hybrid_rrf", "ext_q11_important_parts",
       "ann_index_update", "text_distinctive_ngrams", "ext_key_skew",
-      "ann_cell_balance")
+      "ann_cell_balance", "text_surprisal_mix")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
