@@ -66,6 +66,9 @@ object ExtQueries {
     "text_surprisal_mix" -> ((s, dir) => TextAnalysis.surprisalMix(s, dir)),
     "dedup_threshold_hist" -> ((s, dir) => Dedup.thresholdHist(s, dir)),
     "ext_fulfillment_lag" -> ((s, dir) => Relational.fulfillmentLag(s, dir)),
+    "text_lang_confusion" -> ((s, dir) => TextAnalysis.langConfusion(s, dir)),
+    "text_readability" -> ((s, dir) => TextAnalysis.readability(s, dir)),
+    "ext_weekday_revenue" -> ((s, dir) => Relational.weekdayRevenue(s, dir)),
     "corpus_batch_drift" -> ((s, dir) => Corpus.batchDrift(s, dir)),
     "ext_hourly_rollup" -> ((s, dir) => Sessionize.hourlyRollup(s, dir)),
     "ext_sliding_rollup" -> ((s, dir) => Sessionize.slidingRollup(s, dir)),
@@ -972,6 +975,62 @@ object ExtQueries {
         |    THEN 'fr'
         |    ELSE 'unknown' END AS lang_pred
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Confusion matrix over the langid oracle's prediction rule.
+    "text_lang_confusion" ->
+      """WITH p AS (
+        |  SELECT lang AS lang_true,
+        |    CASE WHEN len(regexp_extract_all(text, '\p{Han}')) > 0 THEN 'zh'
+        |      WHEN len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|a|for|with|on)\b')) >=
+        |           len(regexp_extract_all(text, '(?i)\b(el|la|de|que|y|en|un|por|con|para)\b'))
+        |       AND len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|a|for|with|on)\b')) >=
+        |           len(regexp_extract_all(text, '(?i)\b(le|la|de|et|un|pour|que|dans|sur|avec)\b'))
+        |       AND len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|a|for|with|on)\b')) > 0
+        |      THEN 'en'
+        |      WHEN len(regexp_extract_all(text, '(?i)\b(el|la|de|que|y|en|un|por|con|para)\b')) >=
+        |           len(regexp_extract_all(text, '(?i)\b(le|la|de|et|un|pour|que|dans|sur|avec)\b'))
+        |       AND len(regexp_extract_all(text, '(?i)\b(el|la|de|que|y|en|un|por|con|para)\b')) > 0
+        |      THEN 'es'
+        |      WHEN len(regexp_extract_all(text, '(?i)\b(le|la|de|et|un|pour|que|dans|sur|avec)\b')) > 0
+        |      THEN 'fr'
+        |      ELSE 'unknown' END AS lang_pred
+        |  FROM documents
+        |), c AS (
+        |  SELECT lang_true, lang_pred, count(*)::BIGINT AS n_docs
+        |  FROM p GROUP BY 1, 2
+        |)
+        |SELECT lang_true, lang_pred, n_docs,
+        |  CAST(n_docs * 1000000 //
+        |    sum(n_docs) OVER (PARTITION BY lang_true) AS BIGINT) AS share_ppm
+        |FROM c ORDER BY lang_true, lang_pred""".stripMargin,
+
+    // Corpus-level ratio-of-sums readability components per source.
+    "text_readability" ->
+      """WITH a AS (
+        |  SELECT source,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |                    x -> x != ''))::BIGINT AS n_words,
+        |    len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS n_sentences,
+        |    length(regexp_replace(text, '\s', '', 'g'))::BIGINT
+        |      AS n_word_chars
+        |  FROM documents
+        |)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(n_words)::BIGINT AS n_words,
+        |  sum(n_sentences)::BIGINT AS n_sentences,
+        |  CAST(sum(n_words) * 1000 // greatest(sum(n_sentences), 1)
+        |       AS BIGINT) AS wps_milli,
+        |  CAST(sum(n_word_chars) * 1000 // greatest(sum(n_words), 1)
+        |       AS BIGINT) AS cpw_milli
+        |FROM a GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // ISO day-of-week seasonality, integer cents.
+    "ext_weekday_revenue" ->
+      """SELECT isodow(o_orderdate)::BIGINT AS dow_iso,
+        |  count(*)::BIGINT AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |       AS BIGINT) AS revenue_c
+        |FROM orders GROUP BY 1 ORDER BY dow_iso""".stripMargin,
 
     "text_quality_rollup" ->
       """WITH a AS (

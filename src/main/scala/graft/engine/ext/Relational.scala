@@ -987,6 +987,19 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Weekday SEASONALITY: order count and integer-cent revenue per ISO
+    * day-of-week (1=Mon..7=Sun). Spark's `weekday` is 0=Monday, so
+    * `weekday+1` aligns with DuckDB's `isodow` exactly — no locale or
+    * week-start ambiguity. One scan, 7-row output.
+    */
+  def weekdayRevenue(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+      .select((weekday(col("o_orderdate")) + 1).cast("long").as("dow_iso"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("dow_iso"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("revenue_c"))
+      .orderBy(col("dow_iso"))
+
   /** FULFILLMENT-LAG census: order-to-ship day difference per order
     * priority with exact min/p50/p99/max — the operational-latency
     * rollup. Percentiles ride the count-of-counts pattern ([[keySkew]]):

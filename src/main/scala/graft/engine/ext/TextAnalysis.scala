@@ -82,6 +82,56 @@ object TextAnalysis {
         .otherwise("unknown").as("lang_pred"))
   }
 
+  /** Language-ID CONFUSION matrix — [[langId]]'s predictions against the
+    * declared label, with per-true-language share in exact ppm: the
+    * quality scorecard of the classifier itself (which cells leak, which
+    * languages fall to `unknown`). The share window partitions by
+    * lang_true over the |langs|·|preds| census — constant-size.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    langConfusion(spark.read.parquet(s"$dir/documents.parquet"))
+
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang_true"))
+    langId(docs)
+      .groupBy(col("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("true_total", sum(col("n_docs")).over(wt))
+      .select(col("lang_true"), col("lang_pred"), col("n_docs"),
+        expr("n_docs * 1000000 div true_total").as("share_ppm"))
+      .orderBy(col("lang_true"), col("lang_pred"))
+  }
+
+  /** READABILITY census per source: corpus-level words-per-sentence and
+    * chars-per-word in exact milli units — the two cheapest readability
+    * inputs (Flesch-style formulas are affine in exactly these ratios).
+    * Components sum per source first (one map-side-combined shuffle),
+    * the ratios divide once at the end — integer-exact, and the ratio
+    * of sums is the corpus-level estimator (robust to doc-length mix,
+    * unlike a mean of per-doc ratios).
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    readability(spark.read.parquet(s"$dir/documents.parquet"))
+
+  def readability(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        size(wsTokens(col("text"))).cast("long").as("n_words"),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+          .cast("long").as("n_sentences"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("long")
+          .as("n_word_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+        sum(col("n_sentences")).as("n_sentences"),
+        sum(col("n_word_chars")).as("n_word_chars"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_sentences"),
+        expr("n_words * 1000 div greatest(n_sentences, 1)").as("wps_milli"),
+        expr("n_word_chars * 1000 div greatest(n_words, 1)").as("cpw_milli"))
+      .orderBy(col("source"))
+
   /** Rolling-window document fingerprint (winnowing-style): hash every
     * 16-char window of the text (the set a Karp-Rabin rolling hash would
     * produce incrementally — same values, expressed declaratively), then

@@ -106,6 +106,39 @@ class TextSignalsSpec extends SparkTestBase {
       ("en", 2L, "b c a", 2L))) // beats "c a b" on the gram tiebreak
   }
 
+  test("readability: ratio-of-sums milli components per source") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "One two three. Four five!", "en", "a"), // 5 words, 2 sentences
+      (2L, "Six seven.", "en", "a"))                // 2 words, 1 sentence
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = TextAnalysis.readability(d).collect().head
+    assert(r.getAs[Long]("n_docs") === 2L)
+    assert(r.getAs[Long]("n_words") === 7L)
+    assert(r.getAs[Long]("n_sentences") === 3L)
+    assert(r.getAs[Long]("wps_milli") === 2333L) // 7000/3
+    // word chars: "Onetwothree.Fourfive!" 21 + "Sixseven." 9 = 30
+    assert(r.getAs[Long]("cpw_milli") === 4285L) // 30000/7
+  }
+
+  test("langConfusion: per-true-language shares sum to ~1e6") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat and the dog", "en", "a"),   // en predicted
+      (2L, "el perro y la casa", "en", "a"),    // es predicted, true en
+      (3L, "xyzzy qwerty", "fr", "a"))          // unknown, true fr
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = TextAnalysis.langConfusion(d).collect()
+      .map(r => (r.getAs[String]("lang_true"), r.getAs[String]("lang_pred"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("share_ppm")))
+    assert(got.toSeq === Seq(
+      ("en", "en", 1L, 500000L),
+      ("en", "es", 1L, 500000L),
+      ("fr", "unknown", 1L, 1000000L)))
+  }
+
   test("freqSpectrum folds token counts onto log2 buckets per lang") {
     val d = docs(1L -> "a a a b b c")
     // a×3 (bucket 2), b×2 (bucket 2), c×1 (bucket 1)
