@@ -69,6 +69,9 @@ object ExtQueries {
     "text_lang_confusion" -> ((s, dir) => TextAnalysis.langConfusion(s, dir)),
     "text_readability" -> ((s, dir) => TextAnalysis.readability(s, dir)),
     "ext_weekday_revenue" -> ((s, dir) => Relational.weekdayRevenue(s, dir)),
+    "corpus_shards" -> ((s, dir) => Corpus.shardBalance(s, dir)),
+    "ext_hourly_spikes" -> ((s, dir) => Sessionize.hourlySpikes(s, dir)),
+    "dedup_winnow_clusters" -> ((s, dir) => Dedup.winnowClusters(s, dir)),
     "corpus_batch_drift" -> ((s, dir) => Corpus.batchDrift(s, dir)),
     "ext_hourly_rollup" -> ((s, dir) => Sessionize.hourlyRollup(s, dir)),
     "ext_sliding_rollup" -> ((s, dir) => Sessionize.slidingRollup(s, dir)),
@@ -1056,6 +1059,74 @@ object ExtQueries {
         |    i -> ('0x' || substring(md5(substring(text, i::INT, 16)), 1, 15))::BIGINT)))
         |    AS n_distinct_windows
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Winnow-fingerprint candidate clusters (multi-doc groups only).
+    "dedup_winnow_clusters" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(range(1, greatest(length(text) - 15, 1) + 1),
+        |      i -> ('0x' || substring(md5(substring(text, i::INT, 16)), 1, 15))::BIGINT))
+        |      AS fingerprint_h
+        |  FROM documents
+        |)
+        |SELECT min(doc_id)::BIGINT AS canonical_doc_id, fingerprint_h,
+        |  count(*)::BIGINT AS n_docs
+        |FROM f GROUP BY fingerprint_h HAVING count(*) >= 2
+        |ORDER BY canonical_doc_id""".stripMargin,
+
+    // Content-hash shard balance, exact ppm shares over 32 shards.
+    "corpus_shards" ->
+      """WITH a AS (
+        |  SELECT try_cast('0x' || substring(sha256(text), 1, 8) AS BIGINT)
+        |      % 32 AS shard,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |                    x -> x != ''))::BIGINT AS n_tokens,
+        |    n_chars
+        |  FROM documents
+        |), g AS (
+        |  SELECT shard, count(*)::BIGINT AS n_docs,
+        |    sum(n_tokens)::BIGINT AS n_tokens,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |  FROM a GROUP BY 1
+        |)
+        |SELECT shard, n_docs, n_tokens, n_chars,
+        |  CAST(n_docs * 1000000 // sum(n_docs) OVER () AS BIGINT)
+        |    AS share_ppm
+        |FROM g ORDER BY shard""".stripMargin,
+
+    // Median/MAD spike census over the per-(type, hour) count series.
+    "ext_hourly_spikes" ->
+      """WITH c AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cnt, h) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM c
+        |), m AS (
+        |  SELECT *, max(CASE WHEN rn = (n + 1) // 2 THEN cnt END)
+        |      OVER (PARTITION BY event_type) AS median_cnt
+        |  FROM r
+        |), d AS (
+        |  SELECT *, abs(cnt - median_cnt) AS dev FROM m
+        |), d2 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY dev, h) AS rn2
+        |  FROM d
+        |), md AS (
+        |  SELECT *, max(CASE WHEN rn2 = (n + 1) // 2 THEN dev END)
+        |      OVER (PARTITION BY event_type) AS mad_cnt
+        |  FROM d2
+        |)
+        |SELECT event_type, max(n)::BIGINT AS n_hours,
+        |  max(median_cnt)::BIGINT AS median_cnt,
+        |  max(mad_cnt)::BIGINT AS mad_cnt,
+        |  CAST(sum(CASE WHEN cnt > median_cnt + mad_cnt * 3
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS n_spike_hours,
+        |  max(cnt)::BIGINT AS max_cnt
+        |FROM md GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "corpus_split" ->
       """SELECT doc_id, lang, source, bucket,

@@ -98,6 +98,34 @@ object Corpus {
       .orderBy(col("source"))
   }
 
+  /** SHARD-BALANCE audit for content-hash sharding: assign every doc to
+    * `hash(text) mod nShards` — the stable-under-reingest layout a
+    * training run writes — and report each shard's doc/token/char mass
+    * with exact ppm share. Hash sharding is only as good as its balance;
+    * this is the table that proves it (or catches a pathological
+    * corpus). One map-side-combined shuffle to nShards rows; the share
+    * window runs over those nShards rows only.
+    */
+  def shardBalance(spark: SparkSession, dir: String,
+                   nShards: Int = 32): DataFrame =
+    shardBalance(docs(spark, dir), nShards)
+
+  def shardBalance(documents: DataFrame, nShards: Int): DataFrame = {
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    documents
+      .select((hashBucket(col("text")) % nShards).as("shard"),
+        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tokens"),
+        col("n_chars"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .withColumn("total_docs", sum(col("n_docs")).over(all))
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        expr("n_docs * 1000000 div total_docs").as("share_ppm"))
+      .orderBy(col("shard"))
+  }
+
   /** Rows kept per language class. */
   val StratifiedK = 20
 

@@ -240,6 +240,22 @@ object Dedup {
         max(col("jaccard_ppm")).as("max_ppm"))
       .orderBy(col("bucket"))
 
+  /** Winnow-fingerprint candidate CLUSTERS: documents sharing the
+    * min-window-hash fingerprint ([[TextAnalysis.winnowFingerprint]]) —
+    * a third dedup signal alongside shingle-Jaccard and SimHash, cheap
+    * enough to run per-ingest (one projection + one groupBy on an
+    * 8-byte key). Fingerprint collisions are CANDIDATES, not verdicts:
+    * the cluster feeds the pairwise verifiers, which is why only the
+    * multi-doc groups are emitted.
+    */
+  def winnowClusters(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowFingerprint(documents(spark, dir))
+      .groupBy(col("fingerprint_h"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc_id"))
+      .filter(col("n_docs") >= 2)
+      .select(col("canonical_doc_id"), col("fingerprint_h"), col("n_docs"))
+      .orderBy(col("canonical_doc_id"))
+
   /** Per-source duplication-rate rollup: the audit table a curation run
     * publishes after dedup — how much of each ingest source is redundant.
     *

@@ -453,6 +453,46 @@ object Sessionize {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** Hourly volume SPIKE census — [[madOutliers]]'s median/MAD machinery
+    * applied to the per-(type, hour) event-count series: hours whose
+    * count exceeds median + 3·MAD are rate anomalies (incident spikes,
+    * retry storms, bot bursts). All windows run over the hourly census
+    * (|types|·|hours| rows), never the raw events — the fact table is
+    * touched exactly once, by the counting groupBy.
+    */
+  def hourlySpikes(spark: SparkSession, dir: String): DataFrame =
+    hourlySpikes(events(spark, dir))
+
+  def hourlySpikes(ev: DataFrame): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    val counts = ev
+      .select(col("event_type"), expr(s"ts_us div ${hourUs}L").as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val wu = Window.partitionBy(col("event_type"))
+    val ws = Window.partitionBy(col("event_type"))
+      .orderBy(col("cnt"), col("h"))
+    val wd = Window.partitionBy(col("event_type"))
+      .orderBy(col("dev"), col("h"))
+    counts
+      .withColumn("rn", row_number().over(ws).cast("long"))
+      .withColumn("n", count(lit(1)).over(wu))
+      .withColumn("median_cnt",
+        max(when(col("rn") === expr("(n + 1) div 2"), col("cnt"))).over(wu))
+      .withColumn("dev", abs(col("cnt") - col("median_cnt")))
+      .withColumn("rn2", row_number().over(wd).cast("long"))
+      .withColumn("mad_cnt",
+        max(when(col("rn2") === expr("(n + 1) div 2"), col("dev"))).over(wu))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_hours"),
+        max(col("median_cnt")).as("median_cnt"),
+        max(col("mad_cnt")).as("mad_cnt"),
+        sum(when(col("cnt") > col("median_cnt") + col("mad_cnt") * 3, 1L)
+          .otherwise(0L)).as("n_spike_hours"),
+        max(col("cnt")).as("max_cnt"))
+      .orderBy(col("event_type"))
+  }
+
   /** CONVERSION-LAG histogram — time from a user's first `view` to their
     * first later `purchase`, log2-bucketed (same integer bin-length log
     * as [[gapHistogram]]). The funnel-latency census behind "how long

@@ -157,6 +157,21 @@ class ExtOpsSpec extends SparkTestBase {
     assert(got.toSeq === Seq((1L, 2L, 3L, 2L, 1L), (2L, 1L, 2L, 3L, 3L)))
   }
 
+  test("hourlySpikes flags hours beyond median + 3*MAD of the count series") {
+    val h = 3_600_000_000L
+    val t = 1_700_000_000_000_000L
+    // click hours: counts 1,1,1,10 -> median 1, MAD 0, one spike hour
+    val rows = Seq(
+      (1L, t, 1L, "click"), (2L, t + h, 1L, "click"), (3L, t + 2 * h, 1L, "click")) ++
+      (0 until 10).map(i => (10L + i, t + 3 * h + i, 1L, "click"))
+    val dir = eventsFixture(rows: _*)
+    val got = Sessionize.hourlySpikes(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_hours"),
+        r.getAs[Long]("median_cnt"), r.getAs[Long]("mad_cnt"),
+        r.getAs[Long]("n_spike_hours"), r.getAs[Long]("max_cnt")))
+    assert(got.toSeq === Seq(("click", 4L, 1L, 0L, 1L, 10L)))
+  }
+
   test("fulfillmentLag: exact ceil-rank percentiles incl. negative lags") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("fl").toString
