@@ -70,6 +70,7 @@ object ExtQueries {
     "text_readability" -> ((s, dir) => TextAnalysis.readability(s, dir)),
     "ext_weekday_revenue" -> ((s, dir) => Relational.weekdayRevenue(s, dir)),
     "corpus_shards" -> ((s, dir) => Corpus.shardBalance(s, dir)),
+    "ann_nprobe_sweep" -> ((s, dir) => Similarity.nprobeSweep(s, dir)),
     "ext_hourly_spikes" -> ((s, dir) => Sessionize.hourlySpikes(s, dir)),
     "dedup_winnow_clusters" -> ((s, dir) => Dedup.winnowClusters(s, dir)),
     "corpus_batch_drift" -> ((s, dir) => Corpus.batchDrift(s, dir)),
@@ -349,6 +350,38 @@ object ExtQueries {
       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
       |    FROM d2) WHERE rn = 1)
       |""".stripMargin
+
+  /** One sweep point of the ann_nprobe_sweep oracle: probe the trained
+    * cells at width `p`, rank candidates, count overlap with the exact
+    * baseline `bf`. Appended after [[kmeansFin]] + the bf/tot CTEs.
+    */
+  private def nprobeBlock(p: Int): String =
+    s""", pr$p AS (
+       |  SELECT vec_id AS query_id, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY dist, cell_id) AS crank
+       |    FROM d2 WHERE vec_id % 50 = 0) WHERE crank <= $p
+       |), cand$p AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    CAST(sum(q.q * n.q) AS BIGINT) AS dot
+       |  FROM pr$p p
+       |  JOIN fin a ON a.cell_id = p.cell_id AND a.vec_id != p.query_id
+       |  JOIN v q ON q.vec_id = p.query_id
+       |  JOIN v n ON n.vec_id = a.vec_id AND n.i = q.i
+       |  GROUP BY 1, 2
+       |), top$p AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY dot DESC, neighbor_id) AS rank
+       |    FROM cand$p) WHERE rank <= 10
+       |), row$p AS (
+       |  SELECT $p::BIGINT AS nprobe, n_queries, n_true,
+       |    (SELECT count(*)::BIGINT
+       |     FROM bf JOIN top$p USING (query_id, neighbor_id)) AS n_overlap
+       |  FROM tot
+       |)""".stripMargin
 
   /** SRP cosine-pair chain (shared by dedup_embed_pairs /
     * dedup_semantic_clusters): appended after [[quantized]], yields
@@ -1605,6 +1638,34 @@ object ExtQueries {
     // arithmetic with explicit tie-breaks — DuckDB replays the training.
     "ann_kmeans" -> (kmeansFin +
       "SELECT vec_id, cell_id, dist FROM fin ORDER BY vec_id"),
+
+    // nprobe tuning curve: one trained index, one exact baseline, four
+    // probe widths — each block reuses the shared chain.
+    "ann_nprobe_sweep" -> (kmeansFin +
+      """, bfd AS (
+        |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+        |    CAST(sum(q.q * v.q) AS BIGINT) AS dot
+        |  FROM v q JOIN v ON q.i = v.i AND q.vec_id % 50 = 0
+        |                 AND v.vec_id != q.vec_id
+        |  GROUP BY 1, 2
+        |), bf AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY dot DESC, neighbor_id) AS rank
+        |    FROM bfd) WHERE rank <= 10
+        |), tot AS (
+        |  SELECT count(*)::BIGINT AS n_true,
+        |    count(DISTINCT query_id)::BIGINT AS n_queries
+        |  FROM bf
+        |)""".stripMargin +
+      Seq(1, 2, 4, 8).map(nprobeBlock).mkString +
+      """
+        |SELECT nprobe, n_queries, n_true, n_overlap,
+        |  CAST(n_overlap * 1000000 // n_true AS BIGINT) AS recall_ppm
+        |FROM (SELECT * FROM row1 UNION ALL SELECT * FROM row2
+        |      UNION ALL SELECT * FROM row4 UNION ALL SELECT * FROM row8)
+        |ORDER BY nprobe""".stripMargin),
 
     // Cell-population / distortion audit over the SAME trained index.
     "ann_cell_balance" -> (kmeansFin +

@@ -268,6 +268,57 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** nprobe TUNING CURVE — recall@k of the trained IVF index at several
+    * probe widths in one pass: the table an index operator reads to set
+    * nprobe (the recall/latency knob). Training runs ONCE
+    * ([[kmeansLoop]] checkpoints), the exact baseline runs once
+    * (checkpointed), and each sweep point reuses the widest probe
+    * ranking filtered down — so the sweep costs little more than the
+    * single widest search, not |probes| retrainings.
+    */
+  def nprobeSweep(spark: SparkSession, dir: String, k: Int = 10,
+                  queryMod: Int = 50, nCells: Int = 16, iters: Int = 2,
+                  probesList: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val vs = vectors(spark, dir)
+    val (assigned, centroids) = kmeansLoop(vs, nCells, iters)
+    val exact = bruteForceTopK(vs, k, queryMod)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val totals = exact.agg(
+      countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("n_true"))
+    val queries = assigned.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val cdist = qdot(col("qq"), col("qq")) -
+      lit(2L) * qdot(col("qq"), col("cq")) + qdot(col("cq"), col("cq"))
+    val probesAll = queries.join(broadcast(centroids))
+      .select(col("query_id"), col("qq"), col("cell_id"), cdist.as("cdist"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cdist"), col("cell_id"))))
+      .filter(col("crank") <= probesList.max)
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("dot"), col("neighbor_id"))
+    probesList.sorted.map { p =>
+      val approx = assigned.join(
+          broadcast(probesAll.filter(col("crank") <= p)
+            .select(col("query_id"), col("qq"), col("cell_id"))),
+          Seq("cell_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          qdot(col("qq"), col("q")).as("dot"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(approx, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .crossJoin(broadcast(totals))
+        .select(lit(p.toLong).as("nprobe"), col("n_queries"), col("n_true"),
+          col("n_overlap"),
+          expr("n_overlap * 1000000 div n_true").as("recall_ppm"))
+    }.reduce(_.union(_)).orderBy(col("nprobe"))
+  }
+
   /** Incremental IVF index maintenance — the ANN twin of
     * [[Dedup.incremental]]: a new embedding batch is assigned to the
     * ALREADY-TRAINED centroids (no retrain — the production path when

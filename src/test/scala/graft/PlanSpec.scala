@@ -336,7 +336,7 @@ class PlanSpec extends SparkTestBase {
       "ann_pq_recall", "corpus_cell_quality", "ann_ivfpq_search",
       "ann_ivfpq_recall", "ann_hybrid_rrf", "ext_q11_important_parts",
       "ann_index_update", "text_distinctive_ngrams", "ext_key_skew",
-      "ann_cell_balance", "text_surprisal_mix")
+      "ann_cell_balance", "text_surprisal_mix", "ann_nprobe_sweep")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
