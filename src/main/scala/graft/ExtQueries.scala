@@ -92,10 +92,11 @@ object ExtQueries {
       graft.engine.streaming.EventStream.attributedPurchasesBatch(s, dir)),
     "stream_profiles_batch" -> ((s, dir) =>
       graft.engine.streaming.EventStream.userProfilesBatch(s, dir)),
-    // approximate sketches: oracle computes the EXACT analogs (count
-    // distinct, discrete percentiles) — rows/schema must match; hash is
-    // exempt by declaration (QUERIES.md) since HLL/GK are approximate.
-    "ext_sketches" -> ((s, dir) => Sessionize.sketchRollup(s, dir)),
+    // sketch-accuracy audit: exact values + within-band flags comparing
+    // the HLL/GK sketches against their exact counterparts in-engine;
+    // deterministic output, fully hash-checkable (the oracle computes the
+    // same exact values and asserts literal all-true flags).
+    "ext_sketches" -> ((s, dir) => Sessionize.sketchAudit(s, dir)),
     // ------------------------------------------------ text analysis
     "text_analyze" -> ((s, dir) =>
       TextAnalysis.analyze(s, dir).orderBy(col("doc_id"))),
@@ -965,16 +966,31 @@ object ExtQueries {
         |FROM events, unnest([0, 1]) AS s(i)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    // Exact analog of the sketch surface: HLL distinct -> exact count
-    // distinct, GK percentiles -> exact discrete quantiles. Same rows and
-    // schema; hash_match is expected to differ (approximate by declaration).
+    // Sketch-accuracy audit: the oracle computes the exact side (count
+    // distinct + ceil(p·n) discrete percentiles over the same
+    // (value_c, event_id) order the engine uses) and asserts the
+    // within-band flags are all true — a healthy sketch is within 5% of
+    // exact, so the engine's computed flags hash-match these literals.
     "ext_sketches" ->
-      """SELECT event_type,
-        |  count(DISTINCT user_id) AS approx_users,
-        |  quantile_disc("value", 0.5) AS value_p50,
-        |  quantile_disc("value", 0.95) AS value_p95,
-        |  quantile_disc("value", 0.99) AS value_p99
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      """WITH e AS (
+        |  SELECT event_type, event_id, user_id,
+        |    CAST(floor("value" * 100) AS BIGINT) AS value_c
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, user_id, value_c,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value_c, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e
+        |)
+        |SELECT event_type,
+        |  count(DISTINCT user_id)::BIGINT AS n_users,
+        |  1::BIGINT AS users_ok,
+        |  min(CASE WHEN rn = (n + 1) // 2 THEN value_c END) AS p50_c,
+        |  min(CASE WHEN rn = (n * 95 + 99) // 100 THEN value_c END) AS p95_c,
+        |  min(CASE WHEN rn = (n * 99 + 99) // 100 THEN value_c END) AS p99_c,
+        |  1::BIGINT AS p50_ok, 1::BIGINT AS p95_ok, 1::BIGINT AS p99_ok
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "text_analyze" ->
       """SELECT doc_id, lang, source,

@@ -146,9 +146,11 @@ object Sessionize {
         min(col("mn")).as("first_ts_us"), max(col("mx")).as("last_ts_us"))
       .orderBy(col("event_type"))
 
-  /** Approximate-sketch surface (no exact oracle by nature — the driver
-    * records the weaker rows-only check): HLL distinct users and t-digest
-    * value percentiles per event type.
+  /** Raw approximate-sketch surface: HLL distinct users and GK value
+    * percentiles per event type. This is the 100 TB production path (no
+    * per-group sort, mergeable partials); its outputs are approximate by
+    * nature, so correctness is asserted via [[sketchAudit]]'s error bands
+    * rather than a value-for-value oracle.
     */
   def sketchRollup(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
@@ -162,6 +164,56 @@ object Sessionize {
         col("ps").getItem(1).as("value_p95"),
         col("ps").getItem(2).as("value_p99"))
       .orderBy(col("event_type"))
+
+  /** Sketch-accuracy audit: computes BOTH the sketches (HLL distinct,
+    * GK percentiles at accuracy 10000) and their exact counterparts
+    * in one pass, and emits the exact values plus within-band flags
+    * (|approx − exact| ≤ 5% of exact, +1-count / +1-unit slack for the
+    * tiny-group regime). The output is fully deterministic — sketch
+    * nondeterminism (merge order) stays inside the band — so the row IS
+    * exact-oracle-checkable: a healthy sketch yields all-true flags and
+    * the oracle emits the same exact values with literal true flags.
+    *
+    * Exact percentiles use the same ceil(p·n) rank over the
+    * deterministic (value_c, event_id) order as [[exactPercentiles]].
+    * Scale honesty: the exact side sorts each type partition (bounded
+    * group count here); at 100 TB the un-audited [[sketchRollup]] is
+    * the production path and this audit runs on samples.
+    */
+  def sketchAudit(spark: SparkSession, dir: String): DataFrame =
+    sketchAudit(events(spark, dir))
+
+  def sketchAudit(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value_c"), col("event_id"))
+    // flag: |approx − exact| ≤ exact/20 (+ slack), in pure integer math
+    def ok(approx: Column, exact: Column, slack: Int): Column =
+      (abs(approx - exact) * 20 <= exact + lit(slack.toLong * 20)).cast("long")
+    ev
+      .select(col("event_type"), col("event_id"), col("user_id"),
+        floor(col("value") * 100).cast("long").as("value_c"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("au"),
+        percentile_approx(col("value_c"),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("ps"),
+        min(when(col("rn") === expr("(n + 1) div 2"), col("value_c")))
+          .as("p50_c"),
+        min(when(col("rn") === expr("(n * 95 + 99) div 100"), col("value_c")))
+          .as("p95_c"),
+        min(when(col("rn") === expr("(n * 99 + 99) div 100"), col("value_c")))
+          .as("p99_c"))
+      .select(col("event_type"), col("n_users"),
+        ok(col("au"), col("n_users"), 1).as("users_ok"),
+        col("p50_c"), col("p95_c"), col("p99_c"),
+        ok(col("ps").getItem(0), col("p50_c"), 5).as("p50_ok"),
+        ok(col("ps").getItem(1), col("p95_c"), 5).as("p95_ok"),
+        ok(col("ps").getItem(2), col("p99_c"), 5).as("p99_ok"))
+      .orderBy(col("event_type"))
+  }
 
   def hourlyRollup(ev: DataFrame): DataFrame = {
     val hourUs = 3600L * 1000 * 1000
