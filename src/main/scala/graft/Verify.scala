@@ -21,6 +21,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.engine.ingest.Sources.ensureNanosAsLong(spark)
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => subset.isEmpty || subset(name) }
       .foreach { case (name, fn) =>
@@ -28,6 +29,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -45,6 +47,20 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A query that errors must be a VISIBLE failure, not a silent omission
+    // from the dump (a dropped dump dir just vanishes from the driver's
+    // compare). Always write the error manifest — empty {} is the green
+    // signal — and scream a summary line the driver's log captures.
+    val errJson = failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] FAILED ${failed.size} queries (see verify_errors.json): " +
+          failed.keys.mkString(", "))
+    // Exit 0 even on per-query failures: the driver must still compare the
+    // queries that DID dump (a non-zero rc could zero the whole round).
+    // The manifest + stderr line are the failure signal.
     spark.stop()
   }
 }

@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   * tumbling-window aggregation — the batch shapes behind a streaming
   * training-data pipeline.
   *
-  * Timestamps: `events.ts` is parquet TIMESTAMP(NANOS); Spark 4 reads it
-  * only as a raw nanos Long (legacy.parquet.nanosAsLong). All window math
-  * here is integer MICROsecond arithmetic (`ts div 1000`) — exactly
+  * Timestamps: `events.ts` has shipped under several parquet physical
+  * types across testdata generations; [[graft.engine.ingest.Sources.events]]
+  * normalizes it to an epoch-micros Long `ts_us`. All window math
+  * here is integer MICROsecond arithmetic over `ts_us` — exactly
   * reproducible in any oracle (no timezone or float rounding anywhere),
   * and micros is the finest granularity engines agree on (nanos get
   * truncated by engines whose native timestamp is µs).
@@ -168,7 +169,7 @@ object Sessionize {
   /** Sketch-accuracy audit: computes BOTH the sketches (HLL distinct,
     * GK percentiles at accuracy 10000) and their exact counterparts
     * in one pass, and emits the exact values plus within-band flags
-    * (|approx − exact| ≤ 5% of exact, +1-count / +1-unit slack for the
+    * (|approx − exact| ≤ 5% of |exact|, +1-count / +5-cent slack for the
     * tiny-group regime). The output is fully deterministic — sketch
     * nondeterminism (merge order) stays inside the band — so the row IS
     * exact-oracle-checkable: a healthy sketch yields all-true flags and
@@ -186,9 +187,11 @@ object Sessionize {
   def sketchAudit(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("value_c"), col("event_id"))
-    // flag: |approx − exact| ≤ exact/20 (+ slack), in pure integer math
+    // flag: |approx − exact| ≤ |exact|/20 (+ slack), in pure integer math.
+    // abs() on the RHS: a negative exact value would otherwise collapse
+    // (or invert) the band and flag a perfect sketch as out-of-band.
     def ok(approx: Column, exact: Column, slack: Int): Column =
-      (abs(approx - exact) * 20 <= exact + lit(slack.toLong * 20)).cast("long")
+      (abs(approx - exact) * 20 <= abs(exact) + lit(slack.toLong * 20)).cast("long")
     ev
       .select(col("event_type"), col("event_id"), col("user_id"),
         floor(col("value") * 100).cast("long").as("value_c"))

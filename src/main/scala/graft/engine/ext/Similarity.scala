@@ -863,7 +863,10 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("s"), col("n")))),
         r => floor(r.getField("s") * lit(1000L) / r.getField("n")).cast("long"))
         .as("cent"))
-    sums.as("a").join(sums.as("b"), col("a.label") < col("b.label"))
+    // one row per label (bounded domain) — broadcast EXPLICITLY: the
+    // inequality self-join must never degrade to a shuffled cartesian
+    // when a size estimate misses at scale
+    sums.as("a").join(broadcast(sums.as("b")), col("a.label") < col("b.label"))
       .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
         qdot(col("a.cent"), col("b.cent")).as("dot"))
       .orderBy(col("label_a"), col("label_b"))

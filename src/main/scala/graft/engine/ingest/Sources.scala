@@ -20,23 +20,46 @@ import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
 object Sources {
 
   /** The SINGLE definition point of the nanos-timestamp read requirement:
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads as
-    * a raw nanos Long under this legacy flag. Entry points (Verify,
-    * Bench, cli.Main, the test base) call this once up front; [[events]]
-    * also calls it defensively for direct query invocation. Idempotent.
+    * some testdata generations write `events.ts` as parquet
+    * TIMESTAMP(NANOS), which Spark 4 only reads as a raw nanos Long under
+    * this legacy flag. Entry points (Verify, Bench, cli.Main, the test
+    * base) call this once up front; [[events]] also calls it defensively
+    * for direct query invocation. Idempotent, and harmless when the data
+    * is micros-precision instead.
     */
   def ensureNanosAsLong(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  /** The `events` table with integer-microsecond timestamps — the shape
-    * every event operator (sessionization, windows, temporal joins, log
-    * generation) consumes. `ts div 1000` truncates nanos→micros exactly
-    * (integer division; double math would lose precision above 2^53).
+  /** The `events` table with integer-microsecond timestamps (`ts_us`) —
+    * the shape every event operator (sessionization, windows, temporal
+    * joins, log generation) consumes.
+    *
+    * The driver's testdata has shipped `ts` under three parquet physical
+    * shapes across generations, so we branch on the READ dtype rather
+    * than assume one:
+    *   - TIMESTAMP(NANOS)  → Long under nanosAsLong; `ts div 1000`
+    *     truncates nanos→micros exactly (integer division; double math
+    *     would lose precision above 2^53).
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=true)  → TimestampType;
+    *     `unix_micros` is the exact inverse of the writer's epoch-micros.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TimestampNTZType;
+    *     the naive wall-clock IS the UTC instant (the generator writes
+    *     epoch micros), so diff against the NTZ epoch literal — exact and
+    *     independent of the session time zone.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     ensureNanosAsLong(spark)
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    val tsUs = raw.schema("ts").dataType match {
+      case LongType         => expr("ts div 1000")
+      case TimestampType    => unix_micros(col("ts"))
+      case TimestampNTZType =>
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+      case other =>
+        throw new IllegalStateException(s"events.ts: unsupported read dtype $other")
+    }
+    raw.withColumn("ts_us", tsUs)
   }
 
   /** S1: line-oriented text scan with 1-based line numbers

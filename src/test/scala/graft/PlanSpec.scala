@@ -303,45 +303,96 @@ class PlanSpec extends SparkTestBase {
     assert(q12.contains("partial"), q12.take(1200))
   }
 
-  test("no cartesian/broadcast-NL joins outside the two documented sites") {
-    // ann_bruteforce (vec_id =!= query_id vs broadcast queries) and
-    // ann_label_centroids (label < label) are deliberate inequality
-    // joins against broadcast-small sides (Similarity.scala); ann_ivf's
-    // and ann_kmeans' conditionless centroid joins (every vector ×
-    // nCells=16 broadcast rows) are the assignment fan-out, a flatMap
-    // in disguise — every other query must plan without cartesian
-    // products or BNLJ.
-    // text_surprisal additionally broadcasts a 1-ROW corpus-total scalar
-    // (the canonical scalar-subquery plan) — a BNLJ with a single build
-    // row, constant work per probe row at any scale.
-    // the recall QA queries embed bruteForceTopK (their exact baseline),
-    // so they inherit that documented inequality-vs-broadcast join;
-    // corpus_cell_quality embeds the IVF conditionless centroid fan-out;
-    // the composed IVF-PQ pair inherits the same centroid fan-out (probe
-    // ranking is query × broadcast trained centroids), and its recall QA
-    // additionally embeds bruteForceTopK
-    // ext_q11_important_parts broadcasts a 1-ROW global (count, sum)
-    // scalar exactly like text_surprisal — constant work per probe row.
-    // ann_index_update inherits the kmeans conditionless centroid
-    // fan-out (batch × nCells broadcast rows) for both the training
-    // and the frozen-centroid batch assignment.
-    // text_distinctive_ngrams and ext_key_skew each broadcast a 1-ROW
-    // total (corpus gram count / per-key-count census totals) — the
-    // same canonical scalar-subquery plan as text_surprisal.
-    // ann_cell_balance audits the kmeans index, inheriting its
-    // conditionless centroid fan-out; text_surprisal_mix rolls up the
-    // text_surprisal pipeline and inherits its 1-row total broadcast.
-    val exempt = Set("ann_bruteforce", "ann_label_centroids", "ann_ivf",
-      "ann_kmeans", "ann_ivf_trained", "text_surprisal", "ann_srp_recall",
-      "ann_pq_recall", "corpus_cell_quality", "ann_ivfpq_search",
-      "ann_ivfpq_recall", "ann_hybrid_rrf", "ext_q11_important_parts",
-      "ann_index_update", "text_distinctive_ngrams", "ext_key_skew",
-      "ann_cell_balance", "text_surprisal_mix", "ann_nprobe_sweep")
-    for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
-      val p = plan(fn(spark, dir))
-      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
-      assert(!p.contains("BroadcastNestedLoopJoin"),
-        s"$name plans a BroadcastNestedLoopJoin")
+  // ---- structural cartesian sweep ------------------------------------
+  //
+  // A nested-loop join is acceptable ONLY in two shapes, both O(n) at
+  // any scale:
+  //  (a) scalar broadcast: the build side contains an UNGROUPED
+  //      aggregate — ≤1 build row, constant work per probe row (the
+  //      canonical scalar-subquery plan: text_surprisal's corpus total,
+  //      ext_q11's global (count,sum), ...);
+  //  (b) deliberate bounded fan-out: the logical join has NO equi-key
+  //      AND our code explicitly marked the small side `broadcast(...)`
+  //      (ANN centroid assignment — every vector × ≤nCells rows — and
+  //      the brute-force/inequality recall baselines). The explicit
+  //      hint is the structural marker of intent: an ACCIDENTAL
+  //      cartesian (a naked crossJoin, a typo'd join key) carries no
+  //      hint and fails the sweep.
+  // A CartesianProductExec (non-broadcast nested loop: n×m shuffle) is
+  // never acceptable.
+
+  /** Physical BNLJ/cartesian nodes NOT excused by the scalar-aggregate
+    * build shape (a). Returned so the assertion message can name them. */
+  private def riskyNestedLoops(
+      df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    def scalarAggBelow(p: SparkPlan): Boolean =
+      p.exists {
+        case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+        case _ => false
+      }
+    df.queryExecution.sparkPlan.collect {
+      case c: CartesianProductExec => c: SparkPlan
+      case j: BroadcastNestedLoopJoinExec
+          if !scalarAggBelow(
+            if (j.buildSide == BuildLeft) j.left else j.right) => j: SparkPlan
     }
+  }
+
+  /** Logical joins with no equi-key conjunct that our code explicitly
+    * hinted broadcast — the only licence for a non-scalar BNLJ (b). */
+  private def hintedNonEquiJoins(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x         => Seq(x)
+    }
+    def hasEquiKey(j: Join): Boolean = j.condition.exists(c =>
+      conjuncts(c).exists {
+        case _: EqualTo | _: EqualNullSafe => true
+        case _ => false
+      })
+    df.queryExecution.optimizedPlan.collect {
+      case j: Join
+          if !hasEquiKey(j) &&
+            (j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) ||
+              j.hint.rightHint.exists(_.strategy.contains(BROADCAST))) => j
+    }.size
+  }
+
+  test("no cartesian/BNLJ outside scalar-broadcast or hinted fan-out shapes") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val df = fn(spark, dir)
+      val risky = riskyNestedLoops(df)
+      if (risky.nonEmpty) {
+        // every risky physical nested loop must be accounted for by an
+        // explicitly-broadcast non-equi logical join — an unhinted
+        // cartesian has no licence and fails here
+        val licences = hintedNonEquiJoins(df)
+        assert(risky.size <= licences,
+          s"$name plans ${risky.size} unexcused nested-loop join(s) but only " +
+            s"$licences explicitly-broadcast non-equi join(s): " +
+            risky.map(_.nodeName).mkString(", "))
+      }
+    }
+  }
+
+  test("the sweep rejects a deliberately-injected naked cross join") {
+    import org.apache.spark.sql.functions.col
+    val l = spark.read.parquet(s"$dir/nation.parquet")
+    val r = spark.read.parquet(s"$dir/region.parquet")
+    // no broadcast hint, no equi key, no scalar aggregate: a genuine
+    // accidental cartesian. The sweep must flag it.
+    val naked = l.crossJoin(r)
+    assert(riskyNestedLoops(naked).size > hintedNonEquiJoins(naked),
+      "naked crossJoin was not flagged")
+    // and the inequality-join variant without a hint is equally naked
+    val ineq = l.join(r, col("n_regionkey") < col("r_regionkey"))
+    assert(riskyNestedLoops(ineq).size > hintedNonEquiJoins(ineq),
+      "unhinted inequality join was not flagged")
   }
 }
