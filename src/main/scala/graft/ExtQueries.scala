@@ -92,6 +92,14 @@ object ExtQueries {
       graft.engine.streaming.EventStream.attributedPurchasesBatch(s, dir)),
     "stream_profiles_batch" -> ((s, dir) =>
       graft.engine.streaming.EventStream.userProfilesBatch(s, dir)),
+    // the session twin runs the SAME native session_window operator on
+    // bounded input; the dedup twin states the streaming LSH's emitted
+    // set as the (band,bucket) equi-join it is, sharing the banded
+    // signature projection code with the stream.
+    "stream_sessions_batch" -> ((s, dir) =>
+      graft.engine.streaming.EventStream.sessionStatsBatch(s, dir)),
+    "stream_dedup_batch" -> ((s, dir) =>
+      graft.engine.streaming.DedupStream.pairsBatch(s, dir)),
     // sketch-accuracy audit: exact values + within-band flags comparing
     // the HLL/GK sketches against their exact counterparts in-engine;
     // deterministic output, fully hash-checkable (the oracle computes the
@@ -658,6 +666,31 @@ object ExtQueries {
         |  CAST(sum(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
         |  CAST(max((epoch_us(ts) // 1000) * 1000) AS BIGINT) AS last_seen_us
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Twin of the native session_window sessionizer: gaps-and-islands with
+    // a 30-minute break; window end = last event + gap (the session_window
+    // contract).
+    "stream_sessions_batch" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu,
+        |    CAST(floor("value" * 100) AS BIGINT) AS vc
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, tsu, vc,
+        |    CASE WHEN lag(tsu) OVER w IS NULL
+        |      OR tsu - lag(tsu) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu)
+        |), s AS (
+        |  SELECT user_id, tsu, vc,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY tsu
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m
+        |)
+        |SELECT user_id, min(tsu) AS session_start_us,
+        |  max(tsu) + 1800000000 AS session_end_us,
+        |  count(*)::BIGINT AS n_events, sum(vc)::BIGINT AS sum_value_c
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     "ext_sessions" ->
       """WITH e AS (
@@ -1490,6 +1523,38 @@ object ExtQueries {
         |)
         |SELECT doc_a, doc_b, est_jaccard_ppm FROM est
         |WHERE est_jaccard_ppm >= 250000 ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Twin of the streaming LSH dedup: the same banded MinHash pipeline,
+    // but pairs keep the agreeing BAND (the stream emits one row per
+    // agreeing band) instead of collapsing to distinct pairs.
+    "stream_dedup_batch" -> (shingles3 +
+      """, ex AS (
+        |  SELECT doc_id, ('0x' || substring(md5(unnest(sh)), 1, 12))::BIGINT AS h
+        |  FROM sh
+        |), sig AS (
+        |  SELECT doc_id, i,
+        |    min((h * (2*i + 3) + 7919*(i + 1)) % 2305843009213693951) AS mh
+        |  FROM ex, range(0, 16) t(i) GROUP BY 1, 2
+        |), bands AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |    md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS bucket
+        |  FROM sig GROUP BY doc_id, i // 4
+        |), cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band AS band
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), est AS (
+        |  SELECT doc_a, doc_b, band,
+        |    CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) * 1000000 // 16
+        |         AS BIGINT) AS est_jaccard_ppm
+        |  FROM cand
+        |  JOIN sig sa ON sa.doc_id = doc_a
+        |  JOIN sig sb ON sb.doc_id = doc_b AND sb.i = sa.i
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_a, doc_b, band, est_jaccard_ppm FROM est
+        |WHERE est_jaccard_ppm >= 250000
+        |ORDER BY doc_a, doc_b, band""".stripMargin),
 
     // LSH index QA: recall/precision of the banded MinHash candidates vs
     // exact blocked Jaccard >= 0.5 — both sides are the pipelines of

@@ -60,15 +60,14 @@ object DedupStream {
         }: _*).as("sig"))
   }
 
-  /** Streaming LSH pair emission (Append mode). */
-  def pairs(docs: DataFrame, n: Int = 3, numHashes: Int = 16, bands: Int = 4,
-            minEstPpm: Long = 250000L, maxBucket: Int = 64): Dataset[DupPair] = {
+  /** LSH band projection shared by the streaming pair emitter and its
+    * batch twin: one row per (band, bucket, doc_id, sig).
+    */
+  def banded(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
+             bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val spark = docs.sparkSession
-    import spark.implicits._
     val perBand = numHashes / bands
-
-    val banded = signatures(docs, n, numHashes)
+    signatures(docs, n, numHashes)
       .select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("band"),
@@ -76,9 +75,15 @@ object DedupStream {
           slice(col("sig"), col("band") * perBand + 1, lit(perBand))))
           .as("bucket"),
         col("doc_id"), col("sig"))
-      .as[BandDoc]
+  }
 
-    banded
+  /** Streaming LSH pair emission (Append mode). */
+  def pairs(docs: DataFrame, n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+            minEstPpm: Long = 250000L, maxBucket: Int = 64): Dataset[DupPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    banded(docs, n, numHashes, bands).as[BandDoc]
       .groupByKey(bd => (bd.band, bd.bucket))
       .flatMapGroupsWithState[List[BandDoc], DupPair](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -106,5 +111,37 @@ object DedupStream {
           state.update(members)
           out.result().iterator
       }
+  }
+
+  /** Batch twin of [[pairs]], oracle-checkable: over a bounded input
+    * where every document arrives once and no bucket overflows
+    * `maxBucket`, the stream's emitted set (id-ascending, per agreeing
+    * band) is exactly "all in-bucket pairs whose full-signature
+    * agreement clears `minEstPpm`" — stated here as the equi-join it
+    * is. Same [[banded]] projection code as the stream, so signatures
+    * and buckets agree bit-for-bit.
+    *
+    * Scale shape: the join key is (band, bucket) — an equi-join whose
+    * per-key fan-out is a bucket of near-identical signatures, the same
+    * Σ bucket² bound as the batch LSH operator; never all-pairs.
+    */
+  def pairsBatch(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val b = banded(docs)
+    val left = b.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val right = b.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    left.join(right, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("agree",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          v => v)))
+      .withColumn("est_jaccard_ppm", expr("agree * 1000000L div 16"))
+      .filter(col("est_jaccard_ppm") >= 250000L)
+      .select(col("doc_a"), col("doc_b"), col("band").cast("long").as("band"),
+        col("est_jaccard_ppm"))
+      .orderBy(col("doc_a"), col("doc_b"), col("band"))
   }
 }

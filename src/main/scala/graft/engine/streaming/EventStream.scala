@@ -288,6 +288,26 @@ object EventStream {
     * `Timestamp.getTime * 1000` exactly: millisecond truncation first,
     * then micros (integer div, not a double round-trip).
     */
+  /** Batch twin of [[sessionStats]]: runs the SAME operator — Spark's
+    * native session_window aggregates in batch mode too; the watermark
+    * is a no-op on bounded input — over the events table. Emits integer
+    * epoch-micros boundaries (window end = last event + gap, the native
+    * session_window contract) and integer cents so the DuckDB
+    * gaps-and-islands oracle compares exactly.
+    */
+  def sessionStatsBatch(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame = {
+    val ev = graft.engine.ingest.Sources.events(spark, dir)
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .select(col("user_id"), col("event_time"), col("value"))
+    sessionStats(ev)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("session_start_us"),
+        unix_micros(col("session_end")).as("session_end_us"),
+        col("n_events"), col("sum_value_c"))
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
+
   def userProfilesBatch(spark: org.apache.spark.sql.SparkSession,
                         dir: String): DataFrame =
     graft.engine.ingest.Sources.events(spark, dir)

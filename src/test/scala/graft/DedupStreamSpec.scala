@@ -57,4 +57,30 @@ class DedupStreamSpec extends SparkTestBase {
       assert(got === expected)
     } finally q.stop()
   }
+
+  test("oracle-checked batch twin states the stream's exact emitted set") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = DedupStream.pairs(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory")
+      .queryName("stream_dedup_twin").outputMode("append").start()
+    try {
+      mem.addData(src.collect().map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+      q.processAllAvailable()
+      // full rows this time — per agreeing band, with the ppm estimate —
+      // must equal the registered stream_dedup_batch query exactly
+      val streamed = spark.sql(
+        "SELECT doc_a, doc_b, band, est_jaccard_ppm FROM stream_dedup_twin")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getInt(2).toLong, r.getLong(3))).toSet
+      val batch = DedupStream.pairsBatch(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSet
+      assert(batch === streamed)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
 }

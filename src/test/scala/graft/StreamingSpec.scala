@@ -87,6 +87,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("session batch twin matches the streaming session_window on real events") {
+    import graft.engine.streaming.EventStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val typed = graft.engine.ingest.Sources.events(spark, dir)
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("event_time"),
+        col("value"))
+      .as[EventStream.UserEvent].collect()
+    val mem = MemoryStream[EventStream.UserEvent]
+    val q = EventStream.sessionStats(mem.toDF())
+      .writeStream.format("memory").queryName("twin_sessions")
+      .outputMode("complete").start()
+    try {
+      mem.addData(typed.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        """SELECT user_id, unix_micros(session_start), unix_micros(session_end),
+          |  n_events, sum_value_c FROM twin_sessions""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).sortBy(t => (t._1, t._2))
+      val batch = EventStream.sessionStatsBatch(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+      assert(streamed.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user profiles across batches") {
     import graft.engine.streaming.EventStream
     implicit val sqlCtx = spark.sqlContext
