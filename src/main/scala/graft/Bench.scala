@@ -4,6 +4,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // optional trailing query names: time only that subset (scaling
+    // studies — the driver passes no args and times the full registry)
+    val subset = args.toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,7 +29,9 @@ object Bench {
     // timed loop below measures steady-state execution, not compilation.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => subset.isEmpty || subset(n) }
+        .foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     // Fixture setup (generated log files) happens outside the timed loop.
@@ -43,7 +48,9 @@ object Bench {
       }
       ((System.nanoTime() - t0) / 1e9, err)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => subset.isEmpty || subset(n) }
+      .map { case (name, fn) =>
       val (t1, e1) = timeOne(fn)
       e1.foreach(m => errors ::= name -> m)
       // This host shows intermittent multi-second stalls (measured 9x on

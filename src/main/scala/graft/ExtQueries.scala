@@ -221,6 +221,34 @@ object ExtQueries {
   // ------------------------------------------------------------- oracles
 
   /** Shared DuckDB fragments. */
+  /** Shared events prelude: the maximal projection the events oracles
+    * need (DuckDB prunes unused columns, so the superset costs nothing);
+    * one definition point instead of 12 near-identical `WITH e AS`
+    * preludes that could drift apart. */
+  private val eventsE =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu,
+      |    epoch_us(ts) // 86400000000 AS day,
+      |    CAST(floor("value" * 100) AS BIGINT) AS value_c
+      |  FROM events
+      |)""".stripMargin
+
+  /** Quality-gate census `dq` — ONE definition of the corpus keep
+    * predicate's inputs and the keep bit itself (lateral alias refs are
+    * DuckDB-native): (doc_id, lang, source, text, n_tokens, punct_ppm,
+    * terminal, keep). Six oracles formerly restated this projection. */
+  private val docQuality =
+    """dq AS (
+      |  SELECT doc_id, lang, source, text,
+      |    len(list_filter(string_split_regex(text, '\s+'),
+      |                    x -> x != ''))::BIGINT AS n_tokens,
+      |    (len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000000
+      |      // greatest(length(text), 1))::BIGINT AS punct_ppm,
+      |    regexp_matches(rtrim(text), '[.!?。！？]$') AS terminal,
+      |    (n_tokens >= 5 AND punct_ppm <= 300000 AND terminal) AS keep
+      |  FROM documents
+      |)""".stripMargin
+
   private val toks =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
@@ -662,42 +690,35 @@ object ExtQueries {
     // last-seen truncated to millis then expressed in micros (the
     // processors read Timestamp.getTime, a millisecond clock).
     "stream_profiles_batch" ->
-      """SELECT user_id, count(*)::BIGINT AS n_events,
-        |  CAST(sum(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
-        |  CAST(max((epoch_us(ts) // 1000) * 1000) AS BIGINT) AS last_seen_us
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      (eventsE + """
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |  CAST(sum(value_c) AS BIGINT) AS sum_value_c,
+        |  CAST(max((tsu // 1000) * 1000) AS BIGINT) AS last_seen_us
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin),
 
     // Twin of the native session_window sessionizer: gaps-and-islands with
     // a 30-minute break; window end = last event + gap (the session_window
     // contract).
     "stream_sessions_batch" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) AS tsu,
-        |    CAST(floor("value" * 100) AS BIGINT) AS vc
-        |  FROM events
-        |), m AS (
-        |  SELECT user_id, tsu, vc,
+      (eventsE + """, m AS (
+        |  SELECT user_id, tsu, value_c,
         |    CASE WHEN lag(tsu) OVER w IS NULL
         |      OR tsu - lag(tsu) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu)
         |), s AS (
-        |  SELECT user_id, tsu, vc,
+        |  SELECT user_id, tsu, value_c,
         |    sum(brk) OVER (PARTITION BY user_id ORDER BY tsu
         |      ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM m
         |)
         |SELECT user_id, min(tsu) AS session_start_us,
         |  max(tsu) + 1800000000 AS session_end_us,
-        |  count(*)::BIGINT AS n_events, sum(vc)::BIGINT AS sum_value_c
+        |  count(*)::BIGINT AS n_events, sum(value_c)::BIGINT AS sum_value_c
         |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, session_start_us""".stripMargin,
+        |ORDER BY user_id, session_start_us""".stripMargin),
 
     "ext_sessions" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
-        |    CAST(floor("value" * 100) AS BIGINT) AS value_c
-        |  FROM events
-        |), l AS (
+      (eventsE + """, l AS (
         |  SELECT *, lag(tsu) OVER (PARTITION BY user_id
         |                           ORDER BY tsu, event_id) AS prev
         |  FROM e
@@ -716,7 +737,7 @@ object ExtQueries {
         |  max(tsu) - min(tsu) AS span_us,
         |  CAST(sum(value_c) AS BIGINT) AS sum_value_c
         |FROM t GROUP BY user_id, session_seq
-        |ORDER BY user_id, session_seq""".stripMargin,
+        |ORDER BY user_id, session_seq""".stripMargin),
 
     // JSON props field census per event type.
     "ext_props_rollup" ->
@@ -731,19 +752,13 @@ object ExtQueries {
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // Ingestion-order quality drift per (source, 25-doc batch).
-    "corpus_batch_drift" ->
-      """WITH q AS (
-        |  SELECT doc_id, source,
-        |    len(list_filter(string_split_regex(text, '\s+'),
-        |                    x -> x != ''))::BIGINT AS n_tokens,
-        |    (len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000000
-        |      // greatest(length(text), 1))::BIGINT AS punct_ppm,
-        |    regexp_matches(rtrim(text), '[.!?。！？]$') AS terminal,
+    "corpus_batch_drift" -> ("WITH " + docQuality +
+      """, q AS (
+        |  SELECT doc_id, source, n_tokens, keep,
         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-        |  FROM documents
+        |  FROM dq
         |), k AS (
-        |  SELECT source, (rn - 1) // 25 AS batch_no, n_tokens,
-        |    (n_tokens >= 5 AND punct_ppm <= 300000 AND terminal) AS keep
+        |  SELECT source, (rn - 1) // 25 AS batch_no, n_tokens, keep
         |  FROM q
         |)
         |SELECT source, batch_no::BIGINT AS batch_no,
@@ -752,14 +767,11 @@ object ExtQueries {
         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000
         |       // count(*) AS BIGINT) AS keep_ppm,
         |  CAST(sum(n_tokens) // count(*) AS BIGINT) AS mean_tokens
-        |FROM k GROUP BY 1, 2 ORDER BY source, batch_no""".stripMargin,
+        |FROM k GROUP BY 1, 2 ORDER BY source, batch_no""".stripMargin),
 
     // Log2-bucketed inter-arrival gaps per (user, type) timeline.
     "ext_gap_histogram" ->
-      """WITH e AS (
-        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS tsu
-        |  FROM events
-        |), l AS (
+      (eventsE + """, l AS (
         |  SELECT event_type,
         |    tsu - lag(tsu) OVER (PARTITION BY user_id, event_type
         |                         ORDER BY tsu, event_id) AS gap
@@ -771,7 +783,7 @@ object ExtQueries {
         |  count(*)::BIGINT AS n_gaps,
         |  min(gap)::BIGINT AS min_gap_us, max(gap)::BIGINT AS max_gap_us
         |FROM l WHERE gap IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+        |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin),
 
     // Per-source pack-boundary straddles + tail fill, 2048-token budget.
     "corpus_pack_stats" ->
@@ -889,9 +901,7 @@ object ExtQueries {
 
     // Active-days population histogram from the per-user lifetime fold.
     "ext_user_lifetime" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
-        |), u AS (
+      (eventsE + """, u AS (
         |  SELECT user_id, count(DISTINCT day) AS active_days,
         |    count(*) AS n_events, max(day) - min(day) + 1 AS span_days
         |  FROM e GROUP BY 1
@@ -900,14 +910,11 @@ object ExtQueries {
         |  count(*)::BIGINT AS n_users, sum(n_events)::BIGINT AS n_events,
         |  sum(span_days)::BIGINT AS sum_span_days,
         |  max(span_days)::BIGINT AS max_span_days
-        |FROM u GROUP BY 1 ORDER BY active_days""".stripMargin,
+        |FROM u GROUP BY 1 ORDER BY active_days""".stripMargin),
 
     // First-order event-type transition matrix with per-from shares.
     "ext_transitions" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type
-        |  FROM events
-        |), l AS (
+      (eventsE + """, l AS (
         |  SELECT event_type,
         |    lead(event_type) OVER (PARTITION BY user_id
         |                           ORDER BY tsu, event_id) AS next_type
@@ -920,7 +927,7 @@ object ExtQueries {
         |SELECT from_type, to_type, n,
         |  (n * 1000000 // sum(n) OVER (PARTITION BY from_type))::BIGINT
         |    AS share_ppm
-        |FROM c ORDER BY from_type, to_type""".stripMargin,
+        |FROM c ORDER BY from_type, to_type""".stripMargin),
 
     "ext_lineitem_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
@@ -943,15 +950,14 @@ object ExtQueries {
         |ORDER BY c_custkey""".stripMargin,
 
     "ext_salted_rollup" ->
-      """SELECT event_type, count(*) AS n_events,
-        |  CAST(sum(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
-        |  min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      (eventsE + """
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(value_c) AS BIGINT) AS sum_value_c,
+        |  min(tsu) AS first_ts_us, max(tsu) AS last_ts_us
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin),
 
     "ext_asof_click" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events
-        |), c AS (
+      (eventsE + """, c AS (
         |  SELECT user_id, tsu, max(event_id) AS click_id
         |  FROM e WHERE event_type = 'click' GROUP BY 1, 2
         |), p AS (
@@ -962,12 +968,10 @@ object ExtQueries {
         |  c.click_id, c.tsu AS click_ts_us, p.tsu - c.tsu AS gap_us
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.tsu >= c.tsu
-        |ORDER BY purchase_id""".stripMargin,
+        |ORDER BY purchase_id""".stripMargin),
 
     "ext_range_views" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events
-        |), p AS (
+      (eventsE + """, p AS (
         |  SELECT event_id AS purchase_id, user_id, tsu
         |  FROM e WHERE event_type = 'purchase'
         |), v AS (
@@ -978,26 +982,28 @@ object ExtQueries {
         |FROM p LEFT JOIN v
         |  ON p.user_id = v.user_id
         | AND v.view_ts BETWEEN p.tsu - 3600000000 AND p.tsu
-        |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
+        |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin),
 
     "ext_hourly_rollup" ->
-      """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_start_us,
+      (eventsE + """
+        |SELECT tsu - tsu % 3600000000 AS hour_start_us,
         |  event_type, count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users,
-        |  CAST(sum(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |  CAST(sum(value_c) AS BIGINT) AS sum_value_c
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // Sliding windows: every event is in exactly 2 epoch-aligned 1h/30min
     // windows — floor30(us) and floor30(us) - 30min — so the oracle
     // expands each event twice, no containment filter needed.
     "ext_sliding_rollup" ->
-      """SELECT (epoch_us(ts) - epoch_us(ts) % 1800000000)
+      (eventsE + """
+        |SELECT (tsu - tsu % 1800000000)
         |         - s.i * 1800000000 AS win_start_us,
         |  event_type, count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users,
-        |  CAST(sum(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
-        |FROM events, unnest([0, 1]) AS s(i)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |  CAST(sum(value_c) AS BIGINT) AS sum_value_c
+        |FROM e, unnest([0, 1]) AS s(i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // Sketch-accuracy audit: the oracle computes the exact side (count
     // distinct + ceil(p·n) discrete percentiles over the same
@@ -1005,11 +1011,7 @@ object ExtQueries {
     // within-band flags are all true — a healthy sketch is within 5% of
     // exact, so the engine's computed flags hash-match these literals.
     "ext_sketches" ->
-      """WITH e AS (
-        |  SELECT event_type, event_id, user_id,
-        |    CAST(floor("value" * 100) AS BIGINT) AS value_c
-        |  FROM events
-        |), r AS (
+      (eventsE + """, r AS (
         |  SELECT event_type, user_id, value_c,
         |    row_number() OVER (PARTITION BY event_type
         |                       ORDER BY value_c, event_id) AS rn,
@@ -1023,7 +1025,7 @@ object ExtQueries {
         |  min(CASE WHEN rn = (n * 95 + 99) // 100 THEN value_c END) AS p95_c,
         |  min(CASE WHEN rn = (n * 99 + 99) // 100 THEN value_c END) AS p99_c,
         |  1::BIGINT AS p50_ok, 1::BIGINT AS p95_ok, 1::BIGINT AS p99_ok
-        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin),
 
     "text_analyze" ->
       """SELECT doc_id, lang, source,
@@ -1252,23 +1254,16 @@ object ExtQueries {
         |      FROM documents)
         |ORDER BY interleave_key, lang, doc_id""".stripMargin,
 
-    "corpus_clean" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang, source,
-        |    len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))::BIGINT
-        |      AS n_tokens,
-        |    (len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000000
-        |      // greatest(length(text), 1))::BIGINT AS punct_ppm,
-        |    regexp_matches(rtrim(text), '[.!?。！？]$') AS terminal
-        |  FROM documents)
+    "corpus_clean" -> ("WITH " + docQuality +
+      """
         |SELECT doc_id, lang, source, n_tokens, punct_ppm,
         |  (reason IS NULL) AS keep, coalesce(reason, '') AS reason
-        |FROM (SELECT *,
+        |FROM (SELECT doc_id, lang, source, n_tokens, punct_ppm,
         |        CASE WHEN n_tokens < 5 THEN 'too_short'
         |             WHEN punct_ppm > 300000 THEN 'too_much_punct'
         |             WHEN NOT terminal THEN 'no_terminal_punct' END AS reason
-        |      FROM t)
-        |ORDER BY doc_id""".stripMargin,
+        |      FROM dq)
+        |ORDER BY doc_id""".stripMargin),
 
     "corpus_contamination" -> (shingles3 +
       """, shx AS (
@@ -1441,18 +1436,8 @@ object ExtQueries {
         |  SELECT doc_id,
         |    (count(*) OVER (PARTITION BY cluster_id)) > 1 AS is_dup
         |  FROM cl
-        |), qt AS (
-        |  SELECT doc_id, lang,
-        |    len(list_filter(string_split_regex(text, '\s+'),
-        |                    x -> x != ''))::BIGINT AS n_tokens,
-        |    (len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000000
-        |      // greatest(length(text), 1))::BIGINT AS punct_ppm,
-        |    regexp_matches(rtrim(text), '[.!?。！？]$') AS terminal
-        |  FROM documents
-        |), qk AS (
-        |  SELECT doc_id, lang, n_tokens,
-        |    (n_tokens >= 5 AND punct_ppm <= 300000 AND terminal) AS keep
-        |  FROM qt
+        |), """.stripMargin + docQuality + """, qk AS (
+        |  SELECT doc_id, lang, n_tokens, keep FROM dq
         |)
         |SELECT lang, is_dup, count(*)::BIGINT AS n_docs,
         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
@@ -1466,17 +1451,8 @@ object ExtQueries {
     // gate; survivor = keep-first, longest, then lowest id.
     "dedup_canonical" -> ("WITH RECURSIVE " +
       simhashSig.stripPrefix("WITH ") + simhashCcChain +
-      """, qq AS (
-        |  SELECT doc_id, (CASE WHEN n_tokens < 5 THEN 1
-        |                       WHEN punct_ppm > 300000 THEN 1
-        |                       WHEN NOT terminal THEN 1 ELSE 0 END) = 0 AS keep
-        |  FROM (SELECT doc_id,
-        |          len(list_filter(string_split_regex(text, '\s+'),
-        |                          x -> x != ''))::BIGINT AS n_tokens,
-        |          (len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000000
-        |            // greatest(length(text), 1))::BIGINT AS punct_ppm,
-        |          regexp_matches(rtrim(text), '[.!?。！？]$') AS terminal
-        |        FROM documents)
+      """, """.stripMargin + docQuality + """, qq AS (
+        |  SELECT doc_id, keep FROM dq
         |), mem AS (
         |  SELECT cl.cluster_id, cl.doc_id, q.keep, d.n_chars
         |  FROM cl JOIN qq q USING (doc_id) JOIN documents d USING (doc_id)
@@ -2347,9 +2323,7 @@ object ExtQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "ext_funnel" ->
-      """WITH e AS (
-        |  SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events
-        |), f1 AS (
+      (eventsE + """, f1 AS (
         |  SELECT user_id, event_type, tsu,
         |    min(CASE WHEN event_type = 'view' THEN tsu END)
         |      OVER (PARTITION BY user_id) AS s1_us
@@ -2369,7 +2343,7 @@ object ExtQueries {
         |  (CASE WHEN s3_us IS NOT NULL THEN 3
         |        WHEN s2_us IS NOT NULL THEN 2
         |        WHEN s1_us IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS depth
-        |FROM f3 ORDER BY user_id""".stripMargin,
+        |FROM f3 ORDER BY user_id""".stripMargin),
 
     "ext_cms_hitters" ->
       """WITH ei AS (
@@ -2403,11 +2377,7 @@ object ExtQueries {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "ext_exact_percentiles" ->
-      """WITH e AS (
-        |  SELECT event_type, event_id,
-        |    CAST(floor("value" * 100) AS BIGINT) AS value_c
-        |  FROM events
-        |), r AS (
+      (eventsE + """, r AS (
         |  SELECT event_type, value_c,
         |    row_number() OVER (PARTITION BY event_type
         |                       ORDER BY value_c, event_id) AS rn,
@@ -2419,17 +2389,13 @@ object ExtQueries {
         |  min(CASE WHEN rn = (n * 9 + 9) // 10 THEN value_c END) AS p90_c
         |FROM r
         |WHERE rn = (n + 1) // 2 OR rn = (n * 9 + 9) // 10
-        |GROUP BY event_type, n ORDER BY event_type""".stripMargin,
+        |GROUP BY event_type, n ORDER BY event_type""".stripMargin),
 
     // Exact median / MAD / 3-MAD outlier census per event type — both
     // medians as rank-selected window VALUES (no join-back), matching
     // the engine's one-exchange plan.
     "ext_mad_outliers" ->
-      """WITH e AS (
-        |  SELECT event_type, event_id,
-        |    CAST(floor("value" * 100) AS BIGINT) AS value_c
-        |  FROM events
-        |), r AS (
+      (eventsE + """, r AS (
         |  SELECT event_type, event_id, value_c,
         |    row_number() OVER (PARTITION BY event_type
         |                       ORDER BY value_c, event_id) AS rn,
@@ -2456,12 +2422,10 @@ object ExtQueries {
         |  max(median_c) AS median_c, max(mad_c) AS mad_c,
         |  CAST(sum(CASE WHEN dev > mad_c * 3 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_outliers
-        |FROM dm GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM dm GROUP BY event_type ORDER BY event_type""".stripMargin),
 
     "ext_retention" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
-        |), c AS (
+      (eventsE + """, c AS (
         |  SELECT user_id, day,
         |    min(day) OVER (PARTITION BY user_id) AS cohort_day
         |  FROM e
@@ -2470,7 +2434,7 @@ object ExtQueries {
         |  FROM c
         |)
         |SELECT cohort_day, day_offset, count(*)::BIGINT AS n_active_users
-        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // PQ: the subspace k-means replay is the ann_kmeans chain with (m, j)
     // = ((i-1)//8, (i-1)%8) extending every group key; cb1 is the
@@ -3406,13 +3370,8 @@ object ExtQueries {
         |    SELECT vec_id, cell_id,
         |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell_id) AS rn
         |    FROM adot) WHERE rn = 1
-        |), verdict AS (
-        |  SELECT doc_id,
-        |    (len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) >= 5
-        |     AND (len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000000
-        |          // greatest(length(text), 1)) <= 300000
-        |     AND regexp_matches(rtrim(text), '[.!?。！？]$')) AS keep
-        |  FROM documents
+        |), """.stripMargin + docQuality + """, verdict AS (
+        |  SELECT doc_id, keep FROM dq
         |)
         |SELECT cell_id, count(*)::BIGINT AS n_docs,
         |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_keep,
@@ -3521,22 +3480,14 @@ object ExtQueries {
         |  FROM rare b JOIN rare t USING (shingle)
         |  WHERE b.doc_id % 17 = 0 AND t.doc_id % 17 != 0
         |  GROUP BY b.doc_id, t.doc_id HAVING count(*) >= 2
-        |), q AS (
-        |  SELECT doc_id, lang, source, text,
-        |    len(list_filter(string_split_regex(text, '\s+'),
-        |                    x -> x != ''))::BIGINT AS n_tokens,
-        |    (len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000000
-        |      // greatest(length(text), 1))::BIGINT AS punct_ppm,
-        |    regexp_matches(rtrim(text), '[.!?。！？]$') AS terminal
-        |  FROM documents
-        |), qr AS (
+        |), """.stripMargin + docQuality + """, qr AS (
         |  SELECT *,
         |    CASE WHEN n_tokens < 5 THEN 'too_short'
         |         WHEN punct_ppm > 300000 THEN 'too_much_punct'
         |         WHEN NOT terminal THEN 'no_terminal_punct' END AS qreason,
         |    doc_id % 17 = 0 AS is_bench,
         |    (('0x' || substr(sha256(text), 1, 8))::UBIGINT % 100)::BIGINT AS bucket
-        |  FROM q
+        |  FROM dq
         |), canon AS (
         |  SELECT *,
         |    min(CASE WHEN qreason IS NULL AND NOT is_bench THEN doc_id END)

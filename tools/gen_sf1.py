@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Derive an sf1 decade-scale test set from the driver's sf0.1 tables.
+
+Writes 10x replicas of documents / embeddings / events to data/sf1/
+(deterministic, no RNG), and symlinks the TPC-H tables from sf0.1 so the
+directory is a drop-in SPARK_GRAFT_SF_DIR.
+
+Replication preserves the sf0.1 distributions instead of distorting them:
+
+- documents: replica k suffixes every whitespace token with '~k' (k>0;
+  replica 0 is byte-identical to sf0.1). Tokens never collide across
+  replicas, so shingle/minhash/simhash near-dup structure is 10
+  independent copies of the sf0.1 corpus -- candidate-pair and cluster
+  counts scale exactly 10x. Naive duplication (identical text) would
+  instead create 10x-size clone clusters and quadratic pair blowup that
+  says nothing about the operators.
+- embeddings: replica k shifts every coordinate by k * 1e-4 -- within-
+  replica geometry (distances, cells, codes) is identical to sf0.1.
+- events: replica k offsets user_id/event_id; timestamps unchanged, so
+  it models 10x concurrent users with identical per-user timelines
+  (per-key state stays constant; only key cardinality grows).
+
+Usage: python3 tools/gen_sf1.py [outdir]   (default /root/repo/data/sf1)
+"""
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/data/sf1"
+REPLICAS = 10
+
+os.makedirs(OUT, exist_ok=True)
+con = duckdb.connect()
+
+con.execute(f"""
+COPY (
+  SELECT d.doc_id + k.k * 10000000 AS doc_id,
+    CASE WHEN k.k = 0 THEN d.text
+         ELSE array_to_string(
+           list_transform(string_split(d.text, ' '),
+                          x -> x || '~' || k.k), ' ')
+    END AS text,
+    d.lang, d.source,
+    CASE WHEN k.k = 0 THEN d.n_chars
+         ELSE length(array_to_string(
+           list_transform(string_split(d.text, ' '),
+                          x -> x || '~' || k.k), ' '))::BIGINT
+    END AS n_chars
+  FROM '{SRC}/documents.parquet' d, range(0, {REPLICAS}) k(k)
+  ORDER BY doc_id
+) TO '{OUT}/documents.parquet' (FORMAT PARQUET)
+""")
+
+con.execute(f"""
+COPY (
+  SELECT e.vec_id + k.k * 10000000 AS vec_id,
+    list_transform(e.embedding, x -> (x + k.k * 0.0001)::FLOAT) AS embedding,
+    e.label
+  FROM '{SRC}/embeddings.parquet' e, range(0, {REPLICAS}) k(k)
+  ORDER BY vec_id
+) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)
+""")
+
+con.execute(f"""
+COPY (
+  SELECT e.event_id + k.k * 100000000 AS event_id, e.ts,
+    e.user_id + k.k * 10000000 AS user_id,
+    e.event_type, e."value", e.props
+  FROM '{SRC}/events.parquet' e, range(0, {REPLICAS}) k(k)
+  ORDER BY event_id
+) TO '{OUT}/events.parquet' (FORMAT PARQUET)
+""")
+
+for t in ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem"):
+    dst = f"{OUT}/{t}.parquet"
+    if not os.path.exists(dst):
+        os.symlink(f"{SRC}/{t}.parquet", dst)
+
+for t in ("documents", "embeddings", "events"):
+    n = con.execute(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
+    print(t, n)
