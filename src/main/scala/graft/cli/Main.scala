@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import graft.engine.ingest.Sources
 import graft.engine.mongo.MongoLogPipeline
 import graft.engine.mysql.MySqlLogPipeline
-import graft.engine.report.{ReportSink, XlsxWriter}
+import graft.engine.report.{HtmlWriter, ReportSink, XlsxWriter}
 import org.apache.spark.sql.DataFrame
 
 /** CLI entry point — the Spark-native equivalent of the reference's
@@ -13,18 +13,23 @@ import org.apache.spark.sql.DataFrame
   * Usage:
   *   graft.cli.Main --mode mongo|mysql --input <log path/glob>
   *                  --output <report dir> [--csv] [--scale] [--xlsx]
+  *                  [--html]
   *
   * --scale selects the 100 TB-shaped source for MySQL (record-delimited
   * parallel read) instead of the reference-parity whole-file read.
   * --xlsx additionally assembles `<output>/report.xlsx`, a real OOXML
   * workbook with the reference's sheet names (mongo_parser.py:136-141,
   * mysqlLogParser.py:139-142) — the download a reference user expects.
+  * --html additionally renders `<output>/report.html`, a self-contained
+  * serve-less page with the same sheets — the K3 interactive-UI analog
+  * (mongo_parser.py:146-192).
   */
 object Main {
 
   private case class Args(mode: String = "", input: String = "",
                           output: String = "", csv: Boolean = false,
-                          scale: Boolean = false, xlsx: Boolean = false)
+                          scale: Boolean = false, xlsx: Boolean = false,
+                          html: Boolean = false)
 
   private def parseArgs(argv: List[String], a: Args = Args()): Args = argv match {
     case "--mode" :: v :: rest   => parseArgs(rest, a.copy(mode = v))
@@ -33,6 +38,7 @@ object Main {
     case "--csv" :: rest         => parseArgs(rest, a.copy(csv = true))
     case "--scale" :: rest       => parseArgs(rest, a.copy(scale = true))
     case "--xlsx" :: rest        => parseArgs(rest, a.copy(xlsx = true))
+    case "--html" :: rest        => parseArgs(rest, a.copy(html = true))
     case Nil                     => a
     case other :: _ => sys.error(s"Unknown argument: $other")
   }
@@ -41,12 +47,16 @@ object Main {
     * (a driver-side collect, same as the reference's pandas assembly).
     */
   private def writeReport(outDir: String, sheets: Seq[(String, DataFrame)],
-                          csv: Boolean, xlsx: Boolean): (Boolean, String) = {
-    val r = ReportSink.writeSheets(outDir, sheets, csv)
+                          csv: Boolean, xlsx: Boolean,
+                          html: Boolean): (Boolean, String) = {
+    var r = ReportSink.writeSheets(outDir, sheets, csv)
     if (r._1 && xlsx)
-      try { XlsxWriter.write(s"$outDir/report.xlsx", sheets); r }
-      catch { case e: Exception => (false, s"Error writing report: ${e.getMessage}") }
-    else r
+      r = try { XlsxWriter.write(s"$outDir/report.xlsx", sheets); r }
+        catch { case e: Exception => (false, s"Error writing report: ${e.getMessage}") }
+    if (r._1 && html)
+      r = try { HtmlWriter.write(s"$outDir/report.html", "Log Report", sheets); r }
+        catch { case e: Exception => (false, s"Error writing report: ${e.getMessage}") }
+    r
   }
 
   def main(argv: Array[String]): Unit = {
@@ -78,7 +88,7 @@ object Main {
         ReportSink.writeWarnings(args.output, res.parseErrors, "message")
         writeReport(args.output, ReportSink.MongoSheets.zip(Seq(
           res.detailed, res.queryStats, res.nonSlow, res.errors)),
-          args.csv, args.xlsx)
+          args.csv, args.xlsx, args.html)
       case "mysql" =>
         val entries =
           if (args.scale) Sources.readDelimited(spark, args.input)
@@ -94,7 +104,7 @@ object Main {
         ReportSink.writeWarnings(args.output, res.warnings)
         writeReport(args.output, ReportSink.MySqlSheets.zip(Seq(
           MySqlLogPipeline.referenceDetailed(res.detailed), res.aggregate)),
-          args.csv, args.xlsx)
+          args.csv, args.xlsx, args.html)
     }
     if (ok) println(s"Report written to ${args.output}")
     else { System.err.println(err); sys.exit(1) }

@@ -688,8 +688,18 @@ object Dedup {
     * cos(a,b) >= thrNum/thrDen checked in exact integer arithmetic
     * (thrDen² · dot² >= thrNum² · |a|²·|b|² with dot > 0) over quantized
     * vectors — no float comparisons, so the boundary is bit-stable.
-    * Bucket-join shaped like every near-dup here: cost is Σ bucket², never
-    * the corpus cross join.
+    *
+    * Candidate expansion is a (band, bucket) EQUI-JOIN, not a per-bucket
+    * collect_list + local array expansion: SRP buckets — unlike the
+    * df-capped shingle blocks and the similarity-gated SimHash/MinHash
+    * band keys everywhere else in this file — collide vectors at RANDOM
+    * (a bitsPerBand-bit key partitions the whole corpus into 2^bits
+    * cells), so bucket size grows linearly with the corpus and a
+    * materialized per-bucket pair ARRAY is Θ(bucket²) heap in one value
+    * (measured: the array form OOM'd a 32 GB driver at 20k vectors; the
+    * join form streams the same pair set through sort-merge/AQE-skew
+    * machinery in constant memory). Cost is still Σ bucket² WORK — that's
+    * the LSH contract — but never Σ bucket² MEMORY.
     */
   def embedCosinePairs(spark: SparkSession, dir: String): DataFrame =
     embedCosinePairs(spark,
@@ -715,19 +725,21 @@ object Dedup {
       .select(col("vec_id"), col("q"), Similarity.qdot(col("q"), col("q")).as("n2"))
       .withColumn("sig", sigCol)
 
-    sig
+    val banded = sig
       .select(col("vec_id"), col("q"), col("n2"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("vec_id"), col("q"), col("n2"), col("band"),
         expr(s"shiftright(sig, cast(band as int) * $bitsPerBand)")
           .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("bv"))
-      .groupBy(col("band"), col("bv"))
-      .agg(collect_list(struct(col("vec_id"), col("q"), col("n2"))).as("ms"))
-      .filter(size(col("ms")) >= 2)
-      .select(explode(localPairs(array_sort(col("ms")))).as("p"))
-      .select(col("p.a.vec_id").as("vec_a"), col("p.b.vec_id").as("vec_b"),
-        Similarity.qdot(col("p.a.q"), col("p.b.q")).as("dot"),
-        col("p.a.n2").as("na"), col("p.b.n2").as("nb"))
+    val left = banded.select(col("band"), col("bv"),
+      col("vec_id").as("vec_a"), col("q").as("qa"), col("n2").as("na"))
+    val right = banded.select(col("band"), col("bv"),
+      col("vec_id").as("vec_b"), col("q").as("qb"), col("n2").as("nb"))
+    left.join(right, Seq("band", "bv"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        Similarity.qdot(col("qa"), col("qb")).as("dot"),
+        col("na"), col("nb"))
       .distinct()
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * lit(thrDen * thrDen) >=

@@ -14,8 +14,14 @@ Replication preserves the sf0.1 distributions instead of distorting them:
   counts scale exactly 10x. Naive duplication (identical text) would
   instead create 10x-size clone clusters and quadratic pair blowup that
   says nothing about the operators.
-- embeddings: replica k shifts every coordinate by k * 1e-4 -- within-
-  replica geometry (distances, cells, codes) is identical to sf0.1.
+- embeddings: replica k multiplies coordinate i by a deterministic
+  +-1 sign s(k, i) (md5 parity). A fixed sign pattern per replica is a
+  reflection: within-replica geometry (distances, cells, codes) is
+  EXACTLY sf0.1's, while cross-replica vectors decorrelate -- so SRP /
+  LSH buckets grow linearly, not by 10x replica-twin pileup. (An earlier
+  epsilon-shift variant made every replica a near-dup of the original:
+  bucket sizes x10, local pair expansion x100, driver OOM -- the same
+  clone-cluster trap the token salting avoids for text.)
 - events: replica k offsets user_id/event_id; timestamps unchanged, so
   it models 10x concurrent users with identical per-user timelines
   (per-key state stays constant; only key cardinality grows).
@@ -56,7 +62,13 @@ COPY (
 con.execute(f"""
 COPY (
   SELECT e.vec_id + k.k * 10000000 AS vec_id,
-    list_transform(e.embedding, x -> (x + k.k * 0.0001)::FLOAT) AS embedding,
+    CASE WHEN k.k = 0 THEN e.embedding
+    ELSE list_transform(range(1, len(e.embedding) + 1),
+      i -> (e.embedding[i] *
+            (CASE WHEN ('0x' || substr(md5(k.k::VARCHAR || ':' || i::VARCHAR),
+                        1, 2))::INT % 2 = 0
+                  THEN 1 ELSE -1 END))::FLOAT)
+    END AS embedding,
     e.label
   FROM '{SRC}/embeddings.parquet' e, range(0, {REPLICAS}) k(k)
   ORDER BY vec_id
