@@ -55,6 +55,7 @@ object ExtQueries {
     "ext_transitions" -> ((s, dir) => Sessionize.transitions(s, dir)),
     "ext_props_rollup" -> ((s, dir) => Sessionize.propsRollup(s, dir)),
     "ext_gap_histogram" -> ((s, dir) => Sessionize.gapHistogram(s, dir)),
+    "ext_disorder" -> ((s, dir) => Sessionize.disorderCensus(s, dir)),
     "ext_user_lifetime" -> ((s, dir) => Sessionize.userLifetime(s, dir)),
     "ext_conversion_lag" -> ((s, dir) => Sessionize.conversionLag(s, dir)),
     "ext_yoy_revenue" -> ((s, dir) => Relational.yoyRevenue(s, dir)),
@@ -68,6 +69,7 @@ object ExtQueries {
     "ext_fulfillment_lag" -> ((s, dir) => Relational.fulfillmentLag(s, dir)),
     "text_lang_confusion" -> ((s, dir) => TextAnalysis.langConfusion(s, dir)),
     "text_readability" -> ((s, dir) => TextAnalysis.readability(s, dir)),
+    "text_fertility" -> ((s, dir) => TextAnalysis.fertility(s, dir)),
     "ext_weekday_revenue" -> ((s, dir) => Relational.weekdayRevenue(s, dir)),
     "corpus_shards" -> ((s, dir) => Corpus.shardBalance(s, dir)),
     "ann_nprobe_sweep" -> ((s, dir) => Similarity.nprobeSweep(s, dir)),
@@ -785,6 +787,23 @@ object ExtQueries {
         |FROM l WHERE gap IS NOT NULL
         |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin),
 
+    // Watermark-sizing disorder census: lateness vs the running
+    // event-time high-water mark in arrival (event_id) order.
+    "ext_disorder" ->
+      (eventsE + """, l AS (
+        |  SELECT event_type,
+        |    greatest(coalesce(max(tsu) OVER (ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), tsu)
+        |      - tsu, 0) AS late
+        |  FROM e
+        |)
+        |SELECT event_type,
+        |  (CASE WHEN late = 0 THEN 0
+        |        ELSE length(bin(late)) END)::BIGINT AS bucket,
+        |  count(*)::BIGINT AS n_events,
+        |  min(late)::BIGINT AS min_late_us, max(late)::BIGINT AS max_late_us
+        |FROM l GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin),
+
     // Per-source pack-boundary straddles + tail fill, 2048-token budget.
     "corpus_pack_stats" ->
       """WITH t AS (
@@ -1110,6 +1129,27 @@ object ExtQueries {
         |  CAST(sum(n_word_chars) * 1000 // greatest(sum(n_words), 1)
         |       AS BIGINT) AS cpw_milli
         |FROM a GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // Tokenizer fertility: BPE-ish subtokens per whitespace word and
+    // chars per subtoken, ratio-of-sums per (lang, source).
+    "text_fertility" ->
+      """WITH a AS (
+        |  SELECT lang, source,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |                    x -> x != ''))::BIGINT AS n_words,
+        |    len(regexp_extract_all(text,
+        |        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_sub,
+        |    length(text)::BIGINT AS n_chars
+        |  FROM documents
+        |)
+        |SELECT lang, source, count(*)::BIGINT AS n_docs,
+        |  sum(n_words)::BIGINT AS sum_words,
+        |  sum(n_sub)::BIGINT AS sum_subtokens,
+        |  CAST(sum(n_sub) * 1000 // greatest(sum(n_words), 1)
+        |       AS BIGINT) AS fertility_milli,
+        |  CAST(sum(n_chars) * 1000 // greatest(sum(n_sub), 1)
+        |       AS BIGINT) AS chars_per_subtoken_milli
+        |FROM a GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
 
     // ISO day-of-week seasonality, integer cents.
     "ext_weekday_revenue" ->

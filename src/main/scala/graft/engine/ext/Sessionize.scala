@@ -508,6 +508,61 @@ object Sessionize {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** Event-time DISORDER census — the audit that sizes a streaming
+    * watermark delay. An event's lateness is how far behind the stream's
+    * running event-time high-water mark it arrived: lateness_i =
+    * max(0, max over events arriving before i of ts − ts_i), arrival
+    * order = event_id (the monotone ingest id). Output: per (event_type,
+    * log2 lateness bucket) counts + min/max micros, bucket 0 = in-order.
+    * A deployment picks `withWatermark` delay at the bucket boundary
+    * covering its tolerated drop rate; [[gapHistogram]] reads the same
+    * buckets for inter-arrival spacing.
+    *
+    * Scale shape — the naive form is ONE global running max: a single
+    * task at 100 TB. This is the two-level prefix scan instead:
+    * (1) per 8192-id ingest block, the block max ts — a partial-agg
+    * census of n/8192 rows; (2) a window over the BLOCK census hands
+    * each block the high-water mark of all earlier blocks (census-sized
+    * work, broadcast back); (3) a per-block local running max,
+    * partitioned by block — parallel across blocks. lateness =
+    * max(0, max(prev-block HWM, within-block prior max) − ts). Exact,
+    * and every stage is census-sized or embarrassingly parallel.
+    */
+  def disorderCensus(spark: SparkSession, dir: String): DataFrame =
+    disorderCensus(events(spark, dir))
+
+  def disorderCensus(ev: DataFrame, blockSize: Long = 8192L): DataFrame = {
+    val blocks = ev.select(col("event_id"), col("event_type"), col("ts_us"),
+      expr(s"event_id div $blockSize").as("blk"))
+    val blockMax = blocks.groupBy(col("blk"))
+      .agg(max(col("ts_us")).as("blk_max"))
+    val wB = Window.orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hwm = blockMax
+      .withColumn("prev_hwm", max(col("blk_max")).over(wB))
+      .select(col("blk"), col("prev_hwm"))
+    val wL = Window.partitionBy(col("blk")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    blocks
+      .join(broadcast(hwm), Seq("blk"))
+      .withColumn("local_prior", max(col("ts_us")).over(wL))
+      // greatest() skips nulls; a stream-first event (both marks null)
+      // defaults the HWM to its own ts → lateness 0. Never Long.MinValue
+      // sentinels here: MinValue − ts would wrap positive.
+      .withColumn("lateness_us", greatest(
+        coalesce(greatest(col("prev_hwm"), col("local_prior")),
+          col("ts_us")) - col("ts_us"),
+        lit(0L)))
+      .withColumn("bucket",
+        when(col("lateness_us") === 0L, 0L)
+          .otherwise(length(bin(col("lateness_us"))).cast("long")))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("lateness_us")).as("min_late_us"),
+        max(col("lateness_us")).as("max_late_us"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   /** Hourly volume SPIKE census — [[madOutliers]]'s median/MAD machinery
     * applied to the per-(type, hour) event-count series: hours whose
     * count exceeds median + 3·MAD are rate anomalies (incident spikes,

@@ -152,6 +152,33 @@ object TextAnalysis {
       size(array_distinct(hashes)).as("n_distinct_windows"))
   }
 
+  /** Tokenizer fertility census per (lang, source): BPE-ish subtokens
+    * per whitespace word (`fertility_milli`, ratio-of-sums so long docs
+    * weigh in proportion) and characters per subtoken. Fertility is THE
+    * tokenizer-fit diagnostic when pricing a vocab against a corpus mix —
+    * a language segmenting at 2× the subtokens/word of English pays 2×
+    * the sequence length for the same content. Integer-exact milli
+    * ratios; one partial-aggregated shuffle on the (lang, source) key.
+    */
+  def fertility(spark: SparkSession, dir: String): DataFrame =
+    fertility(spark.read.parquet(s"$dir/documents.parquet"))
+
+  def fertility(docs: DataFrame): DataFrame =
+    analyze(docs)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens_ws")).as("sum_words"),
+        sum(col("n_tokens_bpe")).as("sum_subtokens"),
+        sum(col("n_chars_m")).as("sum_chars"))
+      .select(col("lang"), col("source"), col("n_docs"), col("sum_words"),
+        col("sum_subtokens"),
+        expr("sum_subtokens * 1000 div greatest(sum_words, 1)")
+          .as("fertility_milli"),
+        expr("sum_chars * 1000 div greatest(sum_subtokens, 1)")
+          .as("chars_per_subtoken_milli"))
+      .orderBy(col("lang"), col("source"))
+
   /** Corpus-level quality rollup per (lang, source): the aggregation a
     * filter stage would gate on. Integer-exact everywhere.
     */
