@@ -192,6 +192,7 @@ object ExtQueries {
     "dedup_containment" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
     "dedup_substring" -> ((s, dir) => Dedup.substringSpans(s, dir)),
     "dedup_span_coverage" -> ((s, dir) => Dedup.spanCoverage(s, dir)),
+    "dedup_span_removal" -> ((s, dir) => Dedup.spanRemoval(s, dir)),
     "layout_zorder" -> ((s, dir) =>
       graft.engine.ingest.Layout.zorderStats(s, dir)),
     "ann_srp_topk" -> ((s, dir) => Similarity.srpTopK(s, dir)),
@@ -2701,6 +2702,48 @@ object ExtQueries {
         |  (a.covered_tokens * 1000000 // len(t.t))::BIGINT AS dup_ppm
         |FROM agg a JOIN toks t USING (doc_id)
         |ORDER BY a.doc_id""".stripMargin),
+
+    // Substring removal: cut the merged islands out of every doc; the
+    // md5 of the surviving token stream proves the reconstruction.
+    "dedup_span_removal" -> (spanChain +
+      """, iv AS (
+        |  SELECT DISTINCT doc_id, s, e FROM (
+        |    SELECT doc_a AS doc_id, a_start AS s,
+        |      a_start + span_tokens AS e FROM spans
+        |    UNION ALL
+        |    SELECT doc_b, b_start, b_start + span_tokens FROM spans)
+        |), mrk AS (
+        |  SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv
+        |), cum AS (
+        |  SELECT doc_id, s, e,
+        |    sum(CASE WHEN pmax IS NULL OR s >= pmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM mrk
+        |), mi AS (
+        |  SELECT doc_id, isl, min(s) AS s, max(e) AS e
+        |  FROM cum GROUP BY 1, 2
+        |), ia AS (
+        |  SELECT doc_id, list({'s': s, 'e': e} ORDER BY s, e) AS ivs
+        |  FROM mi GROUP BY 1
+        |), cut AS (
+        |  SELECT t.doc_id, t.t,
+        |    list_transform(
+        |      list_filter(list_zip(t.t, range(0, len(t.t))),
+        |        z -> len(list_filter(coalesce(ia.ivs, []),
+        |               v -> struct_extract(z, 2) >= v.s
+        |                AND struct_extract(z, 2) < v.e)) = 0),
+        |      z -> struct_extract(z, 1)) AS kept
+        |  FROM toks t LEFT JOIN ia USING (doc_id)
+        |)
+        |SELECT doc_id, len(t)::BIGINT AS n_tokens,
+        |  len(kept)::BIGINT AS kept_tokens,
+        |  (len(t) - len(kept))::BIGINT AS removed_tokens,
+        |  md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+        |FROM cut ORDER BY doc_id""".stripMargin),
 
     "layout_zorder" ->
       s"""WITH z AS (

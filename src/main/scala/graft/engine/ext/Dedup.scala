@@ -439,6 +439,61 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Substring REMOVAL (the cleaning step downstream of
+    * [[substringSpans]], Lee et al. 2022 §4 as dataflow): cut every
+    * merged shared-span interval out of every document and emit the
+    * surviving token stream's census — kept/removed counts plus an md5
+    * fingerprint of the cleaned text, so the oracle checks the actual
+    * reconstruction, not just the arithmetic. Documents with no shared
+    * spans pass through whole (left join, null interval set).
+    *
+    * Scale shape: rides the df-capped span build and [[spanCoverage]]'s
+    * per-doc interval merge; the cut itself is a per-row higher-order
+    * filter over (token, position) — a codegen-free but
+    * constant-per-token projection, no shuffle beyond the span build's.
+    */
+  def spanRemoval(spark: SparkSession, dir: String): DataFrame =
+    spanRemoval(documents(spark, dir))
+
+  def spanRemoval(docs: DataFrame, n: Int = 3, dfCap: Int = 100,
+                  minSpanTokens: Int = 10): DataFrame = {
+    val spans = spansOf(docs, n, dfCap, minSpanTokens)
+    val iv = spans.select(col("doc_a").as("doc_id"), col("a_start").as("s"),
+        (col("a_start") + col("span_tokens")).as("e"))
+      .union(spans.select(col("doc_b").as("doc_id"), col("b_start").as("s"),
+        (col("b_start") + col("span_tokens")).as("e")))
+      .distinct()
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val wPrev = ord.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wCum = ord.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val merged = iv
+      .withColumn("pmax", max(col("e")).over(wPrev))
+      .withColumn("flag",
+        when(col("pmax").isNull || col("s") >= col("pmax"), 1L).otherwise(0L))
+      .withColumn("isl", sum(col("flag")).over(wCum))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .join(merged, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("ivs").isNull, col("toks"))
+          .otherwise(filter(col("toks"), (_, i) =>
+            !exists(col("ivs"), v =>
+              i >= v.getField("s") && i < v.getField("e")))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long")
+          .as("removed_tokens"),
+        md5(concat_ws(" ", col("kept"))).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ SimHash
 
   /** 60-bit SimHash per document from the token multiset: each token
