@@ -149,6 +149,7 @@ object ExtQueries {
     "ann_ivfpq_search" -> ((s, dir) => Similarity.ivfPqTopK(s, dir)),
     "ann_ivfpq_recall" -> ((s, dir) => Similarity.ivfPqRecall(s, dir)),
     "ann_pq_codes" -> ((s, dir) => Similarity.pqCodes(s, dir)),
+    "ann_pq_drift" -> ((s, dir) => Similarity.pqDriftAudit(s, dir)),
     "ann_pq_search" -> ((s, dir) => Similarity.pqSearchTopK(s, dir)),
     "ann_pq_rerank" -> ((s, dir) => Similarity.pqRerankTopK(s, dir)),
     "ann_hybrid_rrf" -> ((s, dir) => Similarity.hybridRrf(s, dir)),
@@ -2483,6 +2484,44 @@ object ExtQueries {
     "ann_pq_codes" -> (quantized + pqChain +
       """SELECT vec_id, m::BIGINT AS m, code::BIGINT AS code
         |FROM a2 ORDER BY vec_id, m""".stripMargin),
+
+    // PQ codebook staleness: trained on even ids only (initial centroids
+    // = first 16 even ids), frozen, then distortion per (half, subspace).
+    "ann_pq_drift" -> (quantized +
+      """, sv AS (
+        |  SELECT vec_id, (i - 1) // 8 AS m, (i - 1) % 8 AS j, q FROM v
+        |), tr AS (
+        |  SELECT * FROM sv WHERE vec_id % 2 = 0
+        |), tb0 AS (
+        |  SELECT vec_id AS code, m, j, q AS c FROM tr WHERE vec_id < 32
+        |), td1 AS (
+        |  SELECT tr.vec_id, tr.m, tb0.code,
+        |    CAST(sum((tr.q - tb0.c) * (tr.q - tb0.c)) AS BIGINT) AS dist
+        |  FROM tr JOIN tb0 ON tr.m = tb0.m AND tr.j = tb0.j
+        |  GROUP BY 1, 2, 3
+        |), ta1 AS (
+        |  SELECT vec_id, m, code FROM (
+        |    SELECT vec_id, m, code,
+        |      row_number() OVER (PARTITION BY vec_id, m
+        |                         ORDER BY dist, code) AS rn
+        |    FROM td1) WHERE rn = 1
+        |), tb1 AS (
+        |  SELECT ta1.m, ta1.code, tr.j,
+        |    CAST(floor(sum(tr.q)::DOUBLE / count(*)) AS BIGINT) AS c
+        |  FROM ta1 JOIN tr ON tr.vec_id = ta1.vec_id AND tr.m = ta1.m
+        |  GROUP BY 1, 2, 3
+        |), td2 AS (
+        |  SELECT sv.vec_id, sv.m, tb1.code,
+        |    CAST(sum((sv.q - tb1.c) * (sv.q - tb1.c)) AS BIGINT) AS dist
+        |  FROM sv JOIN tb1 ON sv.m = tb1.m AND sv.j = tb1.j
+        |  GROUP BY 1, 2, 3
+        |), tfin AS (
+        |  SELECT vec_id, m, min(dist) AS dist FROM td2 GROUP BY 1, 2
+        |)
+        |SELECT (vec_id % 2)::BIGINT AS half, m::BIGINT AS m,
+        |  count(*)::BIGINT AS n_vectors, sum(dist)::BIGINT AS sum_dist,
+        |  CAST(sum(dist) * 1000 // count(*) AS BIGINT) AS mean_dist_milli
+        |FROM tfin GROUP BY 1, 2 ORDER BY half, m""".stripMargin),
 
     "ann_pq_search" -> (quantized + pqChain +
       """, qs AS (

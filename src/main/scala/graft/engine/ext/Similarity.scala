@@ -529,6 +529,68 @@ object Similarity {
         col("code").cast("long").as("code"))
       .orderBy(col("vec_id"), col("m"))
 
+  /** PQ codebook STALENESS audit — the index-maintenance question "has
+    * the corpus drifted past the codebook?". Train the product-quantizer
+    * codebook on the EVEN-id half only (same per-subspace k-means as
+    * [[pqCodes]], initial centroids = first k even ids), freeze it,
+    * encode BOTH halves, and report per (half, subspace) assignment
+    * distortion — count, total, and mean in exact milli. A healthy index
+    * shows comparable halves; a climbing held-out-half mean is the
+    * retrain signal. Everything integer-exact, so the oracle replays the
+    * training bit-for-bit.
+    *
+    * Scale shape: identical to [[pqCodes]] — the corpus streams against
+    * a broadcast M·k codebook; training state is localCheckpointed
+    * between rounds; the audit itself is one partial-agg rollup to
+    * 2·M rows.
+    */
+  def pqDriftAudit(spark: SparkSession, dir: String, M: Int = 8,
+                   subDim: Int = 8, k: Int = 16, iters: Int = 2): DataFrame =
+    pqDriftAudit(vectors(spark, dir), M, subDim, k, iters)
+
+  def pqDriftAudit(vs: DataFrame, M: Int, subDim: Int, k: Int,
+                   iters: Int): DataFrame = {
+    val subs = vs
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(M - 1))).as("m"), col("q"))
+      .select(col("vec_id"), col("m"),
+        slice(col("q"), (col("m") * subDim + 1).cast("int"), lit(subDim))
+          .as("sq"))
+    val train = subs.filter(col("vec_id") % 2 === 0)
+    var cb = train.filter(col("vec_id") < 2L * k)
+      .select(col("m"), col("vec_id").cast("int").as("code"),
+        col("sq").as("cq"))
+    val dist = qdot(col("sq"), col("sq")) -
+      lit(2L) * qdot(col("sq"), col("cq")) + qdot(col("cq"), col("cq"))
+    for (_ <- 1 until iters) {
+      val assignedT = train.join(broadcast(cb), Seq("m"))
+        .select(col("vec_id"), col("m"), col("sq"), col("code"),
+          dist.as("dist"))
+        .groupBy(col("vec_id"), col("m"), col("sq"))
+        .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+      cb = assignedT
+        .select(col("m"), col("code"), posexplode(col("sq")).as(Seq("j", "v")))
+        .groupBy(col("m"), col("code"), col("j"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .withColumn("c", floor(col("s").cast("double") / col("n")).cast("long"))
+        .groupBy(col("m"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("j"), col("c")))),
+          x => x.getField("c")).as("cq"))
+        .localCheckpoint(true)
+    }
+    subs.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), dist.as("dist"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("dist")).as("dist"))
+      .select((col("vec_id") % 2).as("half"), col("m").cast("long").as("m"),
+        col("dist"))
+      .groupBy(col("half"), col("m"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("dist")).as("sum_dist"))
+      .withColumn("mean_dist_milli",
+        expr("sum_dist * 1000 div n_vectors"))
+      .orderBy(col("half"), col("m"))
+  }
+
   /** The per-subspace training loop: (final (vec_id, m, code, sq),
     * codebook (m, code, cq)).
     */
