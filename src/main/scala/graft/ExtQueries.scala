@@ -122,6 +122,7 @@ object ExtQueries {
     "corpus_mix" -> ((s, dir) => Corpus.weightedInterleave(s, dir)),
     "corpus_clean" -> ((s, dir) => Corpus.qualityClean(s, dir)),
     "corpus_contamination" -> ((s, dir) => Corpus.contamination(s, dir)),
+    "corpus_firewall13" -> ((s, dir) => Dedup.firewall13(s, dir)),
     "corpus_decontaminated" -> ((s, dir) => Corpus.decontaminated(s, dir)),
     // ------------------------------------------------ dedup
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
@@ -1306,6 +1307,34 @@ object ExtQueries {
         |             WHEN NOT terminal THEN 'no_terminal_punct' END AS reason
         |      FROM dq)
         |ORDER BY doc_id""".stripMargin),
+
+    // GPT-3-style exact 13-gram firewall: ANY shared 13-gram with the
+    // training split marks the held-out doc contaminated.
+    "corpus_firewall13" ->
+      """WITH toks13 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             x -> x != '') AS t
+        |  FROM documents
+        |), sh13 AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 11),
+        |    i -> md5(array_to_string(t[i:i+12], ' ')))) AS hs
+        |  FROM toks13 WHERE len(t) >= 13
+        |), bench AS (
+        |  SELECT doc_id, unnest(hs) AS h FROM sh13 WHERE doc_id % 17 = 0
+        |), tset AS (
+        |  SELECT DISTINCT unnest(hs) AS h FROM sh13 WHERE doc_id % 17 != 0
+        |), tot AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_13grams FROM bench GROUP BY 1
+        |), hit AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_hits
+        |  FROM bench WHERE h IN (SELECT h FROM tset) GROUP BY 1
+        |)
+        |SELECT t.doc_id, t.n_13grams,
+        |  coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+        |  (coalesce(h.n_hits, 0) * 1000000 // t.n_13grams)::BIGINT AS hit_ppm,
+        |  coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM tot t LEFT JOIN hit h USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     "corpus_contamination" -> (shingles3 +
       """, shx AS (

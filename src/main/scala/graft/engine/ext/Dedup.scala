@@ -439,6 +439,41 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact 13-gram contamination firewall (the GPT-3 appendix-C rule as
+    * dataflow, complementing [[corpus_contamination]]'s rare-shingle
+    * heuristic): a held-out document is contaminated if ANY of its
+    * 13-grams appears anywhere in the training split. Per bench doc:
+    * 13-gram count, hit count, hit ppm, verdict. Only bench docs long
+    * enough to have a 13-gram appear (shorter docs can't trip this rule
+    * by definition).
+    *
+    * Scale shape: the training side collapses to a DISTINCT shingle SET
+    * before the join (set membership, not postings — a boilerplate
+    * 13-gram in a million training docs is still ONE row), the join key
+    * is the fixed-width md5 of the shingle (32-byte shuffle keys, never
+    * the strings), and the probe is a left-semi join — no fan-out at
+    * any corpus size.
+    */
+  def firewall13(spark: SparkSession, dir: String): DataFrame =
+    firewall13(documents(spark, dir))
+
+  def firewall13(docs: DataFrame, n: Int = 13): DataFrame = {
+    val bench = shingleRows(docs.filter(col("doc_id") % 17 === 0), n)
+      .select(col("doc_id"), md5(col("shingle")).as("h"))
+    val trainSet = shingleRows(docs.filter(col("doc_id") % 17 =!= 0), n)
+      .select(md5(col("shingle")).as("h")).distinct()
+    val totals = bench.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_13grams"))
+    val hits = bench.join(trainSet, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_13grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("hit_ppm", expr("n_hits * 1000000 div n_13grams"))
+      .withColumn("contaminated", col("n_hits") > 0L)
+      .orderBy(col("doc_id"))
+  }
+
   /** Substring REMOVAL (the cleaning step downstream of
     * [[substringSpans]], Lee et al. 2022 §4 as dataflow): cut every
     * merged shared-span interval out of every document and emit the
