@@ -381,6 +381,29 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("round-9 operators plan with the promised shapes") {
+    import graft.engine.ext.{Dedup, Sessionize, TextAnalysis}
+    // firewall13: the training side must collapse to a distinct SET
+    // below a left-semi probe — an aggregate on the build side of a
+    // semi join, never a postings fan-out join
+    val fw = plan(Dedup.firewall13(spark, dir))
+    assert(fw.contains("LeftSemi"), fw.take(800))
+    assert(!fw.contains("SortMergeJoin LeftOuter"), fw.take(800))
+    // disorder census: the block HWM census joins back via an explicit
+    // broadcast — the fact-side scan must not shuffle for it
+    val dc = plan(Sessionize.disorderCensus(spark, dir))
+    assert(dc.contains("BroadcastHashJoin"), dc.take(800))
+    // fertility: exactly one hash exchange, on the (lang, source) key
+    val fert = plan(TextAnalysis.fertility(spark, dir))
+    assert("Exchange hashpartitioning\\(lang".r.findAllIn(fert).length === 1,
+      fert.take(800))
+    // pq drift: the codebook rides broadcasts; the corpus side never
+    // shuffles on vec_id for the assignment join
+    val drift = plan(
+      graft.engine.ext.Similarity.pqDriftAudit(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(drift).nonEmpty, drift.take(800))
+  }
+
   test("the sweep rejects a deliberately-injected naked cross join") {
     import org.apache.spark.sql.functions.col
     val l = spark.read.parquet(s"$dir/nation.parquet")
