@@ -128,7 +128,35 @@ object DedupStream {
   def pairsBatch(spark: org.apache.spark.sql.SparkSession,
                  dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val b = banded(docs)
+    // Signatures via the AGGREGATE path (explode shingles → 16 codegen'd
+    // map-side-combinable min aggregates), not the stream's per-row
+    // interpreted array transforms: both hash the same distinct shingle
+    // set with the same permutation family, so the values agree
+    // bit-for-bit (DedupStreamSpec executes both and asserts equality),
+    // but the per-row HOF form costs 15×-class interpreted-lambda
+    // overhead that only the stateless streaming context justifies.
+    val p = 2305843009213693951L // 2^61 - 1
+    val numHashes = 16
+    val ex = Dedup.shingleRows(docs.select(col("doc_id"), col("text")), 3)
+      .select(col("doc_id"), Dedup.md5Hash48(col("shingle")).as("h"))
+    val sigCols = (0 until numHashes).map { i =>
+      val a = 2L * i + 3L
+      val b = 7919L * (i + 1)
+      min(pmod(col("h") * a + b, lit(p))).as(s"mh_$i")
+    }
+    val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+    val bands = 4
+    val perBand = numHashes / bands
+    val b = sig
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("band"),
+        md5(concat_ws(",",
+          slice(col("sig"), col("band") * perBand + 1, lit(perBand))))
+          .as("bucket"),
+        col("doc_id"), col("sig"))
     val left = b.select(col("band"), col("bucket"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val right = b.select(col("band"), col("bucket"),
