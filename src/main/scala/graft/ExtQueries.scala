@@ -54,6 +54,8 @@ object ExtQueries {
     "ext_sessions" -> ((s, dir) => Sessionize.sessions(s, dir)),
     "ext_transitions" -> ((s, dir) => Sessionize.transitions(s, dir)),
     "ext_props_rollup" -> ((s, dir) => Sessionize.propsRollup(s, dir)),
+    "ext_props_keys" -> ((s, dir) => Sessionize.propsKeys(s, dir)),
+    "ext_bloom_audit" -> ((s, dir) => Sessionize.bloomAudit(s, dir)),
     "ext_gap_histogram" -> ((s, dir) => Sessionize.gapHistogram(s, dir)),
     "ext_disorder" -> ((s, dir) => Sessionize.disorderCensus(s, dir)),
     "ext_user_lifetime" -> ((s, dir) => Sessionize.userLifetime(s, dir)),
@@ -743,6 +745,57 @@ object ExtQueries {
         |  CAST(sum(value_c) AS BIGINT) AS sum_value_c
         |FROM t GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin),
+
+    // Bloom filter in exact bit math: purchasers in, view-only users
+    // probed (true non-members), measured FPP in exact ppm.
+    "ext_bloom_audit" ->
+      """WITH members AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |), probes AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        |  EXCEPT SELECT user_id FROM members
+        |), mpos AS (
+        |  SELECT ('0x' || substr(md5(i || ':' || user_id), 1, 15))::BIGINT
+        |    % 4096 AS pos
+        |  FROM members, range(0, 4) t(i)
+        |), slots AS (
+        |  SELECT pos // 64 AS slot,
+        |    bit_or(CASE WHEN pos % 64 = 63
+        |           THEN (-9223372036854775807 - 1)::BIGINT
+        |           ELSE 1::BIGINT << (pos % 64)::INT END) AS bits
+        |  FROM mpos GROUP BY 1
+        |), ppos AS (
+        |  SELECT user_id,
+        |    ('0x' || substr(md5(i || ':' || user_id), 1, 15))::BIGINT
+        |      % 4096 AS pos
+        |  FROM probes, range(0, 4) t(i)
+        |), hit AS (
+        |  SELECT p.user_id,
+        |    min(coalesce((s.bits >> (p.pos % 64)::INT) & 1, 0)) AS all_set
+        |  FROM ppos p LEFT JOIN slots s ON p.pos // 64 = s.slot
+        |  GROUP BY 1
+        |)
+        |SELECT (SELECT count(*) FROM members)::BIGINT AS n_members,
+        |  count(*)::BIGINT AS n_probes,
+        |  sum(all_set)::BIGINT AS n_false_positive,
+        |  (sum(all_set) * 1000000 // count(*))::BIGINT AS fpp_ppm
+        |FROM hit""".stripMargin,
+
+    // Schema-drift census: every props key per event type, presence ppm.
+    "ext_props_keys" ->
+      """WITH pk AS (
+        |  SELECT event_type, unnest(json_keys(props)) AS key FROM events
+        |), t AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_events
+        |  FROM events GROUP BY 1
+        |), c AS (
+        |  SELECT event_type, key, count(*)::BIGINT AS n_present
+        |  FROM pk GROUP BY 1, 2
+        |)
+        |SELECT c.event_type, c.key, c.n_present, t.n_events,
+        |  (c.n_present * 1000000 // t.n_events)::BIGINT AS present_ppm
+        |FROM c JOIN t USING (event_type)
+        |ORDER BY event_type, key""".stripMargin,
 
     // JSON props field census per event type.
     "ext_props_rollup" ->

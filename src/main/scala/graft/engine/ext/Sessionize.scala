@@ -90,6 +90,79 @@ object Sessionize {
         countDistinct(col("k")).as("n_distinct_k"))
       .orderBy(col("event_type"))
 
+  /** Semi-structured SCHEMA-DRIFT census over the `props` JSON sidecar:
+    * every key that appears, per event type, with its presence count and
+    * exact ppm share of that type's events — the audit that catches a
+    * producer silently adding/dropping fields ([[propsRollup]] profiles
+    * one known field; this discovers the field population). One explode
+    * of the key array + a map-side-combined count to |types|·|keys|
+    * rows; totals ride a broadcast.
+    */
+  def propsKeys(spark: SparkSession, dir: String): DataFrame =
+    propsKeys(events(spark, dir))
+
+  def propsKeys(ev: DataFrame): DataFrame = {
+    val typed = ev.select(col("event_type"), col("props"))
+    val totals = typed.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    typed
+      .select(col("event_type"),
+        explode(json_object_keys(col("props"))).as("key"))
+      .groupBy(col("event_type"), col("key"))
+      .agg(count(lit(1)).as("n_present"))
+      .join(broadcast(totals), Seq("event_type"))
+      .withColumn("present_ppm", expr("n_present * 1000000 div n_events"))
+      .select(col("event_type"), col("key"), col("n_present"),
+        col("n_events"), col("present_ppm"))
+      .orderBy(col("event_type"), col("key"))
+  }
+
+  /** Bloom-filter membership audit in EXACT bit math (the deterministic
+    * cousin of [[cmsHitters]]): build an m-bit / k-hash Bloom filter
+    * over purchasing users, probe it with view-only users (known
+    * non-members by construction — the left-anti join is the ground
+    * truth), and report the MEASURED false-positive rate in exact ppm.
+    * md5-derived positions, so the filter bits are identical in any
+    * engine — the whole audit hash-checks, unlike HLL/CMS sketches.
+    *
+    * Scale shape: the filter is a ≤ m/64-row (slot, bits) table built by
+    * one bit_or aggregate and broadcast; probes equi-join it on slot.
+    * The summary is the canonical 1-row scalar-broadcast cross join.
+    */
+  def bloomAudit(spark: SparkSession, dir: String): DataFrame =
+    bloomAudit(events(spark, dir))
+
+  def bloomAudit(ev: DataFrame, mBits: Int = 4096, k: Int = 4): DataFrame = {
+    val purchasers = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+    val probes = ev.filter(col("event_type") === "view")
+      .select(col("user_id")).distinct()
+      .join(purchasers, Seq("user_id"), "left_anti")
+    def positions = array((0 until k).map(i =>
+      expr(s"cast(conv(substring(md5(concat('$i', ':', user_id)), 1, 15)," +
+        s" 16, 10) AS bigint) % $mBits")): _*)
+    val slots = purchasers
+      .select(explode(positions).as("pos"))
+      .select(expr("pos div 64").as("slot"),
+        expr("shiftleft(1L, cast(pos % 64 AS int))").as("b"))
+      .groupBy(col("slot")).agg(expr("bit_or(b)").as("bits"))
+    val probed = probes
+      .select(col("user_id"), explode(positions).as("pos"))
+      .select(col("user_id"), expr("pos div 64").as("slot"),
+        expr("cast(pos % 64 AS int)").as("bit"))
+      .join(broadcast(slots), Seq("slot"), "left")
+      .withColumn("hit",
+        coalesce(expr("shiftright(bits, bit) & 1"), lit(0L)))
+      .groupBy(col("user_id"))
+      .agg(min(col("hit")).as("all_set"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(col("all_set")).as("n_false_positive"))
+    probed
+      .crossJoin(broadcast(purchasers.agg(count(lit(1)).as("n_members"))))
+      .select(col("n_members"), col("n_probes"), col("n_false_positive"),
+        expr("n_false_positive * 1000000 div n_probes").as("fpp_ppm"))
+  }
+
   /** Event-type TRANSITION matrix — first-order Markov census of user
     * behavior: for every (from, to) pair of consecutive events within a
     * user's timeline, the occurrence count and the per-from-type share
