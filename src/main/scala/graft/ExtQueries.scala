@@ -191,6 +191,7 @@ object ExtQueries {
     "text_distinctive_ngrams" ->
       ((s, dir) => TextAnalysis.distinctiveNgrams(s, dir)),
     "corpus_temperature" -> ((s, dir) => Corpus.temperatureWeights(s, dir)),
+    "corpus_epochs_plan" -> ((s, dir) => Corpus.epochsPlan(s, dir)),
     "corpus_dedup_weights" -> ((s, dir) => Corpus.dedupWeights(s, dir)),
     "corpus_dup_quality" -> ((s, dir) => Corpus.dupQuality(s, dir)),
     "dedup_containment" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
@@ -2736,6 +2737,27 @@ object ExtQueries {
         |    term, tf, df
         |  FROM agg)
         |WHERE rank <= 100 ORDER BY rank""".stripMargin),
+
+    // Token-budget mixing plan: per-lang epochs + upsampling at fixed
+    // interleave weights (en 4 / zh 1 / other 2), budget 1M tokens.
+    "corpus_epochs_plan" ->
+      """WITH pl AS (
+        |  SELECT lang,
+        |    CASE WHEN lang = 'en' THEN 4 WHEN lang = 'zh' THEN 1
+        |         ELSE 2 END AS w,
+        |    count(*)::BIGINT AS n_docs,
+        |    sum(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                        x -> x != '')))::BIGINT AS avail
+        |  FROM documents GROUP BY 1, 2
+        |), tw AS (SELECT sum(w) AS tw FROM pl)
+        |SELECT lang, n_docs, avail,
+        |  (1000000 * w // tw)::BIGINT AS requested,
+        |  ((1000000 * w // tw) // greatest(avail, 1))::BIGINT AS epochs,
+        |  ((1000000 * w // tw) % greatest(avail, 1))::BIGINT
+        |    AS partial_tokens,
+        |  ((1000000 * w // tw) * 1000 // greatest(avail, 1))::BIGINT
+        |    AS upsample_milli
+        |FROM pl, tw ORDER BY lang""".stripMargin,
 
     "corpus_temperature" ->
       """WITH pl AS (

@@ -274,6 +274,42 @@ object Corpus {
       .orderBy(col("interleave_key"), col("lang"), col("doc_id"))
   }
 
+  /** Epoch/upsampling PLAN for a token budget — the mixing-schedule
+    * arithmetic a curation run publishes before training: given a total
+    * token budget (default 1M per sf0.01-scale corpus unit; a parameter,
+    * linear in nothing) and the fixed per-lang mix weights of
+    * [[weightedInterleave]], each language's requested token mass is
+    * budget·w/Σw; the plan reports available tokens, requested tokens,
+    * the number of FULL passes over the language (epochs, integer), the
+    * leftover partial-pass tokens, and the effective upsampling factor
+    * in exact milli. Epochs > 1 is the "seen more than once" signal
+    * Muennighoff et al. 2023 budget around.
+    *
+    * Scale shape: one map-side-combined rollup to |langs| rows; all plan
+    * arithmetic happens on that census.
+    */
+  def epochsPlan(spark: SparkSession, dir: String,
+                 budgetTokens: Long = 1000000L): DataFrame = {
+    val weight = when(col("lang") === "en", 4L)
+      .when(col("lang") === "zh", 1L).otherwise(2L)
+    val perLang = docs(spark, dir)
+      .select(col("lang"), weight.as("w"),
+        size(graft.engine.ext.Dedup.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("avail"),
+        min(col("w")).as("w"))
+    val totalW = perLang.agg(sum(col("w")).as("tw"))
+    perLang.crossJoin(broadcast(totalW))
+      .select(col("lang"), col("n_docs"), col("avail"),
+        expr(s"$budgetTokens * w div tw").as("requested"))
+      .withColumn("epochs", expr("requested div greatest(avail, 1)"))
+      .withColumn("partial_tokens", expr("requested % greatest(avail, 1)"))
+      .withColumn("upsample_milli",
+        expr("requested * 1000 div greatest(avail, 1)"))
+      .orderBy(col("lang"))
+  }
+
   /** Temperature-based multilingual sampling weights (the mBERT/XLM-R
     * schedule): a language with token share p gets sampling share
     * p^alpha / Σ p^alpha, here with alpha = 1/2 — upsampling low-resource
