@@ -2,8 +2,9 @@ package graft.engine.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Streaming event-pipeline operators: native session windows and a
   * custom-state aggregation — the Structured Streaming face of
@@ -206,6 +207,102 @@ object EventStream {
       val conv = v != Unset && p != Unset && p > v
       Iterator.single(ConvSnapshot(uid, v, p, conv, if (conv) p - v else 0L))
     }
+  }
+
+  /** Open-session state for the timer-based sessionizer. `timer_ms` is
+    * the registered close-timer so re-registration can delete it first
+    * (one live timer per user).
+    */
+  final case class OpenSession(start_us: Long, last_us: Long,
+                               n_events: Long, sum_value_c: Long,
+                               timer_ms: Long)
+
+  final case class ClosedSession(user_id: Long, session_start_us: Long,
+                                 session_end_us: Long, n_events: Long,
+                                 sum_value_c: Long)
+
+  /** Gap-based sessionization with EVENT-TIME TIMERS — the third
+    * transformWithState capability ([[ProfileProcessor]] exercises typed
+    * state + TTL; this exercises `registerTimer`/`handleExpiredTimer`):
+    * a session CLOSES and emits exactly once, when the watermark passes
+    * last-event + gap, instead of being re-emitted every batch. Append
+    * mode, which is what a downstream session-fact sink wants.
+    *
+    * Within a batch events fold in event-time order; a gap inside one
+    * batch closes the old session inline. Emitted boundaries follow the
+    * native session_window contract (end = last event + gap), so results
+    * are comparable with [[sessionStats]] / the `stream_sessions_batch`
+    * oracle for every closed session.
+    *
+    * Scale: one shuffle on user_id; state per user = one OpenSession +
+    * one timer, evicted on close — bounded by LIVE sessions, not users
+    * ever seen.
+    */
+  class SessionTimerProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, UserEvent, ClosedSession] {
+    @transient private var st: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[OpenSession]("open",
+        Encoders.product[OpenSession], TTLConfig.NONE)
+
+    private def closed(uid: Long, s: OpenSession): ClosedSession =
+      ClosedSession(uid, s.start_us, s.last_us + gapMs * 1000L,
+        s.n_events, s.sum_value_c)
+
+    override def handleInputRows(uid: Long, rows: Iterator[UserEvent],
+                                 tv: TimerValues): Iterator[ClosedSession] = {
+      val out = List.newBuilder[ClosedSession]
+      var cur: Option[OpenSession] =
+        if (st.exists()) Some(st.get()) else None
+      rows.toSeq.sortBy(_.event_time.getTime).foreach { e =>
+        val tUs = e.event_time.getTime * 1000L
+        val vc = math.floor(e.value * 100).toLong
+        cur match {
+          case Some(s) if tUs - s.last_us <= gapMs * 1000L =>
+            cur = Some(s.copy(last_us = math.max(s.last_us, tUs),
+              n_events = s.n_events + 1, sum_value_c = s.sum_value_c + vc))
+          case Some(s) => // in-batch gap: close inline, start fresh
+            out += closed(uid, s)
+            cur = Some(OpenSession(tUs, tUs, 1L, vc, 0L))
+          case None =>
+            cur = Some(OpenSession(tUs, tUs, 1L, vc, 0L))
+        }
+      }
+      cur.foreach { s =>
+        if (s.timer_ms > 0L) getHandle.deleteTimer(s.timer_ms)
+        val expiry = s.last_us / 1000L + gapMs
+        getHandle.registerTimer(expiry)
+        st.update(s.copy(timer_ms = expiry))
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[ClosedSession] =
+      if (st.exists() && st.get().timer_ms == info.getExpiryTimeInMs) {
+        val s = st.get()
+        st.clear()
+        Iterator.single(closed(uid, s))
+      } else Iterator.empty
+  }
+
+  /** [[SessionTimerProcessor]] wired up: watermarked input, event-time
+    * mode, append output.
+    */
+  def sessionsTws(events: Dataset[UserEvent],
+                  gap: String = "30 minutes",
+                  watermarkDelay: String = "10 minutes"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val gapMs = iv.days * 86400000L + iv.microseconds / 1000L
+    events
+      .withWatermark("event_time", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   def conversionLagTws(events: Dataset[TypedEvent],

@@ -115,6 +115,58 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("event-time timers close sessions exactly once as the watermark passes") {
+    import graft.engine.streaming.EventStream
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[EventStream.UserEvent]
+    val q = EventStream.sessionsTws(mem.toDS(), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("tws_sessions")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // user 1: two events 10 min apart (one session); user 2: one event
+      mem.addData(
+        EventStream.UserEvent(1L, ts("2023-10-25 10:00:00"), 1.5),
+        EventStream.UserEvent(1L, ts("2023-10-25 10:10:00"), 2.5),
+        EventStream.UserEvent(2L, ts("2023-10-25 10:05:00"), 1.0))
+      q.processAllAvailable()
+      // nothing closed yet: watermark is at 10:10, gaps not expired
+      assert(spark.sql("SELECT * FROM tws_sessions").collect().isEmpty)
+      // a later event advances the watermark past every open gap
+      mem.addData(EventStream.UserEvent(9L, ts("2023-10-25 12:00:00"), 0.1))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT user_id, session_start_us, session_end_us, n_events,
+          |  sum_value_c FROM tws_sessions ORDER BY user_id""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      def us(s: String) = ts(s).getTime * 1000L
+      assert(rows.toSeq === Seq(
+        (1L, us("2023-10-25 10:00:00"), us("2023-10-25 10:40:00"), 2L, 400L),
+        (2L, us("2023-10-25 10:05:00"), us("2023-10-25 10:35:00"), 1L, 100L)))
+      // advancing further closes the advancer's own 12:00 session (a
+      // THIRD row) but must not re-emit the first two: append-once
+      mem.addData(EventStream.UserEvent(9L, ts("2023-10-25 13:00:00"), 0.1))
+      q.processAllAvailable()
+      val after = spark.sql(
+        """SELECT user_id, count(*) FROM tws_sessions GROUP BY user_id
+          |ORDER BY user_id""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(after.toSeq === Seq((1L, 1L), (2L, 1L), (9L, 1L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("mapGroupsWithState accumulates per-user profiles across batches") {
     import graft.engine.streaming.EventStream
     implicit val sqlCtx = spark.sqlContext
