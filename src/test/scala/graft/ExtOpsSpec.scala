@@ -382,4 +382,37 @@ class ExtOpsSpec extends SparkTestBase {
     assert(got.toSeq === Seq(
       (19000L, 0L, 2L), (19000L, 1L, 2L), (19001L, 0L, 1L)))
   }
+
+  test("events normalizes every ts physical type to the same epoch micros") {
+    import graft.engine.ingest.Sources
+    val us = 1_700_000_000_123_456L // a non-round instant, micros
+    def assertTsUs(dir: String): Unit = {
+      val got = Sources.events(spark, dir).select("ts_us").head().getLong(0)
+      assert(got === us, dir)
+    }
+    // 1. raw nanos Long (TIMESTAMP(NANOS) under nanosAsLong)
+    val d1 = java.nio.file.Files.createTempDirectory("evl").toString
+    Seq((1L, us * 1000L, 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d1/events.parquet")
+    assertTsUs(d1)
+    // 2. TimestampType (written as TIMESTAMP(MICROS, adjustedToUTC=true))
+    val d2 = java.nio.file.Files.createTempDirectory("evt").toString
+    Seq((1L, us, 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "tsu", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), expr("timestamp_micros(tsu)").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$d2/events.parquet")
+    assertTsUs(d2)
+    // 3. TimestampNTZType (isAdjustedToUTC=false — the current testdata
+    // shape); wall clock written under the UTC session = the instant
+    val d3 = java.nio.file.Files.createTempDirectory("evn").toString
+    Seq((1L, us, 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "tsu", "user_id", "event_type", "value", "props")
+      .select(col("event_id"),
+        expr("cast(timestamp_micros(tsu) AS timestamp_ntz)").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$d3/events.parquet")
+    assertTsUs(d3)
+  }
 }
