@@ -5,8 +5,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // optional trailing query names: time only that subset (scaling
-    // studies — the driver passes no args and times the full registry)
+    // studies — the driver passes no args and times the full registry).
+    // Fail fast on typos: a misspelled name would otherwise benchmark
+    // nothing, exit 0, and quietly record a vacuous run.
     val subset = args.toSet
+    val unknown = subset.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

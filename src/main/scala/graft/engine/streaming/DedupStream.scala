@@ -60,14 +60,17 @@ object DedupStream {
         }: _*).as("sig"))
   }
 
-  /** LSH band projection shared by the streaming pair emitter and its
-    * batch twin: one row per (band, bucket, doc_id, sig).
+  /** Band/bucket projection over a (doc_id, sig) signature DataFrame —
+    * the ONE definition of the bucket encoding, shared by the streaming
+    * pair emitter and the batch twin: one row per (band, bucket, doc_id,
+    * sig). Changing this changes both sides together, preserving the
+    * bit-for-bit stream/batch agreement the oracle depends on.
     */
-  def banded(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
-             bands: Int = 4): DataFrame = {
+  def bandedFromSignatures(sig: DataFrame, numHashes: Int,
+                           bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val perBand = numHashes / bands
-    signatures(docs, n, numHashes)
+    sig
       .select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("band"),
@@ -76,6 +79,11 @@ object DedupStream {
           .as("bucket"),
         col("doc_id"), col("sig"))
   }
+
+  /** [[bandedFromSignatures]] over the streaming per-row signatures. */
+  def banded(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
+             bands: Int = 4): DataFrame =
+    bandedFromSignatures(signatures(docs, n, numHashes), numHashes, bands)
 
   /** Streaming LSH pair emission (Append mode). */
   def pairs(docs: DataFrame, n: Int = 3, numHashes: Int = 16, bands: Int = 4,
@@ -125,19 +133,19 @@ object DedupStream {
     * per-key fan-out is a bucket of near-identical signatures, the same
     * Σ bucket² bound as the batch LSH operator; never all-pairs.
     */
-  def pairsBatch(spark: org.apache.spark.sql.SparkSession,
-                 dir: String): DataFrame = {
+  def pairsBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                 minEstPpm: Long = 250000L): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    // Signatures via the AGGREGATE path (explode shingles → 16 codegen'd
-    // map-side-combinable min aggregates), not the stream's per-row
-    // interpreted array transforms: both hash the same distinct shingle
-    // set with the same permutation family, so the values agree
+    // Signatures via the AGGREGATE path (explode shingles → numHashes
+    // codegen'd map-side-combinable min aggregates), not the stream's
+    // per-row interpreted array transforms: both hash the same distinct
+    // shingle set with the same permutation family, so the values agree
     // bit-for-bit (DedupStreamSpec executes both and asserts equality),
     // but the per-row HOF form costs 15×-class interpreted-lambda
     // overhead that only the stateless streaming context justifies.
     val p = 2305843009213693951L // 2^61 - 1
-    val numHashes = 16
-    val ex = Dedup.shingleRows(docs.select(col("doc_id"), col("text")), 3)
+    val ex = Dedup.shingleRows(docs.select(col("doc_id"), col("text")), n)
       .select(col("doc_id"), Dedup.md5Hash48(col("shingle")).as("h"))
     val sigCols = (0 until numHashes).map { i =>
       val a = 2L * i + 3L
@@ -147,16 +155,8 @@ object DedupStream {
     val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
-    val bands = 4
-    val perBand = numHashes / bands
-    val b = sig
-      .select(col("doc_id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("band"),
-        md5(concat_ws(",",
-          slice(col("sig"), col("band") * perBand + 1, lit(perBand))))
-          .as("bucket"),
-        col("doc_id"), col("sig"))
+    // the SAME bucket encoding as the stream, by construction
+    val b = bandedFromSignatures(sig, numHashes, bands)
     val left = b.select(col("band"), col("bucket"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val right = b.select(col("band"), col("bucket"),
@@ -166,8 +166,9 @@ object DedupStream {
       .withColumn("agree",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           v => v)))
-      .withColumn("est_jaccard_ppm", expr("agree * 1000000L div 16"))
-      .filter(col("est_jaccard_ppm") >= 250000L)
+      .withColumn("est_jaccard_ppm",
+        expr(s"agree * 1000000L div $numHashes"))
+      .filter(col("est_jaccard_ppm") >= minEstPpm)
       .select(col("doc_a"), col("doc_b"), col("band").cast("long").as("band"),
         col("est_jaccard_ppm"))
       .orderBy(col("doc_a"), col("doc_b"), col("band"))

@@ -230,9 +230,15 @@ object EventStream {
     *
     * Within a batch events fold in event-time order; a gap inside one
     * batch closes the old session inline. Emitted boundaries follow the
-    * native session_window contract (end = last event + gap), so results
-    * are comparable with [[sessionStats]] / the `stream_sessions_batch`
-    * oracle for every closed session.
+    * native session_window contract (end = last event + gap, start
+    * extends BACKWARDS when a within-watermark out-of-order event
+    * arrives in a later batch), so closed sessions match
+    * [[sessionStats]] / the `stream_sessions_batch` oracle whenever
+    * cross-batch disorder is bounded by the gap — i.e. watermarkDelay ≤
+    * gap, the sane deployment configuration. An event arriving more
+    * than gap BEFORE the open session (only possible when delay > gap)
+    * closes immediately as its own single-event session — the one
+    * documented divergence from full session_window merging.
     *
     * Scale: one shuffle on user_id; state per user = one OpenSession +
     * one timer, evicted on close — bounded by LIVE sessions, not users
@@ -259,12 +265,26 @@ object EventStream {
         val tUs = e.event_time.getTime * 1000L
         val vc = math.floor(e.value * 100).toLong
         cur match {
-          case Some(s) if tUs - s.last_us <= gapMs * 1000L =>
-            cur = Some(s.copy(last_us = math.max(s.last_us, tUs),
+          // session_window merge contract: an event joins the open
+          // session iff it lands within gap of the session INTERVAL —
+          // [start − gap, last + gap]. A within-watermark event EARLIER
+          // than the open start must extend the start backwards (a
+          // later batch can legally carry it under the watermark
+          // delay); only updating last_us would mis-report start.
+          case Some(s) if tUs >= s.start_us - gapMs * 1000L &&
+              tUs - s.last_us <= gapMs * 1000L =>
+            cur = Some(s.copy(start_us = math.min(s.start_us, tUs),
+              last_us = math.max(s.last_us, tUs),
               n_events = s.n_events + 1, sum_value_c = s.sum_value_c + vc))
-          case Some(s) => // in-batch gap: close inline, start fresh
-            out += closed(uid, s)
+          case Some(s) if tUs > s.last_us => // in-batch forward gap:
+            out += closed(uid, s) // close inline, start fresh
             cur = Some(OpenSession(tUs, tUs, 1L, vc, 0L))
+          case Some(s) => // stray event more than gap BEFORE the open
+            // session: nothing later can merge with it (the open session
+            // starts > tUs + gap and the fold is time-ordered), so it
+            // closes immediately as its own session
+            out += closed(uid, OpenSession(tUs, tUs, 1L, vc, 0L))
+            cur = Some(s)
           case None =>
             cur = Some(OpenSession(tUs, tUs, 1L, vc, 0L))
         }
@@ -297,6 +317,9 @@ object EventStream {
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(
         org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    // a month has no fixed millisecond length — silently treating it as
+    // 0 would close every session instantly
+    require(iv.months == 0, s"gap '$gap' must not use month units")
     val gapMs = iv.days * 86400000L + iv.microseconds / 1000L
     events
       .withWatermark("event_time", watermarkDelay)

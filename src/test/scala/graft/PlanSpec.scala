@@ -323,8 +323,12 @@ class PlanSpec extends SparkTestBase {
 
   /** Physical BNLJ/cartesian nodes NOT excused by the scalar-aggregate
     * build shape (a). Returned so the assertion message can name them. */
-  private def riskyNestedLoops(
-      df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+  /** (cartesian nodes, scalar-excused BNLJs, unexcused BNLJs). A
+    * CartesianProductExec (n×m shuffle nested loop) is NEVER acceptable
+    * and is reported separately so nothing can licence it.
+    */
+  private def nestedLoopCensus(df: org.apache.spark.sql.DataFrame)
+      : (Int, Int, Seq[org.apache.spark.sql.execution.SparkPlan]) = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
@@ -334,12 +338,12 @@ class PlanSpec extends SparkTestBase {
         case a: BaseAggregateExec => a.groupingExpressions.isEmpty
         case _ => false
       }
-    df.queryExecution.sparkPlan.collect {
-      case c: CartesianProductExec => c: SparkPlan
-      case j: BroadcastNestedLoopJoinExec
-          if !scalarAggBelow(
-            if (j.buildSide == BuildLeft) j.left else j.right) => j: SparkPlan
-    }
+    val plan = df.queryExecution.sparkPlan
+    val cartesians = plan.collect { case c: CartesianProductExec => c }.size
+    val bnljs = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+    val (scalar, risky) = bnljs.partition(j =>
+      scalarAggBelow(if (j.buildSide == BuildLeft) j.left else j.right))
+    (cartesians, scalar.size, risky.map(j => j: SparkPlan))
   }
 
   /** Logical joins with no equi-key conjunct that our code explicitly
@@ -367,15 +371,19 @@ class PlanSpec extends SparkTestBase {
   test("no cartesian/BNLJ outside scalar-broadcast or hinted fan-out shapes") {
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, dir)
-      val risky = riskyNestedLoops(df)
+      val (cartesians, scalarExcused, risky) = nestedLoopCensus(df)
+      // a shuffled n×m cartesian has NO licence, ever
+      assert(cartesians === 0, s"$name plans a CartesianProduct")
       if (risky.nonEmpty) {
-        // every risky physical nested loop must be accounted for by an
-        // explicitly-broadcast non-equi logical join — an unhinted
-        // cartesian has no licence and fails here
-        val licences = hintedNonEquiJoins(df)
+        // every unexcused BNLJ must be accounted for by an explicitly-
+        // broadcast non-equi logical join. Scalar-excused BNLJs consume
+        // their own (typically hinted) joins first — without the
+        // subtraction, one crossJoin(broadcast(<agg>)) would licence an
+        // unrelated accidental nested loop in the same query.
+        val licences = math.max(0, hintedNonEquiJoins(df) - scalarExcused)
         assert(risky.size <= licences,
           s"$name plans ${risky.size} unexcused nested-loop join(s) but only " +
-            s"$licences explicitly-broadcast non-equi join(s): " +
+            s"$licences spare explicitly-broadcast non-equi join(s): " +
             risky.map(_.nodeName).mkString(", "))
       }
     }
@@ -405,17 +413,25 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("the sweep rejects a deliberately-injected naked cross join") {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
     val l = spark.read.parquet(s"$dir/nation.parquet")
     val r = spark.read.parquet(s"$dir/region.parquet")
+    def flagged(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val (cartesians, scalarExcused, risky) = nestedLoopCensus(df)
+      cartesians > 0 ||
+        risky.size > math.max(0, hintedNonEquiJoins(df) - scalarExcused)
+    }
     // no broadcast hint, no equi key, no scalar aggregate: a genuine
     // accidental cartesian. The sweep must flag it.
-    val naked = l.crossJoin(r)
-    assert(riskyNestedLoops(naked).size > hintedNonEquiJoins(naked),
-      "naked crossJoin was not flagged")
-    // and the inequality-join variant without a hint is equally naked
-    val ineq = l.join(r, col("n_regionkey") < col("r_regionkey"))
-    assert(riskyNestedLoops(ineq).size > hintedNonEquiJoins(ineq),
+    assert(flagged(l.crossJoin(r)), "naked crossJoin was not flagged")
+    // the inequality-join variant without a hint is equally naked
+    assert(flagged(l.join(r, col("n_regionkey") < col("r_regionkey"))),
       "unhinted inequality join was not flagged")
+    // a legitimate scalar broadcast must NOT licence an unrelated naked
+    // cartesian riding in the same query
+    val scalarOk = l.crossJoin(broadcast(r.agg(count(lit(1)).as("n"))))
+    assert(!flagged(scalarOk), "scalar broadcast wrongly flagged")
+    assert(flagged(scalarOk.crossJoin(r)),
+      "naked cartesian laundered through a scalar-broadcast licence")
   }
 }

@@ -167,6 +167,45 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("timer sessions extend start backwards for in-watermark out-of-order events") {
+    import graft.engine.streaming.EventStream
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[EventStream.UserEvent]
+    val q = EventStream.sessionsTws(mem.toDS(), watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("tws_sessions_ooo")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      def us(s: String) = ts(s).getTime * 1000L
+      mem.addData(EventStream.UserEvent(1L, ts("2023-10-25 10:20:00"), 1.0))
+      q.processAllAvailable() // watermark 10:10
+      // out-of-order but within the watermark: must merge AND pull the
+      // session start back to 10:15
+      mem.addData(EventStream.UserEvent(1L, ts("2023-10-25 10:15:00"), 2.0))
+      q.processAllAvailable()
+      mem.addData(EventStream.UserEvent(9L, ts("2023-10-25 12:00:00"), 0.1))
+      q.processAllAvailable() // watermark 11:50 closes user 1
+      val rows = spark.sql(
+        """SELECT session_start_us, session_end_us, n_events, sum_value_c
+          |FROM tws_sessions_ooo WHERE user_id = 1""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      assert(rows.toSeq === Seq(
+        (us("2023-10-25 10:15:00"), us("2023-10-25 10:50:00"), 2L, 300L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("mapGroupsWithState accumulates per-user profiles across batches") {
     import graft.engine.streaming.EventStream
     implicit val sqlCtx = spark.sqlContext

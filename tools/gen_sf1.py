@@ -40,20 +40,22 @@ REPLICAS = 10
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
 
+# Salt on \s+ tokens (the engine's tokenizer), NOT single spaces: a doc
+# with tabs/newlines/double spaces would otherwise leave some tokens
+# unsalted (colliding with replica 0 — the clone-cluster blowup the salt
+# exists to avoid) and manufacture phantom '~k' tokens.
+_SALTED = """array_to_string(
+           list_transform(
+             list_filter(string_split_regex(d.text, '\\s+'), x -> x != ''),
+             x -> x || '~' || k.k), ' ')"""
+
 con.execute(f"""
 COPY (
   SELECT d.doc_id + k.k * 10000000 AS doc_id,
-    CASE WHEN k.k = 0 THEN d.text
-         ELSE array_to_string(
-           list_transform(string_split(d.text, ' '),
-                          x -> x || '~' || k.k), ' ')
-    END AS text,
+    CASE WHEN k.k = 0 THEN d.text ELSE {_SALTED} END AS text,
     d.lang, d.source,
     CASE WHEN k.k = 0 THEN d.n_chars
-         ELSE length(array_to_string(
-           list_transform(string_split(d.text, ' '),
-                          x -> x || '~' || k.k), ' '))::BIGINT
-    END AS n_chars
+         ELSE length({_SALTED})::BIGINT END AS n_chars
   FROM '{SRC}/documents.parquet' d, range(0, {REPLICAS}) k(k)
   ORDER BY doc_id
 ) TO '{OUT}/documents.parquet' (FORMAT PARQUET)
