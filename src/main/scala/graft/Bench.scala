@@ -27,6 +27,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.engine.ingest.Sources.ensureNanosAsLong(spark)
+    // Force FULL evaluation of every output column via the no-op v2 sink.
+    // The earlier `.count()` consumer let Catalyst prune the measured work:
+    // a projection-only query (text_winnow, corpus_clean, mm_features, …)
+    // collapses under count() to a metadata row count, so its recorded
+    // time measured parquet footer reads, not the operator. The noop sink
+    // executes the exact plan the query returns (sorts included) without
+    // collecting rows to the driver. Recorded totals from rounds ≤ 8 are
+    // therefore NOT comparable for projection-only queries (see
+    // BASELINE.md §"Bench protocol").
+    def consume(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // Untimed warmup at the smallest SF: first execution of each plan pays
     // Janino codegen compilation + JIT, which at sf0.1 can exceed the
     // actual query time. One pass over tiny data warms those caches so the
@@ -36,7 +47,7 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => subset.isEmpty || subset(n) }
         .foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try consume(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
     // Fixture setup (generated log files) happens outside the timed loop.
     try SparkEntry.prepare(spark, sfDir) catch { case _: Throwable => () }
@@ -45,7 +56,7 @@ object Bench {
     // run so a flaky retry can't erase a valid first measurement.
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
+      val err = try { consume(fn(spark, sfDir)); None } catch {
         case e: Throwable =>
           Some(Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\n\r\t]", " ").take(160))

@@ -33,14 +33,18 @@ object BenchOne {
     }
     // same warmup Bench does (codegen/JIT), on the smallest SF
     val warmDir = "/root/testdata/sf0.001"
+    // Full-evaluation consumer (same as Bench): noop v2 sink, not count(),
+    // so projection-only plans aren't pruned to a metadata row count.
+    def consume(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       try SparkEntry.prepare(spark, warmDir) catch { case _: Throwable => () }
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try consume(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
     try SparkEntry.prepare(spark, sfDir) catch { case _: Throwable => () }
     val samples = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      consume(fn(spark, sfDir))
       (System.nanoTime() - t0) / 1e9
     }
     println(s"""{"query":"$name","sf":"$sfDir","samples":[${samples.mkString(",")}]}""")

@@ -159,6 +159,9 @@ object ExtQueries {
     "text_keywords" -> ((s, dir) => TextAnalysis.keywords(s, dir)),
     "text_tfidf_topk" -> ((s, dir) => TextAnalysis.tfidfTopK(s, dir)),
     "rag_chunk_topk" -> ((s, dir) => TextAnalysis.ragChunkTopK(s, dir)),
+    "rag_bm25_topk" -> ((s, dir) => TextAnalysis.bm25ChunkTopK(s, dir)),
+    "corpus_dsir_score" -> ((s, dir) => Corpus.dsirScore(s, dir)),
+    "corpus_tv_drift" -> ((s, dir) => Corpus.tvDrift(s, dir)),
     "text_bpe_merges" -> ((s, dir) => TextAnalysis.bpeMerges(s, dir)),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(s, dir).orderBy(col("doc_id"))),
@@ -2168,6 +2171,136 @@ object ExtQueries {
         |        ORDER BY score DESC, doc_id, chunk_no)::BIGINT AS rank
         |      FROM sc)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // Okapi BM25 over the same chunk index: RSJ-odds idf in milli (capped
+    // 1e6), tf-saturation + length-norm as the exact rational
+    // 22·tf·A/(10·tf·A+3A+9·dl) with A = floor(avg chunk length).
+    "rag_bm25_topk" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |                             x -> x != '') AS t
+        |  FROM documents WHERE doc_id % 50 != 0
+        |), n0 AS (
+        |  SELECT doc_id, t, len(t)::BIGINT AS n FROM t0
+        |), k AS (
+        |  SELECT doc_id, t, n,
+        |    unnest(range(0, greatest(1, (n - 32 + 23) // 24 + 1))) AS chunk_no
+        |  FROM n0
+        |), ct AS (
+        |  SELECT doc_id, chunk_no,
+        |    least(32, n - chunk_no * 24)::BIGINT AS dl,
+        |    t[(chunk_no * 24 + 1)::INT : least(chunk_no * 24 + 32, n)::INT]
+        |      AS ctoks
+        |  FROM k
+        |), stats AS (
+        |  SELECT count(*)::BIGINT AS n_chunks,
+        |    (sum(dl) // count(*))::BIGINT AS avg_dl
+        |  FROM ct
+        |), ctt AS (
+        |  SELECT doc_id, chunk_no, dl,
+        |    lower(ctoks[p+1]) || ' ' || lower(ctoks[p+2]) AS term
+        |  FROM (SELECT doc_id, chunk_no, dl, ctoks,
+        |          unnest(range(0, len(ctoks) - 1)) AS p
+        |        FROM ct WHERE len(ctoks) >= 2)
+        |), ctf AS (
+        |  SELECT doc_id, chunk_no, dl, term, least(count(*), 16)::BIGINT AS tf
+        |  FROM ctt GROUP BY 1, 2, 3, 4
+        |), rare AS (
+        |  SELECT term, s.avg_dl,
+        |    least((2 * (s.n_chunks - count(*)) + 1) * 1000 // (2 * count(*) + 1),
+        |          1000000)::BIGINT AS idf_m
+        |  FROM ctf, stats s GROUP BY term, s.n_chunks, s.avg_dl
+        |  HAVING count(*) <= 100
+        |), post AS (
+        |  SELECT c.term, c.doc_id, c.chunk_no,
+        |    r.idf_m * (22000 * c.tf * r.avg_dl
+        |      // (10 * c.tf * r.avg_dl + 3 * r.avg_dl + 9 * c.dl)) AS wt
+        |  FROM ctf c JOIN rare r USING (term)
+        |), qt AS (
+        |  SELECT doc_id AS query_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x != '') AS t
+        |  FROM documents WHERE doc_id % 50 = 0
+        |), qtt AS (
+        |  SELECT query_id, t[p+1] || ' ' || t[p+2] AS term
+        |  FROM (SELECT query_id, t, unnest(range(0, len(t) - 1)) AS p
+        |        FROM qt WHERE len(t) >= 2)
+        |), qtf AS (
+        |  SELECT query_id, term, least(count(*), 16)::BIGINT AS qtf
+        |  FROM qtt GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT q.query_id, p.doc_id, p.chunk_no,
+        |    sum(q.qtf * p.wt)::BIGINT AS score
+        |  FROM post p JOIN qtf q ON p.term = q.term
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT query_id, rank, doc_id, chunk_no::BIGINT AS chunk_no,
+        |  (chunk_no * 24 + 1)::BIGINT AS start_token, score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, doc_id, chunk_no)::BIGINT AS rank
+        |      FROM sc)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // DSIR-shaped selection score: hashed-unigram (md5 mod 256) bucket
+    // shares of the corpus_clean keep set vs all docs, per-doc
+    // token-weighted mean share ratio in ppm (two-stage floor).
+    "corpus_dsir_score" -> ("WITH " + docQuality +
+      """, tb AS (
+        |  SELECT doc_id, keep,
+        |    ('0x' || substring(md5(tok), 1, 8))::BIGINT % 256 AS bucket
+        |  FROM (SELECT doc_id, keep,
+        |          unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                             x -> x != '')) AS tok
+        |        FROM dq)
+        |), census AS (
+        |  SELECT bucket, count(*)::BIGINT AS c_raw,
+        |    sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS c_tgt
+        |  FROM tb GROUP BY bucket
+        |), tot AS (
+        |  SELECT sum(c_raw)::BIGINT AS t_raw, sum(c_tgt)::BIGINT AS t_tgt
+        |  FROM census
+        |), wts AS (
+        |  SELECT bucket,
+        |    (((c_tgt + 1) * 1000000 // (t_tgt + 256)) * 1000000
+        |      // greatest((c_raw + 1) * 1000000 // (t_raw + 256), 1))::BIGINT
+        |      AS r_ppm
+        |  FROM census, tot
+        |)
+        |SELECT tb.doc_id, count(*)::BIGINT AS n_tokens,
+        |  (sum(w.r_ppm) // count(*))::BIGINT AS dsir_ppm,
+        |  (sum(w.r_ppm) // count(*)) > 1000000 AS upweight
+        |FROM tb JOIN wts w USING (bucket)
+        |GROUP BY tb.doc_id ORDER BY tb.doc_id""".stripMargin),
+
+    // Per-source unigram total-variation distance from the corpus, exact
+    // ppm; the absent-word tail folds into (N - cov_s)·N_s, HUGEINT math.
+    "corpus_tv_drift" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                       x -> x != '')) AS word
+        |  FROM documents
+        |), sw AS (
+        |  SELECT source, word, count(*)::BIGINT AS c_sw FROM tok GROUP BY 1, 2
+        |), wc AS (
+        |  SELECT word, sum(c_sw)::BIGINT AS c_w FROM sw GROUP BY 1
+        |), st AS (
+        |  SELECT source, sum(c_sw)::BIGINT AS n_s, count(*)::BIGINT AS n_w
+        |  FROM sw GROUP BY 1
+        |), nt AS (
+        |  SELECT sum(c_sw)::BIGINT AS n FROM sw
+        |), j AS (
+        |  SELECT s.source,
+        |    sum(abs(s.c_sw::HUGEINT * nt.n - w.c_w::HUGEINT * t.n_s)) AS sum_d,
+        |    sum(w.c_w::HUGEINT) AS cov
+        |  FROM sw s JOIN wc w USING (word) JOIN st t USING (source), nt
+        |  GROUP BY 1
+        |)
+        |SELECT t.source, t.n_s AS n_tokens, t.n_w AS n_distinct_words,
+        |  (((j.sum_d + (nt.n::HUGEINT - j.cov) * t.n_s) * 1000000)
+        |    // (2 * t.n_s::HUGEINT * nt.n))::BIGINT AS tv_ppm
+        |FROM j JOIN st t USING (source), nt
+        |ORDER BY t.source""".stripMargin,
 
     "text_bpe_merges" -> (toks +
       """, vocab AS (

@@ -652,4 +652,135 @@ object Corpus {
         array_join(slice(col("words"), (col("chunk_no") * s + 1L).cast("int"),
           lit(w)), " ").as("chunk_text"))
   }
+
+  /** DSIR-shaped data selection score (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much its hashed-unigram profile looks like the
+    * TARGET distribution (here: the corpus_clean keep set — the same
+    * ≥5-token / ≤30%-punct / terminal-punctuation gate, so the score
+    * needs no external target corpus) versus the RAW distribution (all
+    * documents). DSIR proper resamples with weight exp(Σ log p_t/p_r);
+    * this emits the deterministic integer analog — the token-frequency-
+    * weighted MEAN of per-bucket probability ratios in ppm (arithmetic
+    * mean of ratios instead of the geometric mean the log-sum implies),
+    * with add-1 smoothing so empty buckets stay finite. Ranking by it
+    * selects the same "looks like the target" tail; every division is a
+    * documented floor, so the score replays bit-exactly cross-engine.
+    *
+    * Buckets are `md5(token) mod nBuckets` — the hashed feature trick
+    * from the paper (vocabulary-independent, fixed table size).
+    * Two-stage floor: per-bucket shares in ppm first (≤ 1e6 regardless
+    * of corpus size), then the share ratio in ppm — so no product ever
+    * exceeds 1e12 even at 100 TB (exact cross-multiplication would
+    * square corpus-sized token totals).
+    *
+    * Scale shape: one token-bucket census collapses the corpus to
+    * nBuckets rows (map-side partials), the 1-row totals aggregate
+    * broadcasts into it, the resulting ≤nBuckets weight table broadcasts
+    * back onto the token stream, and ONE doc_id-keyed exchange makes the
+    * per-doc sums. Docs with zero tokens have no profile and no row
+    * (matching the oracle).
+    */
+  def dsirScore(spark: SparkSession, dir: String,
+                nBuckets: Int = 256): DataFrame = {
+    val toksCol = TextAnalysis.wsTokens(col("text"))
+    val punctPpm = (size(regexp_extract_all(col("text"),
+      lit("[^A-Za-z0-9\\s]"), lit(0))) * lit(1000000L)
+      / greatest(length(col("text")), lit(1))).cast("long")
+    val keep = size(toksCol).cast("long") >= 5L && punctPpm <= 300000L &&
+      rtrim(col("text")).rlike("[.!?。！？]$")
+    // The keep gate (three full-text regexes) MUST evaluate per DOCUMENT.
+    // A single select(…keep…, explode(…)) is split by ExtractGenerator
+    // into Generate + a Project ABOVE it, which re-runs the regexes once
+    // per TOKEN (~50× the work — measured 33 s instead of ~1 s at sf0.1).
+    // Materializing keep in its own projection puts it below the Generate
+    // boundary, where it is computed once per doc and carried through.
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), keep.as("keep"),
+        TextAnalysis.wsTokens(lower(col("text"))).as("t"))
+      .select(col("doc_id"), col("keep"), explode(col("t")).as("tok"))
+      .select(col("doc_id"), col("keep"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+          % nBuckets).as("bucket"))
+    // Doc-grain bucket census, computed ONCE and persisted: both the
+    // global weight table and the per-doc scores are diamonds over this
+    // subtree, and without the persist each would re-run the whole
+    // tokenize + hash pass. ≤ nBuckets rows per doc, spill-safe level.
+    val docBucket = tok
+      .groupBy(col("doc_id"), col("keep"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val census = docBucket.groupBy(col("bucket"))
+      .agg(sum(col("n")).as("c_raw"),
+        sum(when(col("keep"), col("n")).otherwise(0L)).as("c_tgt"))
+    val tot = census.agg(sum(col("c_raw")).as("t_raw"),
+      sum(col("c_tgt")).as("t_tgt"))
+    val weights = census.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        expr(s"(c_tgt + 1) * 1000000 div (t_tgt + $nBuckets)").as("p_tgt_ppm"),
+        expr(s"(c_raw + 1) * 1000000 div (t_raw + $nBuckets)").as("p_raw_ppm"))
+      .select(col("bucket"),
+        expr("p_tgt_ppm * 1000000 div greatest(p_raw_ppm, 1)").as("r_ppm"))
+    docBucket.join(broadcast(weights), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(col("n") * col("r_ppm")).as("sum_r"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("sum_r div n_tokens").as("dsir_ppm"),
+        (expr("sum_r div n_tokens") > 1000000L).as("upweight"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source distribution drift: exact total-variation distance
+    * between each source's unigram distribution and the whole corpus —
+    * the one-number answer to "which ingest source no longer looks like
+    * the mix we trained the tokenizer / chose the weights on". TV is
+    * preferred here over KL/χ² because it is a RATIONAL functional of
+    * the counts (KL needs logs, χ² squares corpus-sized integers), so
+    * the ppm result is integer-exact cross-engine at any scale.
+    *
+    *   TV(s) = ½ Σ_w |p_s(w) − p(w)|
+    *         = [Σ_{w∈s} |c_sw·N − c_w·N_s| + (N − cov_s)·N_s] / (2·N_s·N)
+    *
+    * where cov_s = Σ_{w∈s} c_w folds the whole absent-word tail into one
+    * closed-form term (a word the source never uses contributes its full
+    * corpus mass) — the sum runs only over (source, word) pairs that
+    * EXIST, never over the vocabulary × sources cross product. Products
+    * are summed as DECIMAL(38,0)/HUGEINT (c_sw·N reaches 1e26 at 100 TB),
+    * floored back to a BIGINT ppm at the end.
+    *
+    * Scale shape: one (source, word) census exchange, one word-keyed
+    * join to the corpus word counts, a broadcast of the per-source
+    * totals (|sources| rows) and the 1-row corpus total, then a
+    * |sources|-row aggregate. Nothing is ever vocabulary × sources.
+    */
+  def tvDrift(spark: SparkSession, dir: String): DataFrame = {
+    val sw = docs(spark, dir)
+      .select(col("source"),
+        explode(TextAnalysis.wsTokens(lower(col("text")))).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("c_sw"))
+    val wc = sw.groupBy(col("word")).agg(sum(col("c_sw")).as("c_w"))
+    val st = sw.groupBy(col("source"))
+      .agg(sum(col("c_sw")).as("n_s"), count(lit(1)).as("n_w"))
+    val nTot = sw.agg(sum(col("c_sw")).as("n"))
+    sw.join(wc, "word")
+      .join(broadcast(st), "source")
+      .crossJoin(broadcast(nTot))
+      .groupBy(col("source"))
+      .agg(
+        sum(abs(col("c_sw").cast("decimal(38,0)") * col("n")
+          - col("c_w").cast("decimal(38,0)") * col("n_s"))).as("sum_d"),
+        // decimal: Σ c_w per source is vocab·N-bounded, past BIGINT at 100 TB
+        sum(col("c_w").cast("decimal(38,0)")).as("cov"),
+        // constant within each source group — min is the deterministic pick
+        min(col("n_s")).as("n_tokens"),
+        min(col("n_w")).as("n_distinct_words"),
+        min(col("n")).as("n"))
+      .select(col("source"), col("n_tokens"), col("n_distinct_words"),
+        expr("""cast((sum_d + (cast(n as decimal(38,0)) - cov) * n_tokens)
+                 * 1000000 div (2 * cast(n_tokens as decimal(38,0)) * n)
+                as bigint)""").as("tv_ppm"))
+      .orderBy(col("source"))
+  }
 }

@@ -249,7 +249,7 @@ object Dedup {
     * multi-doc groups are emitted.
     */
   def winnowClusters(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.winnowFingerprint(documents(spark, dir))
+    TextAnalysis.winnowFingerprint(spark, dir)
       .groupBy(col("fingerprint_h"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc_id"))
       .filter(col("n_docs") >= 2)

@@ -140,16 +140,56 @@ object TextAnalysis {
     * probability — the winnowing selection rule, one projection per doc.
     */
   def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
-    winnowFingerprint(spark.read.parquet(s"$dir/documents.parquet"))
+    winnowFingerprint(cpuBoundDocs(spark, dir))
+
+  /** The documents scan, re-balanced for a CPU-BOUND per-row consumer.
+    *
+    * Spark sizes file splits by BYTES (maxPartitionBytes), which is right
+    * for I/O-bound scans but starves compute-bound ones: the winnowing
+    * fingerprint does one md5 per character, ~100× more CPU per byte than
+    * any other per-doc projection, so a compact parquet (5.7 MB at sf1 =
+    * ONE split) would hash tens of millions of windows on a single core.
+    * When the scan yields fewer splits than cores, redistribute rows
+    * round-robin first — the shuffle moves only the raw text (bytes ≪
+    * the hash work downstream); when the input is big enough to split
+    * naturally (the 100 TB case), this is a no-op and no shuffle happens.
+    */
+  private[ext] def cpuBoundDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val target = spark.sparkContext.defaultParallelism
+    // Split COUNT is the wrong signal: byte-range splitting of a
+    // single-row-group parquet yields N splits of which N−1 are empty
+    // (a row group is the read atom), so the scan "has 32 partitions"
+    // while one core does all the hashing. Condition on bytes instead:
+    // only an input too small to ever split into `target` real row
+    // groups gets the round-robin exchange. At warehouse scale the
+    // predicate is false and this is exactly `spark.read.parquet(...)`.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val bytes = d.inputFiles.map { s =>
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(s))
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.sum
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    if (bytes < maxSplit * target) d.repartition(target) else d
+  }
 
   def winnowFingerprint(docs: DataFrame, w: Int = 16): DataFrame = {
     val nWin = greatest(length(col("text")) - (w - 1), lit(1))
-    val hashes = transform(sequence(lit(1), nWin),
-      i => conv(substring(md5(col("text").substr(i, lit(w))), 1, 15), 16, 10)
-        .cast("long"))
-    docs.select(col("doc_id"),
-      array_min(hashes).as("fingerprint_h"),
-      size(array_distinct(hashes)).as("n_distinct_windows"))
+    // One md5 per window position is the inherent cost; everything else is
+    // kept off the per-window path. The array of 15-hex-digit prefixes is
+    // materialized ONCE in its own projection (ArrayTransform is a
+    // non-codegen higher-order function, and CollapseProject declines to
+    // re-inline a twice-referenced expensive alias, so min and distinct
+    // both read the same array instead of re-hashing the doc), and the
+    // fixed-width lowercase hex strings compare in the same order as their
+    // numeric values, so the hex→long conv runs once per DOC on the final
+    // min, not once per window.
+    val hexes = transform(sequence(lit(1), nWin),
+      i => substring(md5(col("text").substr(i, lit(w))), 1, 15))
+    docs.select(col("doc_id"), hexes.as("win_hex"))
+      .select(col("doc_id"),
+        conv(array_min(col("win_hex")), 16, 10).cast("long").as("fingerprint_h"),
+        size(array_distinct(col("win_hex"))).as("n_distinct_windows"))
   }
 
   /** Tokenizer fertility census per (lang, source): BPE-ish subtokens
@@ -616,6 +656,91 @@ object TextAnalysis {
     post.join(qpost, Seq("term"))
       .groupBy(col("query_id"), col("doc_id"), col("chunk_no"))
       .agg(sum(col("qwt") * col("wt")).as("score"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("chunk_no"),
+        (col("chunk_no") * stride + 1L).as("start_token"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Okapi BM25 retrieval over the SAME 32/24 chunk index as
+    * [[ragChunkTopK]] — the production lexical ranker (Robertson et al.,
+    * TREC-3) with its two knobs the plain tf-idf scorer lacks: tf
+    * SATURATION (k1 = 1.2 — the 20th occurrence of a term adds almost
+    * nothing) and LENGTH normalization (b = 0.75 — a term match in a
+    * short chunk outranks the same match diluted in a long one).
+    *
+    * Integer-exact rational analogs for cross-engine replay:
+    *   - idf: the Robertson–Spärck-Jones odds in milli,
+    *     `least((2(N−df)+1)·1000 div (2df+1), 1e6)` — the exact rational
+    *     inside the classic `log((N−df+0.5)/(df+0.5))`, log dropped, capped
+    *     so one vanishing term can't dominate unboundedly.
+    *   - tf·length norm: with k1 = 6/5 and b = 3/4, the BM25 fraction
+    *     `tf(k1+1)/(tf + k1(1−b+b·dl/avgdl))` cross-multiplies to
+    *     `22·tf·A / (10·tf·A + 3·A + 9·dl)` where `A = ΣDL div N` is the
+    *     FLOOR of the average chunk length — a documented, deterministic
+    *     coarsening that keeps every product in the low millions at any
+    *     corpus size (using exact ΣDL/N instead would square corpus-sized
+    *     integers). Emitted in milli: `tfnorm ≤ 2200`.
+    *   - score(q, chunk) = Σ_t min(qtf, tfCap) · idf_milli · tfnorm_milli —
+    *     per-term ≤ 16·1e6·2200 ≈ 3.5e10, sums far inside BIGINT.
+    *
+    * Scale shape: identical to [[ragChunkTopK]] — ONE term-keyed exchange
+    * builds the df-capped postings, (N, ΣDL) is a 1-row aggregate
+    * broadcast into the tiny df table, queries join term-sharded, scores
+    * partial-aggregate map-side, top-k is a WindowGroupLimit rank filter.
+    */
+  def bm25ChunkTopK(spark: SparkSession, dir: String): DataFrame =
+    bm25ChunkTopK(spark.read.parquet(s"$dir/documents.parquet"))
+
+  def bm25ChunkTopK(docs: DataFrame, k: Int = 3, queryMod: Int = 50,
+                    win: Int = 32, stride: Int = 24,
+                    dfCap: Int = 100, tfCap: Int = 16): DataFrame = {
+    def bigrams(df: DataFrame, keys: Seq[String], text: Column): DataFrame =
+      df.select(keys.map(col) :+ wsTokens(lower(text)).as("t"): _*)
+        .filter(size(col("t")) >= 2)
+        .select(keys.map(col) :+ col("t") :+
+          explode(sequence(lit(0), size(col("t")) - 2)).as("p"): _*)
+        .select(keys.map(col) :+ concat_ws(" ",
+          element_at(col("t"), col("p") + 1),
+          element_at(col("t"), col("p") + 2)).as("term"): _*)
+
+    val chunks = Corpus.chunks(
+      docs.filter(col("doc_id") % queryMod =!= 0), win, stride)
+    val cTf = bigrams(
+      chunks.select(col("doc_id"), col("chunk_no"),
+        col("n_chunk_tokens").as("dl"), col("chunk_text")),
+      Seq("doc_id", "chunk_no", "dl"), col("chunk_text"))
+      .groupBy(col("doc_id"), col("chunk_no"), col("dl"), col("term"))
+      .agg(least(count(lit(1)), lit(tfCap.toLong)).as("tf"))
+    // Index-wide constants: chunk count and floored average chunk length.
+    // A 1-row ungrouped aggregate broadcast — the canonical scalar
+    // subquery shape the structural cartesian sweep admits.
+    val stats = chunks.agg(count(lit(1)).as("n_chunks"),
+      sum(col("n_chunk_tokens")).as("sum_dl"))
+      .select(col("n_chunks"), expr("sum_dl div n_chunks").as("avg_dl"))
+    val rare = cTf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("avg_dl"),
+        least(expr("(2 * (n_chunks - df) + 1) * 1000 div (2 * df + 1)"),
+          lit(1000000L)).as("idf_m"))
+    val post = cTf.join(rare, "term")
+      .select(col("term"), col("doc_id"), col("chunk_no"),
+        (col("idf_m") * expr("""22000 * tf * avg_dl div
+            (10 * tf * avg_dl + 3 * avg_dl + 9 * dl)""")).as("wt"))
+    val qpost = bigrams(
+      docs.filter(col("doc_id") % queryMod === 0)
+        .select(col("doc_id").as("query_id"), col("text")),
+      Seq("query_id"), col("text"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(least(count(lit(1)), lit(tfCap.toLong)).as("qtf"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(desc("score"), col("doc_id"), col("chunk_no"))
+    post.join(qpost, Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"), col("chunk_no"))
+      .agg(sum(col("qtf") * col("wt")).as("score"))
       .withColumn("rank", row_number().over(wTop).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("chunk_no"),
