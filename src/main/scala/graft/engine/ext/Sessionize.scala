@@ -248,40 +248,53 @@ object Sessionize {
     * exact-oracle-checkable: a healthy sketch yields all-true flags and
     * the oracle emits the same exact values with literal true flags.
     *
-    * Exact percentiles use the same ceil(p·n) rank over the
-    * deterministic (value_c, event_id) order as [[exactPercentiles]].
-    * Scale honesty: the exact side sorts each type partition (bounded
-    * group count here); at 100 TB the un-audited [[sketchRollup]] is
-    * the production path and this audit runs on samples.
+    * Exact percentiles are ceil(p·n) ranks selected from the
+    * (type, value) COUNT-OF-COUNTS census — cumulative-count windows run
+    * over distinct cent values, never over the fact (the fact's only
+    * exchanges are the well-distributed census key and the map-side-
+    * combined sketch partials). The earlier shape row_numbered the whole
+    * fact inside |event_type| partitions — a 5-way sort bottleneck that
+    * the honest bench consumer exposed at 17 s; the census form is the
+    * same plan [[fulfillmentLag]] uses and scales on distinct values.
     */
   def sketchAudit(spark: SparkSession, dir: String): DataFrame =
-    sketchAudit(events(spark, dir))
+    // sketch partials at accuracy 10000 are CPU-bound: re-balance a
+    // single-row-group events file so they don't run on one core
+    sketchAudit(graft.engine.ingest.Sources.rebalanceSmall(spark,
+      events(spark, dir)))
 
   def sketchAudit(ev: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("value_c"), col("event_id"))
     // flag: |approx − exact| ≤ |exact|/20 (+ slack), in pure integer math.
     // abs() on the RHS: a negative exact value would otherwise collapse
     // (or invert) the band and flag a perfect sketch as out-of-band.
     def ok(approx: Column, exact: Column, slack: Int): Column =
       (abs(approx - exact) * 20 <= abs(exact) + lit(slack.toLong * 20)).cast("long")
-    ev
-      .select(col("event_type"), col("event_id"), col("user_id"),
-        floor(col("value") * 100).cast("long").as("value_c"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val vals = ev.select(col("event_type"), col("user_id"),
+      floor(col("value") * 100).cast("long").as("value_c"))
+    // rank r's value = first census value whose cumulative count reaches
+    // r — identical to row_number() == r over (value_c, ·), without
+    // materializing a per-row rank
+    val wcum = Window.partitionBy(col("event_type")).orderBy(col("value_c"))
+    val exact = vals.groupBy(col("event_type"), col("value_c"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wcum))
+      .withColumn("n",
+        sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
       .groupBy(col("event_type"))
+      .agg(
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("value_c")))
+          .as("p50_c"),
+        min(when(col("cum") >= expr("(n * 95 + 99) div 100"), col("value_c")))
+          .as("p95_c"),
+        min(when(col("cum") >= expr("(n * 99 + 99) div 100"), col("value_c")))
+          .as("p99_c"))
+    vals.groupBy(col("event_type"))
       .agg(
         countDistinct(col("user_id")).as("n_users"),
         approx_count_distinct(col("user_id"), 0.01).as("au"),
         percentile_approx(col("value_c"),
-          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("ps"),
-        min(when(col("rn") === expr("(n + 1) div 2"), col("value_c")))
-          .as("p50_c"),
-        min(when(col("rn") === expr("(n * 95 + 99) div 100"), col("value_c")))
-          .as("p95_c"),
-        min(when(col("rn") === expr("(n * 99 + 99) div 100"), col("value_c")))
-          .as("p99_c"))
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("ps"))
+      .join(broadcast(exact), "event_type")
       .select(col("event_type"), col("n_users"),
         ok(col("au"), col("n_users"), 1).as("users_ok"),
         col("p50_c"), col("p95_c"), col("p99_c"),

@@ -154,24 +154,9 @@ object TextAnalysis {
     * the hash work downstream); when the input is big enough to split
     * naturally (the 100 TB case), this is a no-op and no shuffle happens.
     */
-  private[ext] def cpuBoundDocs(spark: SparkSession, dir: String): DataFrame = {
-    val d = spark.read.parquet(s"$dir/documents.parquet")
-    val target = spark.sparkContext.defaultParallelism
-    // Split COUNT is the wrong signal: byte-range splitting of a
-    // single-row-group parquet yields N splits of which N−1 are empty
-    // (a row group is the read atom), so the scan "has 32 partitions"
-    // while one core does all the hashing. Condition on bytes instead:
-    // only an input too small to ever split into `target` real row
-    // groups gets the round-robin exchange. At warehouse scale the
-    // predicate is false and this is exactly `spark.read.parquet(...)`.
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val bytes = d.inputFiles.map { s =>
-      val p = new org.apache.hadoop.fs.Path(new java.net.URI(s))
-      p.getFileSystem(hconf).getFileStatus(p).getLen
-    }.sum
-    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    if (bytes < maxSplit * target) d.repartition(target) else d
-  }
+  private[ext] def cpuBoundDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.ingest.Sources.rebalanceSmall(spark,
+      spark.read.parquet(s"$dir/documents.parquet"))
 
   def winnowFingerprint(docs: DataFrame, w: Int = 16): DataFrame = {
     val nWin = greatest(length(col("text")) - (w - 1), lit(1))
@@ -301,24 +286,30 @@ object TextAnalysis {
     repetition(spark.read.parquet(s"$dir/documents.parquet"))
 
   def repetition(docs: DataFrame): DataFrame = {
-    val words = wsTokens(lower(col("text")))
-    def grams(n: Int): Column =
-      when(size(words) >= n,
-        transform(sequence(lit(1), size(words) - (n - 1)),
-          i => array_join(slice(words, i, lit(n)), " ")))
+    // The token ARRAY must be an attribute before the gram lambdas touch
+    // it: an expression inside a lambda body is re-evaluated on every
+    // element, so an inlined wsTokens(lower(text)) would re-split the
+    // whole document once per gram position — O(words²) per doc
+    // (measured 7.4 s at sf0.1; attribute form is ~1 s).
+    def grams(t: Column, n: Int): Column =
+      when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - (n - 1)),
+          i => array_join(slice(t, i, lit(n)), " ")))
         .otherwise(array().cast("array<string>"))
     // materialize each gram array once: the transform() HOF is interpreted,
     // and referencing it from two consumers keeps CollapseProject from
     // inlining (and thus re-evaluating) it per consumer
     val gramStats = docs
-      .select(col("doc_id"), grams(2).as("b2"), grams(3).as("b3"))
+      .select(col("doc_id"), wsTokens(lower(col("text"))).as("t"))
+      .select(col("doc_id"), grams(col("t"), 2).as("b2"),
+        grams(col("t"), 3).as("b3"))
       .select(col("doc_id"),
         size(col("b2")).cast("long").as("n2"),
         size(array_distinct(col("b2"))).cast("long").as("d2"),
         size(col("b3")).cast("long").as("n3"),
         size(array_distinct(col("b3"))).cast("long").as("d3"))
     val wordStats = docs
-      .select(col("doc_id"), explode(words).as("word"))
+      .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(
         sum(col("c")).as("n_words"),

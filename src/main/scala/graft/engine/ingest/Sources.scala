@@ -30,6 +30,31 @@ object Sources {
   def ensureNanosAsLong(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** Re-balance a parquet scan whose total file bytes cannot naturally
+    * split into `defaultParallelism` partitions, for CPU-BOUND consumers.
+    *
+    * Spark sizes splits by bytes, and a parquet row group is the read
+    * atom — so a compact single-row-group file "splits" into N byte
+    * ranges of which N−1 produce zero rows, and a compute-heavy consumer
+    * (per-char hashing, sketch partials at high accuracy) runs on ONE
+    * core no matter the cluster. When the input is small enough for that
+    * to be possible, redistribute rows round-robin — one exchange of a
+    * by-definition-small input. At warehouse scale (bytes ≥ maxSplit ×
+    * cores) this returns the scan untouched: no shuffle is ever added to
+    * an input that splits naturally.
+    */
+  def rebalanceSmall(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val bytes = df.inputFiles.map { s =>
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(s))
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.sum
+    if (bytes < spark.sessionState.conf.filesMaxPartitionBytes * target)
+      df.repartition(target)
+    else df
+  }
+
   /** The `events` table with integer-microsecond timestamps (`ts_us`) —
     * the shape every event operator (sessionization, windows, temporal
     * joins, log generation) consumes.

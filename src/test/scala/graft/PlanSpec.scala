@@ -412,6 +412,30 @@ class PlanSpec extends SparkTestBase {
     assert("BroadcastHashJoin".r.findAllIn(drift).nonEmpty, drift.take(800))
   }
 
+  test("selection operators keep their scale shapes") {
+    import graft.engine.ext.{Corpus, TextAnalysis}
+    // dsir: the 256-row weight table must broadcast onto the token
+    // stream (bucket-keyed BroadcastHashJoin), and the doc-grain census
+    // diamond rides the persisted subtree — every arm reads the cache
+    // (InMemoryTableScan), never a second tokenize+hash parquet pass
+    // (the InMemoryRelation printout inlines its stored plan, so "Scan
+    // parquet" occurrences are all within cache-definition blocks)
+    val dp = plan(Corpus.dsirScore(spark, dir))
+    assert(dp.contains("BroadcastHashJoin"), dp.take(800))
+    assert("InMemoryTableScan".r.findAllIn(dp).length >= 2, dp.take(1200))
+    // bm25: postings join on term, index stats ride a 1-row broadcast;
+    // the per-query top-k must prune map-side (WindowGroupLimit)
+    val bm = plan(TextAnalysis.bm25ChunkTopK(spark, dir))
+    assert(bm.contains("WindowGroupLimit"), bm.take(800))
+    assert(!bm.contains("CartesianProduct"), bm.take(800))
+    // tv drift: per-source totals and the corpus total broadcast; the
+    // only fact-sized exchanges are the (source,word) census and the
+    // word-keyed join back — never a vocabulary × sources product
+    val tv = plan(Corpus.tvDrift(spark, dir))
+    assert(tv.contains("BroadcastHashJoin"), tv.take(800))
+    assert(!tv.contains("CartesianProduct"), tv.take(800))
+  }
+
   test("the sweep rejects a deliberately-injected naked cross join") {
     import org.apache.spark.sql.functions.{broadcast, col, count, lit}
     val l = spark.read.parquet(s"$dir/nation.parquet")
