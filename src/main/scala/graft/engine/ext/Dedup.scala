@@ -180,8 +180,25 @@ object Dedup {
                         dfCap: Int, minJaccardPpm: Long): DataFrame =
     ngramJaccardPairs(documents(spark, dir), n, dfCap, minJaccardPpm)
 
+  /** Default-parameter registry form: filters the session-materialized
+    * threshold-0 pair table ([[ngramPairsT0]]) to the default cutoff —
+    * identical rows to `ngramJaccardPairs(docs)` (the threshold is the
+    * pipeline's last predicate), built once per (session, dir) and
+    * shared with [[thresholdHist]].
+    */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairs(documents(spark, dir))
+    ngramPairsT0(spark, dir)
+      .filter(col("jaccard_ppm") >= 100000L)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The blocked shingle-Jaccard pair pipeline with NO threshold
+    * (n=3, dfCap=100), materialized per session — the shared base of
+    * [[ngramJaccardPairs]] and [[thresholdHist]].
+    */
+  def ngramPairsT0(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.StageCache.materialized(spark, dir, "dedup.ngram_pairs_t0") {
+      ngramJaccardPairs(documents(spark, dir), 3, 100, 0L)
+    }
 
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
                         dfCap: Int = 100, minJaccardPpm: Long = 100000L): DataFrame =
@@ -229,10 +246,13 @@ object Dedup {
     * plus a census-sized rollup.
     */
   def thresholdHist(spark: SparkSession, dir: String): DataFrame =
-    thresholdHist(documents(spark, dir))
+    thresholdHistFromPairs(ngramPairsT0(spark, dir))
 
   def thresholdHist(docs: DataFrame): DataFrame =
-    ngramJaccardPairs(docs, 3, 100, 0L)
+    thresholdHistFromPairs(ngramJaccardPairs(docs, 3, 100, 0L))
+
+  def thresholdHistFromPairs(pairsT0: DataFrame): DataFrame =
+    pairsT0
       .withColumn("bucket", expr("jaccard_ppm div 100000"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -564,7 +584,9 @@ object Dedup {
     * exact Hamming distance via bit_count(xor).
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
-    simhashPairs(documents(spark, dir))
+    graft.engine.StageCache.materialized(spark, dir, "dedup.simhash_pairs") {
+      simhashPairs(documents(spark, dir))
+    }
 
   def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
     val sig = simhash(docs)
@@ -599,9 +621,17 @@ object Dedup {
     * keep the damping floor and never enter the joins.
     */
   def pagerank(spark: SparkSession, dir: String, iters: Int = 2): DataFrame =
-    pagerank(documents(spark, dir), iters)
+    // rides the session-materialized pair list ([[graft.engine.StageCache]])
+    // instead of re-running the SimHash pipeline for its edge set
+    pagerankFromPairs(
+      documents(spark, dir).select(col("doc_id")),
+      simhashPairs(spark, dir), iters)
 
-  def pagerank(docs: DataFrame, iters: Int): DataFrame = {
+  def pagerank(docs: DataFrame, iters: Int): DataFrame =
+    pagerankFromPairs(docs.select(col("doc_id")), simhashPairs(docs), iters)
+
+  def pagerankFromPairs(vertices: DataFrame, pairs: DataFrame,
+                        iters: Int): DataFrame = {
     // Materialize the loop invariants ONCE (see connectedComponents for the
     // localCheckpoint rationale and README "Checkpointed iteration" for the
     // cluster deployment note): edges comes out of the full SimHash-pair
@@ -611,8 +641,7 @@ object Dedup {
     // keeps the lineage linear: measured at sf0.1, iterations now cost
     // ~0.25 s each on a ~3.6 s fixed pair-generation base (was: the whole
     // pipeline × iters).
-    val ids = docs.select(col("doc_id")).localCheckpoint(true)
-    val pairs = simhashPairs(docs)
+    val ids = vertices.localCheckpoint(true)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
@@ -693,11 +722,15 @@ object Dedup {
   /** Cluster assignment for every document using SimHash near-dup pairs as
     * the edge set (deterministic band-blocked candidates, Hamming <= 8).
     */
-  def simhashClusters(spark: SparkSession, dir: String): DataFrame = {
-    val docs = documents(spark, dir)
-    connectedComponents(docs.select(col("doc_id")), simhashPairs(docs))
-      .orderBy(col("doc_id"))
-  }
+  def simhashClusters(spark: SparkSession, dir: String): DataFrame =
+    // the seven-consumer cluster table: materialized once per
+    // (session, dir) — see [[graft.engine.StageCache]]. The stored value
+    // is the unordered label table; each consumer applies its own sort.
+    graft.engine.StageCache.materialized(spark, dir, "dedup.simhash_clusters") {
+      connectedComponents(
+        documents(spark, dir).select(col("doc_id")),
+        simhashPairs(spark, dir))
+    }.orderBy(col("doc_id"))
 
   /** Near-dup cluster-SIZE histogram — the one-look dedup diagnostic:
     * how many clusters have k members, and how much of the corpus they
@@ -734,11 +767,15 @@ object Dedup {
     * (cluster_id) — no window, one exchange past the cluster build.
     */
   def canonicalByQuality(spark: SparkSession, dir: String): DataFrame =
-    canonicalByQuality(documents(spark, dir))
+    // rides the materialized cluster table (StageCache) — the quality
+    // join and min_by pick are the only per-query work
+    canonicalFromClusters(documents(spark, dir), simhashClusters(spark, dir))
 
-  def canonicalByQuality(docs: DataFrame): DataFrame = {
-    val clusters = connectedComponents(docs.select(col("doc_id")),
-      simhashPairs(docs))
+  def canonicalByQuality(docs: DataFrame): DataFrame =
+    canonicalFromClusters(docs,
+      connectedComponents(docs.select(col("doc_id")), simhashPairs(docs)))
+
+  def canonicalFromClusters(docs: DataFrame, clusters: DataFrame): DataFrame = {
     val quality = Corpus.qualityClean(docs)
       .select(col("doc_id"), col("keep"))
     clusters

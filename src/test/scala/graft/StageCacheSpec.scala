@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.StageCache
+import graft.engine.ext.Dedup
+
+/** Contract of the session-scoped materialized-intermediate cache, plus the
+  * equivalence that makes it safe to route registry wrappers through it:
+  * cached-path results must be row-identical to the pure DataFrame-form
+  * pipelines they replace.
+  */
+class StageCacheSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("sc-docs").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private val corpus = Seq[(Long, String, String, String, Long)](
+    (1L, "the quick brown fox jumps over the lazy dog again and again", "en", "web", 60L),
+    (2L, "the quick brown fox jumps over the lazy dog again and again!", "en", "web", 61L),
+    (3L, "completely different text about training data pipelines at scale", "en", "book", 64L),
+    (4L, "the quick brown fox jumps over the lazy dog again and again", "en", "book", 60L))
+
+  test("build thunk runs once per (session, dir, name); dirs are distinct") {
+    val dirA = tmpDocs(corpus)
+    val dirB = tmpDocs(corpus)
+    val before = StageCache.builds
+    val a1 = StageCache.materialized(spark, dirA, "spec.stage") {
+      spark.range(5).toDF("n")
+    }
+    val a2 = StageCache.materialized(spark, dirA, "spec.stage") {
+      fail("thunk must not re-run for a cached key"); a1
+    }
+    assert(StageCache.builds === before + 1)
+    assert(a2.collect().map(_.getLong(0)).sorted === Array(0L, 1L, 2L, 3L, 4L))
+    StageCache.materialized(spark, dirB, "spec.stage")(spark.range(2).toDF("n"))
+    assert(StageCache.builds === before + 2)
+    // trailing-slash / relative spellings canonicalize to the same key
+    StageCache.materialized(spark, dirA + "/", "spec.stage") {
+      fail("canonicalized dir must hit the cache"); a1
+    }
+    assert(StageCache.builds === before + 2)
+  }
+
+  test("cached cluster/pair wrappers match the pure DataFrame-form pipelines") {
+    val dir = tmpDocs(corpus)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    val cachedPairs = Dedup.simhashPairs(spark, dir).collect().toSeq
+    val purePairs = Dedup.simhashPairs(docs).collect().toSeq
+    assert(cachedPairs === purePairs)
+    assert(cachedPairs.nonEmpty) // 1/2/4 are near-dups — the fixture has signal
+
+    val cachedClusters = Dedup.simhashClusters(spark, dir).collect().toSeq
+    val pureClusters = Dedup.connectedComponents(
+      docs.select(col("doc_id")), Dedup.simhashPairs(docs))
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(cachedClusters === pureClusters)
+
+    val cachedCanon = Dedup.canonicalByQuality(spark, dir).collect().toSeq
+    val pureCanon = Dedup.canonicalByQuality(docs).collect().toSeq
+    assert(cachedCanon === pureCanon)
+
+    val cachedNgram = Dedup.ngramJaccardPairs(spark, dir).collect().toSeq
+    val pureNgram = Dedup.ngramJaccardPairs(docs).collect().toSeq
+    assert(cachedNgram === pureNgram)
+
+    val cachedHist = Dedup.thresholdHist(spark, dir).collect().toSeq
+    val pureHist = Dedup.thresholdHist(docs).collect().toSeq
+    assert(cachedHist === pureHist)
+  }
+
+  test("clear drops the session's entries") {
+    val dir = tmpDocs(corpus.take(1))
+    StageCache.materialized(spark, dir, "spec.clear")(spark.range(1).toDF("n"))
+    assert(StageCache.size(spark) > 0)
+    StageCache.clear(spark)
+    assert(StageCache.size(spark) === 0)
+    val before = StageCache.builds
+    StageCache.materialized(spark, dir, "spec.clear")(spark.range(1).toDF("n"))
+    assert(StageCache.builds === before + 1)
+  }
+}
