@@ -227,6 +227,11 @@ object ExtQueries {
       Multimodal.frameSamples(s, dir).toDF()
         .orderBy(col("doc_id"), col("frame_no"))
     }),
+    "text_gopher_rules" -> ((s, dir) => TextAnalysis.gopherRules(s, dir)),
+    "corpus_hash_sample" -> ((s, dir) => Corpus.hashSample(s, dir)),
+    "ext_cdc_merge" -> ((s, dir) => Changelog.mergedSnapshot(s, dir)),
+    "ext_lateness_audit" -> ((s, dir) => Sessionize.latenessAudit(s, dir)),
+    "ann_range_search" -> ((s, dir) => Similarity.ivfRangeSearch(s, dir)),
   )
 
   // ------------------------------------------------------------- oracles
@@ -3881,5 +3886,143 @@ object ExtQueries {
         |      * 2 + 1, 2) AS INT), 0)::INT AS frame_byte
         |FROM m, range(0, 8) t(f) WHERE f < n_frames
         |ORDER BY doc_id, frame_no""".stripMargin),
+
+    // CDC latest-wins: the oracle states the ONE-SHOT fold over the full
+    // changelog; the engine runs the incremental base+delta merge — their
+    // equality (delta LSNs strictly newer under the time split) is the
+    // invariant being checked.
+    "ext_cdc_merge" -> (eventsE +
+      """, c AS (
+        |  SELECT event_id, user_id, tsu, event_type, value_c,
+        |    CASE WHEN event_id % 13 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM e
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY tsu DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_ops
+        |  FROM c
+        |)
+        |SELECT user_id, event_type, value_c, tsu AS last_ts_us,
+        |  n_ops::BIGINT AS n_ops
+        |FROM r WHERE rn = 1 AND op = 'U' ORDER BY user_id""".stripMargin),
+
+    "ext_lateness_audit" -> (eventsE +
+      """, m AS (
+        |  SELECT event_id, tsu,
+        |    max(tsu) OVER (PARTITION BY event_id % 8 ORDER BY event_id) AS wm
+        |  FROM e
+        |), f AS (
+        |  SELECT d.delay_us, m.tsu, m.wm
+        |  FROM m, (VALUES (0::BIGINT), (60000000::BIGINT),
+        |                  (300000000::BIGINT), (1800000000::BIGINT))
+        |       d(delay_us)
+        |)
+        |SELECT delay_us,
+        |  sum(CASE WHEN tsu < wm - delay_us THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_late,
+        |  count(*)::BIGINT AS n_events,
+        |  (sum(CASE WHEN tsu < wm - delay_us THEN 1 ELSE 0 END) * 1000000
+        |    // count(*))::BIGINT AS late_ppm
+        |FROM f GROUP BY delay_us ORDER BY delay_us""".stripMargin),
+
+    "text_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    len(toks)::BIGINT AS n_tokens,
+        |    coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT
+        |      AS tok_chars,
+        |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT
+        |      AS n_alpha,
+        |    (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
+        |    len(lines)::BIGINT AS n_lines,
+        |    len(list_filter(lines,
+        |        l -> regexp_matches(rtrim(l), '\.\.\.$')))::BIGINT
+        |      AS n_ellipsis,
+        |    (len(lines) - len(list_distinct(lines)))::BIGINT AS n_dup_lines,
+        |    ((CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END)
+        |    )::BIGINT AS n_stopwords
+        |  FROM d
+        |)
+        |SELECT doc_id, n_tokens, tok_chars, n_alpha, n_stopwords,
+        |  (CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)::BIGINT
+        |    AS r_word_count,
+        |  (CASE WHEN tok_chars >= n_tokens * 3 AND tok_chars <= n_tokens * 10
+        |        THEN 1 ELSE 0 END)::BIGINT AS r_mean_word,
+        |  (CASE WHEN n_hash * 10 <= n_tokens THEN 1 ELSE 0 END)::BIGINT
+        |    AS r_hash_ratio,
+        |  (CASE WHEN n_ellipsis * 10 <= n_lines * 3 THEN 1 ELSE 0 END)::BIGINT
+        |    AS r_ellipsis,
+        |  (CASE WHEN n_alpha * 5 >= n_tokens * 4 THEN 1 ELSE 0 END)::BIGINT
+        |    AS r_alpha,
+        |  (CASE WHEN n_dup_lines * 10 <= n_lines * 3 THEN 1 ELSE 0 END)::BIGINT
+        |    AS r_dup_lines,
+        |  (CASE WHEN n_stopwords >= 2 THEN 1 ELSE 0 END)::BIGINT AS r_stopwords,
+        |  (r_word_count * r_mean_word * r_hash_ratio * r_ellipsis * r_alpha
+        |    * r_dup_lines * r_stopwords)::BIGINT AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "corpus_hash_sample" ->
+      """WITH counts AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(n_docs)::BIGINT AS total, count(*)::BIGINT AS n_sources
+        |  FROM counts
+        |), rates AS (
+        |  SELECT source, n_docs,
+        |    least(1000000,
+        |      ((total + n_sources - 1) // n_sources) * 1000000 // n_docs
+        |    )::BIGINT AS rate_ppm
+        |  FROM counts, tot
+        |), kept AS (
+        |  SELECT d.source, count(*)::BIGINT AS n_kept
+        |  FROM documents d JOIN rates r ON d.source = r.source
+        |  WHERE ('0x' || substring(md5(d.source || ':' || d.doc_id), 1, 15))
+        |          ::BIGINT % 1000000 < r.rate_ppm
+        |  GROUP BY 1
+        |)
+        |SELECT r.source, r.n_docs, r.rate_ppm, k.n_kept
+        |FROM rates r JOIN kept k ON r.source = k.source
+        |ORDER BY r.source""".stripMargin,
+
+    "ann_range_search" -> (quantized +
+      """, cent AS (
+        |  SELECT vec_id AS cell_id, i, q AS cq FROM v WHERE vec_id < 16
+        |), adot AS (
+        |  SELECT v.vec_id, c.cell_id, CAST(sum(v.q * c.cq) AS BIGINT) AS d
+        |  FROM v JOIN cent c ON v.i = c.i
+        |  GROUP BY 1, 2
+        |), assigned AS (
+        |  SELECT vec_id, cell_id FROM (
+        |    SELECT vec_id, cell_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell_id) AS rn
+        |    FROM adot) WHERE rn = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cell_id FROM (
+        |    SELECT vec_id, cell_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell_id) AS crank
+        |    FROM adot WHERE vec_id % 50 = 0) WHERE crank <= 4
+        |)
+        |SELECT p.query_id, a.vec_id AS neighbor_id, a.cell_id,
+        |  CAST(sum(q.q * n.q) AS BIGINT) AS dot
+        |FROM probes p
+        |JOIN assigned a ON a.cell_id = p.cell_id AND a.vec_id != p.query_id
+        |JOIN v q ON q.vec_id = p.query_id
+        |JOIN v n ON n.vec_id = a.vec_id AND n.i = q.i
+        |GROUP BY 1, 2, 3
+        |HAVING CAST(sum(q.q * n.q) AS BIGINT) >= 250000
+        |ORDER BY query_id, neighbor_id""".stripMargin),
   )
 }

@@ -783,4 +783,47 @@ object Corpus {
                 as bigint)""").as("tv_ppm"))
       .orderBy(col("source"))
   }
+
+  /** HASH-BERNOULLI downsampling to a per-source cap — the sort-free,
+    * shuffle-free way to rebalance an over-represented crawl at 100 TB.
+    *
+    * Policy: every source is capped at its equal share of the corpus
+    * (`target = ceil(total / n_sources)`), so sources above the cap get
+    * `rate_ppm = target·1e6 / n_s` and the rest keep everything. The keep
+    * decision is `md5(source:doc_id) mod 1e6 < rate_ppm` — a pure per-row
+    * predicate: no sort, no window, no per-stratum state, and the SAME
+    * documents survive on any partitioning, any engine, any re-run
+    * (contrast [[stratifiedSample]], whose exact-k guarantee costs a
+    * per-stratum sort — the right tool when k must be exact; this is the
+    * right tool when a ppm-accurate rate is enough and the corpus is
+    * huge).
+    *
+    * Emits the per-source audit (corpus size, applied rate, survivors):
+    * the rate table is a broadcast-size dimension (one row per source).
+    */
+  def hashSample(spark: SparkSession, dir: String): DataFrame =
+    hashSample(docs(spark, dir))
+
+  def hashSample(in: DataFrame): DataFrame = {
+    val counts = in.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("total"),
+      count(lit(1)).as("n_sources"))
+    val rates = counts.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"),
+        least(lit(1000000L),
+          expr("((total + n_sources - 1) div n_sources) * 1000000 div n_docs"))
+          .as("rate_ppm"))
+    in.select(col("doc_id"), col("source"))
+      .join(broadcast(rates), "source")
+      .filter(
+        pmod(graft.engine.ext.Dedup.md5Hash60(
+          concat(col("source"), lit(":"), col("doc_id").cast("string"))),
+          lit(1000000L)) < col("rate_ppm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        min(col("rate_ppm")).as("rate_ppm"),
+        min(col("n_docs")).as("n_docs"))
+      .select(col("source"), col("n_docs"), col("rate_ppm"), col("n_kept"))
+      .orderBy(col("source"))
+  }
 }

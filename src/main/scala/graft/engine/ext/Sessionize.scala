@@ -739,4 +739,51 @@ object Sessionize {
         max(col("span_days")).as("max_span_days"))
       .orderBy(col("active_days"))
   }
+
+  /** Candidate watermark delays for [[latenessAudit]], in event-time
+    * microseconds: 0, 1 min, 5 min, 30 min.
+    */
+  val LatenessDelaysUs: Seq[Long] =
+    Seq(0L, 60L * 1000000, 300L * 1000000, 1800L * 1000000)
+
+  /** WATERMARK-LATENESS sweep: for each candidate watermark delay, how
+    * many events would a streaming job drop as too-late? An event is late
+    * under delay W when its event time trails the per-ingest-partition
+    * running-max event time (the watermark source) by more than W —
+    * exactly how Structured Streaming derives its watermark (max event
+    * time per input partition, advanced as data arrives in ingest order).
+    * Arrival order is `event_id` (the log sequence), ingest partition is
+    * `event_id mod 8` — the Kafka-partition analog this testdata lacks.
+    *
+    * This is the batch audit you run BEFORE picking the `withWatermark`
+    * delay on the streaming jobs ([[graft.engine.streaming.EventStream]]):
+    * the delay buys state retention, this query prices each option in
+    * dropped events, exactly.
+    *
+    * Scale shape: one window (partitioned running max — no global sort;
+    * parallelism = #ingest partitions, which at 100 TB is the Kafka
+    * partition count, hundreds), a 4-way delay fan-out of the event row,
+    * and a 4-group rollup. All integer math.
+    */
+  def latenessAudit(spark: SparkSession, dir: String): DataFrame =
+    latenessAudit(events(spark, dir))
+
+  def latenessAudit(ev: DataFrame, nPartitions: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("p")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .select(col("event_id"), col("ts_us"),
+        pmod(col("event_id"), lit(nPartitions.toLong)).as("p"))
+      .withColumn("wm", max(col("ts_us")).over(w))
+      .select(col("ts_us"), col("wm"),
+        explode(array(LatenessDelaysUs.map(lit(_)): _*)).as("delay_us"))
+      .groupBy(col("delay_us"))
+      .agg(
+        sum(when(col("ts_us") < col("wm") - col("delay_us"), 1L)
+          .otherwise(0L)).as("n_late"),
+        count(lit(1)).as("n_events"))
+      .select(col("delay_us"), col("n_late"), col("n_events"),
+        expr("n_late * 1000000 div n_events").as("late_ppm"))
+      .orderBy(col("delay_us"))
+  }
 }

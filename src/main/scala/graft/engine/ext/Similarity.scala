@@ -126,6 +126,51 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** RANGE search on the IVF index: every candidate within the probed
+    * cells whose exact inner product clears `minDot` — "all near-dups of
+    * this query", the retrieval mode embedding-level dedup and
+    * contamination sweeps need (top-k truncates exactly the mass a dedup
+    * pass cares about; range search returns the whole neighborhood).
+    *
+    * Same index machinery as [[ivfTopK]] (first-nCells centroids,
+    * broadcast assignment, nprobe best cells per query); the only change
+    * is the acceptance predicate — a threshold on the exact codegen'd
+    * dot instead of a rank window, so no per-query sort exists at all.
+    * Result size is data-dependent by design; the probed-cell blocking
+    * bounds the candidate set exactly as in top-k search.
+    */
+  def ivfRangeSearch(spark: SparkSession, dir: String, minDot: Long = 250000L,
+                     queryMod: Int = 50, nCells: Int = 16,
+                     nprobe: Int = 4): DataFrame =
+    ivfRangeSearch(vectors(spark, dir), minDot, queryMod, nCells, nprobe)
+
+  def ivfRangeSearch(vs: DataFrame, minDot: Long, queryMod: Int, nCells: Int,
+                     nprobe: Int): DataFrame = {
+    val centroids = vs.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cell_id"), col("q").as("cq"))
+    val assigned = vs.join(broadcast(centroids))
+      .groupBy(col("vec_id"), col("label"), col("q"))
+      .agg(
+        max_by(col("cell_id"),
+          struct(qdot(col("q"), col("cq")).as("d"), (-col("cell_id")).as("t")))
+          .as("cell_id"))
+    val queries = assigned.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val probes = queries.join(broadcast(centroids))
+      .select(col("query_id"), col("qq"), col("cell_id"),
+        qdot(col("qq"), col("cq")).as("cdot"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("cdot"), col("cell_id"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qq"), col("cell_id"))
+    assigned.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell_id"),
+        qdot(col("qq"), col("q")).as("dot"))
+      .filter(col("dot") >= minDot)
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
   /** Label-centroid similarity: mean quantized vector per label (integer
     * sums + count, exact), then pairwise centroid inner products — the
     * "are these classes separable" diagnostic.

@@ -870,4 +870,77 @@ object TextAnalysis {
         col("n_all"), col("lift_ppm"))
       .orderBy(col("source"), col("rank"))
   }
+
+  /** Stopwords probed by the Gopher rule-set's "has common English words"
+    * rule — presence counted per word (word-boundary regex), ≥2 passes.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher/C4-style RULE-FILTER bits per document — the rule battery a
+    * pretraining pipeline runs before any learned quality model (Gopher's
+    * repetition/format rules, C4's boilerplate heuristics), one 0/1
+    * column per rule plus the conjunction:
+    *
+    *  - `r_word_count`: 50 ≤ |tokens| ≤ 100000 (Gopher's bounds);
+    *  - `r_mean_word`:  mean token length in [3, 10] characters —
+    *    stated as `3·n ≤ Σlen ≤ 10·n`, integer-exact, no division;
+    *  - `r_hash_ratio`: '#' symbols ≤ 10% of tokens (`10·n_hash ≤ n`);
+    *  - `r_ellipsis`:   ≤30% of lines end in "..." (`10·e ≤ 3·lines`);
+    *  - `r_alpha`:      ≥80% of tokens contain a letter (`5·a ≥ 4·n`);
+    *  - `r_dup_lines`:  duplicate lines ≤30% of lines;
+    *  - `r_stopwords`:  ≥2 distinct common English words present;
+    *  - `pass`:         every rule holds.
+    *
+    * Distinct from the corpus quality GATE ([[Corpus.qualityClean]]'s
+    * 3-predicate keep bit): this is the per-rule diagnostic surface — at
+    * 100 TB you aggregate these bits per source/crawl to see WHICH rule
+    * is eating a corpus before flipping the gate.
+    *
+    * Scale shape: one pure per-row projection (array ops + regexes inside
+    * a single WholeStageCodegen span), no shuffle, no UDFs; every output
+    * is integer so the row is byte-reproducible on any engine.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRules(spark.read.parquet(s"$dir/documents.parquet"))
+
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val bit = (c: Column) => when(c, 1L).otherwise(0L)
+    val stopHits = GopherStopwords
+      .map(w => bit(lower(col("text")).rlike("\\b" + w + "\\b")))
+      .reduce(_ + _)
+    docs
+      .select(col("doc_id"), col("text"),
+        wsTokens(col("text")).as("toks"),
+        split(col("text"), "\n").as("lines"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(transform(col("toks"), t => length(t).cast("long")),
+          lit(0L), (acc, v) => acc + v).as("tok_chars"),
+        size(filter(col("toks"), t => t.rlike("[A-Za-z]")))
+          .cast("long").as("n_alpha"),
+        (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+          .cast("long").as("n_hash"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(filter(col("lines"), l => rtrim(l).rlike("\\.\\.\\.$")))
+          .cast("long").as("n_ellipsis"),
+        (size(col("lines")) - size(array_distinct(col("lines"))))
+          .cast("long").as("n_dup_lines"),
+        stopHits.as("n_stopwords"))
+      .select(col("doc_id"), col("n_tokens"), col("tok_chars"),
+        col("n_alpha"), col("n_stopwords"),
+        bit(col("n_tokens").between(50L, 100000L)).as("r_word_count"),
+        bit(col("tok_chars") >= col("n_tokens") * 3 &&
+          col("tok_chars") <= col("n_tokens") * 10).as("r_mean_word"),
+        bit(col("n_hash") * 10 <= col("n_tokens")).as("r_hash_ratio"),
+        bit(col("n_ellipsis") * 10 <= col("n_lines") * 3).as("r_ellipsis"),
+        bit(col("n_alpha") * 5 >= col("n_tokens") * 4).as("r_alpha"),
+        bit(col("n_dup_lines") * 10 <= col("n_lines") * 3).as("r_dup_lines"),
+        bit(col("n_stopwords") >= 2L).as("r_stopwords"))
+      .withColumn("pass",
+        col("r_word_count") * col("r_mean_word") * col("r_hash_ratio") *
+          col("r_ellipsis") * col("r_alpha") * col("r_dup_lines") *
+          col("r_stopwords"))
+      .orderBy(col("doc_id"))
+  }
 }
