@@ -52,6 +52,33 @@ object Bench {
     // Fixture setup (generated log files) happens outside the timed loop.
     try SparkEntry.prepare(spark, sfDir) catch { case _: Throwable => () }
     var errors = List.empty[(String, String)]
+    // Shared materialized stages (StageCache) are timed HERE, once, as
+    // explicit "_stage_*" rows included in the total. The family queries
+    // below then measure steady-state consumption — the production shape
+    // (build a corpus snapshot's cluster table once, run every policy
+    // against it). Without these rows the min-of-retries policy would
+    // silently erase the one-time build cost from the artifact: the
+    // build-bearing query's retry hits the warm cache and the min wins.
+    // The warmup above populated the cache for sf0.001 only; clear it so
+    // the build at sfDir is measured from cold.
+    graft.engine.StageCache.clear(spark)
+    val stageRows: Seq[(String, Double)] =
+      if (subset.nonEmpty) Seq.empty
+      else Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)](
+        "_stage_simhash_pairs" ->
+          ((s, d) => graft.engine.ext.Dedup.simhashPairs(s, d)),
+        "_stage_simhash_clusters" ->
+          ((s, d) => graft.engine.ext.Dedup.simhashClusters(s, d)),
+        "_stage_ngram_pairs_t0" ->
+          ((s, d) => graft.engine.ext.Dedup.ngramPairsT0(s, d))
+      ).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).queryExecution.toRdd.count() } catch {
+          case e: Throwable => errors ::= name ->
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(160)
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     // (seconds, error): an error from any single run stays local to that
     // run so a flaky retry can't erase a valid first measurement.
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
@@ -94,7 +121,7 @@ object Bench {
     // and exclude it from the per-query map and the total.
     val failed = errors.map(_._1).toSet
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val ok = results.filterNot { case (n, _) => failed(n) }
+    val ok = (stageRows ++ results).filterNot { case (n, _) => failed(n) }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val total = ms(ok.map(_._2).sum)
