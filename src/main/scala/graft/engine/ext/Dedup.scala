@@ -364,12 +364,22 @@ object Dedup {
     * window partition key, so Catalyst reuses the partitioning).
     */
   def substringSpans(spark: SparkSession, dir: String): DataFrame =
-    substringSpans(documents(spark, dir))
+    spansT(spark, dir)
+      .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
 
   def substringSpans(docs: DataFrame, n: Int = 3, dfCap: Int = 100,
                      minSpanTokens: Int = 10): DataFrame =
     spansOf(docs, n, dfCap, minSpanTokens)
       .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
+
+  /** Default-parameter span table, materialized once per (session, dir)
+    * — three consumers (the span listing, the coverage audit, the
+    * removal pass) ride one build ([[graft.engine.StageCache]]).
+    */
+  def spansT(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.StageCache.materialized(spark, dir, "dedup.spans") {
+      spansOf(documents(spark, dir), 3, 100, 10)
+    }
 
   /** [[substringSpans]] without the presentation sort — the shared plan
     * [[spanCoverage]] builds on. */
@@ -424,11 +434,13 @@ object Dedup {
     * both windows and both aggregations share the doc_id exchange.
     */
   def spanCoverage(spark: SparkSession, dir: String): DataFrame =
-    spanCoverage(documents(spark, dir))
+    spanCoverageFromSpans(documents(spark, dir), spansT(spark, dir))
 
   def spanCoverage(docs: DataFrame, n: Int = 3, dfCap: Int = 100,
-                   minSpanTokens: Int = 10): DataFrame = {
-    val spans = spansOf(docs, n, dfCap, minSpanTokens)
+                   minSpanTokens: Int = 10): DataFrame =
+    spanCoverageFromSpans(docs, spansOf(docs, n, dfCap, minSpanTokens))
+
+  def spanCoverageFromSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
     val iv = spans.select(col("doc_a").as("doc_id"), col("a_start").as("s"),
         (col("a_start") + col("span_tokens")).as("e"))
       .union(spans.select(col("doc_b").as("doc_id"), col("b_start").as("s"),
@@ -508,11 +520,13 @@ object Dedup {
     * constant-per-token projection, no shuffle beyond the span build's.
     */
   def spanRemoval(spark: SparkSession, dir: String): DataFrame =
-    spanRemoval(documents(spark, dir))
+    spanRemovalFromSpans(documents(spark, dir), spansT(spark, dir))
 
   def spanRemoval(docs: DataFrame, n: Int = 3, dfCap: Int = 100,
-                  minSpanTokens: Int = 10): DataFrame = {
-    val spans = spansOf(docs, n, dfCap, minSpanTokens)
+                  minSpanTokens: Int = 10): DataFrame =
+    spanRemovalFromSpans(docs, spansOf(docs, n, dfCap, minSpanTokens))
+
+  def spanRemovalFromSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
     val iv = spans.select(col("doc_a").as("doc_id"), col("a_start").as("s"),
         (col("a_start") + col("span_tokens")).as("e"))
       .union(spans.select(col("doc_b").as("doc_id"), col("b_start").as("s"),

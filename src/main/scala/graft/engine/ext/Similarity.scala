@@ -58,7 +58,13 @@ object Similarity {
     */
   def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 10,
                      queryMod: Int = 50): DataFrame =
-    bruteForceTopK(vectors(spark, dir), k, queryMod)
+    // the default-parameter exact baseline is the ground truth of every
+    // recall QA row — materialized once per (session, dir)
+    if (k == 10 && queryMod == 50)
+      graft.engine.StageCache.materialized(spark, dir, "ann.bruteforce_topk") {
+        bruteForceTopK(vectors(spark, dir), 10, 50)
+      }
+    else bruteForceTopK(vectors(spark, dir), k, queryMod)
 
   def bruteForceTopK(vs: DataFrame, k: Int, queryMod: Int): DataFrame = {
     val queries = vs.filter(col("vec_id") % queryMod === 0)
@@ -194,12 +200,43 @@ object Similarity {
     */
   def kmeansCells(spark: SparkSession, dir: String, nCells: Int = 16,
                   iters: Int = 2): DataFrame =
-    kmeansCells(vectors(spark, dir), nCells, iters)
+    if (nCells == 16 && iters == 2)
+      kmeansT(spark, dir)._1
+        .select(col("vec_id"), col("cell_id"), col("dist"))
+        .orderBy(col("vec_id"))
+    else kmeansCells(vectors(spark, dir), nCells, iters)
 
   def kmeansCells(vs: DataFrame, nCells: Int, iters: Int): DataFrame =
     kmeansLoop(vs, nCells, iters)._1
       .select(col("vec_id"), col("cell_id"), col("dist"))
       .orderBy(col("vec_id"))
+
+  /** Default-parameter trained IVF index (nCells=16, iters=2),
+    * materialized once per (session, dir) via
+    * [[graft.engine.StageCache]]: the k-means queries, the balance
+    * audit, trained-IVF search, the nprobe sweep and IVF-PQ all ride ONE
+    * training run — exactly how a production index is trained offline
+    * once and served to every retrieval. Both halves come from one loop
+    * invocation (the loop checkpoints them already; the second
+    * materialization pins an existing result, it does not retrain —
+    * except in a benign first-use race, where the loser retrains the
+    * tiny centroid table only).
+    */
+  private def kmeansT(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    var stash: DataFrame = null
+    val assigned = graft.engine.StageCache
+      .materialized(spark, dir, "ann.kmeans_assigned") {
+        val (a, c) = kmeansLoop(vectors(spark, dir), 16, 2)
+        stash = c
+        a
+      }
+    val centroids = graft.engine.StageCache
+      .materialized(spark, dir, "ann.kmeans_centroids") {
+        if (stash != null) stash
+        else kmeansLoop(vectors(spark, dir), 16, 2)._2
+      }
+    (assigned, centroids)
+  }
 
   /** IVF index-health audit: per-cell population share and distortion
     * (sum / max of the exact integer squared distance to the assigned
@@ -211,13 +248,18 @@ object Similarity {
     */
   def cellBalance(spark: SparkSession, dir: String, nCells: Int = 16,
                   iters: Int = 2): DataFrame =
-    cellBalance(vectors(spark, dir), nCells, iters)
+    if (nCells == 16 && iters == 2)
+      cellBalanceFromAssigned(kmeansT(spark, dir)._1)
+    else cellBalance(vectors(spark, dir), nCells, iters)
 
-  def cellBalance(vs: DataFrame, nCells: Int, iters: Int): DataFrame = {
+  def cellBalance(vs: DataFrame, nCells: Int, iters: Int): DataFrame =
+    cellBalanceFromAssigned(kmeansLoop(vs, nCells, iters)._1)
+
+  private def cellBalanceFromAssigned(assigned: DataFrame): DataFrame = {
     val all = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(Window.unboundedPreceding,
         Window.unboundedFollowing)
-    kmeansLoop(vs, nCells, iters)._1
+    assigned
       .groupBy(col("cell_id"))
       .agg(count(lit(1)).as("n_vectors"),
         sum(col("dist")).as("sum_dist"), max(col("dist")).as("max_dist"))
@@ -282,11 +324,20 @@ object Similarity {
   def ivfTrainedTopK(spark: SparkSession, dir: String, k: Int = 10,
                      queryMod: Int = 50, nCells: Int = 16, iters: Int = 2,
                      nprobe: Int = 4): DataFrame =
-    ivfTrainedTopK(vectors(spark, dir), k, queryMod, nCells, iters, nprobe)
+    if (nCells == 16 && iters == 2) {
+      val (assigned, centroids) = kmeansT(spark, dir)
+      ivfTrainedFromIndex(assigned, centroids, k, queryMod, nprobe)
+    } else ivfTrainedTopK(vectors(spark, dir), k, queryMod, nCells, iters, nprobe)
 
   def ivfTrainedTopK(vs: DataFrame, k: Int, queryMod: Int, nCells: Int,
                      iters: Int, nprobe: Int): DataFrame = {
     val (assigned, centroids) = kmeansLoop(vs, nCells, iters)
+    ivfTrainedFromIndex(assigned, centroids, k, queryMod, nprobe)
+  }
+
+  private def ivfTrainedFromIndex(assigned: DataFrame, centroids: DataFrame,
+                                  k: Int, queryMod: Int,
+                                  nprobe: Int): DataFrame = {
     val queries = assigned.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("q").as("qq"))
 
@@ -325,8 +376,12 @@ object Similarity {
                   queryMod: Int = 50, nCells: Int = 16, iters: Int = 2,
                   probesList: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
     val vs = vectors(spark, dir)
-    val (assigned, centroids) = kmeansLoop(vs, nCells, iters)
-    val exact = bruteForceTopK(vs, k, queryMod)
+    // defaults ride the materialized index + exact baseline
+    val (assigned, centroids) =
+      if (nCells == 16 && iters == 2) kmeansT(spark, dir)
+      else kmeansLoop(vs, nCells, iters)
+    val exact = (if (k == 10 && queryMod == 50) bruteForceTopK(spark, dir)
+                 else bruteForceTopK(vs, k, queryMod))
       .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
     val totals = exact.agg(
       countDistinct(col("query_id")).as("n_queries"),
@@ -437,10 +492,28 @@ object Similarity {
   def ivfPqTopK(spark: SparkSession, dir: String, topK: Int = 10,
                 shortlist: Int = 30, queryMod: Int = 50, nCells: Int = 16,
                 ivfIters: Int = 2, nprobe: Int = 4, M: Int = 8,
-                subDim: Int = 8, pqK: Int = 16, pqIters: Int = 2): DataFrame = {
+                subDim: Int = 8, pqK: Int = 16, pqIters: Int = 2): DataFrame =
+    // consumed by the IVF-PQ search query AND its recall QA — materialized
+    if (topK == 10 && shortlist == 30 && queryMod == 50 && nCells == 16 &&
+        ivfIters == 2 && nprobe == 4 && M == 8 && subDim == 8 && pqK == 16 &&
+        pqIters == 2)
+      graft.engine.StageCache.materialized(spark, dir, "ann.ivfpq_topk") {
+        ivfPqCompute(spark, dir, 10, 30, 50, 16, 2, 4, 8, 8, 16, 2)
+      }
+    else ivfPqCompute(spark, dir, topK, shortlist, queryMod, nCells, ivfIters,
+      nprobe, M, subDim, pqK, pqIters)
+
+  private[graft] def ivfPqCompute(spark: SparkSession, dir: String, topK: Int,
+                           shortlist: Int, queryMod: Int, nCells: Int,
+                           ivfIters: Int, nprobe: Int, M: Int,
+                           subDim: Int, pqK: Int, pqIters: Int): DataFrame = {
     val vs = vectors(spark, dir)
-    val (cellAssigned, centroids) = kmeansLoop(vs, nCells, ivfIters)
-    val (pqAssigned, cb) = pqLoop(vs, M, subDim, pqK, pqIters)
+    val (cellAssigned, centroids) =
+      if (nCells == 16 && ivfIters == 2) kmeansT(spark, dir)
+      else kmeansLoop(vs, nCells, ivfIters)
+    val (pqAssigned, cb) =
+      if (M == 8 && subDim == 8 && pqK == 16 && pqIters == 2) pqT(spark, dir)
+      else pqLoop(vs, M, subDim, pqK, pqIters)
 
     // probe list: nprobe nearest TRAINED centroids per query (identical
     // distance + tie-break to ivfTrainedTopK)
@@ -569,10 +642,32 @@ object Similarity {
     */
   def pqCodes(spark: SparkSession, dir: String, M: Int = 8, subDim: Int = 8,
               k: Int = 16, iters: Int = 2): DataFrame =
-    pqLoop(vectors(spark, dir), M, subDim, k, iters)._1
+    (if (M == 8 && subDim == 8 && k == 16 && iters == 2) pqT(spark, dir)._1
+     else pqLoop(vectors(spark, dir), M, subDim, k, iters)._1)
       .select(col("vec_id"), col("m").cast("long").as("m"),
         col("code").cast("long").as("code"))
       .orderBy(col("vec_id"), col("m"))
+
+  /** Default-parameter trained product quantizer (M=8, subDim=8, K=16,
+    * iters=2), materialized once per (session, dir) — the codes dump,
+    * ADC search, re-rank and both PQ recall QAs ride one training run.
+    * Same one-invocation / stash shape as [[kmeansT]].
+    */
+  private def pqT(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    var stash: DataFrame = null
+    val assigned = graft.engine.StageCache
+      .materialized(spark, dir, "ann.pq_assigned") {
+        val (a, c) = pqLoop(vectors(spark, dir), 8, 8, 16, 2)
+        stash = c
+        a
+      }
+    val cb = graft.engine.StageCache
+      .materialized(spark, dir, "ann.pq_codebook") {
+        if (stash != null) stash
+        else pqLoop(vectors(spark, dir), 8, 8, 16, 2)._2
+      }
+    (assigned, cb)
+  }
 
   /** PQ codebook STALENESS audit — the index-maintenance question "has
     * the corpus drifted past the codebook?". Train the product-quantizer
@@ -704,7 +799,9 @@ object Similarity {
                    queryMod: Int = 50, M: Int = 8, subDim: Int = 8,
                    k: Int = 16, iters: Int = 2): DataFrame = {
     val vs = vectors(spark, dir)
-    val (assigned, cb) = pqLoop(vs, M, subDim, k, iters)
+    val (assigned, cb) =
+      if (M == 8 && subDim == 8 && k == 16 && iters == 2) pqT(spark, dir)
+      else pqLoop(vs, M, subDim, k, iters)
     val qsubs = assigned.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("m"), col("sq").as("qq"))
     val lut = qsubs.join(cb, Seq("m"))
@@ -732,7 +829,16 @@ object Similarity {
     * the corpus) and keeps the final `topK` by exact score.
     */
   def pqRerankTopK(spark: SparkSession, dir: String, topK: Int = 10,
-                   shortlist: Int = 30, queryMod: Int = 50): DataFrame = {
+                   shortlist: Int = 30, queryMod: Int = 50): DataFrame =
+    // consumed by the rerank query AND the PQ recall QA — materialized
+    if (topK == 10 && shortlist == 30 && queryMod == 50)
+      graft.engine.StageCache.materialized(spark, dir, "ann.pq_rerank_topk") {
+        pqRerankCompute(spark, dir, 10, 30, 50)
+      }
+    else pqRerankCompute(spark, dir, topK, shortlist, queryMod)
+
+  private def pqRerankCompute(spark: SparkSession, dir: String, topK: Int,
+                              shortlist: Int, queryMod: Int): DataFrame = {
     val vs = vectors(spark, dir)
     val cand = pqSearchTopK(spark, dir, topK = shortlist, queryMod = queryMod)
       .select(col("query_id"), col("neighbor_id"), col("adc_dot"))
@@ -826,7 +932,11 @@ object Similarity {
   def srpTopK(spark: SparkSession, dir: String, k: Int = 10,
               queryMod: Int = 50, nPlanes: Int = 16, bands: Int = 4,
               dims: Int = 64): DataFrame =
-    srpTopK(vectors(spark, dir), k, queryMod, nPlanes, bands, dims)
+    if (k == 10 && queryMod == 50 && nPlanes == 16 && bands == 4 && dims == 64)
+      graft.engine.StageCache.materialized(spark, dir, "ann.srp_topk") {
+        srpTopK(vectors(spark, dir), 10, 50, 16, 4, 64)
+      }
+    else srpTopK(vectors(spark, dir), k, queryMod, nPlanes, bands, dims)
 
   def srpTopK(vs: DataFrame, k: Int, queryMod: Int, nPlanes: Int,
               bands: Int, dims: Int): DataFrame = {
@@ -879,14 +989,14 @@ object Similarity {
     * lives in the two retrieval passes, not the comparison).
     */
   def srpRecall(spark: SparkSession, dir: String, k: Int = 10,
-                queryMod: Int = 50): DataFrame = {
-    val vs = vectors(spark, dir)
+                queryMod: Int = 50): DataFrame =
+    // both sides ride the (session, dir) wrappers so the default-case
+    // exact baseline comes from the materialized stage
     recallOf(
-      bruteForceTopK(vs, k, queryMod)
+      bruteForceTopK(spark, dir, k, queryMod)
         .select(col("query_id"), col("neighbor_id")),
-      srpTopK(vs, k, queryMod, nPlanes = 16, bands = 4, dims = 64)
+      srpTopK(spark, dir, k, queryMod)
         .select(col("query_id"), col("neighbor_id")))
-  }
 
   /** Recall@k of the two-stage PQ retrieval ([[pqRerankTopK]]) against
     * the exact baseline — the same QA gate as [[srpRecall]] for the

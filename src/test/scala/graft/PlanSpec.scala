@@ -127,10 +127,39 @@ class PlanSpec extends SparkTestBase {
     // composed IVF-PQ: the shortlist top-k must pre-prune map-side
     // (WindowGroupLimit), and the candidate scoring path must stay
     // narrow — broadcast joins only, no sort-merge join of pair rows
-    // (the one allowed SMJ-shaped exchange is the vec_id index build)
-    val pq = plan(graft.engine.ext.Similarity.ivfPqTopK(spark, dir))
+    // (the one allowed SMJ-shaped exchange is the vec_id index build).
+    // The registry wrapper returns the materialized stage (an RDD scan),
+    // so the shape assertions run on the compute path it caches.
+    val pq = plan(graft.engine.ext.Similarity.ivfPqCompute(spark, dir,
+      10, 30, 50, 16, 2, 4, 8, 8, 16, 2))
     assert(pq.contains("WindowGroupLimit"), pq.take(1200))
     assert("BroadcastHashJoin".r.findAllIn(pq).length >= 3, pq.take(1200))
+  }
+
+  // The StageCache wrappers hide their build pipelines behind an RDD scan
+  // once materialized, so the registry sweep can no longer see inside
+  // them. This test runs the SAME nested-loop census on the pure
+  // DataFrame-form builds (the exact code the cached thunks execute) so
+  // a cartesian regression in a shared stage still fails loudly.
+  test("materialized stage builds keep their bucket-join shapes") {
+    import graft.engine.ext.{Dedup, Similarity}
+    val docs = Dedup.documents(spark, dir)
+    val vs = Similarity.quantizedVectors(spark,
+      spark.read.parquet(s"$dir/embeddings.parquet"))
+    val builds: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "simhash_pairs" -> Dedup.simhashPairs(docs),
+      "ngram_pairs_t0" -> Dedup.ngramJaccardPairs(docs, 3, 100, 0L),
+      "spans" -> Dedup.substringSpans(docs),
+      "srp_topk" -> Similarity.srpTopK(vs, 10, 50, 16, 4, 64),
+      // bruteforce is the one deliberate hinted fan-out (exact baseline)
+      "bruteforce_topk" -> Similarity.bruteForceTopK(vs, 10, 50))
+    for ((name, df) <- builds) {
+      val (cartesians, _, risky) = nestedLoopCensus(df)
+      assert(cartesians === 0, s"stage $name plans a CartesianProduct")
+      if (risky.nonEmpty)
+        assert(risky.size <= hintedNonEquiJoins(df),
+          s"stage $name has an unexcused BNLJ")
+    }
   }
 
   test("TPC-H Q22/Q15/Q20 shapes plan without cartesians or extra shuffles") {
