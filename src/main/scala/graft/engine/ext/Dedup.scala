@@ -927,7 +927,11 @@ object Dedup {
     * LSH join is bucket-shaped like every other near-dup here.
     */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
-    minhashPairs(documents(spark, dir))
+    // two consumers (the pair query, the recall QA's LSH side) — one
+    // session-materialized build
+    graft.engine.StageCache.materialized(spark, dir, "dedup.minhash_pairs") {
+      minhashPairs(documents(spark, dir))
+    }
 
   def minhashPairs(docs: DataFrame, n: Int = 3,
                    numHashes: Int = 16, bands: Int = 4,
@@ -991,7 +995,15 @@ object Dedup {
     */
   def minhashRecall(spark: SparkSession, dir: String,
                     truthPpm: Long = 500000L): DataFrame =
-    minhashRecall(documents(spark, dir), truthPpm)
+    // Both sides are filtered views of session-materialized stages: the
+    // truth side is the threshold-0 n-gram pair table at the truth
+    // cutoff (the threshold is the pipeline's last predicate, so the
+    // filter is row-identical to a direct build), the LSH side is the
+    // cached MinHash pair list the pair query serves.
+    minhashRecallFromPairs(
+      ngramPairsT0(spark, dir).filter(col("jaccard_ppm") >= truthPpm)
+        .select(col("doc_a"), col("doc_b")),
+      minhashPairs(spark, dir).select(col("doc_a"), col("doc_b")))
 
   def minhashRecall(docs: DataFrame, truthPpm: Long): DataFrame = {
     // Shared shingle PLAN, deliberately NOT checkpointed: A/B at sf0.1
@@ -1001,10 +1013,14 @@ object Dedup {
     // than to store. (shingleRows is itself the Generate-barrier form,
     // so there's no HOF re-evaluation risk here.)
     val sh = shingleRows(docs, 3)
-    val truth = ngramJaccardPairsFromShingles(sh, dfCap = 100,
-      minJaccardPpm = truthPpm).select(col("doc_a"), col("doc_b"))
-    val lsh = minhashPairsFromShingles(sh, numHashes = 16, bands = 4,
-      minEstPpm = 250000L).select(col("doc_a"), col("doc_b"))
+    minhashRecallFromPairs(
+      ngramJaccardPairsFromShingles(sh, dfCap = 100,
+        minJaccardPpm = truthPpm).select(col("doc_a"), col("doc_b")),
+      minhashPairsFromShingles(sh, numHashes = 16, bands = 4,
+        minEstPpm = 250000L).select(col("doc_a"), col("doc_b")))
+  }
+
+  def minhashRecallFromPairs(truth: DataFrame, lsh: DataFrame): DataFrame = {
     val hits = truth.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
     def tagged(df: DataFrame, tag: String) = df.select(lit(tag).as("src"))
     tagged(truth, "truth")
