@@ -232,6 +232,7 @@ object ExtQueries {
     "ext_cdc_merge" -> ((s, dir) => Changelog.mergedSnapshot(s, dir)),
     "ext_lateness_audit" -> ((s, dir) => Sessionize.latenessAudit(s, dir)),
     "ann_range_search" -> ((s, dir) => Similarity.ivfRangeSearch(s, dir)),
+    "ann_filtered_search" -> ((s, dir) => Similarity.filteredTopK(s, dir)),
   )
 
   // ------------------------------------------------------------- oracles
@@ -4024,5 +4025,35 @@ object ExtQueries {
         |GROUP BY 1, 2, 3
         |HAVING CAST(sum(q.q * n.q) AS BIGINT) >= 250000
         |ORDER BY query_id, neighbor_id""".stripMargin),
+
+    // Label-filtered top-k on the TRAINED index: the kmeansFin chain
+    // replays the same two Lloyd iterations the engine serves, then the
+    // probe/rank replay adds the label equality as a pre-filter join.
+    "ann_filtered_search" -> (kmeansFin +
+      """, lab AS (
+        |  SELECT vec_id, label FROM embeddings
+        |), pr AS (
+        |  SELECT vec_id AS query_id, cell_id FROM (
+        |    SELECT vec_id, cell_id,
+        |      row_number() OVER (PARTITION BY vec_id
+        |                         ORDER BY dist, cell_id) AS crank
+        |    FROM d2 WHERE vec_id % 50 = 0) WHERE crank <= 4
+        |), cand AS (
+        |  SELECT p.query_id, ql.label, a.vec_id AS neighbor_id,
+        |    CAST(sum(q.q * n.q) AS BIGINT) AS dot
+        |  FROM pr p
+        |  JOIN fin a ON a.cell_id = p.cell_id AND a.vec_id != p.query_id
+        |  JOIN lab ql ON ql.vec_id = p.query_id
+        |  JOIN lab nl ON nl.vec_id = a.vec_id AND nl.label = ql.label
+        |  JOIN v q ON q.vec_id = p.query_id
+        |  JOIN v n ON n.vec_id = a.vec_id AND n.i = q.i
+        |  GROUP BY 1, 2, 3
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY dot DESC, neighbor_id) AS rank
+        |  FROM cand
+        |)
+        |SELECT query_id, label, rank, neighbor_id, dot FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
   )
 }

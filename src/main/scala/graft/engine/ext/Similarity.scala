@@ -177,6 +177,54 @@ object Similarity {
       .orderBy(col("query_id"), col("neighbor_id"))
   }
 
+  /** FILTERED vector search: label-constrained top-k on the trained IVF
+    * index — the "metadata filter" axis every production vector store
+    * needs (tenant, language, licence, category). The filter applies
+    * DURING the probe join (pre-filter), not after ranking: post-
+    * filtering a k-list silently returns fewer than k hits whenever the
+    * neighborhood is label-mixed, which is exactly when filtering
+    * matters. Semantics here: each query accepts only candidates
+    * sharing its own label.
+    *
+    * Rides the materialized trained index ([[kmeansT]]); the label
+    * dimension joins in broadcast (one row per vector id, pruned to the
+    * probed cells first). Same probe/rank shape — and the same exact
+    * integer arithmetic — as [[ivfTrainedTopK]], so the oracle replays
+    * training, probing, filtering and ranking end to end.
+    */
+  def filteredTopK(spark: SparkSession, dir: String, k: Int = 10,
+                   queryMod: Int = 50, nprobe: Int = 4): DataFrame = {
+    val (assigned, centroids) = kmeansT(spark, dir)
+    val labels = vectors(spark, dir).select(col("vec_id"), col("label"))
+    val queries = assigned.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      .join(broadcast(labels.select(col("vec_id").as("query_id"),
+        col("label").as("qlabel"))), "query_id")
+    val cdist = qdot(col("qq"), col("qq")) -
+      lit(2L) * qdot(col("qq"), col("cq")) + qdot(col("cq"), col("cq"))
+    val probes = queries.join(broadcast(centroids))
+      .select(col("query_id"), col("qq"), col("qlabel"), col("cell_id"),
+        cdist.as("cdist"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cdist"), col("cell_id"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qq"), col("qlabel"), col("cell_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("dot"), col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(labels.withColumnRenamed("vec_id", "cand_id"),
+        col("cand_id") === col("vec_id") && col("label") === col("qlabel"))
+      .select(col("query_id"), col("label"),
+        col("vec_id").as("neighbor_id"), qdot(col("qq"), col("q")).as("dot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("label"), col("rank"),
+        col("neighbor_id"), col("dot"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Label-centroid similarity: mean quantized vector per label (integer
     * sums + count, exact), then pairwise centroid inner products — the
     * "are these classes separable" diagnostic.
