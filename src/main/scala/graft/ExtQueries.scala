@@ -3946,15 +3946,9 @@ object ExtQueries {
         |        l -> regexp_matches(rtrim(l), '\.\.\.$')))::BIGINT
         |      AS n_ellipsis,
         |    (len(lines) - len(list_distinct(lines)))::BIGINT AS n_dup_lines,
-        |    ((CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END)
-        |     + (CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END)
-        |     + (CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END)
-        |     + (CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END)
-        |     + (CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END)
-        |     + (CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END)
-        |     + (CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END)
-        |     + (CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END)
-        |    )::BIGINT AS n_stopwords
+        |    len(list_distinct(regexp_extract_all(lower(text),
+        |      '\b(the|be|to|of|and|that|have|with)\b', 1)))::BIGINT
+        |      AS n_stopwords
         |  FROM d
         |)
         |SELECT doc_id, n_tokens, tok_chars, n_alpha, n_stopwords,

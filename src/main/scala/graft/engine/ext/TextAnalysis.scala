@@ -902,13 +902,18 @@ object TextAnalysis {
     * is integer so the row is byte-reproducible on any engine.
     */
   def gopherRules(spark: SparkSession, dir: String): DataFrame =
-    gopherRules(spark.read.parquet(s"$dir/documents.parquet"))
+    // per-char regex battery is CPU-bound: spread a compact scan
+    gopherRules(cpuBoundDocs(spark, dir))
 
   def gopherRules(docs: DataFrame): DataFrame = {
     val bit = (c: Column) => when(c, 1L).otherwise(0L)
-    val stopHits = GopherStopwords
-      .map(w => bit(lower(col("text")).rlike("\\b" + w + "\\b")))
-      .reduce(_ + _)
+    // distinct stopwords present, ONE regex pass (an alternation +
+    // array_distinct) — identical count to 8 per-word presence scans at
+    // 1/8th the per-char work
+    val stopHits = size(array_distinct(regexp_extract_all(
+      lower(col("text")),
+      lit("\\b(" + GopherStopwords.mkString("|") + ")\\b"), lit(1))))
+      .cast("long")
     docs
       .select(col("doc_id"), col("text"),
         wsTokens(col("text")).as("toks"),
