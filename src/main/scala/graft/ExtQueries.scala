@@ -233,6 +233,8 @@ object ExtQueries {
     "ext_lateness_audit" -> ((s, dir) => Sessionize.latenessAudit(s, dir)),
     "ann_range_search" -> ((s, dir) => Similarity.ivfRangeSearch(s, dir)),
     "ann_filtered_search" -> ((s, dir) => Similarity.filteredTopK(s, dir)),
+    "corpus_snapshot_diff" -> ((s, dir) => Corpus.snapshotDiff(s, dir)),
+    "dedup_triangles" -> ((s, dir) => Dedup.triangles(s, dir)),
   )
 
   // ------------------------------------------------------------- oracles
@@ -4049,5 +4051,66 @@ object ExtQueries {
         |)
         |SELECT query_id, label, rank, neighbor_id, dot FROM r
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
+    // Snapshot diff: the deterministic "previous" version (absent %11==3
+    // rows, upper-cased %13==0 revisions, negated-id ghosts for deleted
+    // %17==5 rows) is reconstructed identically, then hashes compare.
+    "corpus_snapshot_diff" ->
+      """WITH cur AS (
+        |  SELECT doc_id, source, sha256(text) AS new_hash FROM documents
+        |), prev AS (
+        |  SELECT doc_id, source AS old_source,
+        |    sha256(CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END)
+        |      AS old_hash
+        |  FROM documents WHERE doc_id % 11 != 3
+        |  UNION ALL
+        |  SELECT -doc_id, source, sha256(text) FROM documents
+        |  WHERE doc_id % 17 = 5
+        |), j AS (
+        |  SELECT coalesce(c.source, p.old_source) AS source,
+        |    CASE WHEN p.old_hash IS NULL THEN 'added'
+        |         WHEN c.new_hash IS NULL THEN 'removed'
+        |         WHEN p.old_hash != c.new_hash THEN 'changed'
+        |         ELSE 'unchanged' END AS status,
+        |    coalesce(c.doc_id, p.doc_id) AS doc_id
+        |  FROM prev p FULL OUTER JOIN cur c USING (doc_id)
+        |)
+        |SELECT source, status, count(*)::BIGINT AS n_docs,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM j GROUP BY 1, 2 ORDER BY source, status""".stripMargin,
+
+    // Triangle census over the same band-blocked SimHash edge list the
+    // pair query states; wedge join + closing-edge check in plain SQL.
+    "dedup_triangles" -> (simhashSig +
+      """, bands AS (
+        |  SELECT doc_id, simhash, band,
+        |    (simhash >> (band * 15)) & 32767 AS band_val
+        |  FROM sig, range(0, 4) r(band)
+        |), e AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_val = b.band_val
+        |      AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        |), tri AS (
+        |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.doc_a = e1.doc_b
+        |  JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+        |), pt AS (
+        |  SELECT v AS doc_id, count(*)::BIGINT AS n_triangles
+        |  FROM (SELECT unnest([a, b, c]) AS v FROM tri) GROUP BY 1
+        |), deg AS (
+        |  SELECT v AS doc_id, count(*)::BIGINT AS degree
+        |  FROM (SELECT doc_a AS v FROM e UNION ALL SELECT doc_b FROM e)
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id, d.degree,
+        |  coalesce(p.n_triangles, 0)::BIGINT AS n_triangles,
+        |  CASE WHEN d.degree >= 2 THEN
+        |    coalesce(p.n_triangles, 0) * 2000000 // (d.degree * (d.degree - 1))
+        |  ELSE 0 END::BIGINT AS closure_ppm
+        |FROM deg d LEFT JOIN pt p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
   )
 }

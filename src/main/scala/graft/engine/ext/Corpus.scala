@@ -804,6 +804,58 @@ object Corpus {
   def hashSample(spark: SparkSession, dir: String): DataFrame =
     hashSample(docs(spark, dir))
 
+  /** SNAPSHOT DIFF — the data-versioning primitive ([[manifest]] tells
+    * two runs their shards differ; this says exactly HOW): full-outer
+    * join of two corpus versions on doc_id comparing content hashes,
+    * rolled up per (source, status) with the id span of each change
+    * class. Status ∈ added / removed / changed / unchanged.
+    *
+    * The "previous" snapshot is derived deterministically so the oracle
+    * replays it: docs with doc_id % 11 == 3 didn't exist yet (→ added),
+    * docs with doc_id % 13 == 0 carried an older text revision
+    * (upper-cased here — any content change reads the same through the
+    * hash), and every surviving doc_id % 17 == 5 was since deleted
+    * (→ removed).
+    *
+    * Scale shape: two content-hash projections + ONE doc_id-keyed
+    * full-outer join + a census rollup. At 100 TB both sides prune to
+    * (doc_id, hash) before the join — never the text — and the rollup
+    * is |sources|·4 rows.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame =
+    snapshotDiff(docs(spark, dir))
+
+  def snapshotDiff(current: DataFrame): DataFrame = {
+    def hashed(df: DataFrame, tag: String) = df.select(
+      col("doc_id"), col("source"),
+      sha2(col("text"), 256).as(s"${tag}_hash"))
+    val prev = hashed(
+      current.filter(pmod(col("doc_id"), lit(11L)) =!= 3L)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(13L)) === 0L, upper(col("text")))
+            .otherwise(col("text")))
+        .unionByName(
+          // rows deleted from the current snapshot but present before:
+          // reconstructed deterministically from the current corpus shape
+          current.filter(pmod(col("doc_id"), lit(17L)) === 5L)
+            .withColumn("doc_id", -col("doc_id"))), "old")
+    val cur = hashed(current, "new")
+    val joined = prev.withColumnRenamed("source", "old_source")
+      .join(cur, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("source"), col("old_source")).as("source"),
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") =!= col("new_hash"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("doc_id"))
+    joined.groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("source"), col("status"))
+  }
+
   def hashSample(in: DataFrame): DataFrame = {
     val counts = in.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     val total = counts.agg(sum(col("n_docs")).as("total"),

@@ -678,6 +678,48 @@ object Dedup {
     ranks.orderBy(col("doc_id"))
   }
 
+  /** TRIANGLE census over the SimHash near-dup graph — the cluster-
+    * cohesion diagnostic connected components can't give: a component is
+    * one template family whether it's a clique (every member pairwise
+    * near-dup — safe to collapse to one canonical) or a chain (A≈B≈C
+    * with A̸≈C — transitive merge risks gluing distinct documents).
+    * Per participating document: degree, triangle count, and local
+    * closure in exact ppm (triangles · 1e6 / C(degree, 2)); high degree
+    * with low closure marks the risky hub docs.
+    *
+    * Scale shape: the standard distributed triangle count — one self-
+    * join of the (a<b)-oriented edge list on the shared vertex (wedge
+    * build), one closing-edge semi-check, then doc-grain rollups. Edge
+    * lists here are near-dup pairs (sparse, band-blocked), so wedge
+    * counts are Σ deg² over a sparse graph, not corpus-quadratic; the
+    * edge list itself is the session-materialized stage.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesFromPairs(simhashPairs(spark, dir))
+
+  def trianglesFromPairs(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("doc_a"), col("doc_b")) // oriented: a < b
+    val wedges = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .join(e.select(col("doc_a").as("b"), col("doc_b").as("c")), "b")
+    val tri = wedges.join(
+      e.select(col("doc_a").as("a"), col("doc_b").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    val perDocTri = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+    val degree = e.select(col("doc_a").as("doc_id"))
+      .unionAll(e.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    degree.join(perDocTri, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("closure_ppm",
+        when(col("degree") >= 2,
+          expr("n_triangles * 2000000 div (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ clustering
 
   /** Connected components over near-dup pair edges: every document gets a

@@ -132,6 +132,43 @@ class ChangelogAndRulesSpec extends SparkTestBase {
       Corpus.hashSample(docs).collect().toSeq)
   }
 
+  // ------------------------------------------------------ snapshot diff
+
+  test("snapshot diff classifies added/changed/removed/unchanged exactly") {
+    // id 3: %11==3 → absent from the previous snapshot (added)
+    // id 13: %13==0 → previous revision upper-cased (changed)
+    // id 5: %17==5 → ghost -5 existed before and was deleted (removed)
+    // ids 1, 5: byte-identical in both snapshots (unchanged)
+    val docs = Seq(
+      (1L, "alpha text", "s"), (3L, "beta text", "s"),
+      (5L, "gamma text", "s"), (13L, "delta text", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.engine.ext.Corpus.snapshotDiff(docs)
+      .select("source", "status", "n_docs", "min_doc_id", "max_doc_id")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("s", "added", 1L, 3L, 3L),
+      ("s", "changed", 1L, 13L, 13L),
+      ("s", "removed", 1L, -5L, -5L),
+      ("s", "unchanged", 2L, 1L, 5L)))
+  }
+
+  // ------------------------------------------------------ triangle census
+
+  test("triangles: a clique closes, a chain does not") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.engine.ext.Dedup.trianglesFromPairs(pairs)
+      .select("doc_id", "degree", "n_triangles", "closure_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 1L, 1000000L), // in the 1-2-3 clique: fully closed
+      (2L, 2L, 1L, 1000000L),
+      (3L, 3L, 1L, 333333L),  // hub: clique on one side, chain on the other
+      (4L, 2L, 0L, 0L),       // chain link: open wedge, no triangle
+      (5L, 1L, 0L, 0L)))      // leaf: degree < 2 → closure 0 by definition
+  }
+
   // ------------------------------------------------------- IVF range search
 
   test("range search: single-cell corpus returns exactly the ≥minDot pairs") {
