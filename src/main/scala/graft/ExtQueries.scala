@@ -235,6 +235,7 @@ object ExtQueries {
     "ann_filtered_search" -> ((s, dir) => Similarity.filteredTopK(s, dir)),
     "corpus_snapshot_diff" -> ((s, dir) => Corpus.snapshotDiff(s, dir)),
     "dedup_triangles" -> ((s, dir) => Dedup.triangles(s, dir)),
+    "ext_forward_fill" -> ((s, dir) => Sessionize.forwardFill(s, dir)),
   )
 
   // ------------------------------------------------------------- oracles
@@ -4112,5 +4113,32 @@ object ExtQueries {
         |  ELSE 0 END::BIGINT AS closure_ppm
         |FROM deg d LEFT JOIN pt p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin),
+
+    "ext_forward_fill" -> (eventsE +
+      """, obs AS (
+        |  SELECT user_id, day, value_c AS obs_c FROM (
+        |    SELECT user_id, day, value_c,
+        |      row_number() OVER (PARTITION BY user_id, day
+        |                         ORDER BY tsu DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1
+        |), spans AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM obs GROUP BY 1
+        |), grid AS (
+        |  SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM spans
+        |), filled AS (
+        |  SELECT g.user_id, g.day, o.obs_c,
+        |    last_value(o.obs_c IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_c
+        |  FROM grid g LEFT JOIN obs o
+        |    ON o.user_id = g.user_id AND o.day = g.day
+        |)
+        |SELECT user_id, count(*)::BIGINT AS n_days,
+        |  sum(CASE WHEN obs_c IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_observed,
+        |  sum(CASE WHEN obs_c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_filled,
+        |  sum(carried_c)::BIGINT AS sum_carried_c
+        |FROM filled GROUP BY user_id ORDER BY user_id""".stripMargin),
   )
 }

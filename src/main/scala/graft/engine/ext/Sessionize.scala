@@ -745,6 +745,51 @@ object Sessionize {
       .orderBy(col("active_days"))
   }
 
+  /** FORWARD FILL (gap-filling / LOCF) over each user's daily value
+    * series: events are irregular, downstream consumers (feature stores,
+    * daily training snapshots) want one row per (user, calendar day)
+    * with the last observed value carried across gaps. Emitted at user
+    * grain as a fill census — total days, observed days, filled days,
+    * and the exact sum of the carried series in cents (the sum is the
+    * proof the carry is right: any mis-fill changes it).
+    *
+    * Scale shape: one (user, day) aggregate (latest event per day by LSN
+    * via max_by — no window), a bounded per-user calendar expansion
+    * (sequence over the user's own [first, last] active span — lifetime
+    * days, not global calendar), one last-ignore-nulls carry window and
+    * one rollup, all partitioned by user_id: a single exchange end to
+    * end, state bounded by span length per user.
+    */
+  def forwardFill(spark: SparkSession, dir: String): DataFrame =
+    forwardFill(events(spark, dir))
+
+  def forwardFill(ev: DataFrame): DataFrame = {
+    val dayUs = 86400L * 1000 * 1000
+    val observed = ev
+      .select(col("user_id"), expr(s"ts_us div ${dayUs}L").as("day"),
+        col("ts_us"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("value_c"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max_by(col("value_c"),
+        struct(col("ts_us"), col("event_id"))).as("obs_c"))
+    val grid = observed.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val carry = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(observed, Seq("user_id", "day"), "left")
+      .withColumn("carried_c", last(col("obs_c"), ignoreNulls = true)
+        .over(carry))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("obs_c").isNotNull, 1L).otherwise(0L))
+          .as("n_observed"),
+        sum(when(col("obs_c").isNull, 1L).otherwise(0L)).as("n_filled"),
+        sum(col("carried_c")).as("sum_carried_c"))
+      .orderBy(col("user_id"))
+  }
+
   /** Candidate watermark delays for [[latenessAudit]], in event-time
     * microseconds: 0, 1 min, 5 min, 30 min.
     */

@@ -132,6 +132,23 @@ class ChangelogAndRulesSpec extends SparkTestBase {
       Corpus.hashSample(docs).collect().toSeq)
   }
 
+  // ------------------------------------------------------- forward fill
+
+  test("forward fill carries the last observed daily value across gaps") {
+    val dayUs = 86400L * 1000000
+    // user 9: day 10 → 5¢ (two events; the later one wins), days 11-12
+    // unobserved, day 13 → 7¢. Carried series: 5,5,5,7 → sum 22.
+    val ev = Seq(
+      (1L, 9L, 10 * dayUs + 50L, 0.03),
+      (2L, 9L, 10 * dayUs + 99L, 0.05),
+      (3L, 9L, 13 * dayUs, 0.07))
+      .toDF("event_id", "user_id", "ts_us", "value")
+    val got = Sessionize.forwardFill(ev)
+      .select("user_id", "n_days", "n_observed", "n_filled", "sum_carried_c")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((9L, 4L, 2L, 2L, 22L)))
+  }
+
   // ------------------------------------------------------ snapshot diff
 
   test("snapshot diff classifies added/changed/removed/unchanged exactly") {
