@@ -236,6 +236,7 @@ object ExtQueries {
     "corpus_snapshot_diff" -> ((s, dir) => Corpus.snapshotDiff(s, dir)),
     "dedup_triangles" -> ((s, dir) => Dedup.triangles(s, dir)),
     "ext_forward_fill" -> ((s, dir) => Sessionize.forwardFill(s, dir)),
+    "ext_dau_mau" -> ((s, dir) => Sessionize.dauMau(s, dir)),
   )
 
   // ------------------------------------------------------------- oracles
@@ -4140,5 +4141,23 @@ object ExtQueries {
         |  sum(CASE WHEN obs_c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_filled,
         |  sum(carried_c)::BIGINT AS sum_carried_c
         |FROM filled GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    "ext_dau_mau" -> (eventsE +
+      """, ud AS (
+        |  SELECT DISTINCT user_id, day FROM e
+        |), dau AS (
+        |  SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY 1
+        |), mau AS (
+        |  SELECT day, count(*)::BIGINT AS mau28 FROM (
+        |    SELECT DISTINCT user_id, unnest(range(day, day + 28)) AS day
+        |    FROM ud) GROUP BY 1
+        |), last AS (
+        |  SELECT max(day) AS last_day FROM ud
+        |)
+        |SELECT m.day, coalesce(d.dau, 0)::BIGINT AS dau, m.mau28,
+        |  (coalesce(d.dau, 0) * 1000000 // m.mau28)::BIGINT AS stickiness_ppm
+        |FROM mau m LEFT JOIN dau d ON d.day = m.day, last
+        |WHERE m.day <= last.last_day
+        |ORDER BY m.day""".stripMargin),
   )
 }

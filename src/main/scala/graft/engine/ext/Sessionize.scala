@@ -745,6 +745,44 @@ object Sessionize {
       .orderBy(col("active_days"))
   }
 
+  /** DAU / MAU(28) / stickiness per calendar day — the engagement
+    * triple every consumer analytics stack derives. MAU(d) = distinct
+    * users active in [d−27, d]; the exact rolling distinct comes from
+    * the standard contribution-interval trick: each (user, active day)
+    * contributes to the 28 following calendar days, so exploding a
+    * bounded 28-row span per user-day and DISTINCT-counting per day is
+    * exactly MAU — linear in user-days with a constant 28× fan-out, no
+    * day-range self-join, no quadratic window. Days are the corpus'
+    * own observed span (emitted rows = days with DAU > 0 plus carry
+    * days reached only by the 28-day tail).
+    */
+  def dauMau(spark: SparkSession, dir: String): DataFrame =
+    dauMau(events(spark, dir))
+
+  def dauMau(ev: DataFrame, windowDays: Int = 28): DataFrame = {
+    val dayUs = 86400L * 1000 * 1000
+    val userDays = ev
+      .select(col("user_id"), expr(s"ts_us div ${dayUs}L").as("day"))
+      .distinct()
+    val dau = userDays.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val mau = userDays
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1)))
+          .as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("mau28"))
+    // clamp to the observed calendar: the contribution tail would
+    // otherwise invent days after the last event
+    val last = userDays.agg(max(col("day")).as("last_day"))
+    mau.join(dau, Seq("day"), "left")
+      .crossJoin(broadcast(last))
+      .filter(col("day") <= col("last_day"))
+      .select(col("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"), col("mau28"),
+        expr("coalesce(dau, 0L) * 1000000 div mau28").as("stickiness_ppm"))
+      .orderBy(col("day"))
+  }
+
   /** FORWARD FILL (gap-filling / LOCF) over each user's daily value
     * series: events are irregular, downstream consumers (feature stores,
     * daily training snapshots) want one row per (user, calendar day)

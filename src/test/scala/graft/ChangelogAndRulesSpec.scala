@@ -132,6 +132,26 @@ class ChangelogAndRulesSpec extends SparkTestBase {
       Corpus.hashSample(docs).collect().toSeq)
   }
 
+  // ---------------------------------------------------------- DAU / MAU
+
+  test("dau/mau: rolling 28-day distinct via contribution intervals") {
+    val dayUs = 86400L * 1000000
+    // user 1 active on days 0 and 30; user 2 on day 0 only.
+    // day 0: dau 2, mau 2. day 27: dau 0 but both day-0 tails still
+    // reach → mau 2. days 28-29: every tail expired → no row at all.
+    // day 30: only user 1's new activity → dau 1, mau 1.
+    val ev = Seq(
+      (1L, 1L, 0 * dayUs), (2L, 2L, 0 * dayUs), (3L, 1L, 30 * dayUs))
+      .toDF("event_id", "user_id", "ts_us")
+    val got = Sessionize.dauMau(ev)
+      .select("day", "dau", "mau28", "stickiness_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.head === ((0L, 2L, 2L, 1000000L)))
+    assert(got.filter(_._1 == 27L) === Seq((27L, 0L, 2L, 0L)))
+    assert(!got.exists(r => r._1 == 28L || r._1 == 29L)) // no active tail
+    assert(got.last === ((30L, 1L, 1L, 1000000L)))
+  }
+
   // ------------------------------------------------------- forward fill
 
   test("forward fill carries the last observed daily value across gaps") {
