@@ -237,6 +237,8 @@ object ExtQueries {
     "dedup_triangles" -> ((s, dir) => Dedup.triangles(s, dir)),
     "ext_forward_fill" -> ((s, dir) => Sessionize.forwardFill(s, dir)),
     "ext_dau_mau" -> ((s, dir) => Sessionize.dauMau(s, dir)),
+    "ext_benford" -> ((s, dir) => Sessionize.benfordAudit(s, dir)),
+    "mm_phash_clusters" -> ((s, dir) => Multimodal.phashClusters(s, dir)),
   )
 
   // ------------------------------------------------------------- oracles
@@ -4159,5 +4161,56 @@ object ExtQueries {
         |FROM mau m LEFT JOIN dau d ON d.day = m.day, last
         |WHERE m.day <= last.last_day
         |ORDER BY m.day""".stripMargin),
+
+    "ext_benford" -> (eventsE +
+      """, dg AS (
+        |  SELECT event_type,
+        |    CAST(left(value_c::VARCHAR, 1) AS BIGINT) AS digit
+        |  FROM e WHERE value_c > 0
+        |), cnt AS (
+        |  SELECT event_type, digit, count(*)::BIGINT AS n
+        |  FROM dg GROUP BY 1, 2
+        |)
+        |SELECT event_type, digit, n,
+        |  (n * 1000000 // sum(n) OVER (PARTITION BY event_type))::BIGINT
+        |    AS share_ppm
+        |FROM cnt ORDER BY event_type, digit""".stripMargin),
+
+    // pHash clusters: the pair chain's edges + the same recursive
+    // min-label closure the text cluster oracles use.
+    "mm_phash_clusters" -> ("WITH RECURSIVE " + media.stripPrefix("WITH ") +
+      """, pb AS (
+        |  SELECT doc_id, i,
+        |    coalesce(try_cast('0x' || substring(hx,
+        |      greatest(least((i * n_bytes) // 60, n_bytes - 1), 0)::INT * 2 + 1,
+        |      2) AS INT), 0) AS b
+        |  FROM m, range(0, 60) t(i)
+        |), mn AS (
+        |  SELECT doc_id, sum(b) // 60 AS mean FROM pb GROUP BY 1
+        |), psig AS (
+        |  SELECT pb.doc_id,
+        |    CAST(sum(CASE WHEN b > mean THEN (1::BIGINT << i) ELSE 0 END)
+        |         AS BIGINT) AS phash
+        |  FROM pb JOIN mn USING (doc_id) GROUP BY 1
+        |), pbands AS (
+        |  SELECT doc_id, phash, band, (phash >> (band * 15)) & 32767 AS band_val
+        |  FROM psig, range(0, 4) r(band)
+        |), pe AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pbands a JOIN pbands b
+        |    ON a.band = b.band AND a.band_val = b.band_val
+        |      AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 8
+        |), pe2 AS (
+        |  SELECT doc_a, doc_b FROM pe
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM pe
+        |), rr(v, m2) AS (
+        |  SELECT doc_id, doc_id FROM psig
+        |  UNION
+        |  SELECT e.doc_b, rr.m2 FROM rr JOIN pe2 e ON e.doc_a = rr.v
+        |)
+        |SELECT v AS doc_id, min(m2) AS cluster_id FROM rr GROUP BY v
+        |ORDER BY doc_id""".stripMargin),
   )
 }

@@ -258,4 +258,18 @@ object Multimodal {
         max(col("clones")).as("max_clones"),
         sum((col("clones") - 1) * col("n_bytes")).as("wasted_bytes"))
       .orderBy(col("format"))
+
+  /** Perceptual-hash near-dup CLUSTERS: connected components over the
+    * band-blocked pHash pair edges — the step that turns the pair list
+    * into a media dedup decision (one canonical per visually-identical
+    * family), completing the multimodal path the way
+    * [[graft.engine.ext.Dedup.simhashClusters]] does for text. Reuses
+    * the SAME checkpointed pointer-jumping loop, so the scale story is
+    * identical: one shuffle per round, O(log diameter) rounds.
+    */
+  def phashClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.ext.Dedup.connectedComponents(
+      pHashes(spark, dir).toDF().select(col("doc_id")),
+      phashPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+      .orderBy(col("doc_id"))
 }

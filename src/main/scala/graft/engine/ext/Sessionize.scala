@@ -745,6 +745,32 @@ object Sessionize {
       .orderBy(col("active_days"))
   }
 
+  /** BENFORD first-digit audit per event type — the classic synthetic-
+    * data / fraud smoke test: naturally-generated magnitudes follow
+    * log10(1+1/d) first-digit frequencies, fabricated or clipped ones
+    * don't. Emits observed counts and exact ppm per (type, digit 1-9)
+    * over the cent-quantized value (zeros excluded — they have no
+    * leading significant digit); the reader compares against Benford's
+    * reference curve, which is a constant, not data. One projection +
+    * one 9·|types|-group rollup; all integer.
+    */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame =
+    benfordAudit(events(spark, dir))
+
+  def benfordAudit(ev: DataFrame): DataFrame =
+    ev
+      .select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("value_c"))
+      .filter(col("value_c") > 0)
+      .select(col("event_type"),
+        substring(col("value_c").cast("string"), 1, 1).cast("long")
+          .as("digit"))
+      .groupBy(col("event_type"), col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_ppm",
+        expr("n * 1000000 div sum(n) over (partition by event_type)"))
+      .orderBy(col("event_type"), col("digit"))
+
   /** DAU / MAU(28) / stickiness per calendar day — the engagement
     * triple every consumer analytics stack derives. MAU(d) = distinct
     * users active in [d−27, d]; the exact rolling distinct comes from
