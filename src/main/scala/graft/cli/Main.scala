@@ -14,6 +14,14 @@ import org.apache.spark.sql.DataFrame
   *   graft.cli.Main --mode mongo|mysql --input <log path/glob>
   *                  --output <report dir> [--csv] [--scale] [--xlsx]
   *                  [--html]
+  *   graft.cli.Main --mode query --query <registry name>
+  *                  --input <sf table dir> --output <result dir> [--csv]
+  *
+  * --mode query runs ANY registered operator from [[graft.SparkEntry]]
+  * (all 180+ dedup / ANN / corpus / text / event queries) against a
+  * table directory and writes the result as parquet (plus CSV with
+  * --csv) — the whole library as a command-line tool, not just the two
+  * reference parsers. `--query list` prints the registry.
   *
   * --scale selects the 100 TB-shaped source for MySQL (record-delimited
   * parallel read) instead of the reference-parity whole-file read.
@@ -29,12 +37,13 @@ object Main {
   private case class Args(mode: String = "", input: String = "",
                           output: String = "", csv: Boolean = false,
                           scale: Boolean = false, xlsx: Boolean = false,
-                          html: Boolean = false)
+                          html: Boolean = false, query: String = "")
 
   private def parseArgs(argv: List[String], a: Args = Args()): Args = argv match {
     case "--mode" :: v :: rest   => parseArgs(rest, a.copy(mode = v))
     case "--input" :: v :: rest  => parseArgs(rest, a.copy(input = v))
     case "--output" :: v :: rest => parseArgs(rest, a.copy(output = v))
+    case "--query" :: v :: rest  => parseArgs(rest, a.copy(query = v))
     case "--csv" :: rest         => parseArgs(rest, a.copy(csv = true))
     case "--scale" :: rest       => parseArgs(rest, a.copy(scale = true))
     case "--xlsx" :: rest        => parseArgs(rest, a.copy(xlsx = true))
@@ -61,7 +70,12 @@ object Main {
 
   def main(argv: Array[String]): Unit = {
     val args = parseArgs(argv.toList)
-    require(Set("mongo", "mysql")(args.mode), "--mode must be mongo or mysql")
+    require(Set("mongo", "mysql", "query")(args.mode),
+      "--mode must be mongo, mysql or query")
+    if (args.mode == "query" && args.query == "list") {
+      graft.SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+      return
+    }
     require(args.input.nonEmpty && args.output.nonEmpty,
       "--input and --output are required")
 
@@ -76,6 +90,22 @@ object Main {
     graft.engine.ingest.Sources.ensureNanosAsLong(spark)
 
     val (ok, err) = args.mode match {
+      case "query" =>
+        graft.SparkEntry.queries.get(args.query) match {
+          case None =>
+            (false, s"Unknown query '${args.query}' — use --query list")
+          case Some(fn) =>
+            try {
+              val df = fn(spark, args.input)
+              df.write.mode("overwrite").parquet(s"${args.output}/result")
+              if (args.csv)
+                df.coalesce(1).write.mode("overwrite")
+                  .option("header", "true").csv(s"${args.output}/result_csv")
+              (true, "")
+            } catch {
+              case e: Exception => (false, s"Query failed: ${e.getMessage}")
+            }
+        }
       case "mongo" =>
         val lines = Sources.readLines(spark, args.input)
         val res = MongoLogPipeline.analyze(lines)

@@ -67,4 +67,23 @@ class ReportSinkSpec extends SparkTestBase {
     assert(spark.read.parquet(s"${out.getAbsolutePath}/Detailed Metrics").count() === 1L)
     assert(spark.read.text(s"${out.getAbsolutePath}/warnings").count() === 1L)
   }
+
+  test("query CLI runs a registry operator against a table dir") {
+    spark // force session init so Main's getOrCreate reuses it
+    val dir = java.nio.file.Files.createTempDirectory("cliq").toFile
+    import spark.implicits._
+    Seq((1L, "the data and that have with scale", "en", "web", 33L),
+      (2L, "another doc with the and that tokens", "en", "web", 37L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = new java.io.File(dir, "res")
+    Main.main(Array("--mode", "query", "--query", "text_gopher_rules",
+      "--input", dir.getAbsolutePath, "--output", out.getAbsolutePath,
+      "--csv"))
+    val got = spark.read.parquet(s"${out.getAbsolutePath}/result")
+    assert(got.count() === 2L)
+    assert(got.columns.contains("pass"))
+    assert(spark.read.option("header", "true")
+      .csv(s"${out.getAbsolutePath}/result_csv").count() === 2L)
+  }
 }
