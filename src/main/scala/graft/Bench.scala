@@ -71,6 +71,8 @@ object Bench {
           ((s, d) => graft.engine.ext.Dedup.simhashClusters(s, d)),
         "_stage_ngram_pairs_t0" ->
           ((s, d) => graft.engine.ext.Dedup.ngramPairsT0(s, d)),
+        "_stage_minhash_pairs" ->
+          ((s, d) => graft.engine.ext.Dedup.minhashPairs(s, d)),
         "_stage_spans" ->
           ((s, d) => graft.engine.ext.Dedup.spansT(s, d)),
         // ANN index trainings + baselines; ordered so the composed
@@ -92,7 +94,8 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() } catch {
           case e: Throwable => errors ::= name ->
-            Option(e.getMessage).getOrElse(e.getClass.getName).take(160)
+            Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\n\r\t]", " ").take(160)
         }
         name -> (System.nanoTime() - t0) / 1e9
       }
@@ -107,6 +110,18 @@ object Bench {
       }
       ((System.nanoTime() - t0) / 1e9, err)
     }
+    // Subset runs are scaling studies and report STEADY-STATE cost: no
+    // _stage_ rows are emitted, so instead of letting the first timed
+    // sample pay a one-time materialized-stage build (which the
+    // retry-min would then silently discard — the same laundering the
+    // stage rows exist to prevent), prewarm the subset untimed at the
+    // measured SF; cache-backed stages build here, outside the timings.
+    if (subset.nonEmpty)
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => subset(n) }
+        .foreach { case (_, fn) =>
+          try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
+        }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => subset.isEmpty || subset(n) }
       .map { case (name, fn) =>

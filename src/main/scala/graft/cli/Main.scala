@@ -81,11 +81,14 @@ object Main {
 
     val preexisting = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession).isDefined
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName(s"graft-${args.mode}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", graft.GraftExtensions.Name)
-      .getOrCreate()
+    // under spark-submit (or an embedding test session) the master is
+    // already set; a bare `java`/`sbt runMain` invocation gets local[*]
+    val spark = (if (preexisting || sys.props.contains("spark.master")) builder
+                 else builder.master("local[*]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.engine.ingest.Sources.ensureNanosAsLong(spark)
 
@@ -96,10 +99,17 @@ object Main {
             (false, s"Unknown query '${args.query}' — use --query list")
           case Some(fn) =>
             try {
+              // log-family queries (mysql_*, mongo_*) read generated
+              // fixture files; prepare writes them exactly as Bench does
+              try graft.SparkEntry.prepare(spark, args.input)
+              catch { case _: Throwable => () }
               val df = fn(spark, args.input)
               df.write.mode("overwrite").parquet(s"${args.output}/result")
               if (args.csv)
-                df.coalesce(1).write.mode("overwrite")
+                // CSV from the result just written — never re-execute
+                // the (possibly expensive) query lineage a second time
+                spark.read.parquet(s"${args.output}/result")
+                  .coalesce(1).write.mode("overwrite")
                   .option("header", "true").csv(s"${args.output}/result_csv")
               (true, "")
             } catch {

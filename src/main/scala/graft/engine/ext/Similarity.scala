@@ -265,26 +265,28 @@ object Similarity {
     * audit, trained-IVF search, the nprobe sweep and IVF-PQ all ride ONE
     * training run — exactly how a production index is trained offline
     * once and served to every retrieval. Both halves come from one loop
-    * invocation (the loop checkpoints them already; the second
-    * materialization pins an existing result, it does not retrain —
-    * except in a benign first-use race, where the loser retrains the
-    * tiny centroid table only).
+    * invocation; the dedicated lock makes the two-key populate atomic,
+    * so the stash is always set when the centroid key is missing and the
+    * full-retrain fallback is reachable only after a clear() that raced
+    * this call.
     */
-  private def kmeansT(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    var stash: DataFrame = null
-    val assigned = graft.engine.StageCache
-      .materialized(spark, dir, "ann.kmeans_assigned") {
-        val (a, c) = kmeansLoop(vectors(spark, dir), 16, 2)
-        stash = c
-        a
-      }
-    val centroids = graft.engine.StageCache
-      .materialized(spark, dir, "ann.kmeans_centroids") {
-        if (stash != null) stash
-        else kmeansLoop(vectors(spark, dir), 16, 2)._2
-      }
-    (assigned, centroids)
-  }
+  private val kmeansTLock = new Object
+  private def kmeansT(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    kmeansTLock.synchronized {
+      var stash: DataFrame = null
+      val assigned = graft.engine.StageCache
+        .materialized(spark, dir, "ann.kmeans_assigned") {
+          val (a, c) = kmeansLoop(vectors(spark, dir), 16, 2)
+          stash = c
+          a
+        }
+      val centroids = graft.engine.StageCache
+        .materialized(spark, dir, "ann.kmeans_centroids") {
+          if (stash != null) stash
+          else kmeansLoop(vectors(spark, dir), 16, 2)._2 // full retrain; see doc
+        }
+      (assigned, centroids)
+    }
 
   /** IVF index-health audit: per-cell population share and distortion
     * (sum / max of the exact integer squared distance to the assigned
@@ -699,23 +701,25 @@ object Similarity {
   /** Default-parameter trained product quantizer (M=8, subDim=8, K=16,
     * iters=2), materialized once per (session, dir) — the codes dump,
     * ADC search, re-rank and both PQ recall QAs ride one training run.
-    * Same one-invocation / stash shape as [[kmeansT]].
+    * Same atomic two-key populate as [[kmeansT]].
     */
-  private def pqT(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    var stash: DataFrame = null
-    val assigned = graft.engine.StageCache
-      .materialized(spark, dir, "ann.pq_assigned") {
-        val (a, c) = pqLoop(vectors(spark, dir), 8, 8, 16, 2)
-        stash = c
-        a
-      }
-    val cb = graft.engine.StageCache
-      .materialized(spark, dir, "ann.pq_codebook") {
-        if (stash != null) stash
-        else pqLoop(vectors(spark, dir), 8, 8, 16, 2)._2
-      }
-    (assigned, cb)
-  }
+  private val pqTLock = new Object
+  private def pqT(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    pqTLock.synchronized {
+      var stash: DataFrame = null
+      val assigned = graft.engine.StageCache
+        .materialized(spark, dir, "ann.pq_assigned") {
+          val (a, c) = pqLoop(vectors(spark, dir), 8, 8, 16, 2)
+          stash = c
+          a
+        }
+      val cb = graft.engine.StageCache
+        .materialized(spark, dir, "ann.pq_codebook") {
+          if (stash != null) stash
+          else pqLoop(vectors(spark, dir), 8, 8, 16, 2)._2 // full retrain; see kmeansT
+        }
+      (assigned, cb)
+    }
 
   /** PQ codebook STALENESS audit — the index-maintenance question "has
     * the corpus drifted past the codebook?". Train the product-quantizer
