@@ -239,6 +239,9 @@ object ExtQueries {
     "ext_dau_mau" -> ((s, dir) => Sessionize.dauMau(s, dir)),
     "ext_benford" -> ((s, dir) => Sessionize.benfordAudit(s, dir)),
     "mm_phash_clusters" -> ((s, dir) => Multimodal.phashClusters(s, dir)),
+    "ext_rfm" -> ((s, dir) => Sessionize.rfmSegments(s, dir)),
+    "ext_value_concentration" ->
+      ((s, dir) => Sessionize.valueConcentration(s, dir)),
   )
 
   // ------------------------------------------------------------- oracles
@@ -4212,5 +4215,42 @@ object ExtQueries {
         |)
         |SELECT v AS doc_id, min(m2) AS cluster_id FROM rr GROUP BY v
         |ORDER BY doc_id""".stripMargin),
+
+    "ext_rfm" -> (eventsE +
+      """, u AS (
+        |  SELECT user_id, max(day) AS last_day,
+        |    count(*)::BIGINT AS n_events, sum(value_c)::BIGINT AS value_c
+        |  FROM e GROUP BY 1
+        |), q AS (
+        |  SELECT user_id, value_c,
+        |    ntile(5) OVER (ORDER BY last_day DESC, user_id) AS r,
+        |    ntile(5) OVER (ORDER BY n_events DESC, user_id) AS f,
+        |    ntile(5) OVER (ORDER BY value_c DESC, user_id) AS m
+        |  FROM u
+        |)
+        |SELECT r::BIGINT AS r, f::BIGINT AS f, m::BIGINT AS m,
+        |  count(*)::BIGINT AS n_users, sum(value_c)::BIGINT AS sum_value_c
+        |FROM q GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin),
+
+    "ext_value_concentration" -> (eventsE +
+      """, u AS (
+        |  SELECT user_id, sum(value_c)::BIGINT AS value_c FROM e GROUP BY 1
+        |), d AS (
+        |  SELECT value_c,
+        |    ntile(10) OVER (ORDER BY value_c DESC, user_id) AS decile
+        |  FROM u
+        |), g AS (
+        |  SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_users,
+        |    sum(value_c)::BIGINT AS value_c
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT decile, n_users, value_c,
+        |  sum(value_c) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS cum_value_c,
+        |  (sum(value_c) OVER (ORDER BY decile
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
+        |   // sum(value_c) OVER ())::BIGINT AS cum_share_ppm
+        |FROM g ORDER BY decile""".stripMargin),
   )
 }

@@ -745,6 +745,67 @@ object Sessionize {
       .orderBy(col("active_days"))
   }
 
+  /** RFM SEGMENTATION census — the classic customer-value grid: every
+    * user scored into quintiles of Recency (last active day, newest =
+    * quintile 1), Frequency (event count) and Monetary (cent-exact value
+    * sum), then rolled up per (r, f, m) cell. `ntile` is deterministic
+    * here because every ORDER BY ends in user_id — identical bucketing
+    * in any engine. One user-grain aggregate + three constant-width
+    * windows over |users| rows + one census rollup.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame =
+    rfmSegments(events(spark, dir))
+
+  def rfmSegments(ev: DataFrame): DataFrame = {
+    val users = ev
+      .groupBy(col("user_id"))
+      .agg(
+        max(expr("ts_us div 86400000000")).as("last_day"),
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast("long")).as("value_c"))
+    val rq = Window.orderBy(desc("last_day"), col("user_id"))
+    val fq = Window.orderBy(desc("n_events"), col("user_id"))
+    val mq = Window.orderBy(desc("value_c"), col("user_id"))
+    users
+      .withColumn("r", ntile(5).over(rq).cast("long"))
+      .withColumn("f", ntile(5).over(fq).cast("long"))
+      .withColumn("m", ntile(5).over(mq).cast("long"))
+      .groupBy(col("r"), col("f"), col("m"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("value_c")).as("sum_value_c"))
+      .orderBy(col("r"), col("f"), col("m"))
+  }
+
+  /** VALUE-CONCENTRATION (Lorenz) census: rank users by lifetime value,
+    * split into deciles, report each decile's user count, value mass and
+    * the cumulative share in exact ppm — "the top 10% of users carry X%
+    * of value", the skew number every monetization and abuse review
+    * starts from. Deterministic decile cut (ORDER BY value desc,
+    * user_id); cumulative share is a 10-row window.
+    */
+  def valueConcentration(spark: SparkSession, dir: String): DataFrame =
+    valueConcentration(events(spark, dir))
+
+  def valueConcentration(ev: DataFrame): DataFrame = {
+    val users = ev.groupBy(col("user_id"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("value_c"))
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(desc("value_c"), col("user_id")))
+          .cast("long"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    users.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("value_c")).as("value_c"))
+      .withColumn("cum_value_c", sum(col("value_c")).over(wCum))
+      .withColumn("total", sum(col("value_c")).over(wAll))
+      .select(col("decile"), col("n_users"), col("value_c"),
+        col("cum_value_c"),
+        expr("cum_value_c * 1000000 div total").as("cum_share_ppm"))
+      .orderBy(col("decile"))
+  }
+
   /** BENFORD first-digit audit per event type — the classic synthetic-
     * data / fraud smoke test: naturally-generated magnitudes follow
     * log10(1+1/d) first-digit frequencies, fabricated or clipped ones
