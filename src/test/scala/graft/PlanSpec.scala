@@ -149,6 +149,7 @@ class PlanSpec extends SparkTestBase {
     val builds: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
       "simhash_pairs" -> Dedup.simhashPairs(docs),
       "ngram_pairs_t0" -> Dedup.ngramJaccardPairs(docs, 3, 100, 0L),
+      "minhash_pairs" -> Dedup.minhashPairs(docs),
       "spans" -> Dedup.substringSpans(docs),
       "srp_topk" -> Similarity.srpTopK(vs, 10, 50, 16, 4, 64),
       // bruteforce is the one deliberate hinted fan-out (exact baseline)
