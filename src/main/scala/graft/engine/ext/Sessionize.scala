@@ -750,8 +750,15 @@ object Sessionize {
     * quintile 1), Frequency (event count) and Monetary (cent-exact value
     * sum), then rolled up per (r, f, m) cell. `ntile` is deterministic
     * here because every ORDER BY ends in user_id — identical bucketing
-    * in any engine. One user-grain aggregate + three constant-width
-    * windows over |users| rows + one census rollup.
+    * in any engine. One user-grain aggregate + three quintile windows +
+    * one census rollup.
+    *
+    * Scale caveat (stated, not hidden): an unpartitioned ntile window
+    * executes on ONE partition over |users| rows. That is the right
+    * trade up to tens of millions of users (the windowed table is the
+    * compact user-grain aggregate, never the event log); at billions,
+    * replace the window with a range-sorted zipWithIndex rank — the
+    * tie-break contract (metric desc, user_id) transfers unchanged.
     */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame =
     rfmSegments(events(spark, dir))
@@ -781,7 +788,8 @@ object Sessionize {
     * the cumulative share in exact ppm — "the top 10% of users carry X%
     * of value", the skew number every monetization and abuse review
     * starts from. Deterministic decile cut (ORDER BY value desc,
-    * user_id); cumulative share is a 10-row window.
+    * user_id); cumulative share is a 10-row window. Same single-
+    * partition user-grain window caveat as [[rfmSegments]].
     */
   def valueConcentration(spark: SparkSession, dir: String): DataFrame =
     valueConcentration(events(spark, dir))
