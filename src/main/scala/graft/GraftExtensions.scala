@@ -56,6 +56,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NativeFunctions.checkArity(NativeFunctions.OpaqueName, 1, exprs)
         NativeFunctions.OpaqueBarrier(exprs(0))
       }))
+    ext.injectFunction((
+      FunctionIdentifier(NativeFunctions.RegexFindName),
+      info(NativeFunctions.RegexFindName,
+        "group 1 of the first regex match, '' for a non-participating " +
+          "group, NULL when the pattern does not match — rlike + " +
+          "regexp_extract in one regex execution",
+        "_FUNC_(entry, '# Time: (.*)')"),
+      (exprs: Seq[Expression]) => {
+        NativeFunctions.checkArity(NativeFunctions.RegexFindName, 2, exprs)
+        NativeFunctions.RegexFindGroup(exprs(0), exprs(1))
+      }))
   }
 
   private def info(name: String, usage: String, example: String): ExpressionInfo =

@@ -118,10 +118,86 @@ object NativeFunctions {
       copy(child = newChild)
   }
 
+  /** Fused `rlike` + `regexp_extract` in ONE regex execution: returns
+    * group 1 of the first match (never null on a match — a
+    * non-participating group yields "", exactly like `regexp_extract`),
+    * or NULL when the pattern does not match. So
+    * `rlike(p)` ≡ `regex_find_group(s, p) IS NOT NULL` and
+    * `regexp_extract(s, p, 1)` ≡ `coalesce(regex_find_group(s, p), '')`
+    * — one `Matcher.find()` where the MySQL slow-log parse battery
+    * previously ran each pattern twice per entry (the suite's most
+    * expensive honest query, and the 100 TB ingest hot path).
+    *
+    * The pattern must be a foldable literal with ≥1 capturing group
+    * (compiled once per expression instance, shared by codegen via a
+    * reference object — never recompiled per row).
+    */
+  case class RegexFindGroup(subject: Expression, regexp: Expression)
+      extends BinaryExpression {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+
+    override def left: Expression = subject
+    override def right: Expression = regexp
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (subject.dataType != StringType || regexp.dataType != StringType)
+        TypeCheckResult.TypeCheckFailure(
+          s"${NativeFunctions.RegexFindName} expects (string, string), got " +
+            s"(${subject.dataType.sql}, ${regexp.dataType.sql})")
+      else if (!regexp.foldable)
+        TypeCheckResult.TypeCheckFailure(
+          s"${NativeFunctions.RegexFindName} pattern must be a literal")
+      else TypeCheckResult.TypeCheckSuccess
+
+    @transient private lazy val pattern: java.util.regex.Pattern = {
+      val p = regexp.eval().asInstanceOf[UTF8String].toString
+      val compiled = java.util.regex.Pattern.compile(p)
+      require(compiled.matcher("").groupCount() >= 1,
+        s"${NativeFunctions.RegexFindName} pattern has no capturing group: $p")
+      compiled
+    }
+
+    override def nullSafeEval(s: Any, p: Any): Any = {
+      val m = pattern.matcher(s.asInstanceOf[UTF8String].toString)
+      if (m.find()) {
+        val g = m.group(1)
+        UTF8String.fromString(if (g == null) "" else g)
+      } else null
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val patRef = ctx.addReferenceObj("graftFindPattern", pattern,
+        "java.util.regex.Pattern")
+      nullSafeCodeGen(ctx, ev, (subj, _) => {
+        val m = ctx.freshName("matcher")
+        val g = ctx.freshName("group")
+        s"""
+           |java.util.regex.Matcher $m = $patRef.matcher($subj.toString());
+           |if ($m.find()) {
+           |  String $g = $m.group(1);
+           |  ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+           |    $g == null ? "" : $g);
+           |} else {
+           |  ${ev.isNull} = true;
+           |}
+           |""".stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(subject = newLeft, regexp = newRight)
+  }
+
   val QdotName = "qdot_native"
   val PyCheckName = "py_parity_check"
   val PyErrorBranchName = "py_error_branch"
   val OpaqueName = "graft_opaque"
+  val RegexFindName = "regex_find_group"
 
   /** A wrong argument count must fail analysis with the standard
     * WRONG_NUM_ARGS AnalysisException, not an IndexOutOfBoundsException
@@ -171,6 +247,12 @@ object NativeFunctions {
           checkArity(OpaqueName, 1, exprs)
           OpaqueBarrier(exprs(0))
         }, "built-in")
+    if (!spark.catalog.functionExists(RegexFindName))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        RegexFindName, exprs => {
+          checkArity(RegexFindName, 2, exprs)
+          RegexFindGroup(exprs(0), exprs(1))
+        }, "built-in")
   }
 
   /** Codegen'd exact dot product; caller must have ensureRegistered. */
@@ -188,4 +270,10 @@ object NativeFunctions {
 
   /** Reference error-branch membership; caller must have ensureRegistered. */
   def pyErrorBranch(line: Column): Column = call_function(PyErrorBranchName, line)
+
+  /** One-execution regex find+extract (see [[RegexFindGroup]]); caller
+    * must have ensureRegistered.
+    */
+  def regexFindGroup(subject: Column, pattern: Column): Column =
+    call_function(RegexFindName, subject, pattern)
 }

@@ -748,17 +748,17 @@ object Sessionize {
   /** RFM SEGMENTATION census — the classic customer-value grid: every
     * user scored into quintiles of Recency (last active day, newest =
     * quintile 1), Frequency (event count) and Monetary (cent-exact value
-    * sum), then rolled up per (r, f, m) cell. `ntile` is deterministic
-    * here because every ORDER BY ends in user_id — identical bucketing
-    * in any engine. One user-grain aggregate + three quintile windows +
-    * one census rollup.
+    * sum), then rolled up per (r, f, m) cell. The quintile cut is
+    * deterministic because every ORDER BY ends in user_id — identical
+    * bucketing in any engine. One user-grain aggregate + three
+    * quintile cuts + one census rollup.
     *
-    * Scale caveat (stated, not hidden): an unpartitioned ntile window
-    * executes on ONE partition over |users| rows. That is the right
-    * trade up to tens of millions of users (the windowed table is the
-    * compact user-grain aggregate, never the event log); at billions,
-    * replace the window with a range-sorted zipWithIndex rank — the
-    * tie-break contract (metric desc, user_id) transfers unchanged.
+    * Scale shape: each quintile cut is [[ScaleRank.withNtile]] — a
+    * range-partitioned parallel sort + census-offset rank, NTILE-exact,
+    * never an unpartitioned window. At the 100 TB design point the
+    * user-grain aggregate is 10⁸–10⁹ rows; every stage here stays
+    * ~|users|/partitions per task (the former single-partition `ntile`
+    * window was this operator's one scale-killer).
     */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame =
     rfmSegments(events(spark, dir))
@@ -770,13 +770,10 @@ object Sessionize {
         max(expr("ts_us div 86400000000")).as("last_day"),
         count(lit(1)).as("n_events"),
         sum(floor(col("value") * 100).cast("long")).as("value_c"))
-    val rq = Window.orderBy(desc("last_day"), col("user_id"))
-    val fq = Window.orderBy(desc("n_events"), col("user_id"))
-    val mq = Window.orderBy(desc("value_c"), col("user_id"))
     users
-      .withColumn("r", ntile(5).over(rq).cast("long"))
-      .withColumn("f", ntile(5).over(fq).cast("long"))
-      .withColumn("m", ntile(5).over(mq).cast("long"))
+      .transform(ScaleRank.withNtile(_, "r", 5, desc("last_day"), col("user_id")))
+      .transform(ScaleRank.withNtile(_, "f", 5, desc("n_events"), col("user_id")))
+      .transform(ScaleRank.withNtile(_, "m", 5, desc("value_c"), col("user_id")))
       .groupBy(col("r"), col("f"), col("m"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("value_c")).as("sum_value_c"))
@@ -788,8 +785,10 @@ object Sessionize {
     * the cumulative share in exact ppm — "the top 10% of users carry X%
     * of value", the skew number every monetization and abuse review
     * starts from. Deterministic decile cut (ORDER BY value desc,
-    * user_id); cumulative share is a 10-row window. Same single-
-    * partition user-grain window caveat as [[rfmSegments]].
+    * user_id) via [[ScaleRank.withNtile]] — a range-partitioned
+    * parallel sort, never a single-partition window over the user
+    * grain; the cumulative-share windows that remain run over the
+    * 10-row decile census.
     */
   def valueConcentration(spark: SparkSession, dir: String): DataFrame =
     valueConcentration(events(spark, dir))
@@ -797,9 +796,8 @@ object Sessionize {
   def valueConcentration(ev: DataFrame): DataFrame = {
     val users = ev.groupBy(col("user_id"))
       .agg(sum(floor(col("value") * 100).cast("long")).as("value_c"))
-      .withColumn("decile",
-        ntile(10).over(Window.orderBy(desc("value_c"), col("user_id")))
-          .cast("long"))
+      .transform(
+        ScaleRank.withNtile(_, "decile", 10, desc("value_c"), col("user_id")))
     val wCum = Window.orderBy(col("decile"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.orderBy(col("decile"))

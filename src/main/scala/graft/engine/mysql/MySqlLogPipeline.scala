@@ -12,8 +12,11 @@ import graft.engine.expr.Normalizers
   * empty-query placeholder (P12) + fingerprint (F2) → detailed table +
   * per-pattern aggregate (A3) + warnings channel (E2).
   *
-  * Everything is built-in Catalyst expressions — regexp_extract / rlike /
-  * try_cast / min_by — so the whole parse is one WholeStageCodegen span per
+  * Everything is Catalyst expressions — the codegen'd fused
+  * [[graft.engine.expr.NativeFunctions.RegexFindGroup]] (one regex
+  * execution yields both the match flag and the capture; rlike +
+  * regexp_extract would run each pattern twice), try_cast, min_by — so
+  * the whole parse is one WholeStageCodegen span per
   * branch and the only shuffle is the aggregate's groupBy. At scale, input
   * arrives pre-split as entry records ([[graft.engine.ingest.Sources.readDelimited]])
   * rather than whole-file strings.
@@ -58,23 +61,36 @@ object MySqlLogPipeline {
     * Input: (file_id, entry_no, ord, entry).
     */
   def parseEntries(entries: DataFrame): Result = {
-    def flag(p: String): Column = col("entry").rlike(p)
-    def ext(p: String): Column = regexp_extract(col("entry"), p, 1)
-
-    // ONE projection computes the whole regex battery (7 flags + 7
-    // extracts) — the detailed and warnings branches both derive from it,
-    // so a warnings-only consumer parses each entry once, not once per
-    // union leg.
-    val matched = entries.select(
+    import graft.engine.expr.NativeFunctions
+    // Fused battery: ONE regex execution per pattern per entry.
+    // regex_find_group returns NULL on no-match (≡ !rlike) and the
+    // group-1 capture ('' for a non-participating group, exactly
+    // regexp_extract's contract) on a match — the flag and the raw
+    // value both read the SAME materialized column. The opaque barrier
+    // keeps it that way: without it, pushing the all_ok filter below
+    // this projection would substitute the aliases and re-run every
+    // pattern inside the filter, resurrecting the 14-execution plan
+    // this fusion removes.
+    def find(p: String): Column =
+      NativeFunctions.opaque(
+        NativeFunctions.regexFindGroup(col("entry"), lit(p)))
+    val found = entries.select(
       col("file_id"), col("entry_no"), col("ord"), col("entry"),
-      flag(TimeP).as("t_ok"), flag(UserHostP).as("uh_ok"),
-      flag(QueryTimeP).as("qt_ok"), flag(LockTimeP).as("lt_ok"),
-      flag(RowsSentP).as("rs_ok"), flag(RowsExaminedP).as("re_ok"),
-      flag(QueryP).as("q_ok"),
-      ext(TimeP).as("time_raw"), ext(UserHostP).as("uh_raw"),
-      ext(QueryTimeP).as("qt_raw"), ext(LockTimeP).as("lt_raw"),
-      ext(RowsSentP).as("rs_raw"), ext(RowsExaminedP).as("re_raw"),
-      Normalizers.pyStrip(ext(QueryP)).as("query_raw"))
+      find(TimeP).as("time_m"), find(UserHostP).as("uh_m"),
+      find(QueryTimeP).as("qt_m"), find(LockTimeP).as("lt_m"),
+      find(RowsSentP).as("rs_m"), find(RowsExaminedP).as("re_m"),
+      find(QueryP).as("q_m"))
+    def raw(m: String): Column = coalesce(col(m), lit(""))
+    val matched = found.select(
+      col("file_id"), col("entry_no"), col("ord"), col("entry"),
+      col("time_m").isNotNull.as("t_ok"), col("uh_m").isNotNull.as("uh_ok"),
+      col("qt_m").isNotNull.as("qt_ok"), col("lt_m").isNotNull.as("lt_ok"),
+      col("rs_m").isNotNull.as("rs_ok"), col("re_m").isNotNull.as("re_ok"),
+      col("q_m").isNotNull.as("q_ok"),
+      raw("time_m").as("time_raw"), raw("uh_m").as("uh_raw"),
+      raw("qt_m").as("qt_raw"), raw("lt_m").as("lt_raw"),
+      raw("rs_m").as("rs_raw"), raw("re_m").as("re_raw"),
+      Normalizers.pyStrip(raw("q_m")).as("query_raw"))
 
     val allOk = col("t_ok") && col("uh_ok") && col("qt_ok") &&
       col("lt_ok") && col("rs_ok") && col("re_ok") && col("q_ok")

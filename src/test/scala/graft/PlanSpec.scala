@@ -442,6 +442,35 @@ class PlanSpec extends SparkTestBase {
     assert("BroadcastHashJoin".r.findAllIn(drift).nonEmpty, drift.take(800))
   }
 
+  test("round-10: RFM/Lorenz quantile cuts never single-partition the user grain") {
+    import graft.engine.ext.Sessionize
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the round-9 verdict's last two scale-killers: ntile over an
+    // unpartitioned window. Now ScaleRank range-sorted ranks — the plan
+    // must contain the parallel range exchange, and every remaining
+    // unpartitioned window may order only by census keys (the ≤32-row
+    // partition census, the 10-row decile rollup), never by the
+    // user-grain metrics.
+    val userGrain = Set("last_day", "n_events", "value_c", "user_id")
+    for ((name, df) <- Seq(
+        "ext_rfm" -> Sessionize.rfmSegments(spark, dir),
+        "ext_value_concentration" -> Sessionize.valueConcentration(spark, dir))) {
+      val p = df.queryExecution.executedPlan
+      assert(p.toString.contains("Exchange rangepartitioning"),
+        s"$name lost the range-partitioned sort: ${p.toString.take(600)}")
+      val globalWindows = flattenPlan(p).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.nonEmpty,
+        s"$name: census windows invisible — traversal broke, not the plan")
+      globalWindows.foreach { w =>
+        val ordered = w.orderSpec.flatMap(_.references.map(_.name)).toSet
+        assert(ordered.intersect(userGrain).isEmpty,
+          s"$name has a data-sized single-partition window over $ordered")
+      }
+    }
+  }
+
   test("selection operators keep their scale shapes") {
     import graft.engine.ext.{Corpus, TextAnalysis}
     // dsir: the 256-row weight table must broadcast onto the token

@@ -1,0 +1,80 @@
+package graft
+
+import graft.engine.ext.ScaleRank
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [[ScaleRank]] must replicate the unpartitioned-window `ntile` /
+  * `row_number` BIT-exactly — it replaced those windows in the RFM and
+  * Lorenz operators, whose DuckDB oracles still say `ntile(n) OVER
+  * (ORDER BY …)`. Equivalence is checked on multi-partition inputs
+  * with heavy metric ties (tiebroken by a unique id, per the contract),
+  * across bucket counts that exercise both the remainder (N % n ≠ 0)
+  * and the degenerate N < n path.
+  */
+class ScaleRankSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // 997 rows over 8 input partitions; metric has only 13 distinct
+  // values → every tie group spans range-partition boundaries unless
+  // the unique id tiebreaker does its job.
+  private lazy val df = spark.range(0, 997, 1, 8)
+    .select(col("id"), (col("id") % 13).as("metric"))
+
+  test("withNtile matches window ntile across remainder bucket counts") {
+    for (n <- Seq(2, 5, 7, 10, 32)) {
+      val want = df
+        .withColumn("b",
+          ntile(n).over(Window.orderBy(desc("metric"), col("id")))
+            .cast("long"))
+        .select(col("id"), col("b"))
+      val got = ScaleRank
+        .withNtile(df, "b", n, desc("metric"), col("id"))
+        .select(col("id"), col("b"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"ntile($n) mismatch: " +
+          got.exceptAll(want).limit(5).collect().mkString(", "))
+    }
+  }
+
+  test("withGlobalRank matches window row_number") {
+    val want = df.withColumn("rk",
+      row_number().over(Window.orderBy(desc("metric"), col("id")))
+        .cast("long"))
+    val got = ScaleRank.withGlobalRank(df, "rk", desc("metric"), col("id"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      got.exceptAll(want).limit(5).collect().mkString(", "))
+  }
+
+  test("N < n degenerates to rank (one row per bucket), no div-by-zero") {
+    val tiny = spark.range(0, 3, 1, 2).select(col("id"))
+    val got = ScaleRank.withNtile(tiny, "b", 10, col("id"))
+      .orderBy("id").select("b").as[Long].collect()
+    assert(got.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("empty input yields empty output") {
+    val empty = spark.range(0).select(col("id"))
+    assert(ScaleRank.withNtile(empty, "b", 5, col("id")).count() === 0)
+  }
+
+  test("rank plan: range partition + census windows only, no data-sized global window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val q = ScaleRank.withNtile(df, "b", 5, desc("metric"), col("id"))
+    val p = q.queryExecution.executedPlan
+    assert(p.toString.contains("Exchange rangepartitioning"),
+      p.toString.take(600))
+    // the only unpartitioned windows left must order by the census key,
+    // never by the data columns
+    val globalWindows = flattenPlan(p).collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.nonEmpty, "census offset window missing")
+    globalWindows.foreach { w =>
+      val ordered = w.orderSpec.flatMap(_.references.map(_.name)).toSet
+      assert(ordered.subsetOf(Set("_sr_pid")),
+        s"data-sized global window over $ordered")
+    }
+  }
+}

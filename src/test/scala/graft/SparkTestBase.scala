@@ -26,4 +26,18 @@ trait SparkTestBase extends AnyFunSuite {
     graft.engine.ingest.Sources.ensureNanosAsLong(s)
     s
   }
+
+  /** Every node of a physical plan, piercing the AQE wrapper —
+    * `AdaptiveSparkPlanExec` is a LeafExecNode, so a plain `collect`
+    * stops at it and plan-shape assertions pass vacuously. */
+  def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(flattenPlan)
+  }
 }
