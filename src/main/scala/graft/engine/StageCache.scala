@@ -2,9 +2,11 @@ package graft.engine
 
 import scala.collection.mutable
 
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Session-scoped materialized intermediates ("build once, reuse").
+/** Materialized intermediates ("build once, reuse"), in two modes.
   *
   * Several registered queries ride the same expensive deterministic
   * intermediate — most prominently the SimHash near-dup pair list and the
@@ -15,21 +17,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * rebuilding the shingle-explode → 60-bit vote → band-bucket → pointer-
   * jumping chain per query is pure waste at any scale.
   *
-  * This cache is that materialization, scoped to one SparkSession:
-  *  - key = (session, canonical input dir, stage name) — two scale
-  *    factors or two sessions never share an entry;
-  *  - value = the stage's DataFrame after `localCheckpoint(eager)`, i.e.
-  *    computed once and pinned in the block manager (same mechanism the
-  *    iterative loops already use for loop invariants; on a cluster the
-  *    deployment note in README "Checkpointed iteration" applies — a
-  *    reliable checkpoint dir or an actual table write).
+  * Mode 1 — session-local (default): the stage DataFrame after
+  * `localCheckpoint(eager)` — computed once and pinned in the block
+  * manager. Fast and zero-config, but executor-LOSS-FRAGILE: local
+  * checkpoint blocks are not replicated, so on a real cluster losing any
+  * executor silently invalidates the cache mid-session. The right
+  * single-process / bench mode.
   *
-  * Lifetime: entries live until [[clear]] or JVM exit. (A cached
-  * DataFrame strongly references its session, so weak-keying the map
-  * could never reclaim anything — the map is plainly strong and says
+  * Mode 2 — durable (opt-in via `spark.graft.stageCache.dir=<path>`): the
+  * stage is WRITTEN as parquet under that directory, keyed by
+  * (stage name, canonical input dir), and read back — surviving executor
+  * loss, session restarts, and sharing across jobs (a later session with
+  * the same cache dir reuses the files without rebuilding). This is the
+  * "actual table write" the cluster deployment wants; point it at a
+  * durable filesystem (HDFS/object store). Staleness is the caller's
+  * contract, same as any materialized table: the key includes the corpus
+  * dir, so a NEW corpus snapshot (new dir) never reads an old stage, but
+  * regenerating data IN PLACE requires clearing the cache dir. Writes go
+  * to a temp dir then rename into place; concurrent writers in the same
+  * JVM serialize on the per-key lock, cross-job writers are the
+  * scheduler's job to serialize (rename loses are tolerated by
+  * re-checking for a winner's _SUCCESS).
+  *
+  * Lifetime: in-memory entries live until [[clear]] or JVM exit. (A
+  * cached DataFrame strongly references its session, so weak-keying the
+  * map could never reclaim anything — the map is plainly strong and says
   * so.) As a backstop, every `materialized` call first purges entries
   * whose SparkContext has stopped, so a stopped session's plans don't
-  * ride along for the rest of a long JVM.
+  * ride along for the rest of a long JVM. [[clear]] unpersists the
+  * ACTUAL checkpointed RDD captured at build time — `queryExecution
+  * .toRdd` would re-plan and return a fresh wrapper RDD whose unpersist
+  * frees nothing, leaving the blocks pinned until session stop.
   *
   * Locking: the map is consulted under the object monitor, but builds
   * run OUTSIDE it under a per-key lock — a minutes-long stage build must
@@ -43,14 +61,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StageCache {
 
+  /** Set to a durable directory to switch every stage materialization
+    * from localCheckpoint to a parquet write/read under that directory.
+    */
+  val DurableDirConf = "spark.graft.stageCache.dir"
+
+  /** df = what consumers get; persisted = the checkpoint RDD to free on
+    * [[clear]] (None in durable mode — files are the materialization
+    * and deliberately outlive the session).
+    */
+  private final case class Entry(df: DataFrame, persisted: Option[RDD[_]])
+
   private val sessions =
-    new java.util.IdentityHashMap[SparkSession, mutable.Map[String, DataFrame]]()
+    new java.util.IdentityHashMap[SparkSession, mutable.Map[String, Entry]]()
   private val keyLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private def canonical(dir: String): String =
     java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
 
-  /** Build counter for specs: how many times a `build` thunk actually ran. */
+  /** Build counter for specs: how many times a `build` thunk actually ran
+    * (in durable mode: how many times a parquet stage was written).
+    */
   @volatile private[graft] var builds: Long = 0L
 
   private def purgeStopped(): Unit = {
@@ -63,8 +94,9 @@ object StageCache {
     dead.foreach(sessions.remove)
   }
 
-  /** Return the materialized stage, building (and checkpointing) it on
-    * first use for this (session, dir, name).
+  /** Return the materialized stage, building it on first use for this
+    * (session, dir, name) — checkpoint-pinned, or written durable when
+    * [[DurableDirConf]] is set.
     */
   def materialized(spark: SparkSession, dir: String, name: String)(
       build: => DataFrame): DataFrame = {
@@ -72,8 +104,13 @@ object StageCache {
     def lookup(): Option[DataFrame] = synchronized {
       purgeStopped()
       sessions
-        .computeIfAbsent(spark, _ => mutable.Map.empty[String, DataFrame])
-        .get(key)
+        .computeIfAbsent(spark, _ => mutable.Map.empty[String, Entry])
+        .get(key).map(_.df)
+    }
+    def store(e: Entry): Unit = synchronized {
+      sessions
+        .computeIfAbsent(spark, _ => mutable.Map.empty[String, Entry])
+        .update(key, e)
     }
     lookup() match {
       case Some(df) => df
@@ -86,24 +123,73 @@ object StageCache {
           lookup() match {
             case Some(df) => df
             case None =>
-              val built = build.localCheckpoint(true)
-              synchronized {
-                builds += 1
-                sessions
-                  .computeIfAbsent(spark,
-                    _ => mutable.Map.empty[String, DataFrame])
-                  .update(key, built)
+              val entry = spark.conf.getOption(DurableDirConf) match {
+                case Some(root) =>
+                  // counts as a build only when the stage was WRITTEN —
+                  // a pre-existing durable stage short-circuits, and the
+                  // counter's contract is "times the thunk actually ran"
+                  val (df, wrote) = durableStage(spark, root, dir, name, build)
+                  if (wrote) synchronized { builds += 1 }
+                  Entry(df, None)
+                case None =>
+                  val built = build.localCheckpoint(true)
+                  synchronized { builds += 1 }
+                  Entry(built, checkpointRdd(built))
               }
-              built
+              store(entry)
+              entry.df
           }
         }
     }
   }
 
-  /** Drop this session's entries and unpersist their checkpoint blocks. */
+  /** The RDD `localCheckpoint` actually persisted: the analyzed plan of a
+    * checkpointed Dataset is a LogicalRDD wrapping it. (Never
+    * `queryExecution.toRdd` — that re-plans into a fresh
+    * MapPartitionsRDD whose unpersist is a no-op on the blocks.)
+    */
+  private def checkpointRdd(df: DataFrame): Option[RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
+  /** Durable mode: parquet under `root`, path keyed by (name, corpus
+    * dir). Write-once: a pre-existing _SUCCESS short-circuits the build
+    * — including across JVMs, which is the cross-session reuse.
+    */
+  private def durableStage(spark: SparkSession, root: String, dir: String,
+      name: String, build: => DataFrame): (DataFrame, Boolean) = {
+    val dirHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical(dir).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val target = new Path(root, s"$name-$dirHash")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def complete(): Boolean = fs.exists(new Path(target, "_SUCCESS"))
+    val wrote = if (complete()) false else {
+      val tmp = new Path(root,
+        s".${target.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      build.write.mode("overwrite").parquet(tmp.toString)
+      // rename into place; losing a cross-JVM race is fine iff the
+      // winner's stage is complete
+      if (!fs.rename(tmp, target)) {
+        val winnerOk = complete()
+        fs.delete(tmp, true)
+        require(winnerOk,
+          s"stage $name: rename to $target failed and no complete stage exists")
+        false
+      } else true
+    }
+    (spark.read.parquet(target.toString), wrote)
+  }
+
+  /** Drop this session's entries and unpersist their checkpoint blocks
+    * (blocking, so a post-clear bench window starts clean). Durable
+    * parquet stages are left on disk — reuse is their purpose; delete
+    * the cache dir to invalidate them.
+    */
   def clear(spark: SparkSession): Unit = synchronized {
-    Option(sessions.remove(spark)).foreach(_.valuesIterator.foreach { df =>
-      try df.queryExecution.toRdd.unpersist(blocking = false)
+    Option(sessions.remove(spark)).foreach(_.valuesIterator.foreach { e =>
+      try e.persisted.foreach(_.unpersist(blocking = true))
       catch { case _: Throwable => () }
     })
   }

@@ -186,11 +186,15 @@ object Similarity {
     * matters. Semantics here: each query accepts only candidates
     * sharing its own label.
     *
-    * Rides the materialized trained index ([[kmeansT]]); the label
-    * dimension joins in broadcast (one row per vector id, pruned to the
-    * probed cells first). Same probe/rank shape — and the same exact
-    * integer arithmetic — as [[ivfTrainedTopK]], so the oracle replays
-    * training, probing, filtering and ranking end to end.
+    * Rides the materialized trained index ([[kmeansT]]); the label is
+    * attached at VECTOR grain before the probe fan-out (a 1:1 equi-join
+    * on vec_id, co-partitionable with the index at scale), so the label
+    * constraint applies as a cheap predicate DURING the probe join —
+    * candidate rows of the wrong label never materialize, and no
+    * candidate-grain (query × neighbor) join ever runs. Same probe/rank
+    * shape — and the same exact integer arithmetic — as
+    * [[ivfTrainedTopK]], so the oracle replays training, probing,
+    * filtering and ranking end to end.
     */
   def filteredTopK(spark: SparkSession, dir: String, k: Int = 10,
                    queryMod: Int = 50, nprobe: Int = 4): DataFrame = {
@@ -212,10 +216,10 @@ object Similarity {
       .select(col("query_id"), col("qq"), col("qlabel"), col("cell_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("dot"), col("neighbor_id"))
-    assigned.join(broadcast(probes), Seq("cell_id"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .join(labels.withColumnRenamed("vec_id", "cand_id"),
-        col("cand_id") === col("vec_id") && col("label") === col("qlabel"))
+    assigned.join(labels, Seq("vec_id"))
+      .join(broadcast(probes), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label") === col("qlabel"))
       .select(col("query_id"), col("label"),
         col("vec_id").as("neighbor_id"), qdot(col("qq"), col("q")).as("dot"))
       .withColumn("rank", row_number().over(w))

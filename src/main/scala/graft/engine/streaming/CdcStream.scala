@@ -20,10 +20,16 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
   * state matches [[graft.engine.ext.Changelog.state]].
   *
   * Tombstones ride the state as `op = "D"` rather than clearing it:
-  * a reader filters `op = 'U'` exactly as the batch merge does, and a
-  * late out-of-order upsert with a lower LSN cannot resurrect a deleted
-  * key. TTL (optional) eventually reclaims tombstone state — the
-  * streaming analog of compaction dropping old delete markers.
+  * a reader filters `op = 'U'` exactly as the batch merge does, and —
+  * while the tombstone state is RETAINED — a late out-of-order upsert
+  * with a lower LSN cannot resurrect a deleted key. The optional TTL
+  * mode weakens that guarantee: TTL expires ALL idle per-key state
+  * (live 'U' rows included, whose next upsert then restarts n_ops), and
+  * once a tombstone expires a late lower-LSN upsert re-creates the key.
+  * So the no-resurrection guarantee holds iff TTL ≥ the maximum
+  * expected lateness — the same bound a compaction policy puts on
+  * dropping delete markers. The default (TTLConfig.NONE) retains state
+  * forever and keeps the guarantee unconditional.
   */
 object CdcStream {
 

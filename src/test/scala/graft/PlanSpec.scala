@@ -469,6 +469,13 @@ class PlanSpec extends SparkTestBase {
           s"$name has a data-sized single-partition window over $ordered")
       }
     }
+    // filtered ANN search: the label attaches at vector grain (equi-join
+    // on vec_id) and the probe table broadcasts — never a candidate-grain
+    // label join or a nested loop
+    val fs = plan(graft.engine.ext.Similarity.filteredTopK(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(fs).length >= 2, fs.take(1200))
+    assert(!fs.contains("CartesianProduct") &&
+      !fs.contains("BroadcastNestedLoopJoin"), fs.take(1200))
   }
 
   test("selection operators keep their scale shapes") {

@@ -75,6 +75,61 @@ class StageCacheSpec extends SparkTestBase {
     assert(cachedHist === pureHist)
   }
 
+  test("clear unpersists the ACTUAL checkpoint blocks, not a re-planned wrapper") {
+    val dir = tmpDocs(corpus.take(1))
+    StageCache.clear(spark)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    StageCache.materialized(spark, dir, "spec.unpersist") {
+      spark.range(100).toDF("n")
+    }.count()
+    val added = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(added.nonEmpty, "localCheckpoint must register a persistent RDD")
+    StageCache.clear(spark)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(added.forall(!after.contains(_)),
+      s"checkpoint RDDs ${added.intersect(after)} still pinned after clear()")
+  }
+
+  test("durable mode writes the stage once and reuses it across sessions") {
+    val dir = tmpDocs(corpus)
+    val cacheDir = java.nio.file.Files.createTempDirectory("sc-durable").toString
+    spark.conf.set(StageCache.DurableDirConf, cacheDir)
+    try {
+      val before = StageCache.builds
+      val d1 = StageCache.materialized(spark, dir, "spec.durable") {
+        spark.range(7).toDF("n")
+      }
+      assert(StageCache.builds === before + 1)
+      assert(d1.collect().map(_.getLong(0)).sorted === (0L until 7L).toArray)
+      // the materialization is parquet files under the cache dir
+      val stageDirs = new java.io.File(cacheDir).listFiles()
+        .filter(f => f.isDirectory && !f.getName.startsWith("."))
+      assert(stageDirs.length === 1, stageDirs.mkString(", "))
+      assert(new java.io.File(stageDirs.head, "_SUCCESS").exists())
+      // same session: in-memory hit, no rebuild
+      StageCache.materialized(spark, dir, "spec.durable") {
+        fail("thunk must not re-run for a cached key"); d1
+      }
+      assert(StageCache.builds === before + 1)
+      // FRESH session (new sessionState, empty in-memory cache): the
+      // files short-circuit the build — the cross-session/restart reuse
+      // localCheckpoint can never give
+      val s2 = spark.newSession()
+      s2.conf.set(StageCache.DurableDirConf, cacheDir)
+      val d2 = StageCache.materialized(s2, dir, "spec.durable") {
+        fail("durable stage on disk must short-circuit the build"); d1
+      }
+      assert(StageCache.builds === before + 1)
+      assert(d2.collect().map(_.getLong(0)).sorted === (0L until 7L).toArray)
+      // durable entries pin no executor blocks, and clear leaves files
+      StageCache.clear(s2)
+      assert(new java.io.File(stageDirs.head, "_SUCCESS").exists())
+    } finally {
+      spark.conf.unset(StageCache.DurableDirConf)
+      StageCache.clear(spark)
+    }
+  }
+
   test("clear drops the session's entries") {
     val dir = tmpDocs(corpus.take(1))
     StageCache.materialized(spark, dir, "spec.clear")(spark.range(1).toDF("n"))
