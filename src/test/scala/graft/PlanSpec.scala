@@ -470,12 +470,17 @@ class PlanSpec extends SparkTestBase {
       }
     }
     // filtered ANN search: the label attaches at vector grain (equi-join
-    // on vec_id) and the probe table broadcasts — never a candidate-grain
-    // label join or a nested loop
-    val fs = plan(graft.engine.ext.Similarity.filteredTopK(spark, dir))
-    assert("BroadcastHashJoin".r.findAllIn(fs).length >= 2, fs.take(1200))
-    assert(!fs.contains("CartesianProduct") &&
-      !fs.contains("BroadcastNestedLoopJoin"), fs.take(1200))
+    // on vec_id) and the probe/label joins are hash joins — no cartesian,
+    // and the ONLY nested loop is the hinted ≤nCells centroid fan-out
+    // (the sweep's licensed shape; the candidate-grain label join is gone)
+    val fsDf = graft.engine.ext.Similarity.filteredTopK(spark, dir)
+    val fs = plan(fsDf)
+    val bhj = "BroadcastHashJoin".r.findAllIn(fs).length
+    assert(bhj >= 2, s"expected >=2 BroadcastHashJoin, got $bhj:\n${fs.take(1600)}")
+    val (fsCart, fsScalar, fsRisky) = nestedLoopCensus(fsDf)
+    assert(fsCart === 0, fs.take(1600))
+    assert(fsRisky.size <= math.max(0, hintedNonEquiJoins(fsDf) - fsScalar),
+      s"unexcused nested loop: ${fsRisky.map(_.nodeName).mkString(", ")}")
   }
 
   test("selection operators keep their scale shapes") {
