@@ -104,6 +104,14 @@ object ExtQueries {
       graft.engine.streaming.EventStream.sessionStatsBatch(s, dir)),
     "stream_dedup_batch" -> ((s, dir) =>
       graft.engine.streaming.DedupStream.pairsBatch(s, dir)),
+    // the timer twin states the event-time-timer sessionizer's fold on
+    // its millisecond clock (StreamingSpec ties it to the real RocksDB
+    // processor on the same fixture); the last-touch twin runs the
+    // chained interval-join → per-purchase rollup composition.
+    "stream_timer_sessions_batch" -> ((s, dir) =>
+      graft.engine.streaming.EventStream.timerSessionsBatch(s, dir)),
+    "stream_last_touch_batch" -> ((s, dir) =>
+      graft.engine.streaming.EventStream.lastTouchBatch(s, dir)),
     // sketch-accuracy audit: exact values + within-band flags comparing
     // the HLL/GK sketches against their exact counterparts in-engine;
     // deterministic output, fully hash-checkable (the oracle computes the
@@ -742,6 +750,44 @@ object ExtQueries {
         |  count(*)::BIGINT AS n_events, sum(value_c)::BIGINT AS sum_value_c
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin),
+
+    // Twin of the event-time-TIMER sessionizer: the same gaps-and-islands
+    // fold as stream_sessions_batch but on the processor's MILLISECOND
+    // clock (Timestamp.getTime truncates micros) — ties on a truncated
+    // time are never a break (diff 0), so the fold is tie-order-free.
+    "stream_timer_sessions_batch" ->
+      (eventsE + """, t AS (
+        |  SELECT user_id, (tsu // 1000) * 1000 AS t_us, value_c FROM e
+        |), m AS (
+        |  SELECT user_id, t_us, value_c,
+        |    CASE WHEN lag(t_us) OVER w IS NULL
+        |      OR t_us - lag(t_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY t_us)
+        |), s AS (
+        |  SELECT user_id, t_us, value_c,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY t_us
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m
+        |)
+        |SELECT user_id, min(t_us) AS session_start_us,
+        |  max(t_us) + 1800000000 AS session_end_us,
+        |  count(*)::BIGINT AS n_events, sum(value_c)::BIGINT AS sum_value_c
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin),
+
+    // Twin of the chained interval-join → rollup composition: per
+    // purchase, the LAST in-horizon view and the attributed view count.
+    "stream_last_touch_batch" ->
+      """SELECT p.event_id, p.user_id,
+        |  epoch_us(p.ts) AS purchase_us,
+        |  max(epoch_us(v.ts)) AS last_view_us,
+        |  count(*)::BIGINT AS n_views,
+        |  CAST(floor(p."value" * 100 + 0.5) AS BIGINT) AS value_c
+        |FROM events p JOIN events v ON v.user_id = p.user_id
+        |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+        |GROUP BY 1, 2, 3, 6
+        |ORDER BY p.event_id""".stripMargin,
 
     "ext_sessions" ->
       (eventsE + """, l AS (

@@ -436,4 +436,77 @@ object EventStream {
         sum(floor(col("value") * 100).cast("long")).as("sum_value_c"),
         max(expr("(ts_us div 1000) * 1000")).as("last_seen_us"))
       .orderBy(col("user_id"))
+
+  /** Batch twin of [[sessionsTws]] — the event-time-TIMER sessionizer.
+    * Over a bounded time-ordered replay, the processor's append-once
+    * emission is exactly the gap-bounded session fold on its
+    * MILLISECOND clock (`Timestamp.getTime` truncates the micros the
+    * native session_window keeps — the one arithmetic difference from
+    * [[sessionStatsBatch]]): a session breaks on a >gap jump in
+    * ms-truncated event time, closes at last + gap, and sums the
+    * per-event `floor(value·100)` cents. Batch transformWithState
+    * cannot run the processor itself (event-time timers need a
+    * watermark, which bounded execution has none of — verified: the
+    * EventTime mode throws), so the fold is STATED here and
+    * StreamingSpec closes the loop by replaying the same sf0.001
+    * fixture through the real RocksDB-backed processor and asserting
+    * set equality with this twin. Scale shape matches the processor:
+    * one shuffle on user_id, per-user windows — never a global sort.
+    */
+  def timerSessionsBatch(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 30L * 60 * 1000 * 1000
+    val ev = graft.engine.ingest.Sources.events(spark, dir).select(
+      col("user_id"),
+      expr("(ts_us div 1000) * 1000").as("t_us"), // the processor's ms clock
+      floor(col("value") * 100).cast("long").as("value_c"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
+    ev
+      .withColumn("prev", lag(col("t_us"), 1).over(w))
+      .withColumn("brk", when(
+        col("prev").isNull || col("t_us") - col("prev") > gapUs, 1L)
+        .otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("t_us")).as("session_start_us"),
+        (max(col("t_us")) + gapUs).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value_c")).as("sum_value_c"))
+      .select(col("user_id"), col("session_start_us"),
+        col("session_end_us"), col("n_events"), col("sum_value_c"))
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
+
+  /** Batch twin of the CHAINED streaming shape (interval join → a
+    * downstream stateful rollup — the two-stateful-operator query
+    * StreamingSpec drives): LAST-TOUCH attribution. Runs the SAME
+    * [[attributedPurchases]] operator code on bounded input, then
+    * collapses each purchase's in-horizon view set to the last touch
+    * (max view time) plus the attributed-view count — the rollup the
+    * interval-join docstring defers downstream. Scale: the join
+    * shuffles on user_id with horizon-bounded fan-out, the rollup
+    * shuffles on the purchase id — both key-grain, no global stage.
+    */
+  def lastTouchBatch(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame = {
+    val ev = graft.engine.ingest.Sources.events(spark, dir)
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_time"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("event_time"), col("value"))
+    attributedPurchases(views, purchases)
+      .groupBy(col("event_id"), col("user_id"), col("purchase_time"),
+        col("value"))
+      .agg(max(col("view_time")).as("last_view"),
+        count(lit(1)).as("n_views"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("purchase_time")).as("purchase_us"),
+        unix_micros(col("last_view")).as("last_view_us"),
+        col("n_views"),
+        floor(col("value") * 100 + 0.5).cast("long").as("value_c"))
+      .orderBy(col("event_id"))
+  }
 }

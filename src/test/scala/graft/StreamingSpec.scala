@@ -115,6 +115,57 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("timer-sessionizer batch twin matches the real processor on real events") {
+    // the oracle row (stream_timer_sessions_batch) states the processor's
+    // fold; THIS closes the loop — the actual SessionTimerProcessor on
+    // RocksDB, fed the whole sf0.001 events fixture in one batch, then a
+    // far-future advancer (sentinel user) to expire every timer, must
+    // emit exactly the twin's row set
+    import graft.engine.streaming.EventStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val typed = graft.engine.ingest.Sources.events(spark, dir)
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("event_time"),
+        col("value"))
+      .as[EventStream.UserEvent].collect()
+    val sentinel = -1L
+    val advancer = EventStream.UserEvent(sentinel,
+      new java.sql.Timestamp(typed.map(_.event_time.getTime).max
+        + 2L * 86400000L), 0.0)
+    val mem = MemoryStream[EventStream.UserEvent]
+    val q = EventStream.sessionsTws(mem.toDS(), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("twin_timer_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(typed.toSeq)
+      q.processAllAvailable()
+      mem.addData(advancer) // watermark past every last-event + gap
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        s"""SELECT user_id, session_start_us, session_end_us, n_events,
+           |  sum_value_c FROM twin_timer_sessions
+           |WHERE user_id != $sentinel""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).sortBy(t => (t._1, t._2)).toSeq
+      val twin = EventStream.timerSessionsBatch(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+      assert(streamed.nonEmpty && streamed === twin)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("event-time timers close sessions exactly once as the watermark passes") {
     import graft.engine.streaming.EventStream
     implicit val sqlCtx = spark.sqlContext
