@@ -883,6 +883,17 @@ object Dedup {
     * join form streams the same pair set through sort-merge/AQE-skew
     * machinery in constant memory). Cost is still Σ bucket² WORK — that's
     * the LSH contract — but never Σ bucket² MEMORY.
+    *
+    * SIZE THE BITS WITH THE CORPUS: with nPlanes fixed, per-bucket
+    * occupancy grows ~n/2^bitsPerBand and pair work ~n²/2^bits —
+    * quadratic at fixed parameters (the r10 sf1 study measured exactly
+    * that: 21× on 10× vectors). The deployment rule is bitsPerBand ≈
+    * log2(n) − log2(target occupancy), i.e. +1 plane per band per
+    * corpus doubling, which holds occupancy — and thus cost per vector —
+    * constant (measured at sf1: nPlanes 16 → 32 drops the full pair
+    * build 29.2 s → 4.5 s, back to ~linear vs sf0.1's 1.2 s). The
+    * defaults are sized for the testdata family; the oracle replays
+    * whatever is passed, so re-sizing is parameter-only.
     */
   def embedCosinePairs(spark: SparkSession, dir: String): DataFrame =
     embedCosinePairs(spark,
