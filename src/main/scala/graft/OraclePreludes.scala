@@ -1,0 +1,398 @@
+package graft
+
+/** Shared DuckDB-oracle prelude chains (named WITH-clause prefixes) and
+  * oracle helper builders — one definition each, consumed by the family
+  * oracle modules (split from ExtQueries in round 10).
+  */
+private[graft] object OraclePreludes {
+  private[graft] val eventsE =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu,
+      |    epoch_us(ts) // 86400000000 AS day,
+      |    CAST(floor("value" * 100) AS BIGINT) AS value_c
+      |  FROM events
+      |)""".stripMargin
+
+  /** Quality-gate census `dq` — ONE definition of the corpus keep
+    * predicate's inputs and the keep bit itself (lateral alias refs are
+    * DuckDB-native): (doc_id, lang, source, text, n_tokens, punct_ppm,
+    * terminal, keep). Six oracles formerly restated this projection. */
+  private[graft] val docQuality =
+    """dq AS (
+      |  SELECT doc_id, lang, source, text,
+      |    len(list_filter(string_split_regex(text, '\s+'),
+      |                    x -> x != ''))::BIGINT AS n_tokens,
+      |    (len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1000000
+      |      // greatest(length(text), 1))::BIGINT AS punct_ppm,
+      |    regexp_matches(rtrim(text), '[.!?。！？]$') AS terminal,
+      |    (n_tokens >= 5 AND punct_ppm <= 300000 AND terminal) AS keep
+      |  FROM documents
+      |)""".stripMargin
+
+  private[graft] val toks =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             x -> x != '') AS t
+      |  FROM documents
+      |)""".stripMargin
+
+  private[graft] val shingles3 = toks +
+    """, sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) >= 3 THEN
+      |      list_distinct(list_transform(range(1, len(t) - 1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |    ELSE [] END AS sh
+      |  FROM toks
+      |)""".stripMargin
+
+  /** Positional-shingle shared-span chain (dedup_substring /
+    * dedup_span_coverage): `spans` = maximal diagonal runs ≥ 10 tokens
+    * with both start positions, BIGINT throughout.
+    */
+  private[graft] val spanChain = toks +
+    """, pos AS (
+      |  SELECT doc_id, t, unnest(range(0, len(t) - 2)) AS p
+      |  FROM toks WHERE len(t) >= 3
+      |), psh AS (
+      |  SELECT doc_id, p,
+      |    md5(t[p+1] || ' ' || t[p+2] || ' ' || t[p+3]) AS fp
+      |  FROM pos
+      |), bkt AS (
+      |  SELECT doc_id, p, fp, count(*) OVER (PARTITION BY fp) AS df
+      |  FROM psh
+      |), prs AS (
+      |  SELECT x.doc_id AS doc_a, x.p AS pa, y.doc_id AS doc_b, y.p AS pb
+      |  FROM bkt x JOIN bkt y ON x.fp = y.fp AND x.doc_id < y.doc_id
+      |  WHERE x.df <= 100
+      |), risl AS (
+      |  SELECT doc_a, doc_b, pa - pb AS diag, pa,
+      |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+      |                            ORDER BY pa) AS grp
+      |  FROM prs
+      |), rsp AS (
+      |  SELECT doc_a, doc_b, diag, grp, count(*) AS cnt, min(pa) AS a_start
+      |  FROM risl GROUP BY 1, 2, 3, 4
+      |), spans AS (
+      |  SELECT doc_a, doc_b, a_start::BIGINT AS a_start,
+      |    (a_start - diag)::BIGINT AS b_start,
+      |    (cnt + 2)::BIGINT AS span_tokens
+      |  FROM rsp WHERE cnt + 2 >= 10
+      |)""".stripMargin
+
+  private[graft] val tokHash =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                                    x -> x != '')) AS tok
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM tok
+      |)""".stripMargin
+
+  private[graft] val simhashSig = tokHash +
+    """, vote AS (
+      |  SELECT doc_id, bit,
+      |    sum(CASE WHEN (h >> bit) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM h, range(0, 60) r(bit) GROUP BY 1, 2
+      |), sig AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+      |         AS BIGINT) AS simhash
+      |  FROM vote GROUP BY doc_id
+      |)""".stripMargin
+
+  /** SimHash connected-components chain (shared by dedup_clusters /
+    * dedup_canonical / corpus_dedup_weights): appended after
+    * [[simhashSig]] under a WITH RECURSIVE header; yields `cl` =
+    * (doc_id, cluster_id = min member id).
+    */
+  private[graft] val simhashCcChain =
+    """, bands AS (
+      |  SELECT doc_id, simhash, band,
+      |    (simhash >> (band * 15)) & 32767 AS band_val
+      |  FROM sig, range(0, 4) r(band)
+      |), edges AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+      |), edges2 AS (
+      |  SELECT doc_a, doc_b FROM edges
+      |  UNION ALL
+      |  SELECT doc_b, doc_a FROM edges
+      |), rr(v, m) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.doc_b, rr.m FROM rr JOIN edges2 e ON e.doc_a = rr.v
+      |), cl AS (
+      |  SELECT v AS doc_id, min(m) AS cluster_id FROM rr GROUP BY v
+      |)""".stripMargin
+
+  private[graft] val quantized =
+    """WITH v AS (
+      |  SELECT vec_id, label, i,
+      |    CAST(floor(embedding[i]::DOUBLE * 1000) AS BIGINT) AS q
+      |  FROM embeddings, range(1, 65) t(i)
+      |)""".stripMargin
+
+  /** The ann_kmeans training replay (two Lloyd iterations, exact
+    * integer / floor-mean arithmetic, explicit tie-breaks), ending in
+    * `fin` = the final (vec_id, cell_id, dist) assignment — shared by
+    * ann_kmeans and the ann_cell_balance audit so both read the
+    * identical trained index.
+    */
+  private[graft] val kmeansFin = quantized +
+    """, c0 AS (
+      |  SELECT vec_id AS cell_id, i, q AS c FROM v WHERE vec_id < 16
+      |), d1 AS (
+      |  SELECT v.vec_id, c.cell_id,
+      |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS dist
+      |  FROM v JOIN c0 c ON v.i = c.i GROUP BY 1, 2
+      |), a1 AS (
+      |  SELECT vec_id, cell_id FROM (
+      |    SELECT vec_id, cell_id,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+      |    FROM d1) WHERE rn = 1
+      |), c1 AS (
+      |  SELECT a1.cell_id, v.i,
+      |    CAST(floor(sum(v.q)::DOUBLE / count(*)) AS BIGINT) AS c
+      |  FROM a1 JOIN v ON v.vec_id = a1.vec_id GROUP BY 1, 2
+      |), d2 AS (
+      |  SELECT v.vec_id, c.cell_id,
+      |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS dist
+      |  FROM v JOIN c1 c ON v.i = c.i GROUP BY 1, 2
+      |), fin AS (
+      |  SELECT vec_id, cell_id, dist FROM (
+      |    SELECT vec_id, cell_id, dist,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+      |    FROM d2) WHERE rn = 1)
+      |""".stripMargin
+
+  /** One sweep point of the ann_nprobe_sweep oracle: probe the trained
+    * cells at width `p`, rank candidates, count overlap with the exact
+    * baseline `bf`. Appended after [[kmeansFin]] + the bf/tot CTEs.
+    */
+  private[graft] def nprobeBlock(p: Int): String =
+    s""", pr$p AS (
+       |  SELECT vec_id AS query_id, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY dist, cell_id) AS crank
+       |    FROM d2 WHERE vec_id % 50 = 0) WHERE crank <= $p
+       |), cand$p AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    CAST(sum(q.q * n.q) AS BIGINT) AS dot
+       |  FROM pr$p p
+       |  JOIN fin a ON a.cell_id = p.cell_id AND a.vec_id != p.query_id
+       |  JOIN v q ON q.vec_id = p.query_id
+       |  JOIN v n ON n.vec_id = a.vec_id AND n.i = q.i
+       |  GROUP BY 1, 2
+       |), top$p AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY dot DESC, neighbor_id) AS rank
+       |    FROM cand$p) WHERE rank <= 10
+       |), row$p AS (
+       |  SELECT $p::BIGINT AS nprobe, n_queries, n_true,
+       |    (SELECT count(*)::BIGINT
+       |     FROM bf JOIN top$p USING (query_id, neighbor_id)) AS n_overlap
+       |  FROM tot
+       |)""".stripMargin
+
+  /** SRP cosine-pair chain (shared by dedup_embed_pairs /
+    * dedup_semantic_clusters): appended after [[quantized]], yields
+    * `sprs` = (va, vb, dot, na, nb) pairs passing the exact 2/5 cosine
+    * threshold. Ends after the closing paren of `sprs`, so callers
+    * either start their SELECT directly or continue the CTE list with
+    * a leading ", ".
+    */
+  private[graft] val srpPairChain =
+    """, c AS (
+      |  SELECT p, i,
+      |    CASE WHEN ('0x' || substring(md5(p || '_' || i), 1, 1))::INT % 2 = 1
+      |         THEN 1 ELSE -1 END AS cc
+      |  FROM range(0, 16) r(p), range(1, 65) s(i)
+      |), sigv AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)
+      |         AS BIGINT) AS sg
+      |  FROM (SELECT vec_id, p, sum(q * cc) AS proj
+      |        FROM v JOIN c ON v.i = c.i GROUP BY 1, 2)
+      |  GROUP BY vec_id
+      |), norms AS (
+      |  SELECT vec_id, sum(q * q) AS n2 FROM v GROUP BY 1
+      |), bands AS (
+      |  SELECT vec_id, band, (sg >> (band * 4)) & 15 AS bv
+      |  FROM sigv, range(0, 4) r(band)
+      |), cand AS (
+      |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
+      |), dots AS (
+      |  SELECT va, vb, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+      |  FROM cand JOIN v a ON a.vec_id = va JOIN v b ON b.vec_id = vb AND b.i = a.i
+      |  GROUP BY 1, 2
+      |), sprs AS (
+      |  SELECT va, vb, dot, na.n2 AS na, nb.n2 AS nb
+      |  FROM dots JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb
+      |  WHERE dot > 0 AND dot * dot * 25 >= na.n2 * nb.n2 * 4
+      |)
+      |""".stripMargin
+
+  /** Per-subspace PQ training chain (shared by ann_pq_codes/_search):
+    * sv = subvector rows, cb0 = init codebook (first 16 vectors), one
+    * assign (a1) + recompute (cb1) + final assign (a2) — the exact
+    * DuckDB replay of Similarity.pqLoop(iters = 2).
+    */
+  private[graft] val pqChain =
+    """, sv AS (
+      |  SELECT vec_id, (i - 1) // 8 AS m, (i - 1) % 8 AS j, q FROM v
+      |), cb0 AS (
+      |  SELECT vec_id AS code, m, j, q AS c FROM sv WHERE vec_id < 16
+      |), d1 AS (
+      |  SELECT sv.vec_id, sv.m, cb0.code,
+      |    CAST(sum((sv.q - cb0.c) * (sv.q - cb0.c)) AS BIGINT) AS dist
+      |  FROM sv JOIN cb0 ON sv.m = cb0.m AND sv.j = cb0.j
+      |  GROUP BY 1, 2, 3
+      |), a1 AS (
+      |  SELECT vec_id, m, code FROM (
+      |    SELECT vec_id, m, code,
+      |      row_number() OVER (PARTITION BY vec_id, m
+      |                         ORDER BY dist, code) AS rn
+      |    FROM d1) WHERE rn = 1
+      |), cb1 AS (
+      |  SELECT a1.m, a1.code, sv.j,
+      |    CAST(floor(sum(sv.q)::DOUBLE / count(*)) AS BIGINT) AS c
+      |  FROM a1 JOIN sv ON sv.vec_id = a1.vec_id AND sv.m = a1.m
+      |  GROUP BY 1, 2, 3
+      |), d2 AS (
+      |  SELECT sv.vec_id, sv.m, cb1.code,
+      |    CAST(sum((sv.q - cb1.c) * (sv.q - cb1.c)) AS BIGINT) AS dist
+      |  FROM sv JOIN cb1 ON sv.m = cb1.m AND sv.j = cb1.j
+      |  GROUP BY 1, 2, 3
+      |), a2 AS (
+      |  SELECT vec_id, m, code FROM (
+      |    SELECT vec_id, m, code,
+      |      row_number() OVER (PARTITION BY vec_id, m
+      |                         ORDER BY dist, code) AS rn
+      |    FROM d2) WHERE rn = 1
+      |)
+      |""".stripMargin
+
+  /** IVF-PQ composed chain (appended after `quantized` + `pqChain`):
+    * kmeans cell training (k-prefixed, disjoint from pqChain's CTE names)
+    * → probes → cell-pruned candidates → ADC over codes → shortlist →
+    * exact re-rank (`ex`). Shared by ann_ivfpq_search / ann_ivfpq_recall.
+    */
+  private[graft] val ivfPqChain =
+    """, kc0 AS (
+      |  SELECT vec_id AS cell_id, i, q AS c FROM v WHERE vec_id < 16
+      |), kd1 AS (
+      |  SELECT v.vec_id, c.cell_id,
+      |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS dist
+      |  FROM v JOIN kc0 c ON v.i = c.i GROUP BY 1, 2
+      |), ka1 AS (
+      |  SELECT vec_id, cell_id FROM (
+      |    SELECT vec_id, cell_id,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+      |    FROM kd1) WHERE rn = 1
+      |), kc1 AS (
+      |  SELECT ka1.cell_id, v.i,
+      |    CAST(floor(sum(v.q)::DOUBLE / count(*)) AS BIGINT) AS c
+      |  FROM ka1 JOIN v ON v.vec_id = ka1.vec_id GROUP BY 1, 2
+      |), kd2 AS (
+      |  SELECT v.vec_id, c.cell_id,
+      |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS dist
+      |  FROM v JOIN kc1 c ON v.i = c.i GROUP BY 1, 2
+      |), ka2 AS (
+      |  SELECT vec_id, cell_id FROM (
+      |    SELECT vec_id, cell_id,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS rn
+      |    FROM kd2) WHERE rn = 1
+      |), kprobes AS (
+      |  SELECT vec_id AS query_id, cell_id FROM (
+      |    SELECT vec_id, cell_id,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS crank
+      |    FROM kd2 WHERE vec_id % 50 = 0) WHERE crank <= 4
+      |), ccand AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id
+      |  FROM kprobes p
+      |  JOIN ka2 a ON a.cell_id = p.cell_id AND a.vec_id != p.query_id
+      |), qs AS (
+      |  SELECT vec_id AS query_id, m, j, q FROM sv WHERE vec_id % 50 = 0
+      |), lut AS (
+      |  SELECT qs.query_id, cb1.m, cb1.code,
+      |    CAST(sum(qs.q * cb1.c) AS BIGINT) AS d
+      |  FROM qs JOIN cb1 ON qs.m = cb1.m AND qs.j = cb1.j
+      |  GROUP BY 1, 2, 3
+      |), sc AS (
+      |  SELECT c.query_id, c.neighbor_id, CAST(sum(l.d) AS BIGINT) AS adc_dot
+      |  FROM ccand c
+      |  JOIN a2 ON a2.vec_id = c.neighbor_id
+      |  JOIN lut l ON l.query_id = c.query_id
+      |    AND l.m = a2.m AND l.code = a2.code
+      |  GROUP BY 1, 2
+      |), short AS (
+      |  SELECT query_id, neighbor_id, adc_dot FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY adc_dot DESC, neighbor_id) AS srank
+      |    FROM sc) WHERE srank <= 30
+      |), ex AS (
+      |  SELECT s.query_id, s.neighbor_id, s.adc_dot,
+      |    CAST(sum(q.q * n.q) AS BIGINT) AS dot
+      |  FROM short s
+      |  JOIN v q ON q.vec_id = s.query_id
+      |  JOIN v n ON n.vec_id = s.neighbor_id AND n.i = q.i
+      |  GROUP BY 1, 2, 3
+      |)
+      |""".stripMargin
+
+  // One UNION ALL block of the ext_key_skew oracle: ceil-rank percentiles
+  // read off the count-of-counts cumulative sum, mirroring the engine's
+  // census-not-sort plan so the arithmetic (and rounding) is identical.
+  private[graft] def keySkewOracle(key: String): String =
+    s"""SELECT '$key' AS key_name, CAST(n_rows AS BIGINT) AS n_rows,
+       |  CAST(n_keys AS BIGINT) AS n_keys, max_n,
+       |  min(CASE WHEN cum >= (n_keys + 1) // 2 THEN n END)::BIGINT AS p50_n,
+       |  min(CASE WHEN cum >= (n_keys * 99 + 99) // 100 THEN n END)::BIGINT
+       |    AS p99_n,
+       |  CAST(max_n * 1000000 // n_rows AS BIGINT) AS top_share_ppm
+       |FROM (
+       |  SELECT n, cnt,
+       |    sum(cnt) OVER (ORDER BY n ROWS UNBOUNDED PRECEDING) AS cum,
+       |    sum(cnt) OVER () AS n_keys, sum(n * cnt) OVER () AS n_rows,
+       |    max(n) OVER () AS max_n
+       |  FROM (SELECT n, count(*)::BIGINT AS cnt
+       |        FROM (SELECT $key, count(*)::BIGINT AS n
+       |              FROM lineitem GROUP BY 1)
+       |        GROUP BY 1))
+       |GROUP BY n_rows, n_keys, max_n""".stripMargin
+
+  // BYTE semantics throughout, to match the engine exactly: the payload is
+  // text.cast(binary) = UTF-8 bytes, so the oracle measures octet_length and
+  // indexes bytes via a hex-string slice ('0x' || 2 hex chars → INT), never
+  // character positions — char and byte indexing diverge on any non-ASCII
+  // document and the documents schema is explicitly multilingual.
+  // Empty payloads read as byte 0 (engine: FakeCodec returns 0 on empty).
+  private[graft] val media =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    ['jpeg','png','wav','mp4'][(doc_id % 4 + 1)::INT] AS format,
+      |    CAST(64 + n_chars % 512 AS INT) AS width,
+      |    CAST(64 + (doc_id * 37) % 512 AS INT) AS height,
+      |    CAST(1 + doc_id % 8 AS INT) AS n_frames,
+      |    octet_length(encode(text)) AS n_bytes,
+      |    coalesce(try_cast('0x' || substring(hex(encode(text)), 1, 2) AS INT), 0)
+      |      AS first_byte,
+      |    hex(encode(text)) AS hx
+      |  FROM documents
+      |), fr AS (
+      |  SELECT doc_id,
+      |    CAST(sum(coalesce(try_cast('0x' || substring(hx,
+      |      greatest(least((f * n_bytes) // n_frames, n_bytes - 1), 0) * 2 + 1,
+      |      2) AS INT), 0)) AS BIGINT) AS frame_byte_sum
+      |  FROM m, range(0, 8) t(f) WHERE f < n_frames GROUP BY doc_id
+      |)""".stripMargin
+
+}
