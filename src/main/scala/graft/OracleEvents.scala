@@ -32,6 +32,7 @@ object OracleEvents {
     "ext_cms_hitters" -> ((s, dir) => Sessionize.cmsHitters(s, dir)),
     "ext_type_pivot" -> ((s, dir) => Sessionize.typePivot(s, dir)),
     "ext_exact_percentiles" -> ((s, dir) => Sessionize.exactPercentiles(s, dir)),
+    "ext_scale_quantiles" -> ((s, dir) => Sessionize.scaleQuantiles(s, dir)),
     "ext_mad_outliers" -> ((s, dir) => Sessionize.madOutliers(s, dir)),
     "ext_retention" -> ((s, dir) => Sessionize.retention(s, dir)),
     // Batch twins of the two streaming-only operators: the attribution
@@ -532,6 +533,36 @@ object OracleEvents {
         |FROM r
         |WHERE rn = (n + 1) // 2 OR rn = (n * 9 + 9) // 10
         |GROUP BY event_type, n ORDER BY event_type""".stripMargin),
+
+    // Corpus-scale exact quantiles at two grains: the discrete-quantile
+    // contract is restated as the same ⌈q·n⌉ rank selection the engine
+    // computes — never an engine quantile() whose interpolation could
+    // differ.
+    "ext_scale_quantiles" ->
+      (eventsE + """, evg AS (
+        |  SELECT value_c AS v, event_id AS tb FROM e
+        |), usg AS (
+        |  SELECT sum(value_c)::BIGINT AS v, user_id AS tb
+        |  FROM e GROUP BY user_id
+        |), q(q_ppm) AS (VALUES (500000), (900000), (990000), (999000)),
+        |er AS (
+        |  SELECT v, row_number() OVER (ORDER BY v, tb) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM evg
+        |), ur AS (
+        |  SELECT v, row_number() OVER (ORDER BY v, tb) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM usg
+        |)
+        |SELECT grain, q_ppm, n, rank, value_c FROM (
+        |  SELECT 'event' AS grain, q_ppm::BIGINT AS q_ppm, n::BIGINT AS n,
+        |    rk::BIGINT AS rank, v AS value_c
+        |  FROM er JOIN q ON rk = (n * q_ppm + 999999) // 1000000
+        |  UNION ALL
+        |  SELECT 'user' AS grain, q_ppm::BIGINT AS q_ppm, n::BIGINT AS n,
+        |    rk::BIGINT AS rank, v AS value_c
+        |  FROM ur JOIN q ON rk = (n * q_ppm + 999999) // 1000000
+        |) ORDER BY grain, q_ppm""".stripMargin),
 
     // Exact median / MAD / 3-MAD outlier census per event type — both
     // medians as rank-selected window VALUES (no join-back), matching

@@ -420,6 +420,48 @@ object Sessionize {
       .orderBy(col("event_type"))
   }
 
+  /** EXACT corpus-scale quantiles — p50/p90/p99/p99.9 of the
+    * cent-quantized event value at BOTH grains (every event; per-user
+    * lifetime sums), with no parallelism ceiling: where
+    * [[exactPercentiles]] deliberately sorts each type partition (5 fat
+    * groups, documented as the bounded-cardinality ground truth), this
+    * is the production-shaped exact path — [[ScaleRank.withGlobalRank]]
+    * range-sorts the whole population in parallel, a 4-row target table
+    * (rank = ⌈q·n⌉ in exact ppm integer math) broadcasts onto the
+    * ranked stream, and the selected rows ARE the quantiles. Every
+    * stage is ~n/partitions per task; the only global windows are
+    * ScaleRank's partition census. The discrete-quantile contract
+    * (lower element at ⌈q·n⌉ over a total (value, id) order) is
+    * engine-independent, so the oracle restates the same rank formula
+    * instead of trusting any engine's quantile() interpolation.
+    */
+  def scaleQuantiles(spark: SparkSession, dir: String): DataFrame =
+    scaleQuantiles(events(spark, dir))
+
+  def scaleQuantiles(ev: DataFrame): DataFrame = {
+    val qsPpm = Seq(500000L, 900000L, 990000L, 999000L)
+    def grainQuantiles(vals: DataFrame, grainLabel: String): DataFrame = {
+      // vals: (v cents, tb unique tiebreaker)
+      val ranked = ScaleRank.withGlobalRank(vals, "rk", col("v"), col("tb"))
+      val targets = vals.agg(count(lit(1)).as("n"))
+        .select(col("n"), explode(array(qsPpm.map(lit(_)): _*)).as("q_ppm"))
+        // ceil(n·q/1e6) without doubles: (n·q + 999999) div 1e6
+        .select(col("n"), col("q_ppm"),
+          expr("(n * q_ppm + 999999) div 1000000").as("target_rk"))
+      ranked.join(broadcast(targets), col("rk") === col("target_rk"))
+        .select(lit(grainLabel).as("grain"), col("q_ppm"), col("n"),
+          col("rk").as("rank"), col("v").as("value_c"))
+    }
+    val perEvent = ev.select(
+      floor(col("value") * 100).cast("long").as("v"), col("event_id").as("tb"))
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("v"))
+      .select(col("v"), col("user_id").as("tb"))
+    grainQuantiles(perEvent, "event")
+      .unionByName(grainQuantiles(perUser, "user"))
+      .orderBy(col("grain"), col("q_ppm"))
+  }
+
   /** Robust anomaly detection per event type: exact discrete median,
     * MAD (median absolute deviation) and the count of |v − median| >
     * 3·MAD outliers — the rank-based alternative to mean/stddev
