@@ -58,6 +58,11 @@ object OracleEvents {
       graft.engine.streaming.EventStream.timerSessionsBatch(s, dir)),
     "stream_last_touch_batch" -> ((s, dir) =>
       graft.engine.streaming.EventStream.lastTouchBatch(s, dir)),
+    // left-outer interval join: unmatched purchases surface on state
+    // eviction in streaming; the same code on bounded input is what the
+    // NOT EXISTS oracle checks
+    "stream_unattributed_batch" -> ((s, dir) =>
+      graft.engine.streaming.EventStream.unattributedPurchasesBatch(s, dir)),
     // sketch-accuracy audit: exact values + within-band flags comparing
     // the HLL/GK sketches against their exact counterparts in-engine;
     // deterministic output, fully hash-checkable (the oracle computes the
@@ -138,6 +143,18 @@ object OracleEvents {
         |  count(*)::BIGINT AS n_events, sum(value_c)::BIGINT AS sum_value_c
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin),
+
+    // Twin of the LEFT-OUTER interval join: purchases with no in-horizon
+    // view by the same user.
+    "stream_unattributed_batch" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+        |  CAST(floor(p."value" * 100 + 0.5) AS BIGINT) AS value_c
+        |FROM events p
+        |WHERE p.event_type = 'purchase' AND NOT EXISTS (
+        |  SELECT 1 FROM events v
+        |  WHERE v.event_type = 'view' AND v.user_id = p.user_id
+        |    AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR)
+        |ORDER BY p.event_id""".stripMargin,
 
     // Twin of the chained interval-join → rollup composition: per
     // purchase, the LAST in-horizon view and the attributed view count.

@@ -124,6 +124,37 @@ object EventStream {
       .drop("v_user")
   }
 
+  /** LEFT-OUTER face of the stream-stream interval join: purchases with
+    * NO view by the same user in the preceding `horizon` — the
+    * "unattributed conversions" feed (organic-traffic measurement, lost
+    * ad-spend audit). In streaming, an outer interval join can emit the
+    * null-padded row only when the watermark proves no matching view
+    * can still arrive — i.e. unmatched purchases surface on state
+    * EVICTION, which is exactly the semantics the audit wants (never
+    * claim "organic" while an attributable view may be in flight). The
+    * isNull filter then keeps precisely those eviction rows. Same
+    * watermark-bounded state shape as [[attributedPurchases]]; batch
+    * execution of the same code degenerates to outer-join + filter,
+    * which is how the oracle checks it.
+    */
+  def unattributedPurchases(views: DataFrame, purchases: DataFrame,
+                            horizon: String = "1 hour",
+                            watermarkDelay: String = "10 minutes"): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user"), col("event_time").as("view_time"))
+      .withWatermark("view_time", watermarkDelay)
+    val p = purchases
+      .withColumnRenamed("event_time", "purchase_time")
+      .withWatermark("purchase_time", watermarkDelay)
+    p.join(v,
+        col("user_id") === col("v_user") &&
+          col("view_time") <= col("purchase_time") &&
+          col("view_time") >= col("purchase_time") - expr(s"interval $horizon"),
+        "left_outer")
+      .filter(col("view_time").isNull)
+      .drop("v_user", "view_time")
+  }
+
   /** [[userProfiles]] on the transformWithState API (Spark 4): typed
     * state variables from a handle instead of one opaque state object.
     * What the new surface buys at scale: per-variable TTL (`ttl` here —
@@ -477,6 +508,27 @@ object EventStream {
       .select(col("user_id"), col("session_start_us"),
         col("session_end_us"), col("n_events"), col("sum_value_c"))
       .orderBy(col("user_id"), col("session_start_us"))
+  }
+
+  /** Batch twin of [[unattributedPurchases]] — runs the SAME left-outer
+    * interval-join + null-filter operator code on bounded input
+    * (`withWatermark` is a batch no-op): purchases with no in-horizon
+    * view, i.e. the set complement of [[attributedPurchasesBatch]]'s
+    * purchase ids. The oracle states it as NOT EXISTS.
+    */
+  def unattributedPurchasesBatch(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): DataFrame = {
+    val ev = graft.engine.ingest.Sources.events(spark, dir)
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_time"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("event_time"), col("value"))
+    unattributedPurchases(views, purchases)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("purchase_time")).as("purchase_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("value_c"))
+      .orderBy(col("event_id"))
   }
 
   /** Batch twin of the CHAINED streaming shape (interval join → a

@@ -569,6 +569,58 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unattributed purchases on eviction only") {
+    import graft.engine.streaming.EventStream
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[EventStream.UserEvent]
+    val purchases = MemoryStream[EventStream.UserEvent]
+    val un = EventStream.unattributedPurchases(
+      views.toDF(), purchases.toDF(), horizon = "1 hour",
+      watermarkDelay = "0 seconds")
+    val q = un.writeStream.format("memory")
+      .queryName("stream_unattr").outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // user 1 purchases WITH an in-horizon view; user 2 purchases with
+      // only a stale (out-of-horizon) view — organic
+      views.addData(
+        EventStream.UserEvent(1L, ts("2023-10-25 09:30:00"), 0.0),
+        EventStream.UserEvent(2L, ts("2023-10-25 07:00:00"), 0.0))
+      purchases.addData(
+        EventStream.UserEvent(1L, ts("2023-10-25 10:00:00"), 9.99),
+        EventStream.UserEvent(2L, ts("2023-10-25 10:00:00"), 5.0))
+      q.processAllAvailable()
+      // nothing emitted yet: a matching view could still arrive for
+      // user 2 — the outer row must wait for watermark eviction
+      assert(spark.sql("SELECT * FROM stream_unattr").collect().isEmpty)
+      // advance BOTH watermarks far past purchase + horizon
+      views.addData(EventStream.UserEvent(9L, ts("2023-10-25 15:00:00"), 0.0))
+      purchases.addData(EventStream.UserEvent(9L, ts("2023-10-25 15:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id FROM stream_unattr ORDER BY user_id").collect()
+        .map(_.getLong(0))
+      assert(rows.toSeq === Seq(2L), rows.mkString(","))
+    } finally q.stop()
+  }
+
+  test("unattributed batch twin complements attribution on real events") {
+    import graft.engine.streaming.EventStream
+    val dir = "/root/testdata/sf0.001"
+    // same operator code, bounded input: the unattributed set must be
+    // exactly (all purchases) minus (attributed purchase ids)
+    val attributed = EventStream.attributedPurchasesBatch(spark, dir)
+      .select("event_id").distinct().collect().map(_.getLong(0)).toSet
+    val unattributed = EventStream.unattributedPurchasesBatch(spark, dir)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val all = graft.engine.ingest.Sources.events(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(unattributed.nonEmpty && attributed.nonEmpty)
+    assert((attributed intersect unattributed).isEmpty)
+    assert((attributed union unattributed) === all)
+  }
+
   test("chained stateful ops: windowed rollup AFTER the stream-stream join") {
     import graft.engine.streaming.EventStream
     import org.apache.spark.sql.functions.{window, col, count, lit}
