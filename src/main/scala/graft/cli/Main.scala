@@ -37,7 +37,8 @@ object Main {
   private case class Args(mode: String = "", input: String = "",
                           output: String = "", csv: Boolean = false,
                           scale: Boolean = false, xlsx: Boolean = false,
-                          html: Boolean = false, query: String = "")
+                          html: Boolean = false, query: String = "",
+                          stageCacheDir: String = "")
 
   private def parseArgs(argv: List[String], a: Args = Args()): Args = argv match {
     case "--mode" :: v :: rest   => parseArgs(rest, a.copy(mode = v))
@@ -48,6 +49,12 @@ object Main {
     case "--scale" :: rest       => parseArgs(rest, a.copy(scale = true))
     case "--xlsx" :: rest        => parseArgs(rest, a.copy(xlsx = true))
     case "--html" :: rest        => parseArgs(rest, a.copy(html = true))
+    // durable StageCache (spark.graft.stageCache.dir): shared-stage
+    // queries materialize to parquet under this dir and REUSE it across
+    // runs — the cluster/cron deployment mode, where a localCheckpoint
+    // would die with the session
+    case "--stage-cache-dir" :: v :: rest =>
+      parseArgs(rest, a.copy(stageCacheDir = v))
     case Nil                     => a
     case other :: _ => sys.error(s"Unknown argument: $other")
   }
@@ -91,6 +98,8 @@ object Main {
                  else builder.master("local[*]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.engine.ingest.Sources.ensureNanosAsLong(spark)
+    if (args.stageCacheDir.nonEmpty)
+      spark.conf.set(graft.engine.StageCache.DurableDirConf, args.stageCacheDir)
 
     val (ok, err) = args.mode match {
       case "query" =>

@@ -130,6 +130,25 @@ class StageCacheSpec extends SparkTestBase {
     }
   }
 
+  test("CLI --stage-cache-dir switches a registry query to durable stages") {
+    val cacheDir = java.nio.file.Files.createTempDirectory("sc-cli").toString
+    val out = java.nio.file.Files.createTempDirectory("sc-cli-out").toString
+    try {
+      // dedup_clusters rides the simhash pair + cluster stages
+      graft.cli.Main.main(Array("--mode", "query", "--query", "dedup_clusters",
+        "--input", "/root/testdata/sf0.001", "--output", out,
+        "--stage-cache-dir", cacheDir))
+      val stages = new java.io.File(cacheDir).listFiles()
+        .filter(f => f.isDirectory && !f.getName.startsWith("."))
+      assert(stages.nonEmpty, "no durable stage written under --stage-cache-dir")
+      assert(stages.forall(d => new java.io.File(d, "_SUCCESS").exists()))
+      assert(new java.io.File(s"$out/result").exists())
+    } finally {
+      spark.conf.unset(StageCache.DurableDirConf) // Main set it on the shared session
+      StageCache.clear(spark)
+    }
+  }
+
   test("clear drops the session's entries") {
     val dir = tmpDocs(corpus.take(1))
     StageCache.materialized(spark, dir, "spec.clear")(spark.range(1).toDF("n"))
