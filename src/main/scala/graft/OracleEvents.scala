@@ -33,6 +33,8 @@ object OracleEvents {
     "ext_type_pivot" -> ((s, dir) => Sessionize.typePivot(s, dir)),
     "ext_exact_percentiles" -> ((s, dir) => Sessionize.exactPercentiles(s, dir)),
     "ext_scale_quantiles" -> ((s, dir) => Sessionize.scaleQuantiles(s, dir)),
+    "ext_scale_quantiles_by_type" ->
+      ((s, dir) => Sessionize.scaleQuantilesByType(s, dir)),
     "ext_mad_outliers" -> ((s, dir) => Sessionize.madOutliers(s, dir)),
     "ext_retention" -> ((s, dir) => Sessionize.retention(s, dir)),
     // Batch twins of the two streaming-only operators: the attribution
@@ -580,6 +582,20 @@ object OracleEvents {
         |    rk::BIGINT AS rank, v AS value_c
         |  FROM ur JOIN q ON rk = (n * q_ppm + 999999) // 1000000
         |) ORDER BY grain, q_ppm""".stripMargin),
+
+    // Per-type exact quantiles: the same ⌈q·n⌉ rank selection, grouped.
+    "ext_scale_quantiles_by_type" ->
+      (eventsE + """, r AS (
+        |  SELECT event_type, value_c,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value_c, event_id) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e
+        |), q(q_ppm) AS (VALUES (500000), (900000), (990000), (999000))
+        |SELECT event_type, q_ppm::BIGINT AS q_ppm, n::BIGINT AS n,
+        |  rk::BIGINT AS rank, value_c
+        |FROM r JOIN q ON rk = (n * q_ppm + 999999) // 1000000
+        |ORDER BY event_type, q_ppm""".stripMargin),
 
     // Exact median / MAD / 3-MAD outlier census per event type — both
     // medians as rank-selected window VALUES (no join-back), matching

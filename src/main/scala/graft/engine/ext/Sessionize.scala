@@ -462,6 +462,43 @@ object Sessionize {
       .orderBy(col("grain"), col("q_ppm"))
   }
 
+  /** EXACT PER-TYPE quantiles at scale — the operator
+    * [[exactPercentiles]] documents as its own limit: its
+    * `Window.partitionBy(event_type)` caps parallelism at |types| (5)
+    * and hands the fattest type to one task. Here the per-group rank is
+    * [[ScaleRank.withGroupRank]]: one range exchange on (type, value,
+    * id) splits every type across partitions, a (partition, type)
+    * census + broadcast join assigns within-type ranks, and a 20-row
+    * ⌈q·n⌉ target table selects p50/p90/p99/p99.9 per type. Same
+    * discrete-quantile contract (lower element at ⌈q·n⌉ over a total
+    * order) as [[scaleQuantiles]] — the sketch-free exact path that
+    * stays parallel at 100 TB per type.
+    */
+  def scaleQuantilesByType(spark: SparkSession, dir: String): DataFrame =
+    scaleQuantilesByType(events(spark, dir))
+
+  def scaleQuantilesByType(ev: DataFrame): DataFrame = {
+    val qsPpm = Seq(500000L, 900000L, 990000L, 999000L)
+    val vals = ev.select(col("event_type"),
+      floor(col("value") * 100).cast("long").as("v"),
+      col("event_id").as("tb"))
+    val ranked = ScaleRank.withGroupRank(vals, "rk", "event_type",
+      col("v"), col("tb"))
+    val targets = vals.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        explode(array(qsPpm.map(lit(_)): _*)).as("q_ppm"))
+      .select(col("event_type"), col("n"), col("q_ppm"),
+        expr("(n * q_ppm + 999999) div 1000000").as("target_rk"))
+    ranked
+      .join(broadcast(targets),
+        ranked("event_type") === targets("event_type") &&
+          col("rk") === col("target_rk"))
+      .select(ranked("event_type"), col("q_ppm"), col("n"),
+        col("rk").as("rank"), col("v").as("value_c"))
+      .orderBy(col("event_type"), col("q_ppm"))
+  }
+
   /** Robust anomaly detection per event type: exact discrete median,
     * MAD (median absolute deviation) and the count of |v − median| >
     * 3·MAD outliers — the rank-based alternative to mean/stddev

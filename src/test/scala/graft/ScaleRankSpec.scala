@@ -47,6 +47,66 @@ class ScaleRankSpec extends SparkTestBase {
       got.exceptAll(want).limit(5).collect().mkString(", "))
   }
 
+  test("withGroupRank matches the partitionBy window on skewed, straddling groups") {
+    // 3 groups with wildly skewed sizes (the few-fat-groups case the
+    // operator exists for); only 4 shuffle partitions in tests, so every
+    // fat group straddles range-partition boundaries; metric ties break
+    // by unique id per the contract
+    val skewed = spark.range(0, 1200, 1, 8).select(
+      when(col("id") < 1000, "big").when(col("id") < 1180, "mid")
+        .otherwise("tiny").as("g"),
+      (col("id") % 7).as("metric"), col("id"))
+    val want = skewed.withColumn("rk",
+      row_number().over(
+        Window.partitionBy("g").orderBy(desc("metric"), col("id")))
+        .cast("long"))
+      .select(col("id"), col("rk"))
+    val got = ScaleRank
+      .withGroupRank(skewed, "rk", "g", desc("metric"), col("id"))
+      .select(col("id"), col("rk"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      got.exceptAll(want).limit(5).collect().mkString(", "))
+  }
+
+  test("withGroupNtile matches the partitionBy window ntile") {
+    val skewed = spark.range(0, 500, 1, 8).select(
+      when(col("id") < 400, "big").otherwise("small").as("g"),
+      (col("id") % 5).as("metric"), col("id"))
+    for (n <- Seq(4, 10)) {
+      val want = skewed.withColumn("b",
+        ntile(n).over(
+          Window.partitionBy("g").orderBy(desc("metric"), col("id")))
+          .cast("long"))
+        .select(col("id"), col("b"))
+      val got = ScaleRank
+        .withGroupNtile(skewed, "b", n, "g", desc("metric"), col("id"))
+        .select(col("id"), col("b"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"group ntile($n) mismatch")
+    }
+  }
+
+  test("grouped rank plan: census windows only, partitioned by the group") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val skewed = spark.range(0, 300, 1, 4).select(
+      (col("id") % 3).as("g"), (col("id") % 7).as("metric"), col("id"))
+    val q = ScaleRank.withGroupRank(skewed, "rk", "g",
+      desc("metric"), col("id"))
+    val p = q.queryExecution.executedPlan
+    assert(p.toString.contains("Exchange rangepartitioning"),
+      p.toString.take(600))
+    // NO unpartitioned window anywhere, and every window (the census
+    // offset/total) is partitioned by the group, never by the data order
+    val wins = flattenPlan(p).collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "census windows missing")
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, "unpartitioned window in grouped rank")
+      val ordered = w.orderSpec.flatMap(_.references.map(_.name)).toSet
+      assert(ordered.subsetOf(Set("_sr_pid")),
+        s"census window orders by $ordered")
+    }
+  }
+
   test("N < n degenerates to rank (one row per bucket), no div-by-zero") {
     val tiny = spark.range(0, 3, 1, 2).select(col("id"))
     val got = ScaleRank.withNtile(tiny, "b", 10, col("id"))
