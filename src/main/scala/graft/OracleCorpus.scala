@@ -24,6 +24,7 @@ object OracleCorpus {
     "corpus_contamination" -> ((s, dir) => Corpus.contamination(s, dir)),
     "corpus_decontaminated" -> ((s, dir) => Corpus.decontaminated(s, dir)),
     "corpus_length_stats" -> ((s, dir) => Corpus.lengthStats(s, dir)),
+    "corpus_length_deciles" -> ((s, dir) => Corpus.lengthDeciles(s, dir)),
     "corpus_dsir_score" -> ((s, dir) => Corpus.dsirScore(s, dir)),
     "corpus_tv_drift" -> ((s, dir) => Corpus.tvDrift(s, dir)),
     "corpus_chunks" -> ((s, dir) =>
@@ -411,6 +412,22 @@ object OracleCorpus {
         |WHERE rn = 1 OR rn = n OR rn = (n + 1) // 2
         |   OR rn = (n * 9 + 9) // 10
         |GROUP BY source, n ORDER BY source""".stripMargin,
+
+    // Per-source NTILE(10) length census — the decile cut is
+    // deterministic (ORDER BY n_chars, doc_id), so ntile transfers
+    // verbatim.
+    "corpus_length_deciles" ->
+      """WITH d AS (
+        |  SELECT source, n_chars,
+        |    ntile(10) OVER (PARTITION BY source
+        |                    ORDER BY n_chars, doc_id) AS decile
+        |  FROM documents
+        |)
+        |SELECT source, decile::BIGINT AS decile, count(*)::BIGINT AS n_docs,
+        |  min(n_chars)::BIGINT AS min_chars,
+        |  max(n_chars)::BIGINT AS max_chars,
+        |  sum(n_chars)::BIGINT AS sum_chars
+        |FROM d GROUP BY 1, 2 ORDER BY source, decile""".stripMargin,
 
     "corpus_quota_sample" ->
       """WITH d AS (

@@ -455,6 +455,33 @@ object Corpus {
       .orderBy(col("source"))
   }
 
+  /** Per-source length DECILE census — the full distribution
+    * [[lengthStats]] only spot-checks: each source's documents cut into
+    * exact NTILE(10) deciles of n_chars, with per-decile doc count,
+    * char-length range, and total char mass. This is the
+    * sequence-packing / curriculum input ("which decile of web carries
+    * the token mass?"), and the decile cut is
+    * [[ScaleRank.withGroupNtile]] — sources are the canonical
+    * few-fat-groups case, so a partitionBy window would cap parallelism
+    * at |sources| and hand the web crawl to one task; the grouped range
+    * rank splits every source across partitions instead. Deterministic
+    * (ORDER BY n_chars, doc_id), so DuckDB's ntile is the oracle
+    * verbatim.
+    */
+  def lengthDeciles(spark: SparkSession, dir: String): DataFrame =
+    lengthDeciles(docs(spark, dir))
+
+  def lengthDeciles(documents: DataFrame): DataFrame =
+    ScaleRank.withGroupNtile(
+        documents.select(col("source"), col("doc_id"), col("n_chars")),
+        "decile", 10, "source", col("n_chars"), col("doc_id"))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"), col("decile"))
+
   /** Ingestion-order DRIFT census — quality over time within each
     * source: documents are batched in arrival order (doc_id rank
     * within source, `batch` docs per bucket) and each (source, batch)
