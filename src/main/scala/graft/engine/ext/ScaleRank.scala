@@ -53,6 +53,16 @@ object ScaleRank {
   def withGlobalRank(df: DataFrame, out: String, order: Column*): DataFrame =
     ranked(df, out, order).drop("_sr_total")
 
+  /** [[withGlobalRank]] plus `countOut` = the TOTAL row count, carried
+    * on every row (it rides the same broadcast census — free). Use it
+    * when a consumer needs n alongside the rank (quantile target
+    * selection): deriving n any other way re-executes the input as a
+    * second aggregate branch — a second full scan at scale.
+    */
+  def withGlobalRankAndCount(df: DataFrame, out: String, countOut: String,
+                             order: Column*): DataFrame =
+    ranked(df, out, order).withColumnRenamed("_sr_total", countOut)
+
   /** `df` plus column `out` = the exact SQL `NTILE(n)` bucket (1..n,
     * LongType) of each row under the total order `order`. */
   def withNtile(df: DataFrame, out: String, n: Int, order: Column*)
@@ -121,6 +131,15 @@ object ScaleRank {
   def withGroupRank(df: DataFrame, out: String, grp: String,
                     order: Column*): DataFrame =
     groupRanked(df, out, grp, order).drop("_sr_gn")
+
+  /** [[withGroupRank]] plus `countOut` = the GROUP's row count on every
+    * row (from the same census broadcast — free; see
+    * [[withGlobalRankAndCount]] for why consumers should take it here
+    * rather than re-aggregating the input).
+    */
+  def withGroupRankAndCount(df: DataFrame, out: String, countOut: String,
+                            grp: String, order: Column*): DataFrame =
+    groupRanked(df, out, grp, order).withColumnRenamed("_sr_gn", countOut)
 
   /** `df` plus column `out` = exact per-group `NTILE(n)` bucket (1..n,
     * LongType) under `order` within each value of `grp` — the grouped

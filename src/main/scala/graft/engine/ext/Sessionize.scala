@@ -441,14 +441,19 @@ object Sessionize {
   def scaleQuantiles(ev: DataFrame): DataFrame = {
     val qsPpm = Seq(500000L, 900000L, 990000L, 999000L)
     def grainQuantiles(vals: DataFrame, grainLabel: String): DataFrame = {
-      // vals: (v cents, tb unique tiebreaker)
-      val ranked = ScaleRank.withGlobalRank(vals, "rk", col("v"), col("tb"))
-      val targets = vals.agg(count(lit(1)).as("n"))
-        .select(col("n"), explode(array(qsPpm.map(lit(_)): _*)).as("q_ppm"))
-        // ceil(n·q/1e6) without doubles: (n·q + 999999) div 1e6
-        .select(col("n"), col("q_ppm"),
-          expr("(n * q_ppm + 999999) div 1000000").as("target_rk"))
-      ranked.join(broadcast(targets), col("rk") === col("target_rk"))
+      // vals: (v cents, tb unique tiebreaker). The total rides the rank's
+      // own census broadcast, so target selection is a ROW-LOCAL filter —
+      // a separate count() branch would re-execute the input (a second
+      // full scan of the event log / user aggregate at scale).
+      val ranked = ScaleRank.withGlobalRankAndCount(vals, "rk", "n",
+        col("v"), col("tb"))
+      // ceil(n·q/1e6) without doubles: (n·q + 999999) div 1e6
+      val hit = qsPpm.map(q =>
+        col("rk") === expr(s"(n * ${q}L + 999999) div 1000000")).reduce(_ || _)
+      ranked.filter(hit) // ≤4 survivors; the explode below fans only them
+        .select(col("n"), col("rk"), col("v"),
+          explode(array(qsPpm.map(lit(_)): _*)).as("q_ppm"))
+        .filter(col("rk") === expr("(n * q_ppm + 999999) div 1000000"))
         .select(lit(grainLabel).as("grain"), col("q_ppm"), col("n"),
           col("rk").as("rank"), col("v").as("value_c"))
     }
@@ -482,19 +487,18 @@ object Sessionize {
     val vals = ev.select(col("event_type"),
       floor(col("value") * 100).cast("long").as("v"),
       col("event_id").as("tb"))
-    val ranked = ScaleRank.withGroupRank(vals, "rk", "event_type",
-      col("v"), col("tb"))
-    val targets = vals.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("event_type"), col("n"),
+    // the group count rides the rank's census broadcast: target selection
+    // is a row-local filter, never a second per-type aggregate branch
+    // (which would scan the event log again at scale)
+    val ranked = ScaleRank.withGroupRankAndCount(vals, "rk", "n",
+      "event_type", col("v"), col("tb"))
+    val hit = qsPpm.map(q =>
+      col("rk") === expr(s"(n * ${q}L + 999999) div 1000000")).reduce(_ || _)
+    ranked.filter(hit)
+      .select(col("event_type"), col("n"), col("rk"), col("v"),
         explode(array(qsPpm.map(lit(_)): _*)).as("q_ppm"))
-      .select(col("event_type"), col("n"), col("q_ppm"),
-        expr("(n * q_ppm + 999999) div 1000000").as("target_rk"))
-    ranked
-      .join(broadcast(targets),
-        ranked("event_type") === targets("event_type") &&
-          col("rk") === col("target_rk"))
-      .select(ranked("event_type"), col("q_ppm"), col("n"),
+      .filter(col("rk") === expr("(n * q_ppm + 999999) div 1000000"))
+      .select(col("event_type"), col("q_ppm"), col("n"),
         col("rk").as("rank"), col("v").as("value_c"))
       .orderBy(col("event_type"), col("q_ppm"))
   }
