@@ -39,10 +39,10 @@ object OracleAnn {
 
   def oracleSql: Map[String, String] = Map(
     "ann_bruteforce" -> (quantized +
-      """, d AS (
+      raw""", d AS (
         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
         |    CAST(sum(q.q * v.q) AS BIGINT) AS dot
-        |  FROM v q JOIN v ON q.i = v.i AND q.vec_id % 50 = 0
+        |  FROM v q JOIN v ON q.i = v.i AND q.vec_id % $qmSql = 0
         |                 AND v.vec_id != q.vec_id
         |  GROUP BY 1, 2
         |), r AS (
@@ -57,10 +57,10 @@ object OracleAnn {
     // lexical bigram tf-idf top-10 (toksh..lt, as text_tfidf_topk),
     // fused by integer reciprocal rank 1e6 // (60 + rank).
     "ann_hybrid_rrf" -> (quantized +
-      """, d AS (
+      raw""", d AS (
         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
         |    CAST(sum(q.q * v.q) AS BIGINT) AS dot
-        |  FROM v q JOIN v ON q.i = v.i AND q.vec_id % 50 = 0
+        |  FROM v q JOIN v ON q.i = v.i AND q.vec_id % $qmSql = 0
         |                 AND v.vec_id != q.vec_id
         |  GROUP BY 1, 2
         |), dt AS (
@@ -68,7 +68,7 @@ object OracleAnn {
         |    SELECT *, row_number() OVER (PARTITION BY query_id
         |      ORDER BY dot DESC, neighbor_id) AS rank
         |    FROM d) WHERE rank <= 10
-        |), toksh AS (
+        |), $docQmCte, toksh AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
         |                             x -> x != '') AS t
         |  FROM documents
@@ -89,7 +89,7 @@ object OracleAnn {
         |  SELECT q.doc_id AS query_id, p.doc_id AS neighbor_id,
         |    sum(q.wt * p.wt)::BIGINT AS score
         |  FROM post q JOIN post p ON q.term = p.term
-        |    AND q.doc_id % 50 = 0 AND p.doc_id != q.doc_id
+        |    AND q.doc_id % $docQmSql = 0 AND p.doc_id != q.doc_id
         |  GROUP BY 1, 2
         |), lt AS (
         |  SELECT query_id, neighbor_id, rank::BIGINT AS lex_rank FROM (
@@ -120,10 +120,10 @@ object OracleAnn {
     // nprobe tuning curve: one trained index, one exact baseline, four
     // probe widths — each block reuses the shared chain.
     "ann_nprobe_sweep" -> (kmeansFin +
-      """, bfd AS (
+      raw""", bfd AS (
         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
         |    CAST(sum(q.q * v.q) AS BIGINT) AS dot
-        |  FROM v q JOIN v ON q.i = v.i AND q.vec_id % 50 = 0
+        |  FROM v q JOIN v ON q.i = v.i AND q.vec_id % $qmSql = 0
         |                 AND v.vec_id != q.vec_id
         |  GROUP BY 1, 2
         |), bf AS (
@@ -138,7 +138,7 @@ object OracleAnn {
         |  FROM bf
         |)""".stripMargin +
       Seq(1, 2, 4, 8).map(nprobeBlock).mkString +
-      """
+      raw"""
         |SELECT nprobe, n_queries, n_true, n_overlap,
         |  CAST(n_overlap * 1000000 // n_true AS BIGINT) AS recall_ppm
         |FROM (SELECT * FROM row1 UNION ALL SELECT * FROM row2
@@ -147,7 +147,7 @@ object OracleAnn {
 
     // Cell-population / distortion audit over the SAME trained index.
     "ann_cell_balance" -> (kmeansFin +
-      """SELECT cell_id, count(*)::BIGINT AS n_vectors,
+      raw"""SELECT cell_id, count(*)::BIGINT AS n_vectors,
         |  CAST(count(*) * 1000000 // sum(count(*)) OVER () AS BIGINT)
         |    AS share_ppm,
         |  CAST(sum(dist) AS BIGINT) AS sum_dist,
@@ -158,7 +158,7 @@ object OracleAnn {
     // 4 of 5 remaining ids), the held-out batch assigns to the frozen
     // final centroids (c1), and the census full-outer-joins both sides.
     "ann_index_update" -> (quantized +
-      """, vb AS (
+      raw""", vb AS (
         |  SELECT * FROM v WHERE vec_id < 16 OR vec_id % 5 != 4
         |), vn AS (
         |  SELECT * FROM v WHERE vec_id >= 16 AND vec_id % 5 = 4
@@ -215,7 +215,7 @@ object OracleAnn {
     // ann_ivf_trained: the ann_kmeans training chain (c0→d1→a1→c1→d2)
     // extended with L2-ranked probes and inner-product candidate ranking.
     "ann_ivf_trained" -> (quantized +
-      """, c0 AS (
+      raw""", c0 AS (
         |  SELECT vec_id AS cell_id, i, q AS c FROM v WHERE vec_id < 16
         |), d1 AS (
         |  SELECT v.vec_id, c.cell_id,
@@ -243,7 +243,7 @@ object OracleAnn {
         |  SELECT vec_id AS query_id, cell_id FROM (
         |    SELECT vec_id, cell_id,
         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS crank
-        |    FROM d2 WHERE vec_id % 50 = 0) WHERE crank <= 4
+        |    FROM d2 WHERE vec_id % $qmSql = 0) WHERE crank <= 4
         |), cand AS (
         |  SELECT p.query_id, a.vec_id AS neighbor_id, a.cell_id,
         |    CAST(sum(q.q * n.q) AS BIGINT) AS dot
@@ -260,7 +260,7 @@ object OracleAnn {
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
 
     "ann_quantize" -> (quantized +
-      """, sc AS (
+      raw""", sc AS (
         |  SELECT vec_id, greatest(max(abs(q)), 1)::BIGINT AS s,
         |    sum(abs(q))::BIGINT AS mag
         |  FROM v GROUP BY vec_id
@@ -279,7 +279,7 @@ object OracleAnn {
     // truncates toward zero like Spark div, so mean_q is exact even for
     // negative sums.
     "ann_dim_stats" -> (quantized +
-      """SELECT i - 1 AS dim, count(*)::BIGINT AS n_vecs,
+      raw"""SELECT i - 1 AS dim, count(*)::BIGINT AS n_vecs,
         |  min(q)::BIGINT AS min_q, max(q)::BIGINT AS max_q,
         |  sum(q)::BIGINT AS sum_q,
         |  CAST(sum(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
@@ -287,7 +287,7 @@ object OracleAnn {
         |FROM v GROUP BY 1 ORDER BY dim""".stripMargin),
 
     "ann_label_centroids" -> (quantized +
-      """, cent AS (
+      raw""", cent AS (
         |  SELECT label, i,
         |    CAST(floor(sum(q) * 1000.0 / count(*)) AS BIGINT) AS c
         |  FROM v GROUP BY label, i
@@ -302,7 +302,7 @@ object OracleAnn {
     // candidate ranking) is deterministic integer math with explicit
     // tie-breaks, so DuckDB reproduces it bit-for-bit.
     "ann_ivf" -> (quantized +
-      """, cent AS (
+      raw""", cent AS (
         |  SELECT vec_id AS cell_id, i, q AS cq FROM v WHERE vec_id < 16
         |), adot AS (
         |  SELECT v.vec_id, c.cell_id, CAST(sum(v.q * c.cq) AS BIGINT) AS d
@@ -317,7 +317,7 @@ object OracleAnn {
         |  SELECT vec_id AS query_id, cell_id FROM (
         |    SELECT vec_id, cell_id,
         |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell_id) AS crank
-        |    FROM adot WHERE vec_id % 50 = 0) WHERE crank <= 4
+        |    FROM adot WHERE vec_id % $qmSql = 0) WHERE crank <= 4
         |), cand AS (
         |  SELECT p.query_id, a.vec_id AS neighbor_id, a.cell_id,
         |    CAST(sum(q.q * n.q) AS BIGINT) AS dot
@@ -338,13 +338,13 @@ object OracleAnn {
     // = ((i-1)//8, (i-1)%8) extending every group key; cb1 is the
     // codebook after the single recompute (iters=2 assigns against it).
     "ann_pq_codes" -> (quantized + pqChain +
-      """SELECT vec_id, m::BIGINT AS m, code::BIGINT AS code
+      raw"""SELECT vec_id, m::BIGINT AS m, code::BIGINT AS code
         |FROM a2 ORDER BY vec_id, m""".stripMargin),
 
     // PQ codebook staleness: trained on even ids only (initial centroids
     // = first 16 even ids), frozen, then distortion per (half, subspace).
     "ann_pq_drift" -> (quantized +
-      """, sv AS (
+      raw""", sv AS (
         |  SELECT vec_id, (i - 1) // 8 AS m, (i - 1) % 8 AS j, q FROM v
         |), tr AS (
         |  SELECT * FROM sv WHERE vec_id % 2 = 0
@@ -380,8 +380,8 @@ object OracleAnn {
         |FROM tfin GROUP BY 1, 2 ORDER BY half, m""".stripMargin),
 
     "ann_pq_search" -> (quantized + pqChain +
-      """, qs AS (
-        |  SELECT vec_id AS query_id, m, j, q FROM sv WHERE vec_id % 50 = 0
+      raw""", qs AS (
+        |  SELECT vec_id AS query_id, m, j, q FROM sv WHERE vec_id % $qmSql = 0
         |), lut AS (
         |  SELECT qs.query_id, cb1.m, cb1.code,
         |    CAST(sum(qs.q * cb1.c) AS BIGINT) AS d
@@ -404,7 +404,7 @@ object OracleAnn {
     // CTE names disjoint from pqChain's) prunes candidates to the probed
     // cells; ADC ranks only those; exact re-rank on the shortlist.
     "ann_ivfpq_search" -> (quantized + pqChain + ivfPqChain +
-      """SELECT query_id, rank, neighbor_id, dot, adc_dot FROM (
+      raw"""SELECT query_id, rank, neighbor_id, dot, adc_dot FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY dot DESC, neighbor_id)::INT AS rank
         |  FROM ex)
@@ -413,7 +413,7 @@ object OracleAnn {
     // Recall@10 of the composed index vs the exact baseline (same
     // comparison tail as ann_pq_recall).
     "ann_ivfpq_recall" -> (quantized + pqChain + ivfPqChain +
-      """, ivfpq10 AS (
+      raw""", ivfpq10 AS (
         |  SELECT query_id, neighbor_id FROM (
         |    SELECT *, row_number() OVER (PARTITION BY query_id
         |      ORDER BY dot DESC, neighbor_id) AS rnk
@@ -421,7 +421,7 @@ object OracleAnn {
         |), bd AS (
         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
         |    CAST(sum(q.q * v.q) AS BIGINT) AS dot
-        |  FROM v q JOIN v ON q.i = v.i AND q.vec_id % 50 = 0
+        |  FROM v q JOIN v ON q.i = v.i AND q.vec_id % $qmSql = 0
         |                 AND v.vec_id != q.vec_id
         |  GROUP BY 1, 2
         |), brute AS (
@@ -443,8 +443,8 @@ object OracleAnn {
         |ORDER BY t.query_id""".stripMargin),
 
     "ann_pq_rerank" -> (quantized + pqChain +
-      """, qs AS (
-        |  SELECT vec_id AS query_id, m, j, q FROM sv WHERE vec_id % 50 = 0
+      raw""", qs AS (
+        |  SELECT vec_id AS query_id, m, j, q FROM sv WHERE vec_id % $qmSql = 0
         |), lut AS (
         |  SELECT qs.query_id, cb1.m, cb1.code,
         |    CAST(sum(qs.q * cb1.c) AS BIGINT) AS d
@@ -476,11 +476,12 @@ object OracleAnn {
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
 
     "ann_srp_topk" -> (quantized +
-      """, c AS (
+      raw""", c AS (
         |  SELECT p, i,
         |    CASE WHEN ('0x' || substring(md5(p || '_' || i), 1, 1))::INT % 2 = 1
         |         THEN 1 ELSE -1 END AS cc
-        |  FROM range(0, 16) r(p), range(1, 65) s(i)
+        |  FROM range(0, 60) r(p), range(1, 65) s(i)
+        |  WHERE p < 4 * $srpBitsSql
         |), sigv AS (
         |  SELECT vec_id,
         |    CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)
@@ -489,12 +490,13 @@ object OracleAnn {
         |        FROM v JOIN c ON v.i = c.i GROUP BY 1, 2)
         |  GROUP BY vec_id
         |), bands AS (
-        |  SELECT vec_id, band, (sg >> (band * 4)) & 15 AS bv
+        |  SELECT vec_id, band,
+        |    (sg >> (band * $srpBitsSql)) & ((1::BIGINT << $srpBitsSql) - 1) AS bv
         |  FROM sigv, range(0, 4) r(band)
         |), cand AS (
         |  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
         |  FROM bands q JOIN bands n ON q.band = n.band AND q.bv = n.bv
-        |  WHERE q.vec_id % 50 = 0 AND n.vec_id != q.vec_id
+        |  WHERE q.vec_id % $qmSql = 0 AND n.vec_id != q.vec_id
         |), dots AS (
         |  SELECT query_id, neighbor_id, CAST(sum(a.q * b.q) AS BIGINT) AS dot
         |  FROM cand
@@ -510,10 +512,10 @@ object OracleAnn {
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
 
     "ann_srp_recall" -> (quantized +
-      """, d AS (
+      raw""", d AS (
         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
         |    CAST(sum(q.q * v.q) AS BIGINT) AS dot
-        |  FROM v q JOIN v ON q.i = v.i AND q.vec_id % 50 = 0
+        |  FROM v q JOIN v ON q.i = v.i AND q.vec_id % $qmSql = 0
         |                 AND v.vec_id != q.vec_id
         |  GROUP BY 1, 2
         |), br AS (
@@ -527,7 +529,8 @@ object OracleAnn {
         |  SELECT p, i,
         |    CASE WHEN ('0x' || substring(md5(p || '_' || i), 1, 1))::INT % 2 = 1
         |         THEN 1 ELSE -1 END AS cc
-        |  FROM range(0, 16) r(p), range(1, 65) s(i)
+        |  FROM range(0, 60) r(p), range(1, 65) s(i)
+        |  WHERE p < 4 * $srpBitsSql
         |), sigv AS (
         |  SELECT vec_id,
         |    CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)
@@ -536,12 +539,13 @@ object OracleAnn {
         |        FROM v JOIN c ON v.i = c.i GROUP BY 1, 2)
         |  GROUP BY vec_id
         |), bands AS (
-        |  SELECT vec_id, band, (sg >> (band * 4)) & 15 AS bv
+        |  SELECT vec_id, band,
+        |    (sg >> (band * $srpBitsSql)) & ((1::BIGINT << $srpBitsSql) - 1) AS bv
         |  FROM sigv, range(0, 4) r(band)
         |), cand AS (
         |  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
         |  FROM bands q JOIN bands n ON q.band = n.band AND q.bv = n.bv
-        |  WHERE q.vec_id % 50 = 0 AND n.vec_id != q.vec_id
+        |  WHERE q.vec_id % $qmSql = 0 AND n.vec_id != q.vec_id
         |), sdots AS (
         |  SELECT query_id, neighbor_id, CAST(sum(a.q * b.q) AS BIGINT) AS dot
         |  FROM cand
@@ -567,8 +571,8 @@ object OracleAnn {
         |ORDER BY t.query_id""".stripMargin),
 
     "ann_pq_recall" -> (quantized + pqChain +
-      """, qs AS (
-        |  SELECT vec_id AS query_id, m, j, q FROM sv WHERE vec_id % 50 = 0
+      raw""", qs AS (
+        |  SELECT vec_id AS query_id, m, j, q FROM sv WHERE vec_id % $qmSql = 0
         |), lut AS (
         |  SELECT qs.query_id, cb1.m, cb1.code,
         |    CAST(sum(qs.q * cb1.c) AS BIGINT) AS d
@@ -600,7 +604,7 @@ object OracleAnn {
         |), bd AS (
         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
         |    CAST(sum(q.q * v.q) AS BIGINT) AS dot
-        |  FROM v q JOIN v ON q.i = v.i AND q.vec_id % 50 = 0
+        |  FROM v q JOIN v ON q.i = v.i AND q.vec_id % $qmSql = 0
         |                 AND v.vec_id != q.vec_id
         |  GROUP BY 1, 2
         |), brute AS (
@@ -621,7 +625,7 @@ object OracleAnn {
         |ORDER BY t.query_id""".stripMargin),
 
     "corpus_cell_quality" -> (quantized +
-      """, cent AS (
+      raw""", cent AS (
         |  SELECT vec_id AS cell_id, i, q AS cq FROM v WHERE vec_id < 16
         |), adot AS (
         |  SELECT v.vec_id, c.cell_id, CAST(sum(v.q * c.cq) AS BIGINT) AS d
@@ -632,7 +636,7 @@ object OracleAnn {
         |    SELECT vec_id, cell_id,
         |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell_id) AS rn
         |    FROM adot) WHERE rn = 1
-        |), """.stripMargin + docQuality + """, verdict AS (
+        |), """.stripMargin + docQuality + raw""", verdict AS (
         |  SELECT doc_id, keep FROM dq
         |)
         |SELECT cell_id, count(*)::BIGINT AS n_docs,
@@ -643,7 +647,7 @@ object OracleAnn {
         |GROUP BY cell_id ORDER BY cell_id""".stripMargin),
 
     "ann_range_search" -> (quantized +
-      """, cent AS (
+      raw""", cent AS (
         |  SELECT vec_id AS cell_id, i, q AS cq FROM v WHERE vec_id < 16
         |), adot AS (
         |  SELECT v.vec_id, c.cell_id, CAST(sum(v.q * c.cq) AS BIGINT) AS d
@@ -658,7 +662,7 @@ object OracleAnn {
         |  SELECT vec_id AS query_id, cell_id FROM (
         |    SELECT vec_id, cell_id,
         |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell_id) AS crank
-        |    FROM adot WHERE vec_id % 50 = 0) WHERE crank <= 4
+        |    FROM adot WHERE vec_id % $qmSql = 0) WHERE crank <= 4
         |)
         |SELECT p.query_id, a.vec_id AS neighbor_id, a.cell_id,
         |  CAST(sum(q.q * n.q) AS BIGINT) AS dot
@@ -674,14 +678,14 @@ object OracleAnn {
     // replays the same two Lloyd iterations the engine serves, then the
     // probe/rank replay adds the label equality as a pre-filter join.
     "ann_filtered_search" -> (kmeansFin +
-      """, lab AS (
+      raw""", lab AS (
         |  SELECT vec_id, label FROM embeddings
         |), pr AS (
         |  SELECT vec_id AS query_id, cell_id FROM (
         |    SELECT vec_id, cell_id,
         |      row_number() OVER (PARTITION BY vec_id
         |                         ORDER BY dist, cell_id) AS crank
-        |    FROM d2 WHERE vec_id % 50 = 0) WHERE crank <= 4
+        |    FROM d2 WHERE vec_id % $qmSql = 0) WHERE crank <= 4
         |), cand AS (
         |  SELECT p.query_id, ql.label, a.vec_id AS neighbor_id,
         |    CAST(sum(q.q * n.q) AS BIGINT) AS dot

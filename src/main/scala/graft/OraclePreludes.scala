@@ -128,12 +128,44 @@ private[graft] object OraclePreludes {
       |  SELECT v AS doc_id, min(m) AS cluster_id FROM rr GROUP BY v
       |)""".stripMargin
 
+  /** Quantized-vector working set `v`, plus the two SCALE-DERIVED knob
+    * CTEs every ANN/SRP oracle replays from its own count(*) (the exact
+    * integer rules of [[graft.engine.ext.ScaleKnobs]]):
+    * `qmc.qm`  = query-panel modulus max(50, ⌈n/100⌉) — fixed ~100-query
+    *             panels, so exact baselines stay linear in the corpus;
+    * `nbc.bits` = SRP band width min(15, max(4, ⌈log2 n⌉ − 7)) — bucket
+    *             occupancy ≤ 128, so LSH pair work stays linear.
+    * Unreferenced CTEs cost nothing in DuckDB, so the non-panel oracles
+    * sharing this prelude are unaffected.
+    */
   private[graft] val quantized =
     """WITH v AS (
       |  SELECT vec_id, label, i,
       |    CAST(floor(embedding[i]::DOUBLE * 1000) AS BIGINT) AS q
       |  FROM embeddings, range(1, 65) t(i)
+      |), qmc AS (
+      |  SELECT greatest(50, (count(*) + 99) // 100)::BIGINT AS qm
+      |  FROM embeddings
+      |), nbc AS (
+      |  SELECT least(15, greatest(4,
+      |    (SELECT min(b) FROM range(0, 63) t(b)
+      |     WHERE (1::BIGINT << b) >= (SELECT count(*) FROM embeddings))
+      |    - 7))::BIGINT AS bits
       |)""".stripMargin
+
+  /** The panel predicate / band-width scalars, inlined at each use site. */
+  private[graft] val qmSql = "(SELECT qm FROM qmc)"
+  private[graft] val srpBitsSql = "(SELECT bits FROM nbc)"
+
+  /** Document-side panel modulus (text/RAG retrieval panels): same
+    * fixed-panel rule, derived from the documents count.
+    */
+  private[graft] val docQmCte =
+    """dqmc AS (
+      |  SELECT greatest(50, (count(*) + 99) // 100)::BIGINT AS qm
+      |  FROM documents
+      |)""".stripMargin
+  private[graft] val docQmSql = "(SELECT qm FROM dqmc)"
 
   /** The ann_kmeans training replay (two Lloyd iterations, exact
     * integer / floor-mean arithmetic, explicit tie-breaks), ending in
@@ -178,7 +210,7 @@ private[graft] object OraclePreludes {
        |    SELECT vec_id, cell_id,
        |      row_number() OVER (PARTITION BY vec_id
        |                         ORDER BY dist, cell_id) AS crank
-       |    FROM d2 WHERE vec_id % 50 = 0) WHERE crank <= $p
+       |    FROM d2 WHERE vec_id % $qmSql = 0) WHERE crank <= $p
        |), cand$p AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
        |    CAST(sum(q.q * n.q) AS BIGINT) AS dot
@@ -205,14 +237,16 @@ private[graft] object OraclePreludes {
     * `sprs` = (va, vb, dot, na, nb) pairs passing the exact 2/5 cosine
     * threshold. Ends after the closing paren of `sprs`, so callers
     * either start their SELECT directly or continue the CTE list with
-    * a leading ", ".
+    * a leading ", ". The plane count is the SCALE-DERIVED 4 · nbc.bits
+    * (see [[quantized]]) — the replay of the engine's adaptive default.
     */
   private[graft] val srpPairChain =
-    """, c AS (
+    s""", c AS (
       |  SELECT p, i,
       |    CASE WHEN ('0x' || substring(md5(p || '_' || i), 1, 1))::INT % 2 = 1
       |         THEN 1 ELSE -1 END AS cc
-      |  FROM range(0, 16) r(p), range(1, 65) s(i)
+      |  FROM range(0, 60) r(p), range(1, 65) s(i)
+      |  WHERE p < 4 * $srpBitsSql
       |), sigv AS (
       |  SELECT vec_id,
       |    CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)
@@ -223,7 +257,8 @@ private[graft] object OraclePreludes {
       |), norms AS (
       |  SELECT vec_id, sum(q * q) AS n2 FROM v GROUP BY 1
       |), bands AS (
-      |  SELECT vec_id, band, (sg >> (band * 4)) & 15 AS bv
+      |  SELECT vec_id, band,
+      |    (sg >> (band * $srpBitsSql)) & ((1::BIGINT << $srpBitsSql) - 1) AS bv
       |  FROM sigv, range(0, 4) r(band)
       |), cand AS (
       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
@@ -286,7 +321,7 @@ private[graft] object OraclePreludes {
     * exact re-rank (`ex`). Shared by ann_ivfpq_search / ann_ivfpq_recall.
     */
   private[graft] val ivfPqChain =
-    """, kc0 AS (
+    s""", kc0 AS (
       |  SELECT vec_id AS cell_id, i, q AS c FROM v WHERE vec_id < 16
       |), kd1 AS (
       |  SELECT v.vec_id, c.cell_id,
@@ -314,13 +349,13 @@ private[graft] object OraclePreludes {
       |  SELECT vec_id AS query_id, cell_id FROM (
       |    SELECT vec_id, cell_id,
       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_id) AS crank
-      |    FROM kd2 WHERE vec_id % 50 = 0) WHERE crank <= 4
+      |    FROM kd2 WHERE vec_id % $qmSql = 0) WHERE crank <= 4
       |), ccand AS (
       |  SELECT p.query_id, a.vec_id AS neighbor_id
       |  FROM kprobes p
       |  JOIN ka2 a ON a.cell_id = p.cell_id AND a.vec_id != p.query_id
       |), qs AS (
-      |  SELECT vec_id AS query_id, m, j, q FROM sv WHERE vec_id % 50 = 0
+      |  SELECT vec_id AS query_id, m, j, q FROM sv WHERE vec_id % $qmSql = 0
       |), lut AS (
       |  SELECT qs.query_id, cb1.m, cb1.code,
       |    CAST(sum(qs.q * cb1.c) AS BIGINT) AS d

@@ -268,7 +268,7 @@ object OracleText {
     // (w = 1e6 // df, tf capped at 16 — the rational analogs of
     // log-idf and sublinear tf).
     "text_tfidf_topk" -> (toks +
-      """, tt AS (
+      raw""", $docQmCte, tt AS (
         |  SELECT doc_id, t[p+1] || ' ' || t[p+2] AS term
         |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS p
         |        FROM toks WHERE len(t) >= 2)
@@ -285,7 +285,7 @@ object OracleText {
         |  SELECT q.doc_id AS query_id, p.doc_id AS neighbor_id,
         |    sum(q.wt * p.wt)::BIGINT AS score
         |  FROM post q JOIN post p ON q.term = p.term
-        |    AND q.doc_id % 50 = 0 AND p.doc_id != q.doc_id
+        |    AND q.doc_id % $docQmSql = 0 AND p.doc_id != q.doc_id
         |  GROUP BY 1, 2
         |)
         |SELECT query_id, rank, neighbor_id, score FROM (
@@ -298,10 +298,10 @@ object OracleText {
     // (corpus_chunks' exact chunking, query docs held out of the index)
     // against whole-doc queries; chunk-grain df, provenance returned.
     "rag_chunk_topk" ->
-      """WITH t0 AS (
+      raw"""WITH $docQmCte, t0 AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
         |                             x -> x != '') AS t
-        |  FROM documents WHERE doc_id % 50 != 0
+        |  FROM documents WHERE doc_id % $docQmSql != 0
         |), n0 AS (
         |  SELECT doc_id, t, len(t)::BIGINT AS n FROM t0
         |), k AS (
@@ -332,7 +332,7 @@ object OracleText {
         |  SELECT doc_id AS query_id,
         |    list_filter(string_split_regex(lower(text), '\s+'),
         |                x -> x != '') AS t
-        |  FROM documents WHERE doc_id % 50 = 0
+        |  FROM documents WHERE doc_id % $docQmSql = 0
         |), qtt AS (
         |  SELECT query_id, t[p+1] || ' ' || t[p+2] AS term
         |  FROM (SELECT query_id, t, unnest(range(0, len(t) - 1)) AS p
@@ -360,10 +360,10 @@ object OracleText {
     // 1e6), tf-saturation + length-norm as the exact rational
     // 22·tf·A/(10·tf·A+3A+9·dl) with A = floor(avg chunk length).
     "rag_bm25_topk" ->
-      """WITH t0 AS (
+      raw"""WITH $docQmCte, t0 AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
         |                             x -> x != '') AS t
-        |  FROM documents WHERE doc_id % 50 != 0
+        |  FROM documents WHERE doc_id % $docQmSql != 0
         |), n0 AS (
         |  SELECT doc_id, t, len(t)::BIGINT AS n FROM t0
         |), k AS (
@@ -404,7 +404,7 @@ object OracleText {
         |  SELECT doc_id AS query_id,
         |    list_filter(string_split_regex(lower(text), '\s+'),
         |                x -> x != '') AS t
-        |  FROM documents WHERE doc_id % 50 = 0
+        |  FROM documents WHERE doc_id % $docQmSql = 0
         |), qtt AS (
         |  SELECT query_id, t[p+1] || ' ' || t[p+2] AS term
         |  FROM (SELECT query_id, t, unnest(range(0, len(t) - 1)) AS p

@@ -143,6 +143,12 @@ object NativeFunctions {
     override def dataType: DataType = StringType
     override def nullable: Boolean = true
 
+    /** Pattern problems fail ANALYSIS, not mid-execution: an invalid
+      * regex, a zero-capturing-group pattern, or a null literal each
+      * produce a clear TypeCheckFailure here rather than a
+      * PatternSyntaxException / require / NPE from the first evaluation
+      * deep inside a running stage (ADVICE r10).
+      */
     override def checkInputDataTypes(): TypeCheckResult =
       if (subject.dataType != StringType || regexp.dataType != StringType)
         TypeCheckResult.TypeCheckFailure(
@@ -151,15 +157,31 @@ object NativeFunctions {
       else if (!regexp.foldable)
         TypeCheckResult.TypeCheckFailure(
           s"${NativeFunctions.RegexFindName} pattern must be a literal")
-      else TypeCheckResult.TypeCheckSuccess
+      else regexp.eval() match {
+        case null => TypeCheckResult.TypeCheckFailure(
+          s"${NativeFunctions.RegexFindName} pattern must not be NULL")
+        case p =>
+          try {
+            val compiled =
+              java.util.regex.Pattern.compile(p.asInstanceOf[UTF8String].toString)
+            if (compiled.matcher("").groupCount() < 1)
+              TypeCheckResult.TypeCheckFailure(
+                s"${NativeFunctions.RegexFindName} pattern has no capturing " +
+                  s"group: $p")
+            else TypeCheckResult.TypeCheckSuccess
+          } catch {
+            case e: java.util.regex.PatternSyntaxException =>
+              TypeCheckResult.TypeCheckFailure(
+                s"${NativeFunctions.RegexFindName} invalid pattern: " +
+                  e.getMessage)
+          }
+      }
 
-    @transient private lazy val pattern: java.util.regex.Pattern = {
-      val p = regexp.eval().asInstanceOf[UTF8String].toString
-      val compiled = java.util.regex.Pattern.compile(p)
-      require(compiled.matcher("").groupCount() >= 1,
-        s"${NativeFunctions.RegexFindName} pattern has no capturing group: $p")
-      compiled
-    }
+    // analysis (checkInputDataTypes above) has already validated the
+    // pattern; this is the once-per-instance compile both eval paths share
+    @transient private lazy val pattern: java.util.regex.Pattern =
+      java.util.regex.Pattern.compile(
+        regexp.eval().asInstanceOf[UTF8String].toString)
 
     override def nullSafeEval(s: Any, p: Any): Any = {
       val m = pattern.matcher(s.asInstanceOf[UTF8String].toString)

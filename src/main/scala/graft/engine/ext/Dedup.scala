@@ -884,32 +884,40 @@ object Dedup {
     * machinery in constant memory). Cost is still Σ bucket² WORK — that's
     * the LSH contract — but never Σ bucket² MEMORY.
     *
-    * SIZE THE BITS WITH THE CORPUS: with nPlanes fixed, per-bucket
-    * occupancy grows ~n/2^bitsPerBand and pair work ~n²/2^bits —
-    * quadratic at fixed parameters (the r10 sf1 study measured exactly
-    * that: 21× on 10× vectors). The deployment rule is bitsPerBand ≈
-    * log2(n) − log2(target occupancy), i.e. +1 plane per band per
-    * corpus doubling, which holds occupancy — and thus cost per vector —
-    * constant (measured at sf1: nPlanes 16 → 32 drops the full pair
-    * build 29.2 s → 4.5 s, back to ~linear vs sf0.1's 1.2 s). The
-    * defaults are sized for the testdata family; the oracle replays
-    * whatever is passed, so re-sizing is parameter-only.
+    * THE BITS ARE SIZED WITH THE CORPUS BY DEFAULT: with nPlanes fixed,
+    * per-bucket occupancy grows ~n/2^bitsPerBand and pair work ~n²/2^bits
+    * — quadratic at fixed parameters (the r10 sf1 study measured exactly
+    * that: 21× on 10× vectors). `nPlanes = 0` (the default) derives the
+    * band width from the corpus count via
+    * [[ScaleKnobs.srpBitsPerBand]] — max(4, ⌈log2 n⌉ − 7), i.e. +1
+    * plane per band per corpus doubling past 2^11, which holds occupancy
+    * (and cost per vector) ≤ 128 (measured at sf1: the derived 32 planes
+    * drop the full pair build 29.2 s → 4.5 s, back to ~linear vs
+    * sf0.1's 1.2 s; at n ≤ 2,000 the derivation reproduces the
+    * historical 16-plane config bit-for-bit). The derivation is
+    * integer-exact, so the DuckDB oracle replays it from its own
+    * count(*); pass nPlanes > 0 to pin a width (e.g. to hold a recall
+    * target — wider bands trade candidate recall for cost).
     */
   def embedCosinePairs(spark: SparkSession, dir: String): DataFrame =
     embedCosinePairs(spark,
-      spark.read.parquet(s"$dir/embeddings.parquet"))
+      spark.read.parquet(s"$dir/embeddings.parquet"),
+      nPlanes = ScaleKnobs.srpPlanes(ScaleKnobs.embeddingCount(spark, dir)))
 
   def embedCosinePairs(spark: SparkSession, embeddings: DataFrame,
-                       nPlanes: Int = 16,
+                       nPlanes: Int = 0,
                        bands: Int = 4, thrNum: Long = 2L, thrDen: Long = 5L,
                        dims: Int = 64): DataFrame = {
-    require(nPlanes % bands == 0)
+    val planes =
+      if (nPlanes == 0) ScaleKnobs.srpPlanes(embeddings.count(), bands)
+      else nPlanes
+    require(planes % bands == 0)
     graft.engine.expr.NativeFunctions.ensureRegistered(spark)
-    val bitsPerBand = nPlanes / bands
+    val bitsPerBand = planes / bands
     val q = Similarity.quantize(col("embedding"))
-    val planeArrays = (0 until nPlanes).map(p =>
+    val planeArrays = (0 until planes).map(p =>
       array((1 to dims).map(i => lit(srpCoefficient(p, i))): _*))
-    val sigCol = (0 until nPlanes).map { p =>
+    val sigCol = (0 until planes).map { p =>
       val proj = Similarity.qdot(col("q"), planeArrays(p))
       when(proj > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
@@ -958,10 +966,12 @@ object Dedup {
     * window over cluster-sized data.
     */
   def semanticClusters(spark: SparkSession, dir: String): DataFrame =
-    semanticClusters(spark, spark.read.parquet(s"$dir/embeddings.parquet"))
+    semanticClusters(spark, spark.read.parquet(s"$dir/embeddings.parquet"),
+      nPlanes = ScaleKnobs.srpPlanes(ScaleKnobs.embeddingCount(spark, dir)))
 
-  def semanticClusters(spark: SparkSession, embeddings: DataFrame): DataFrame = {
-    val edges = embedCosinePairs(spark, embeddings)
+  def semanticClusters(spark: SparkSession, embeddings: DataFrame,
+                       nPlanes: Int = 0): DataFrame = {
+    val edges = embedCosinePairs(spark, embeddings, nPlanes = nPlanes)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     connectedComponents(embeddings.select(col("vec_id").as("doc_id")), edges)

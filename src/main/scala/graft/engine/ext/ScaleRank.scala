@@ -25,7 +25,14 @@ import org.apache.spark.sql.functions._
   * The census branch and the data branch reference the SAME range
   * exchange subtree, so ReuseExchange executes the upstream plan once
   * and the census re-reads its shuffle files; every stage is
-  * embarrassingly parallel and nothing ever single-partitions.
+  * embarrassingly parallel and nothing ever single-partitions. The
+  * reuse is CORRECTNESS-critical, not just a saving — the range
+  * partitioner samples its boundaries from the upstream data, so two
+  * independent executions over a nondeterministically-ordered upstream
+  * could disagree on partition ids between the branches — and is
+  * therefore pinned by ScaleRankSpec ("census branch REUSES …": exactly
+  * one materialized range exchange, a ReusedExchangeExec for the other
+  * consumer, in the AQE-final executed plan).
   *
   * Correctness contract:
   *  - `order` MUST be a total order (end it with a unique tiebreaker —
@@ -176,14 +183,22 @@ object ScaleRank {
     val wTot = Window.partitionBy(col(grp))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val offsets = census.select(
-      col("_sr_pid"), col(grp), col("_sr_start"),
+      col("_sr_pid").as("_sr_opid"), col(grp).as("_sr_ogrp"),
+      col("_sr_start"),
       coalesce(sum(col("_sr_pn")).over(wOff), lit(0L)).as("_sr_off"),
       sum(col("_sr_pn")).over(wTot).as("_sr_gn"))
+    // NULL-SAFE on the group key (<=>): a plain equi-join would silently
+    // DROP every null-group row (no census match), where the
+    // row_number/ntile partitionBy window this replaces ranks the null
+    // group like any other — the census itself already groups nulls
+    // together, so <=> restores the drop-in contract.
     parted
-      .join(broadcast(offsets), Seq("_sr_pid", grp))
+      .join(broadcast(offsets),
+        col("_sr_pid") === col("_sr_opid") && col(grp) <=> col("_sr_ogrp"))
       .withColumn(out,
         col("_sr_off") + (col("_sr_loc") - col("_sr_start")) + lit(1L))
-      .drop("_sr_mid", "_sr_pid", "_sr_loc", "_sr_off", "_sr_start")
+      .drop("_sr_mid", "_sr_pid", "_sr_opid", "_sr_ogrp", "_sr_loc",
+        "_sr_off", "_sr_start")
   }
 
   /** SQL NTILE from (`_sr_rank`, `_sr_total`): with N rows, the first

@@ -52,19 +52,31 @@ object Similarity {
   private def vectors(spark: SparkSession, dir: String): DataFrame =
     quantizedVectors(spark, spark.read.parquet(s"$dir/embeddings.parquet"))
 
+  /** Resolve a wrapper's queryMod: 0 (the default everywhere) means
+    * "derive the fixed-size panel from the corpus count" —
+    * [[ScaleKnobs.panelMod]], max(50, ceil(n/100)) — so exact recall
+    * baselines stay linear in the corpus instead of panel ∝ n making
+    * them quadratic (the r10 sf1 finding: 36.5x on 10x data). Explicit
+    * values pin the panel; the DuckDB oracles replay the same rule from
+    * count(*).
+    */
+  private def resolveQm(spark: SparkSession, dir: String, queryMod: Int): Int =
+    if (queryMod == 0) ScaleKnobs.panelMod(ScaleKnobs.embeddingCount(spark, dir))
+    else queryMod
+
   /** Exact top-k by inner product for every query vector
     * (vec_id % queryMod == 0), self-match excluded, ties broken by
     * neighbor id. The query side is broadcast; the corpus is scanned once.
     */
   def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 10,
-                     queryMod: Int = 50): DataFrame =
+                     queryMod: Int = 0): DataFrame =
     // the default-parameter exact baseline is the ground truth of every
     // recall QA row — materialized once per (session, dir)
-    if (k == 10 && queryMod == 50)
+    if (k == 10 && queryMod == 0)
       graft.engine.StageCache.materialized(spark, dir, "ann.bruteforce_topk") {
-        bruteForceTopK(vectors(spark, dir), 10, 50)
+        bruteForceTopK(vectors(spark, dir), 10, resolveQm(spark, dir, 0))
       }
-    else bruteForceTopK(vectors(spark, dir), k, queryMod)
+    else bruteForceTopK(vectors(spark, dir), k, resolveQm(spark, dir, queryMod))
 
   def bruteForceTopK(vs: DataFrame, k: Int, queryMod: Int): DataFrame = {
     val queries = vs.filter(col("vec_id") % queryMod === 0)
@@ -88,8 +100,9 @@ object Similarity {
     * cross-joins the query set.
     */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 10,
-              queryMod: Int = 50, nCells: Int = 16, nprobe: Int = 4): DataFrame =
-    ivfTopK(vectors(spark, dir), k, queryMod, nCells, nprobe)
+              queryMod: Int = 0, nCells: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfTopK(vectors(spark, dir), k, resolveQm(spark, dir, queryMod), nCells,
+      nprobe)
 
   def ivfTopK(vs: DataFrame, k: Int, queryMod: Int, nCells: Int,
               nprobe: Int): DataFrame = {
@@ -146,9 +159,10 @@ object Similarity {
     * bounds the candidate set exactly as in top-k search.
     */
   def ivfRangeSearch(spark: SparkSession, dir: String, minDot: Long = 250000L,
-                     queryMod: Int = 50, nCells: Int = 16,
+                     queryMod: Int = 0, nCells: Int = 16,
                      nprobe: Int = 4): DataFrame =
-    ivfRangeSearch(vectors(spark, dir), minDot, queryMod, nCells, nprobe)
+    ivfRangeSearch(vectors(spark, dir), minDot,
+      resolveQm(spark, dir, queryMod), nCells, nprobe)
 
   def ivfRangeSearch(vs: DataFrame, minDot: Long, queryMod: Int, nCells: Int,
                      nprobe: Int): DataFrame = {
@@ -197,10 +211,11 @@ object Similarity {
     * filtering and ranking end to end.
     */
   def filteredTopK(spark: SparkSession, dir: String, k: Int = 10,
-                   queryMod: Int = 50, nprobe: Int = 4): DataFrame = {
+                   queryMod: Int = 0, nprobe: Int = 4): DataFrame = {
+    val qm = resolveQm(spark, dir, queryMod)
     val (assigned, centroids) = kmeansT(spark, dir)
     val labels = vectors(spark, dir).select(col("vec_id"), col("label"))
-    val queries = assigned.filter(col("vec_id") % queryMod === 0)
+    val queries = assigned.filter(col("vec_id") % qm === 0)
       .select(col("vec_id").as("query_id"), col("q").as("qq"))
       .join(broadcast(labels.select(col("vec_id").as("query_id"),
         col("label").as("qlabel"))), "query_id")
@@ -376,12 +391,14 @@ object Similarity {
     * probing and ranking end to end.
     */
   def ivfTrainedTopK(spark: SparkSession, dir: String, k: Int = 10,
-                     queryMod: Int = 50, nCells: Int = 16, iters: Int = 2,
-                     nprobe: Int = 4): DataFrame =
+                     queryMod: Int = 0, nCells: Int = 16, iters: Int = 2,
+                     nprobe: Int = 4): DataFrame = {
+    val qm = resolveQm(spark, dir, queryMod)
     if (nCells == 16 && iters == 2) {
       val (assigned, centroids) = kmeansT(spark, dir)
-      ivfTrainedFromIndex(assigned, centroids, k, queryMod, nprobe)
-    } else ivfTrainedTopK(vectors(spark, dir), k, queryMod, nCells, iters, nprobe)
+      ivfTrainedFromIndex(assigned, centroids, k, qm, nprobe)
+    } else ivfTrainedTopK(vectors(spark, dir), k, qm, nCells, iters, nprobe)
+  }
 
   def ivfTrainedTopK(vs: DataFrame, k: Int, queryMod: Int, nCells: Int,
                      iters: Int, nprobe: Int): DataFrame = {
@@ -427,20 +444,21 @@ object Similarity {
     * single widest search, not |probes| retrainings.
     */
   def nprobeSweep(spark: SparkSession, dir: String, k: Int = 10,
-                  queryMod: Int = 50, nCells: Int = 16, iters: Int = 2,
+                  queryMod: Int = 0, nCells: Int = 16, iters: Int = 2,
                   probesList: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val qm = resolveQm(spark, dir, queryMod)
     val vs = vectors(spark, dir)
     // defaults ride the materialized index + exact baseline
     val (assigned, centroids) =
       if (nCells == 16 && iters == 2) kmeansT(spark, dir)
       else kmeansLoop(vs, nCells, iters)
-    val exact = (if (k == 10 && queryMod == 50) bruteForceTopK(spark, dir)
-                 else bruteForceTopK(vs, k, queryMod))
+    val exact = (if (k == 10 && queryMod == 0) bruteForceTopK(spark, dir)
+                 else bruteForceTopK(vs, k, qm))
       .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
     val totals = exact.agg(
       countDistinct(col("query_id")).as("n_queries"),
       count(lit(1)).as("n_true"))
-    val queries = assigned.filter(col("vec_id") % queryMod === 0)
+    val queries = assigned.filter(col("vec_id") % qm === 0)
       .select(col("vec_id").as("query_id"), col("q").as("qq"))
     val cdist = qdot(col("qq"), col("qq")) -
       lit(2L) * qdot(col("qq"), col("cq")) + qdot(col("cq"), col("cq"))
@@ -544,15 +562,15 @@ object Similarity {
     * per consumer (see OpaqueBarrier).
     */
   def ivfPqTopK(spark: SparkSession, dir: String, topK: Int = 10,
-                shortlist: Int = 30, queryMod: Int = 50, nCells: Int = 16,
+                shortlist: Int = 30, queryMod: Int = 0, nCells: Int = 16,
                 ivfIters: Int = 2, nprobe: Int = 4, M: Int = 8,
                 subDim: Int = 8, pqK: Int = 16, pqIters: Int = 2): DataFrame =
     // consumed by the IVF-PQ search query AND its recall QA — materialized
-    if (topK == 10 && shortlist == 30 && queryMod == 50 && nCells == 16 &&
+    if (topK == 10 && shortlist == 30 && queryMod == 0 && nCells == 16 &&
         ivfIters == 2 && nprobe == 4 && M == 8 && subDim == 8 && pqK == 16 &&
         pqIters == 2)
       graft.engine.StageCache.materialized(spark, dir, "ann.ivfpq_topk") {
-        ivfPqCompute(spark, dir, 10, 30, 50, 16, 2, 4, 8, 8, 16, 2)
+        ivfPqCompute(spark, dir, 10, 30, 0, 16, 2, 4, 8, 8, 16, 2)
       }
     else ivfPqCompute(spark, dir, topK, shortlist, queryMod, nCells, ivfIters,
       nprobe, M, subDim, pqK, pqIters)
@@ -561,6 +579,7 @@ object Similarity {
                            shortlist: Int, queryMod: Int, nCells: Int,
                            ivfIters: Int, nprobe: Int, M: Int,
                            subDim: Int, pqK: Int, pqIters: Int): DataFrame = {
+    val qm = resolveQm(spark, dir, queryMod)
     val vs = vectors(spark, dir)
     val (cellAssigned, centroids) =
       if (nCells == 16 && ivfIters == 2) kmeansT(spark, dir)
@@ -571,7 +590,7 @@ object Similarity {
 
     // probe list: nprobe nearest TRAINED centroids per query (identical
     // distance + tie-break to ivfTrainedTopK)
-    val queries = cellAssigned.filter(col("vec_id") % queryMod === 0)
+    val queries = cellAssigned.filter(col("vec_id") % qm === 0)
       .select(col("vec_id").as("query_id"), col("q").as("qq"))
     val cdist = qdot(col("qq"), col("qq")) -
       lit(2L) * qdot(col("qq"), col("cq")) + qdot(col("cq"), col("cq"))
@@ -596,7 +615,7 @@ object Similarity {
 
     // per-query ADC lookup table (exact query subvectors × trained
     // codebook), flattened to a broadcastable m·K→dot map per query
-    val qsubs = pqAssigned.filter(col("vec_id") % queryMod === 0)
+    val qsubs = pqAssigned.filter(col("vec_id") % qm === 0)
       .select(col("vec_id").as("query_id"), col("m"), col("sq"))
     val lut = qsubs.join(cb, Seq("m"))
       .select(col("query_id"),
@@ -852,13 +871,14 @@ object Similarity {
     * [[bruteForceTopK]] on the top-k ids.
     */
   def pqSearchTopK(spark: SparkSession, dir: String, topK: Int = 10,
-                   queryMod: Int = 50, M: Int = 8, subDim: Int = 8,
+                   queryMod: Int = 0, M: Int = 8, subDim: Int = 8,
                    k: Int = 16, iters: Int = 2): DataFrame = {
+    val qm = resolveQm(spark, dir, queryMod)
     val vs = vectors(spark, dir)
     val (assigned, cb) =
       if (M == 8 && subDim == 8 && k == 16 && iters == 2) pqT(spark, dir)
       else pqLoop(vs, M, subDim, k, iters)
-    val qsubs = assigned.filter(col("vec_id") % queryMod === 0)
+    val qsubs = assigned.filter(col("vec_id") % qm === 0)
       .select(col("vec_id").as("query_id"), col("m"), col("sq").as("qq"))
     val lut = qsubs.join(cb, Seq("m"))
       .select(col("query_id"), col("m"), col("code"),
@@ -885,20 +905,21 @@ object Similarity {
     * the corpus) and keeps the final `topK` by exact score.
     */
   def pqRerankTopK(spark: SparkSession, dir: String, topK: Int = 10,
-                   shortlist: Int = 30, queryMod: Int = 50): DataFrame =
+                   shortlist: Int = 30, queryMod: Int = 0): DataFrame =
     // consumed by the rerank query AND the PQ recall QA — materialized
-    if (topK == 10 && shortlist == 30 && queryMod == 50)
+    if (topK == 10 && shortlist == 30 && queryMod == 0)
       graft.engine.StageCache.materialized(spark, dir, "ann.pq_rerank_topk") {
-        pqRerankCompute(spark, dir, 10, 30, 50)
+        pqRerankCompute(spark, dir, 10, 30, 0)
       }
     else pqRerankCompute(spark, dir, topK, shortlist, queryMod)
 
   private def pqRerankCompute(spark: SparkSession, dir: String, topK: Int,
                               shortlist: Int, queryMod: Int): DataFrame = {
+    val qm = resolveQm(spark, dir, queryMod)
     val vs = vectors(spark, dir)
     val cand = pqSearchTopK(spark, dir, topK = shortlist, queryMod = queryMod)
       .select(col("query_id"), col("neighbor_id"), col("adc_dot"))
-    val queries = vs.filter(col("vec_id") % queryMod === 0)
+    val queries = vs.filter(col("vec_id") % qm === 0)
       .select(col("vec_id").as("query_id"), col("q").as("qq"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("dot"), col("neighbor_id"))
@@ -986,13 +1007,20 @@ object Similarity {
     * [[bruteForceTopK]], so recall is measurable by direct diff.
     */
   def srpTopK(spark: SparkSession, dir: String, k: Int = 10,
-              queryMod: Int = 50, nPlanes: Int = 16, bands: Int = 4,
-              dims: Int = 64): DataFrame =
-    if (k == 10 && queryMod == 50 && nPlanes == 16 && bands == 4 && dims == 64)
+              queryMod: Int = 0, nPlanes: Int = 0, bands: Int = 4,
+              dims: Int = 64): DataFrame = {
+    // nPlanes = 0 derives the band width from the corpus count (same
+    // rule and rationale as Dedup.embedCosinePairs — see ScaleKnobs)
+    def planes = if (nPlanes == 0)
+      ScaleKnobs.srpPlanes(ScaleKnobs.embeddingCount(spark, dir), bands)
+    else nPlanes
+    if (k == 10 && queryMod == 0 && nPlanes == 0 && bands == 4 && dims == 64)
       graft.engine.StageCache.materialized(spark, dir, "ann.srp_topk") {
-        srpTopK(vectors(spark, dir), 10, 50, 16, 4, 64)
+        srpTopK(vectors(spark, dir), 10, resolveQm(spark, dir, 0), planes, 4, 64)
       }
-    else srpTopK(vectors(spark, dir), k, queryMod, nPlanes, bands, dims)
+    else srpTopK(vectors(spark, dir), k, resolveQm(spark, dir, queryMod),
+      planes, bands, dims)
+  }
 
   def srpTopK(vs: DataFrame, k: Int, queryMod: Int, nPlanes: Int,
               bands: Int, dims: Int): DataFrame = {
@@ -1045,7 +1073,7 @@ object Similarity {
     * lives in the two retrieval passes, not the comparison).
     */
   def srpRecall(spark: SparkSession, dir: String, k: Int = 10,
-                queryMod: Int = 50): DataFrame =
+                queryMod: Int = 0): DataFrame =
     // both sides ride the (session, dir) wrappers so the default-case
     // exact baseline comes from the materialized stage
     recallOf(

@@ -559,7 +559,8 @@ object TextAnalysis {
     * higher-order shingling expression is re-evaluated per consumer).
     */
   def tfidfTopK(spark: SparkSession, dir: String): DataFrame =
-    tfidfTopK(spark.read.parquet(s"$dir/documents.parquet"))
+    tfidfTopK(spark.read.parquet(s"$dir/documents.parquet"),
+      queryMod = ScaleKnobs.panelMod(ScaleKnobs.documentCount(spark, dir)))
 
   def tfidfTopK(docs: DataFrame, k: Int = 10, queryMod: Int = 50,
                 n: Int = 2, dfCap: Int = 100, tfCap: Int = 16): DataFrame = {
@@ -610,7 +611,8 @@ object TextAnalysis {
     * not joined back.
     */
   def ragChunkTopK(spark: SparkSession, dir: String): DataFrame =
-    ragChunkTopK(spark.read.parquet(s"$dir/documents.parquet"))
+    ragChunkTopK(spark.read.parquet(s"$dir/documents.parquet"),
+      queryMod = ScaleKnobs.panelMod(ScaleKnobs.documentCount(spark, dir)))
 
   def ragChunkTopK(docs: DataFrame, k: Int = 3, queryMod: Int = 50,
                    win: Int = 32, stride: Int = 24,
@@ -682,7 +684,8 @@ object TextAnalysis {
     * partial-aggregate map-side, top-k is a WindowGroupLimit rank filter.
     */
   def bm25ChunkTopK(spark: SparkSession, dir: String): DataFrame =
-    bm25ChunkTopK(spark.read.parquet(s"$dir/documents.parquet"))
+    bm25ChunkTopK(spark.read.parquet(s"$dir/documents.parquet"),
+      queryMod = ScaleKnobs.panelMod(ScaleKnobs.documentCount(spark, dir)))
 
   def bm25ChunkTopK(docs: DataFrame, k: Int = 3, queryMod: Int = 50,
                     win: Int = 32, stride: Int = 24,

@@ -209,6 +209,27 @@ class DedupSpec extends SparkTestBase {
       (2L, 2L, 1L, true), (3L, 3L, 1L, true)))
   }
 
+  test("embedCosinePairs default derives its plane count from the corpus") {
+    // 2,100 vectors cross the 2^11 occupancy boundary: the derived width
+    // is 5 bits/band (20 planes), one past the historical fixed 16 — the
+    // r10-verdict fix for the n-squared fixed-bucket config. The default
+    // call must equal an explicit pin of the derived value (same buckets,
+    // same pairs), proving the sizing rule is the code path, not scaladoc.
+    assert(graft.engine.ext.ScaleKnobs.srpPlanes(2100L) === 20)
+    val emb = spark.range(2100)
+      .selectExpr("id AS vec_id",
+        // deterministic pseudo-embedding: 21 near-duplicate families of
+        // 100 vectors each (id % 21 seeds the direction, id // 21 jitters)
+        """transform(sequence(1, 64),
+           i -> cast(1.0 + 0.001 * ((id % 21) * 37 + i * (id % 21)) % 3
+                     + 0.0001 * (id div 21) as float)) AS embedding""",
+        "cast(id % 3 as int) AS label")
+    val dflt = Dedup.embedCosinePairs(spark, emb).collect()
+    val pinned = Dedup.embedCosinePairs(spark, emb, nPlanes = 20).collect()
+    assert(dflt.nonEmpty)
+    assert(dflt.map(_.toString).toSeq === pinned.map(_.toString).toSeq)
+  }
+
   test("containment catches a quoted subset that Jaccard misses") {
     // doc 2 quotes doc 1 verbatim inside 4× more surrounding text:
     // Jaccard ≈ 1/4 (under the 0.5 a dup filter would use), containment ≈ 1

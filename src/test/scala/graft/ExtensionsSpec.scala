@@ -84,6 +84,23 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("regex_find_group pattern problems fail at ANALYSIS, not mid-job") {
+    // ADVICE r10: an invalid regex / groupless pattern / null literal
+    // must be an AnalysisException raised while PLANNING (before any
+    // task runs), with the function named — not a PatternSyntaxException
+    // or NPE thrown from the first executor evaluation.
+    val fresh = spark.newSession()
+    for (bad <- Seq(
+        "SELECT regex_find_group('x', '(unclosed')", // invalid regex
+        "SELECT regex_find_group('x', 'no_group')",  // zero capture groups
+        "SELECT regex_find_group('x', cast(null as string))")) { // null
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        fresh.sql(bad).queryExecution.analyzed // analysis only — no job
+      }
+      assert(e.getMessage.contains("regex_find_group"), s"$bad -> $e")
+    }
+  }
+
   test("extension-installed functions survive DESCRIBE FUNCTION") {
     val fresh = spark.newSession()
     val desc = fresh.sql("DESCRIBE FUNCTION qdot_native")

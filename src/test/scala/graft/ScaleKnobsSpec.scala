@@ -1,0 +1,65 @@
+package graft
+
+import graft.engine.ext.ScaleKnobs
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scale-derived defaults (r10 verdict asks #1/#2): integer-exact,
+  * monotone in the corpus count, and pinned to the historically-measured
+  * values at the testdata scales so the derivation can never silently
+  * change what the committed bench/correctness artifacts measured.
+  */
+class ScaleKnobsSpec extends AnyFunSuite {
+
+  test("ceilLog2 is the exact integer ceil(log2 n)") {
+    assert(ScaleKnobs.ceilLog2(1L) === 0)
+    assert(ScaleKnobs.ceilLog2(2L) === 1)
+    assert(ScaleKnobs.ceilLog2(3L) === 2)
+    assert(ScaleKnobs.ceilLog2(4L) === 2)
+    assert(ScaleKnobs.ceilLog2(5L) === 3)
+    assert(ScaleKnobs.ceilLog2(1024L) === 10)
+    assert(ScaleKnobs.ceilLog2(1025L) === 11)
+    // the SQL replay (min b with 2^b >= n) agrees on a dense sweep
+    for (n <- 1L to 5000L) {
+      val sqlB = (0 to 62).find(b => (1L << b) >= n).get
+      assert(ScaleKnobs.ceilLog2(n) === sqlB, s"n=$n")
+    }
+  }
+
+  test("srpBitsPerBand: occupancy-bounded, grows one bit per doubling") {
+    // the testdata family reproduces the historical 16-plane config
+    assert(ScaleKnobs.srpBitsPerBand(500L) === 4)
+    assert(ScaleKnobs.srpBitsPerBand(2000L) === 4)
+    assert(ScaleKnobs.srpPlanes(2000L) === 16)
+    // sf1 (20k vectors) derives the A/B-measured 32-plane fix
+    assert(ScaleKnobs.srpBitsPerBand(20000L) === 8)
+    assert(ScaleKnobs.srpPlanes(20000L) === 32)
+    // monotone non-decreasing; occupancy n / 2^bits stays < 128 once
+    // the floor is passed; capped at 15 so 4-band signatures fit a BIGINT
+    var prev = 0
+    for (e <- 1 to 40) {
+      val n = 1L << e
+      val bits = ScaleKnobs.srpBitsPerBand(n)
+      assert(bits >= prev)
+      prev = bits
+      if (bits > 4 && bits < 15)
+        assert(n.toDouble / (1L << bits) <= 128.0, s"occupancy at n=$n")
+      assert(bits <= 15)
+    }
+  }
+
+  test("panelMod: fixed ~100-query panel at any corpus size") {
+    // unchanged at the driver-tested scales (panel == historical qm=50)
+    assert(ScaleKnobs.panelMod(500L) === 50)
+    assert(ScaleKnobs.panelMod(2000L) === 50)
+    assert(ScaleKnobs.panelMod(5000L) === 50)
+    // grows past 5k: sf1 embeddings (20k) -> 200, documents (50k) -> 500
+    assert(ScaleKnobs.panelMod(20000L) === 200)
+    assert(ScaleKnobs.panelMod(50000L) === 500)
+    // panel size |{id : id % qm == 0, id < n}| stays <= 100 forever
+    for (n <- Seq(10L, 5001L, 99999L, 1000000L, 123456789L)) {
+      val qm = ScaleKnobs.panelMod(n)
+      val panel = (n + qm - 1) / qm // ids 0, qm, 2qm, ... < n
+      assert(panel <= 100L, s"panel=$panel at n=$n")
+    }
+  }
+}

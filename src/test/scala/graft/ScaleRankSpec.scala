@@ -107,6 +107,61 @@ class ScaleRankSpec extends SparkTestBase {
     }
   }
 
+  test("withGroupRank keeps and ranks NULL group keys like the window") {
+    // every 5th row has a null group: the census join is null-safe (<=>),
+    // so null-group rows must rank exactly as the partitionBy window
+    // ranks them — not silently vanish (ADVICE r10)
+    val d = spark.range(0, 60, 1, 4).select(
+      when(col("id") % 5 === 0, lit(null)).otherwise(col("id") % 3).as("g"),
+      (col("id") % 7).as("metric"), col("id"))
+    val want = d.withColumn("rk",
+      row_number().over(
+        Window.partitionBy("g").orderBy(desc("metric"), col("id")))
+        .cast("long"))
+      .select(col("id"), col("rk"))
+    val got = ScaleRank.withGroupRank(d, "rk", "g", desc("metric"), col("id"))
+      .select(col("id"), col("rk"))
+    assert(got.count() === 60L, "null-group rows were dropped")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      got.exceptAll(want).limit(5).collect().mkString(", "))
+  }
+
+  test("census branch REUSES the data branch's range exchange") {
+    // correctness depends on the two branches reading ONE execution of
+    // the range exchange: the RangePartitioner samples its boundaries
+    // nondeterministically, so independent executions could disagree on
+    // partition ids and ranks would silently skew (ADVICE r10). Pin the
+    // reuse in the EXECUTED plan: exactly one range exchange runs; the
+    // second consumer is a ReusedExchange/reused query stage.
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec
+    val q = ScaleRank.withGlobalRank(df, "rk", desc("metric"), col("id"))
+    q.queryExecution.toRdd.count() // execute THIS plan (AQE finalizes it)
+    val nodes = flattenPlan(q.queryExecution.executedPlan)
+    // NOTE: a reused exchange still gets its OWN query-stage id — the
+    // reuse is visible as a ShuffleQueryStageExec wrapping
+    // ReusedExchangeExec, not as a repeated stage id. Count the real
+    // materializations (ShuffleExchangeLike) and the reuse wrappers
+    // separately.
+    val realRange = nodes.collect {
+      case s: ShuffleQueryStageExec
+        if s.plan.isInstanceOf[ShuffleExchangeLike] &&
+          s.plan.outputPartitioning.isInstanceOf[RangePartitioning] => s
+    }
+    val reusedRange = nodes.collect {
+      case r: ReusedExchangeExec
+        if r.outputPartitioning.isInstanceOf[RangePartitioning] => r
+    }
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(realRange.map(_.id).distinct.size == 1,
+      s"expected ONE materialized range exchange, ids = " +
+        s"${realRange.map(_.id).distinct}:\n${planStr.take(2000)}")
+    assert(reusedRange.nonEmpty,
+      s"census branch does not reuse the range exchange:\n" +
+        planStr.take(2000))
+  }
+
   test("N < n degenerates to rank (one row per bucket), no div-by-zero") {
     val tiny = spark.range(0, 3, 1, 2).select(col("id"))
     val got = ScaleRank.withNtile(tiny, "b", 10, col("id"))
