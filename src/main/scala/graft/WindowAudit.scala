@@ -38,6 +38,37 @@ object WindowAudit {
     p +: kids.flatMap(flatten)
   }
 
+  /** Execute ONE query and measure every unpartitioned window's input
+    * rows from the executed plan's own SQL metrics. Returns one
+    * (orderBy columns, measured rows) per global window — empty when the
+    * plan has none. Shared by the CLI main and the failing spec gate
+    * (WindowAuditGateSpec), so the gate measures exactly what the
+    * committed per-round artifact measures.
+    */
+  def auditQuery(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] = {
+    // execute df's OWN queryExecution: a noop-sink write (or count)
+    // would plan a NEW execution and leave this plan's metrics at 0
+    df.queryExecution.toRdd.foreach(_ => ())
+    val windows = flatten(df.queryExecution.executedPlan).collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    windows.map { w =>
+      // the window's input size: Window/Sort/WSCG track no row
+      // counts, so walk DOWN the operator chain to the first node
+      // that does — normally the single-partition exchange feeding
+      // the window, whose shuffle record count IS the rows one
+      // task owns (else the aggregate below it, same number).
+      val rowKeys = Seq("shuffleRecordsWritten", "recordsRead",
+        "numOutputRows")
+      val rows = flatten(w).drop(1).iterator
+        .flatMap(n => rowKeys.flatMap(n.metrics.get).headOption)
+        .map(_.value).find(_ >= 0L).getOrElse(-1L)
+      val order = w.orderSpec.flatMap(_.references.map(_.name)).distinct
+        .mkString(",")
+      (order, rows)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val limit = if (args.length > 1) args(1).toLong else 4096L
@@ -61,29 +92,8 @@ object WindowAudit {
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(String, Long)]]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       try {
-        val df = fn(spark, sfDir)
-        // execute df's OWN queryExecution: a noop-sink write (or count)
-        // would plan a NEW execution and leave this plan's metrics at 0
-        df.queryExecution.toRdd.foreach(_ => ())
-        val windows = flatten(df.queryExecution.executedPlan).collect {
-          case w: WindowExec if w.partitionSpec.isEmpty => w
-        }
-        if (windows.nonEmpty) {
-          val detail = windows.map { w =>
-            // the window's input size: Window/Sort/WSCG track no row
-            // counts, so walk DOWN the operator chain to the first node
-            // that does — normally the single-partition exchange feeding
-            // the window, whose shuffle record count IS the rows one
-            // task owns (else the aggregate below it, same number).
-            val rowKeys = Seq("shuffleRecordsWritten", "recordsRead",
-              "numOutputRows")
-            val rows = flatten(w).drop(1).iterator
-              .flatMap(n => rowKeys.flatMap(n.metrics.get).headOption)
-              .map(_.value).find(_ >= 0L).getOrElse(-1L)
-            val order = w.orderSpec.flatMap(_.references.map(_.name)).distinct
-              .mkString(",")
-            (order, rows)
-          }
+        val detail = auditQuery(fn(spark, sfDir))
+        if (detail.nonEmpty) {
           results(name) = detail
           val mx = detail.map(_._2).max
           if (mx > worstRows) { worstRows = mx; worstQuery = name }

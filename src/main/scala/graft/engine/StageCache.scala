@@ -30,14 +30,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * loss, session restarts, and sharing across jobs (a later session with
   * the same cache dir reuses the files without rebuilding). This is the
   * "actual table write" the cluster deployment wants; point it at a
-  * durable filesystem (HDFS/object store). Staleness is the caller's
-  * contract, same as any materialized table: the key includes the corpus
-  * dir, so a NEW corpus snapshot (new dir) never reads an old stage, but
-  * regenerating data IN PLACE requires clearing the cache dir. Writes go
-  * to a temp dir then rename into place; concurrent writers in the same
-  * JVM serialize on the per-key lock, cross-job writers are the
-  * scheduler's job to serialize (rename loses are tolerated by
-  * re-checking for a winner's _SUCCESS).
+  * durable filesystem (HDFS/object store). The key includes BOTH the
+  * corpus dir path and a fingerprint of its content listing (file
+  * names, sizes, mtimes — [[corpusFingerprint]]), so a new corpus
+  * snapshot (new dir) never reads an old stage AND regenerating data in
+  * place misses instead of silently serving stale derivations; stages
+  * keyed by superseded fingerprints linger as garbage until the cache
+  * dir is cleaned. Writes go to a temp dir then rename into place;
+  * concurrent writers in the same JVM serialize on the per-key lock,
+  * cross-job writers are the scheduler's job to serialize (rename
+  * losses are tolerated by re-checking for a winner's _SUCCESS — on
+  * both rename semantics, see [[finalizeStage]]); crashed writers'
+  * orphaned tmp dirs are age-swept on the next call.
   *
   * Lifetime: in-memory entries live until [[clear]] or JVM exit. (A
   * cached DataFrame strongly references its session, so weak-keying the
@@ -153,34 +157,107 @@ object StageCache {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
 
-  /** Durable mode: parquet under `root`, path keyed by (name, corpus
-    * dir). Write-once: a pre-existing _SUCCESS short-circuits the build
-    * — including across JVMs, which is the cross-session reuse.
+  /** Fingerprint of the CONTENT LISTING of a corpus dir: every file's
+    * (relative name, length, mtime), folded in sorted order. Regenerating
+    * a corpus IN PLACE changes sizes/mtimes, so the durable key misses
+    * and the stage rebuilds instead of silently serving data derived
+    * from the old snapshot (r10 verdict ask #4 — the old path-only key
+    * made in-place regeneration "the caller's contract"; the listing is
+    * one cheap FileSystem recursion, so the cache can enforce it). The
+    * fingerprint deliberately ignores the absolute path prefix — the
+    * separate path hash covers identity — so a corpus bit-copied with
+    * preserved mtimes keys the same.
+    */
+  private[graft] def corpusFingerprint(
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def walk(p: Path, prefix: String): Unit =
+      fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
+        val rel = s"$prefix/${st.getPath.getName}"
+        if (st.isDirectory) walk(st.getPath, rel)
+        else md.update(
+          s"$rel|${st.getLen}|${st.getModificationTime}\n".getBytes("UTF-8"))
+      }
+    walk(dir, "")
+    md.digest().map("%02x".format(_)).mkString.take(12)
+  }
+
+  /** Stale-tmp sweep threshold: a `.tmp-*` dir this much older than now
+    * belongs to a crashed writer (a live writer's parquet job keeps
+    * touching its files), so it is safe to reclaim. */
+  private val TmpSweepAgeMs = 60L * 60L * 1000L
+
+  /** Durable mode: parquet under `root`, keyed by (name, corpus dir
+    * path, corpus CONTENT fingerprint). Write-once: a pre-existing
+    * _SUCCESS short-circuits the build — including across JVMs, which
+    * is the cross-session reuse.
     */
   private def durableStage(spark: SparkSession, root: String, dir: String,
       name: String, build: => DataFrame): (DataFrame, Boolean) = {
     val dirHash = java.security.MessageDigest.getInstance("MD5")
       .digest(canonical(dir).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
-    val target = new Path(root, s"$name-$dirHash")
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val corpusPath = new Path(canonical(dir))
+    val fpHash = corpusFingerprint(corpusPath.getFileSystem(hconf), corpusPath)
+    val target = new Path(root, s"$name-$dirHash-$fpHash")
+    val fs = target.getFileSystem(hconf)
     def complete(): Boolean = fs.exists(new Path(target, "_SUCCESS"))
+    // reclaim crashed writers' tmp dirs for this stage (age-gated so a
+    // LIVE concurrent writer's tmp is never deleted mid-write)
+    sweepStaleTmps(fs, new Path(root), target.getName)
     val wrote = if (complete()) false else {
       val tmp = new Path(root,
         s".${target.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       build.write.mode("overwrite").parquet(tmp.toString)
-      // rename into place; losing a cross-JVM race is fine iff the
-      // winner's stage is complete
-      if (!fs.rename(tmp, target)) {
-        val winnerOk = complete()
-        fs.delete(tmp, true)
-        require(winnerOk,
-          s"stage $name: rename to $target failed and no complete stage exists")
-        false
-      } else true
+      finalizeStage(fs, tmp, target, name)
     }
     (spark.read.parquet(target.toString), wrote)
   }
+
+  /** Rename `tmp` into place as `target`; returns whether THIS caller's
+    * write became the stage. Handles both cross-JVM race outcomes
+    * (ADVICE r10): on HDFS-like systems a rename onto an existing target
+    * returns false, but POSIX-mv filesystems (RawLocalFileSystem) move
+    * tmp INSIDE the existing target and return true — detect the nested
+    * dir, delete it, and count the caller as the race loser. Either way
+    * a loser requires the winner's _SUCCESS to exist.
+    */
+  private[graft] def finalizeStage(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: Path, target: Path, name: String): Boolean = {
+    def complete(): Boolean = fs.exists(new Path(target, "_SUCCESS"))
+    if (!fs.rename(tmp, target)) {
+      val winnerOk = complete()
+      fs.delete(tmp, true)
+      require(winnerOk,
+        s"stage $name: rename to $target failed and no complete stage exists")
+      false
+    } else {
+      val nested = new Path(target, tmp.getName)
+      if (fs.exists(nested)) { // POSIX mv nested us inside the winner
+        fs.delete(nested, true)
+        require(complete(),
+          s"stage $name: lost rename race but no complete stage at $target")
+        false
+      } else true
+    }
+  }
+
+  /** Delete `.{stage}.tmp-*` dirs older than [[TmpSweepAgeMs]] — orphans
+    * from crashed writers that would otherwise leak cache-dir disk
+    * forever (tolerated-race losers already clean up after themselves).
+    */
+  private def sweepStaleTmps(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, stageName: String): Unit =
+    try {
+      val cutoff = System.currentTimeMillis() - TmpSweepAgeMs
+      fs.listStatus(root).foreach { st =>
+        if (st.isDirectory &&
+            st.getPath.getName.startsWith(s".$stageName.tmp-") &&
+            st.getModificationTime < cutoff)
+          fs.delete(st.getPath, true)
+      }
+    } catch { case _: java.io.FileNotFoundException => () }
 
   /** Drop this session's entries and unpersist their checkpoint blocks
     * (blocking, so a post-clear bench window starts clean). Durable

@@ -130,6 +130,66 @@ class StageCacheSpec extends SparkTestBase {
     }
   }
 
+  test("durable stage REBUILDS when the corpus is regenerated in place") {
+    // r10 verdict ask #4: the durable key folds in the corpus content
+    // listing (names, sizes, mtimes), so rewriting the same dir misses
+    // the cache instead of silently serving the stale derivation
+    val dir = tmpDocs(corpus)
+    val cacheDir = java.nio.file.Files.createTempDirectory("sc-fp").toString
+    spark.conf.set(StageCache.DurableDirConf, cacheDir)
+    try {
+      val before = StageCache.builds
+      val d1 = StageCache.materialized(spark, dir, "spec.fp") {
+        spark.range(3).toDF("n")
+      }
+      assert(StageCache.builds === before + 1)
+      assert(d1.count() === 3)
+      // regenerate the corpus IN PLACE (different content -> different
+      // file sizes, so the fingerprint changes even at coarse mtimes)
+      corpus.take(2).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // fresh session (durable mode's cross-session path): must REBUILD
+      val s2 = spark.newSession()
+      s2.conf.set(StageCache.DurableDirConf, cacheDir)
+      var rebuilt = false
+      val d2 = StageCache.materialized(s2, dir, "spec.fp") {
+        rebuilt = true; s2.range(4).toDF("n")
+      }
+      assert(rebuilt, "in-place corpus regeneration served a stale stage")
+      assert(StageCache.builds === before + 2)
+      assert(d2.count() === 4)
+      StageCache.clear(s2)
+    } finally {
+      spark.conf.unset(StageCache.DurableDirConf)
+      StageCache.clear(spark)
+    }
+  }
+
+  test("rename-race loser on POSIX-mv semantics cleans its nested tmp") {
+    // RawLocalFileSystem renames INTO an existing target (POSIX mv):
+    // the loser's tmp nests inside the winner's stage dir and rename
+    // returns true. finalizeStage must detect the nesting, delete it,
+    // and report the caller as the loser (ADVICE r10).
+    val root = java.nio.file.Files.createTempDirectory("sc-race").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(root, "stage-abc")
+    fs.mkdirs(target)
+    fs.create(new org.apache.hadoop.fs.Path(target, "_SUCCESS")).close()
+    fs.create(new org.apache.hadoop.fs.Path(target, "part-0.parquet")).close()
+    val tmp = new org.apache.hadoop.fs.Path(root, ".stage-abc.tmp-deadbeef")
+    fs.mkdirs(tmp)
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "part-0.parquet")).close()
+    val wrote = StageCache.finalizeStage(fs, tmp, target, "stage-abc")
+    assert(!wrote, "race loser must not count as the writer")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(target, tmp.getName)),
+      "nested tmp dir leaked inside the winner's stage")
+    assert(!fs.exists(tmp))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(target, "part-0.parquet")),
+      "winner's stage files must be untouched")
+  }
+
   test("CLI --stage-cache-dir switches a registry query to durable stages") {
     val cacheDir = java.nio.file.Files.createTempDirectory("sc-cli").toString
     val out = java.nio.file.Files.createTempDirectory("sc-cli-out").toString

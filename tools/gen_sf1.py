@@ -1,9 +1,10 @@
 #!/usr/bin/env python3
 """Derive an sf1 decade-scale test set from the driver's sf0.1 tables.
 
-Writes 10x replicas of documents / embeddings / events to data/sf1/
-(deterministic, no RNG), and symlinks the TPC-H tables from sf0.1 so the
-directory is a drop-in SPARK_GRAFT_SF_DIR.
+Writes 10x replicas of documents / embeddings / events AND the TPC-H
+fact/entity tables to data/sf1/ (deterministic, no RNG); region/nation
+keep their fixed 5/25-row cardinality (they are bounded dimensions at
+any scale, like a country list) and are symlinked.
 
 Replication preserves the sf0.1 distributions instead of distorting them:
 
@@ -25,6 +26,15 @@ Replication preserves the sf0.1 distributions instead of distorting them:
 - events: replica k offsets user_id/event_id; timestamps unchanged, so
   it models 10x concurrent users with identical per-user timelines
   (per-key state stays constant; only key cardinality grows).
+- TPC-H (r11): replica k offsets EVERY entity key by k*10^7
+  (c_custkey, s_suppkey, p_partkey, o_orderkey — and the foreign keys
+  o_custkey / l_orderkey / l_partkey / l_suppkey move IN LOCKSTEP), so
+  the result is 10 disjoint copies with referential integrity intact:
+  per-order baskets, per-customer order counts, per-part supplier sets
+  and every join fan-out stay EXACTLY sf0.1's, while join/aggregate
+  input volume grows 10x -- the scaling a decade point is supposed to
+  measure. Non-key attributes (dates, prices, flags) are unchanged, so
+  value distributions (and thus selectivities) are identical.
 
 Usage: python3 tools/gen_sf1.py [outdir]   (default /root/repo/data/sf1)
 """
@@ -87,12 +97,46 @@ COPY (
 ) TO '{OUT}/events.parquet' (FORMAT PARQUET)
 """)
 
-for t in ("region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem"):
+# TPC-H 10x: key-offset disjoint replicas (see module docstring). The
+# K offset (10^7) clears every sf0.1 key range (max key 6*10^5).
+K = 10_000_000
+TPCH = {
+    "customer": f"""SELECT c_custkey + k.k * {K} AS c_custkey, c_name,
+        c_nationkey, c_acctbal, c_mktsegment""",
+    "supplier": f"""SELECT s_suppkey + k.k * {K} AS s_suppkey, s_name,
+        s_nationkey, s_acctbal""",
+    "part": f"""SELECT p_partkey + k.k * {K} AS p_partkey, p_name, p_brand,
+        p_type, p_size, p_retailprice""",
+    "orders": f"""SELECT o_orderkey + k.k * {K} AS o_orderkey,
+        o_custkey + k.k * {K} AS o_custkey, o_orderstatus, o_totalprice,
+        o_orderdate, o_orderpriority""",
+    "lineitem": f"""SELECT l_orderkey + k.k * {K} AS l_orderkey,
+        l_partkey + k.k * {K} AS l_partkey,
+        l_suppkey + k.k * {K} AS l_suppkey, l_linenumber, l_quantity,
+        l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+        l_shipdate""",
+}
+for t, sel in TPCH.items():
+    dst = f"{OUT}/{t}.parquet"
+    if os.path.islink(dst):  # pre-r11 layout symlinked the sf0.1 table
+        os.unlink(dst)
+    order_col = {"customer": "c_custkey", "supplier": "s_suppkey",
+                 "part": "p_partkey", "orders": "o_orderkey",
+                 "lineitem": "l_orderkey, l_linenumber"}[t]
+    con.execute(f"""
+    COPY (
+      {sel}
+      FROM '{SRC}/{t}.parquet', range(0, {REPLICAS}) k(k)
+      ORDER BY {order_col}
+    ) TO '{dst}' (FORMAT PARQUET)
+    """)
+
+for t in ("region", "nation"):
     dst = f"{OUT}/{t}.parquet"
     if not os.path.exists(dst):
         os.symlink(f"{SRC}/{t}.parquet", dst)
 
-for t in ("documents", "embeddings", "events"):
+for t in ("documents", "embeddings", "events", "customer", "supplier",
+          "part", "orders", "lineitem"):
     n = con.execute(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
     print(t, n)
