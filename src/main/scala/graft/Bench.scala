@@ -62,35 +62,11 @@ object Bench {
     // The warmup above populated the cache for sf0.001 only; clear it so
     // the build at sfDir is measured from cold.
     graft.engine.StageCache.clear(spark)
+    // The stage list lives in BenchStages (one definition, spec-checked
+    // bijective with the stages the registry actually consumes).
     val stageRows: Seq[(String, Double)] =
       if (subset.nonEmpty) Seq.empty
-      else Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)](
-        "_stage_simhash_pairs" ->
-          ((s, d) => graft.engine.ext.Dedup.simhashPairs(s, d)),
-        "_stage_simhash_clusters" ->
-          ((s, d) => graft.engine.ext.Dedup.simhashClusters(s, d)),
-        "_stage_ngram_pairs_t0" ->
-          ((s, d) => graft.engine.ext.Dedup.ngramPairsT0(s, d)),
-        "_stage_minhash_pairs" ->
-          ((s, d) => graft.engine.ext.Dedup.minhashPairs(s, d)),
-        "_stage_spans" ->
-          ((s, d) => graft.engine.ext.Dedup.spansT(s, d)),
-        // ANN index trainings + baselines; ordered so the composed
-        // stages (IVF-PQ, PQ re-rank) measure only their own increment
-        // on top of the already-cached trainings
-        "_stage_bruteforce_topk" ->
-          ((s, d) => graft.engine.ext.Similarity.bruteForceTopK(s, d)),
-        "_stage_kmeans" ->
-          ((s, d) => graft.engine.ext.Similarity.kmeansCells(s, d)),
-        "_stage_pq" ->
-          ((s, d) => graft.engine.ext.Similarity.pqCodes(s, d)),
-        "_stage_srp_topk" ->
-          ((s, d) => graft.engine.ext.Similarity.srpTopK(s, d)),
-        "_stage_ivfpq_topk" ->
-          ((s, d) => graft.engine.ext.Similarity.ivfPqTopK(s, d)),
-        "_stage_pq_rerank_topk" ->
-          ((s, d) => graft.engine.ext.Similarity.pqRerankTopK(s, d))
-      ).map { case (name, fn) =>
+      else BenchStages.rows.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() } catch {
           case e: Throwable => errors ::= name ->

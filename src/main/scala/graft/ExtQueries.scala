@@ -20,18 +20,23 @@ import graft.engine.ext._
   */
 object ExtQueries {
 
-  private val families = Seq(
-    OracleRelational.queries -> OracleRelational.oracleSql,
-    OracleEvents.queries -> OracleEvents.oracleSql,
-    OracleDedup.queries -> OracleDedup.oracleSql,
-    OracleAnn.queries -> OracleAnn.oracleSql,
-    OracleText.queries -> OracleText.oracleSql,
-    OracleCorpus.queries -> OracleCorpus.oracleSql,
-    OracleMultimodal.queries -> OracleMultimodal.oracleSql)
+  /** (family name, registrations, oracles) — the family is REGISTRY
+    * metadata (see [[QueryMeta]]): derived from which module registered
+    * the query, so it can never drift from the code the way a hand-kept
+    * label could.
+    */
+  private[graft] val families = Seq(
+    ("relational", OracleRelational.queries, OracleRelational.oracleSql),
+    ("events", OracleEvents.queries, OracleEvents.oracleSql),
+    ("dedup", OracleDedup.queries, OracleDedup.oracleSql),
+    ("ann", OracleAnn.queries, OracleAnn.oracleSql),
+    ("text", OracleText.queries, OracleText.oracleSql),
+    ("corpus", OracleCorpus.queries, OracleCorpus.oracleSql),
+    ("multimodal", OracleMultimodal.queries, OracleMultimodal.oracleSql))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    families.iterator.map(_._1).reduce(_ ++ _)
+    families.iterator.map(_._2).reduce(_ ++ _)
 
   def oracleSql: Map[String, String] =
-    families.iterator.map(_._2).reduce(_ ++ _)
+    families.iterator.map(_._3).reduce(_ ++ _)
 }

@@ -274,4 +274,15 @@ object StageCache {
   def size(spark: SparkSession): Int = synchronized {
     Option(sessions.get(spark)).map(_.size).getOrElse(0)
   }
+
+  /** The stage NAMES (key minus the canonical-dir suffix) this session
+    * has materialized — for the bench-honesty spec, which holds the set
+    * of consumed stages bijective with the bench's `_stage_*` rows.
+    */
+  private[graft] def stageNames(spark: SparkSession): Set[String] =
+    synchronized {
+      Option(sessions.get(spark))
+        .map(_.keysIterator.map(_.takeWhile(_ != '|')).toSet)
+        .getOrElse(Set.empty)
+    }
 }
