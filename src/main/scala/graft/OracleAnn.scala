@@ -35,9 +35,33 @@ object OracleAnn {
     "ann_pq_recall" -> ((s, dir) => Similarity.pqRecall(s, dir)),
     "ann_range_search" -> ((s, dir) => Similarity.ivfRangeSearch(s, dir)),
     "ann_filtered_search" -> ((s, dir) => Similarity.filteredTopK(s, dir)),
+    "ann_knob_report" -> ((s, dir) => Similarity.knobReport(s, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
+    // The scale-derived knob values for THIS corpus, replayed from the
+    // same integer rules (ceil(log2 n) via the min-power-of-two scan,
+    // panel modulus via ceiling division) — one row.
+    "ann_knob_report" ->
+      """WITH ne AS (
+        |  SELECT count(*)::BIGINT AS n_embeddings FROM embeddings
+        |), nd AS (
+        |  SELECT count(*)::BIGINT AS n_documents FROM documents
+        |), b AS (
+        |  SELECT CASE WHEN (SELECT n_embeddings FROM ne) <= 1 THEN 4
+        |         ELSE least(15, greatest(4,
+        |           (SELECT min(b) FROM range(0, 63) t(b)
+        |            WHERE (1::BIGINT << b) >=
+        |              (SELECT n_embeddings FROM ne)) - 7)) END::BIGINT
+        |    AS srp_bits
+        |)
+        |SELECT ne.n_embeddings, nd.n_documents, b.srp_bits,
+        |  (b.srp_bits * 4)::BIGINT AS srp_planes,
+        |  greatest(50, (ne.n_embeddings + 99) // 100)::BIGINT
+        |    AS embed_query_mod,
+        |  greatest(50, (nd.n_documents + 99) // 100)::BIGINT
+        |    AS doc_query_mod
+        |FROM ne, nd, b""".stripMargin,
     "ann_bruteforce" -> (quantized +
       raw""", d AS (
         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,

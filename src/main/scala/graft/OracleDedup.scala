@@ -23,6 +23,7 @@ object OracleDedup {
     "dedup_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(s, dir)),
     "dedup_minhash_recall" -> ((s, dir) => Dedup.minhashRecall(s, dir)),
     "dedup_embed_pairs" -> ((s, dir) => Dedup.embedCosinePairs(s, dir)),
+    "dedup_srp_occupancy" -> ((s, dir) => Dedup.srpOccupancy(s, dir)),
     "dedup_clusters" -> ((s, dir) => Dedup.simhashClusters(s, dir)),
     "dedup_cluster_sizes" -> ((s, dir) => Dedup.clusterSizeHist(s, dir)),
     "dedup_semantic_clusters" -> ((s, dir) => Dedup.semanticClusters(s, dir)),
@@ -296,6 +297,19 @@ object OracleDedup {
       """SELECT va AS vec_a, vb AS vec_b, dot,
         |  CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb
         |FROM sprs ORDER BY vec_a, vec_b""".stripMargin),
+
+    // SRP bucket-occupancy census over the SAME derived band width the
+    // pair build uses (srpBandChain + nbc) — per band: occupied buckets,
+    // vectors, largest bucket, integer-milli mean.
+    "dedup_srp_occupancy" -> (quantized + srpBandChain +
+      """, occ AS (
+        |  SELECT band, bv, count(*)::BIGINT AS occ FROM bands GROUP BY 1, 2
+        |)
+        |SELECT band::BIGINT AS band, count(*)::BIGINT AS n_buckets,
+        |  CAST(sum(occ) AS BIGINT) AS n_vectors,
+        |  max(occ)::BIGINT AS max_bucket,
+        |  CAST(sum(occ) * 1000 // count(*) AS BIGINT) AS mean_bucket_milli
+        |FROM occ GROUP BY 1 ORDER BY band""".stripMargin),
 
     // SemDeDup shape: connected components over the SRP cosine pair
     // graph; canonical member = the one equal to its (min-id) label.

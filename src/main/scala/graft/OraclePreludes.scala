@@ -240,7 +240,9 @@ private[graft] object OraclePreludes {
     * a leading ", ". The plane count is the SCALE-DERIVED 4 · nbc.bits
     * (see [[quantized]]) — the replay of the engine's adaptive default.
     */
-  private[graft] val srpPairChain =
+  /** Just the SRP signature → band rows (c, sigv, bands) — shared by
+    * [[srpPairChain]] and the dedup_srp_occupancy census. */
+  private[graft] val srpBandChain =
     s""", c AS (
       |  SELECT p, i,
       |    CASE WHEN ('0x' || substring(md5(p || '_' || i), 1, 1))::INT % 2 = 1
@@ -254,12 +256,15 @@ private[graft] object OraclePreludes {
       |  FROM (SELECT vec_id, p, sum(q * cc) AS proj
       |        FROM v JOIN c ON v.i = c.i GROUP BY 1, 2)
       |  GROUP BY vec_id
-      |), norms AS (
-      |  SELECT vec_id, sum(q * q) AS n2 FROM v GROUP BY 1
       |), bands AS (
       |  SELECT vec_id, band,
       |    (sg >> (band * $srpBitsSql)) & ((1::BIGINT << $srpBitsSql) - 1) AS bv
       |  FROM sigv, range(0, 4) r(band)
+      |)""".stripMargin
+
+  private[graft] val srpPairChain = srpBandChain +
+    s""", norms AS (
+      |  SELECT vec_id, sum(q * q) AS n2 FROM v GROUP BY 1
       |), cand AS (
       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
       |  FROM bands a JOIN bands b

@@ -911,28 +911,7 @@ object Dedup {
     val planes =
       if (nPlanes == 0) ScaleKnobs.srpPlanes(embeddings.count(), bands)
       else nPlanes
-    require(planes % bands == 0)
-    graft.engine.expr.NativeFunctions.ensureRegistered(spark)
-    val bitsPerBand = planes / bands
-    val q = Similarity.quantize(col("embedding"))
-    val planeArrays = (0 until planes).map(p =>
-      array((1 to dims).map(i => lit(srpCoefficient(p, i))): _*))
-    val sigCol = (0 until planes).map { p =>
-      val proj = Similarity.qdot(col("q"), planeArrays(p))
-      when(proj > 0, lit(1L << p)).otherwise(0L)
-    }.reduce(_ + _)
-
-    val sig = embeddings
-      .select(col("vec_id"), q.as("q"))
-      .select(col("vec_id"), col("q"), Similarity.qdot(col("q"), col("q")).as("n2"))
-      .withColumn("sig", sigCol)
-
-    val banded = sig
-      .select(col("vec_id"), col("q"), col("n2"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("vec_id"), col("q"), col("n2"), col("band"),
-        expr(s"shiftright(sig, cast(band as int) * $bitsPerBand)")
-          .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("bv"))
+    val banded = srpBandRows(spark, embeddings, planes, bands, dims)
     val left = banded.select(col("band"), col("bv"),
       col("vec_id").as("vec_a"), col("q").as("qa"), col("n2").as("na"))
     val right = banded.select(col("band"), col("bv"),
@@ -947,6 +926,72 @@ object Dedup {
         col("dot") * col("dot") * lit(thrDen * thrDen) >=
           col("na") * col("nb") * lit(thrNum * thrNum))
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** The SRP signature → (vec_id, q, n2, band, bv) band rows the pair
+    * join and the occupancy census share: quantize, project onto the
+    * `planes` md5-derived hyperplanes (codegen'd integer dots), pack the
+    * sign bits, split into `bands` bucket keys. Pure projection — no
+    * shuffle until a consumer groups or joins on (band, bv).
+    */
+  private[ext] def srpBandRows(spark: SparkSession, embeddings: DataFrame,
+                               planes: Int, bands: Int,
+                               dims: Int): DataFrame = {
+    require(planes % bands == 0)
+    graft.engine.expr.NativeFunctions.ensureRegistered(spark)
+    val bitsPerBand = planes / bands
+    val q = Similarity.quantize(col("embedding"))
+    val planeArrays = (0 until planes).map(p =>
+      array((1 to dims).map(i => lit(srpCoefficient(p, i))): _*))
+    val sigCol = (0 until planes).map { p =>
+      val proj = Similarity.qdot(col("q"), planeArrays(p))
+      when(proj > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+    embeddings
+      .select(col("vec_id"), q.as("q"))
+      .select(col("vec_id"), col("q"),
+        Similarity.qdot(col("q"), col("q")).as("n2"))
+      .withColumn("sig", sigCol)
+      .select(col("vec_id"), col("q"), col("n2"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("vec_id"), col("q"), col("n2"), col("band"),
+        expr(s"shiftright(sig, cast(band as int) * $bitsPerBand)")
+          .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("bv"))
+  }
+
+  /** SRP index-health census — the audit that PROVES the derived band
+    * width keeps bucket occupancy bounded (the [[ScaleKnobs]] contract:
+    * max occupancy ≲ 128 at any corpus size): per band, the number of
+    * occupied buckets, the vector count, the largest bucket and the
+    * integer-milli mean. The ANN-side twin of [[Similarity.cellBalance]]
+    * for the hash-bucket index family — a fat max_bucket is exactly the
+    * pair-explosion risk the derived width exists to prevent, and this
+    * is the query an operator runs to SEE it at their scale.
+    *
+    * Scale shape: one projection (the band rows) into a two-level
+    * partial-agg rollup — (band, bv) grain then band grain; output is
+    * `bands` rows regardless of corpus size.
+    */
+  def srpOccupancy(spark: SparkSession, dir: String): DataFrame =
+    srpOccupancy(spark, spark.read.parquet(s"$dir/embeddings.parquet"),
+      nPlanes = ScaleKnobs.srpPlanes(ScaleKnobs.embeddingCount(spark, dir)))
+
+  def srpOccupancy(spark: SparkSession, embeddings: DataFrame,
+                   nPlanes: Int = 0, bands: Int = 4,
+                   dims: Int = 64): DataFrame = {
+    val planes =
+      if (nPlanes == 0) ScaleKnobs.srpPlanes(embeddings.count(), bands)
+      else nPlanes
+    srpBandRows(spark, embeddings, planes, bands, dims)
+      .groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy(col("band").cast("long").as("band"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("occ")).as("n_vectors"),
+        max(col("occ")).as("max_bucket"))
+      .select(col("band"), col("n_buckets"), col("n_vectors"),
+        col("max_bucket"),
+        expr("n_vectors * 1000 div n_buckets").as("mean_bucket_milli"))
+      .orderBy(col("band"))
   }
 
   /** SemDeDup-shaped semantic dedup (Abbas et al. 2023, arXiv:2303.09540,

@@ -1152,6 +1152,36 @@ object Similarity {
       .orderBy(col("cell_id"))
   }
 
+  /** The scale-derived configuration as a QUERYABLE one-row report —
+    * what [[ScaleKnobs]] derives for THIS corpus (SRP band width / plane
+    * count, embedding- and document-side query-panel moduli), computed
+    * inside the plan from the live counts (two scalar aggregates +
+    * broadcast cross join — no driver-side count), in the same
+    * integer-exact arithmetic the DuckDB oracle replays: ceil(log2 n) =
+    * `length(bin(n-1))` (bit length — exact, no floating log). The
+    * operational "what will my deployment actually do" view of the
+    * deployment-rules table in QUERIES.md.
+    */
+  def knobReport(spark: SparkSession, dir: String): DataFrame = {
+    val ne = spark.read.parquet(s"$dir/embeddings.parquet")
+      .agg(count(lit(1)).as("n_embeddings"))
+    val nd = spark.read.parquet(s"$dir/documents.parquet")
+      .agg(count(lit(1)).as("n_documents"))
+    ne.crossJoin(broadcast(nd))
+      .select(col("n_embeddings"), col("n_documents"),
+        expr("""CASE WHEN n_embeddings <= 1 THEN 4L
+                ELSE least(15L, greatest(4L,
+                       length(bin(n_embeddings - 1)) - 7L)) END""")
+          .as("srp_bits"),
+        expr("greatest(50L, (n_embeddings + 99) div 100)")
+          .as("embed_query_mod"),
+        expr("greatest(50L, (n_documents + 99) div 100)")
+          .as("doc_query_mod"))
+      .withColumn("srp_planes", col("srp_bits") * lit(4L))
+      .select(col("n_embeddings"), col("n_documents"), col("srp_bits"),
+        col("srp_planes"), col("embed_query_mod"), col("doc_query_mod"))
+  }
+
   def labelCentroidSim(spark: SparkSession, dir: String): DataFrame =
     labelCentroidSim(vectors(spark, dir))
 
