@@ -64,6 +64,23 @@ object ScaleKnobs {
   def panelMod(n: Long): Int =
     math.max(50L, (n + 99L) / 100L).toInt
 
+  /** The SAME rules as in-plan Column expressions (for
+    * [[Similarity.knobReport]] and anything else that wants the derived
+    * value computed inside the query instead of on the driver):
+    * ceil(log2 n) = `length(bin(n − 1))` — the integer bit length, exact
+    * where a floating `log2` could round differently across engines.
+    * ScaleKnobsSpec sweeps these against the Scala functions so the two
+    * forms (and the DuckDB replays, via the oracle gate) cannot drift.
+    */
+  def srpBitsCol(n: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      s"""CASE WHEN $n <= 1 THEN 4L
+         |ELSE least(15L, greatest(4L, length(bin($n - 1)) - 7L)) END"""
+        .stripMargin)
+
+  def panelModCol(n: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(s"greatest(50L, ($n + 99) div 100)")
+
   private val counts = new ConcurrentHashMap[String, java.lang.Long]()
 
   /** Row count of `dir/table.parquet`, memoized per path for the life of

@@ -1169,14 +1169,9 @@ object Similarity {
       .agg(count(lit(1)).as("n_documents"))
     ne.crossJoin(broadcast(nd))
       .select(col("n_embeddings"), col("n_documents"),
-        expr("""CASE WHEN n_embeddings <= 1 THEN 4L
-                ELSE least(15L, greatest(4L,
-                       length(bin(n_embeddings - 1)) - 7L)) END""")
-          .as("srp_bits"),
-        expr("greatest(50L, (n_embeddings + 99) div 100)")
-          .as("embed_query_mod"),
-        expr("greatest(50L, (n_documents + 99) div 100)")
-          .as("doc_query_mod"))
+        ScaleKnobs.srpBitsCol("n_embeddings").as("srp_bits"),
+        ScaleKnobs.panelModCol("n_embeddings").as("embed_query_mod"),
+        ScaleKnobs.panelModCol("n_documents").as("doc_query_mod"))
       .withColumn("srp_planes", col("srp_bits") * lit(4L))
       .select(col("n_embeddings"), col("n_documents"), col("srp_bits"),
         col("srp_planes"), col("embed_query_mod"), col("doc_query_mod"))

@@ -10,6 +10,32 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ScaleKnobsSpec extends AnyFunSuite {
 
+  test("the in-plan Column forms agree with the Scala functions on a sweep") {
+    // the rules exist in three forms (Scala, Spark-SQL via bin(), DuckDB
+    // via the min-power-of-two scan); the oracle gate pins Spark↔DuckDB,
+    // this pins Spark-SQL↔Scala — covering boundaries (powers of two,
+    // the ±1 neighborhoods, the floor and cap saturation points)
+    val spark = SparkTestBase.spark
+    import org.apache.spark.sql.functions.col
+    val ns = (Seq(1L, 2L, 3L, 49L, 50L, 51L, 99L, 100L, 101L) ++
+      (10 to 24).flatMap(e => Seq((1L << e) - 1, 1L << e, (1L << e) + 1)) ++
+      Seq(500L, 2000L, 5000L, 5001L, 20000L, 50000L)).distinct
+    val rows = spark.createDataFrame(
+        spark.sparkContext.parallelize(ns.map(org.apache.spark.sql.Row(_))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType))))
+      .select(col("n"),
+        graft.engine.ext.ScaleKnobs.srpBitsCol("n").as("bits"),
+        graft.engine.ext.ScaleKnobs.panelModCol("n").as("qm"))
+      .collect()
+    rows.foreach { r =>
+      val n = r.getLong(0)
+      assert(r.getLong(1) === ScaleKnobs.srpBitsPerBand(n).toLong, s"bits at n=$n")
+      assert(r.getLong(2) === ScaleKnobs.panelMod(n).toLong, s"qm at n=$n")
+    }
+  }
+
   test("ceilLog2 is the exact integer ceil(log2 n)") {
     assert(ScaleKnobs.ceilLog2(1L) === 0)
     assert(ScaleKnobs.ceilLog2(2L) === 1)
