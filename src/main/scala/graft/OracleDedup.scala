@@ -313,14 +313,20 @@ object OracleDedup {
 
     // SemDeDup shape: connected components over the SRP cosine pair
     // graph; canonical member = the one equal to its (min-id) label.
+    // The pair CTE the recursion joins is MATERIALIZED: without the
+    // hint DuckDB re-inlines the whole SRP chain into every recursive
+    // iteration — measured at sf1: hours of CPU vs 90 s with sprsm
+    // (identical results; it is purely an evaluation hint).
     "dedup_semantic_clusters" -> ("WITH RECURSIVE " +
       quantized.stripPrefix("WITH ") + srpPairChain +
-      """, rr(x, m) AS (
+      """, sprsm AS MATERIALIZED (
+        |  SELECT va, vb FROM sprs
+        |), rr(x, m) AS (
         |  SELECT vec_id, vec_id FROM embeddings
         |  UNION
         |  SELECT e.db, rr.m FROM rr JOIN
-        |    (SELECT va AS da, vb AS db FROM sprs
-        |     UNION ALL SELECT vb, va FROM sprs) e ON e.da = rr.x
+        |    (SELECT va AS da, vb AS db FROM sprsm
+        |     UNION ALL SELECT vb, va FROM sprsm) e ON e.da = rr.x
         |), cl AS (
         |  SELECT x AS vec_id, min(m) AS cluster_id FROM rr GROUP BY x
         |)

@@ -141,7 +141,9 @@ object OracleMultimodal {
         |    ON a.band = b.band AND a.band_val = b.band_val
         |      AND a.doc_id < b.doc_id
         |  WHERE bit_count(xor(a.phash, b.phash)) <= 8
-        |), pe2 AS (
+        |), pe2 AS MATERIALIZED (
+        |  -- MATERIALIZED: stop the recursion re-inlining the pHash chain
+        |  -- per iteration (same evaluation hint as the text CC oracles).
         |  SELECT doc_a, doc_b FROM pe
         |  UNION ALL
         |  SELECT doc_b, doc_a FROM pe

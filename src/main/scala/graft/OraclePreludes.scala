@@ -116,7 +116,11 @@ private[graft] object OraclePreludes {
       |  FROM bands a JOIN bands b
       |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
-      |), edges2 AS (
+      |), edges2 AS MATERIALIZED (
+      |  -- MATERIALIZED: the recursion below otherwise re-inlines the whole
+      |  -- SimHash chain (tokenize → vote → sig → band join) into EVERY
+      |  -- iteration — hours of CPU at sf1 vs seconds with the hint. Purely
+      |  -- an evaluation hint; results are identical (tri-scale replayed).
       |  SELECT doc_a, doc_b FROM edges
       |  UNION ALL
       |  SELECT doc_b, doc_a FROM edges

@@ -14,8 +14,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * consume. In production that table is materialized once per corpus
   * snapshot and every downstream policy (canonical pick, down-weighting,
   * size histogram, duplication-quality audit) reads the materialization;
-  * rebuilding the shingle-explode → 60-bit vote → band-bucket → pointer-
-  * jumping chain per query is pure waste at any scale.
+  * rebuilding the shingle-explode → 60-bit vote → band-bucket →
+  * star-contraction chain per query is pure waste at any scale.
   *
   * Mode 1 — session-local (default): the stage DataFrame after
   * `localCheckpoint(eager)` — computed once and pinned in the block

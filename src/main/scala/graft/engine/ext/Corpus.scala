@@ -334,7 +334,7 @@ object Corpus {
     * [[temperatureWeights]]) would consume.
     *
     * Scale shape: the cluster build is [[graft.engine.ext.Dedup
-    * .simhashClusters]] (bucketed pairs + checkpointed pointer jumping);
+    * .simhashClusters]] (bucketed pairs + checkpointed star contraction);
     * the size annotation is one window over cluster-grain rows; the
     * token counts ride the document scan; the rollup is |languages|
     * rows.

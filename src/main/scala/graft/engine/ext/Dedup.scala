@@ -722,57 +722,114 @@ object Dedup {
 
   // ------------------------------------------------------------ clustering
 
+  /** Truncate lineage AND logical-plan statistics between loop rounds.
+    *
+    * `localCheckpoint` alone is not enough for an iterative dataflow:
+    * Spark's checkpoint PRESERVES the optimized plan's statistics on the
+    * resulting leaf, and every round's self-join multiplies the two
+    * sides' `sizeInBytes` estimates — so the estimate SQUARES each
+    * round, its bit-length doubles, and around round ~25 Catalyst dies
+    * with `ArithmeticException: BigInteger would overflow supported
+    * range` while planning (measured on the sf1 SRP pair graph; the
+    * 64-bit seed doubles to the 2^31-bit BigInteger ceiling in 25
+    * rounds). Rewrapping the checkpointed RDD as a fresh DataFrame
+    * resets the leaf to default stats: estimates stay bounded and AQE
+    * still plans each round's joins from RUNTIME sizes. The Row
+    * round-trip is one narrow map over already-checkpointed blocks —
+    * no shuffle, no extra action.
+    */
+  private def checkpointFresh(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   /** Connected components over near-dup pair edges: every document gets a
     * cluster_id = the minimum doc_id reachable through pairs (singletons
     * keep their own id) — the step that turns pair lists into an actual
     * dedup decision (keep cluster_id, drop the rest).
     *
-    * Iterative min-label propagation: each round joins labels to the
-    * (symmetrized) edge list and takes the per-vertex minimum — one
-    * shuffle per round, converging in graph-diameter rounds (near-dup
-    * clusters are near-cliques, so 2-3 in practice). Labels are persisted
-    * per round so lineage stays linear; at cluster scale the same loop
-    * runs with checkpointing. Exact, deterministic, no driver-side data.
+    * Alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", 2014 — the
+    * MapReduce-native CC with provable O(log² n) round convergence,
+    * single-digit rounds in practice). Each phase is one groupBy(min) +
+    * one join over the current edge set; at the fixpoint the edge set
+    * is a star forest (member → component-min root) and labels read off
+    * directly. This replaces min-label propagation with pointer jumping,
+    * whose convergence is graph-diameter-shaped on chain-like components:
+    * the sf1 SRP cosine graph (20k vertices / 10.6k edges, quantized
+    * embeddings forming long grid chains) was still merging ~1 cluster
+    * per round past round 25 — and `maxIter = 16` then SILENTLY returned
+    * under-merged labels (cluster 2: 505 rows vs the true 3672).
+    *
+    * Honesty at the cap: a non-converged loop now THROWS instead of
+    * returning wrong clusters. Exact, deterministic, no driver-side data;
+    * per-round state is checkpointed with stats reset ([[checkpointFresh]]).
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIter: Int = 16): DataFrame = {
-    // localCheckpoint (not persist): the labels plan references itself
-    // twice per round (self-join), so without truncation the LOGICAL plan
-    // tree triples every iteration and the analyzer OOMs around round 10.
-    // Checkpointing materializes AND cuts lineage; for the reliable-
-    // checkpoint-dir deployment note see README "Checkpointed iteration".
-    val sym = edges.select(col("doc_a"), col("doc_b"))
-      .unionByName(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint(true)
-    var labels = vertices.select(col("doc_id"),
-      col("doc_id").as("cluster_id")).localCheckpoint(true)
-    // Convergence sentinel: per-vertex labels only ever decrease, so the
-    // (count, sum) pair is a fixpoint detector in ONE action per round —
-    // no row-by-row diff join.
-    var prevSum = -1L
-    var converged = false
+    // Canonical orientation (big, small): every emitted pair keeps it, so
+    // only the initial edge list pays the greatest/least normalization.
+    var e = checkpointFresh(edges
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .distinct())
+
+    // Set fingerprint (count, Σ xxhash64(u,v) mod p) — one tiny action per
+    // round (the hash is reduced mod a ~2^20 prime so the ANSI sum can't
+    // overflow below ~10^12 edges); a fingerprint match then triggers ONE
+    // exact set-equality check (equal counts + empty except), so a modular
+    // collision can never end the loop early.
+    def fp(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)),
+        sum(pmod(xxhash64(col("u"), col("v")), lit(1048573L)))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var prev = fp(e)
+    var converged = prev._1 == 0L
     var i = 0
     while (!converged && i < maxIter) {
-      val viaEdges = labels.join(sym, col("doc_id") === col("doc_a"))
-        .select(col("doc_b").as("doc_id"), col("cluster_id"))
-      // Pointer jumping: l(v) := l(l(v)) — shortcuts label chains so
-      // convergence takes O(log diameter) rounds, not O(diameter). A
-      // 35k-edge near-dup graph with a long-chain giant component needs
-      // this to stay in single-digit rounds.
-      val viaLabels = labels.as("x")
-        .join(labels.as("y"), col("x.cluster_id") === col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_id"),
-          col("y.cluster_id").as("cluster_id"))
-      val next = labels.unionByName(viaEdges).unionByName(viaLabels)
-        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint(true)
-      val s = next.agg(sum(col("cluster_id"))).head().getLong(0)
-      labels = next
-      converged = s == prevSum
-      prevSum = s
+      // large-star: center u over its FULL neighborhood Γ(u); attach every
+      // strictly-larger neighbor to m = min(Γ(u) ∪ {u}). Emitted (v, m)
+      // has v > u ≥ m, so orientation is preserved and self-loops are
+      // impossible by construction.
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val lMins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val afterLarge = checkpointFresh(
+        sym.join(lMins, "u").where(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .distinct())
+
+      // small-star: center u over its SMALLER neighborhood only; attach u
+      // and every smaller neighbor to m = min of that neighborhood.
+      val sMins = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val afterSmall = checkpointFresh(
+        afterLarge.join(sMins, "u")
+          .where(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionByName(sMins.select(col("u"), col("m").as("v")))
+          .distinct())
+
+      val cur = fp(afterSmall)
+      converged = cur == prev && afterSmall.except(e).isEmpty
+      e = afterSmall
+      prev = cur
       i += 1
     }
-    labels
+    require(converged, s"connectedComponents did not converge in $maxIter " +
+      "large/small-star rounds — raise maxIter; refusing to return " +
+      "under-merged clusters")
+
+    // Fixpoint edge set is a star forest: every non-root member carries
+    // exactly (member, root). groupBy(min) tolerates the final round's
+    // residual duplicates; roots and singletons label themselves.
+    val stars = e.groupBy(col("u")).agg(min(col("v")).as("root"))
+    vertices.select(col("doc_id"))
+      .join(stars.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("cluster_id"))
   }
 
   /** Cluster assignment for every document using SimHash near-dup pairs as
@@ -817,7 +874,7 @@ object Dedup {
     * convention of [[exact]] and the centrality ranking of [[pagerank]].
     * One row per cluster with the survivor and the kept/total census.
     *
-    * Scale shape: clusters come from the checkpointed pointer-jumping
+    * Scale shape: clusters come from the checkpointed star-contraction
     * loop ([[connectedComponents]]); quality is a per-document
     * projection; the canonical pick is a single min_by aggregate over
     * (cluster_id) — no window, one exchange past the cluster build.

@@ -264,7 +264,7 @@ object Multimodal {
     * into a media dedup decision (one canonical per visually-identical
     * family), completing the multimodal path the way
     * [[graft.engine.ext.Dedup.simhashClusters]] does for text. Reuses
-    * the SAME checkpointed pointer-jumping loop, so the scale story is
+    * the SAME checkpointed star-contraction loop, so the scale story is
     * identical: one shuffle per round, O(log diameter) rounds.
     */
   def phashClusters(spark: SparkSession, dir: String): DataFrame =

@@ -146,6 +146,41 @@ class DedupSpec extends SparkTestBase {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L))
   }
 
+  test("connectedComponents: 600-vertex shuffled-id path converges within " +
+       "the default round cap") {
+    // A long path whose ids are RANDOMLY permuted along it — the shape
+    // min-label propagation needed 25+ rounds on (the sf1 SRP graph's
+    // failure mode) and the star contraction finishes in O(log n). The
+    // default maxIter throws rather than under-merging, so a pass here
+    // certifies both convergence speed and correctness.
+    val ids = new scala.util.Random(7).shuffle((1L to 600L).toVector)
+    val vertices = ids.toDF("doc_id")
+    val edges = ids.sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(vertices, edges).collect()
+    assert(got.length === 600)
+    assert(got.forall(_.getLong(1) === 1L)) // one component, min id 1
+  }
+
+  test("connectedComponents: refuses to return unconverged labels") {
+    val ids = new scala.util.Random(11).shuffle((1L to 400L).toVector)
+    val vertices = ids.toDF("doc_id")
+    val edges = ids.sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(vertices, edges, maxIter = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("connectedComponents: empty edge set labels every vertex itself") {
+    val vertices = Seq(3L, 5L, 8L).toDF("doc_id")
+    val edges = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(vertices, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(3L -> 3L, 5L -> 5L, 8L -> 8L))
+  }
+
   test("quantize + qdot: exact integer dot product") {
     graft.engine.expr.NativeFunctions.ensureRegistered(spark)
     val r = Seq((Seq(1.0f, 0.5f, -0.25f), Seq(2.0f, 1.0f, 4.0f)))
