@@ -142,15 +142,35 @@ object OracleAnn {
       "SELECT vec_id, cell_id, dist FROM fin ORDER BY vec_id"),
 
     // nprobe tuning curve: one trained index, one exact baseline, four
-    // probe widths — each block reuses the shared chain.
+    // probe widths. The replay mirrors the engine's one-pass shape: the
+    // candidate dots are computed ONCE at the widest probe (cand8, which
+    // carries each candidate cell's rank) and every narrower width is a
+    // crank filter over it — identical rows to the per-width formulation
+    // (a vector lives in exactly one cell, so the candidate set at width
+    // p is exactly the crank<=p slice). The shared kmeans/vector CTEs
+    // are MATERIALIZED so DuckDB stops re-inlining the training chain
+    // into every width block — the spill that made this oracle
+    // sf1-infeasible (>60 GB of temp) before.
     "ann_nprobe_sweep" -> (kmeansFin +
-      raw""", bfd AS (
-        |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
-        |    CAST(sum(q.q * v.q) AS BIGINT) AS dot
-        |  FROM v q JOIN v ON q.i = v.i AND q.vec_id % $qmSql = 0
-        |                 AND v.vec_id != q.vec_id
+      raw""", vm AS MATERIALIZED (
+        |  SELECT vec_id, i, q FROM v
+        |), d2m AS MATERIALIZED (
+        |  SELECT vec_id, cell_id, dist FROM d2
+        |), finm AS MATERIALIZED (
+        |  SELECT vec_id, cell_id FROM fin
+        |), qp AS MATERIALIZED (
+        |  -- the query panel, pre-filtered BEFORE the dim join: with the
+        |  -- panel modulus left as a scalar subquery inside the join
+        |  -- condition, the filter can land above the i-equi join and the
+        |  -- intermediate is |v|^2 x 64 rows (measured: >70 GB of spill
+        |  -- at sf1) instead of |panel| x |v| x 64.
+        |  SELECT vec_id, i, q FROM vm WHERE vec_id % $qmSql = 0
+        |), bfd AS (
+        |  SELECT q.vec_id AS query_id, v2.vec_id AS neighbor_id,
+        |    CAST(sum(q.q * v2.q) AS BIGINT) AS dot
+        |  FROM qp q JOIN vm v2 ON q.i = v2.i AND v2.vec_id != q.vec_id
         |  GROUP BY 1, 2
-        |), bf AS (
+        |), bf AS MATERIALIZED (
         |  SELECT query_id, neighbor_id FROM (
         |    SELECT query_id, neighbor_id,
         |      row_number() OVER (PARTITION BY query_id
@@ -160,8 +180,35 @@ object OracleAnn {
         |  SELECT count(*)::BIGINT AS n_true,
         |    count(DISTINCT query_id)::BIGINT AS n_queries
         |  FROM bf
+        |), pr8 AS MATERIALIZED (
+        |  SELECT vec_id AS query_id, cell_id, crank FROM (
+        |    SELECT vec_id, cell_id,
+        |      row_number() OVER (PARTITION BY vec_id
+        |                         ORDER BY dist, cell_id) AS crank
+        |    FROM d2m WHERE vec_id % $qmSql = 0) WHERE crank <= 8
+        |), cand8 AS MATERIALIZED (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id, p.crank,
+        |    CAST(sum(q.q * n.q) AS BIGINT) AS dot
+        |  FROM pr8 p
+        |  JOIN finm a ON a.cell_id = p.cell_id AND a.vec_id != p.query_id
+        |  JOIN vm q ON q.vec_id = p.query_id
+        |  JOIN vm n ON n.vec_id = a.vec_id AND n.i = q.i
+        |  GROUP BY 1, 2, 3
         |)""".stripMargin +
-      Seq(1, 2, 4, 8).map(nprobeBlock).mkString +
+      Seq(1, 2, 4, 8).map { p =>
+        s""", top$p AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |                         ORDER BY dot DESC, neighbor_id) AS rank
+           |    FROM cand8 WHERE crank <= $p) WHERE rank <= 10
+           |), row$p AS (
+           |  SELECT $p::BIGINT AS nprobe, n_queries, n_true,
+           |    (SELECT count(*)::BIGINT
+           |     FROM bf JOIN top$p USING (query_id, neighbor_id)) AS n_overlap
+           |  FROM tot
+           |)""".stripMargin
+      }.mkString +
       raw"""
         |SELECT nprobe, n_queries, n_true, n_overlap,
         |  CAST(n_overlap * 1000000 // n_true AS BIGINT) AS recall_ppm

@@ -204,38 +204,6 @@ private[graft] object OraclePreludes {
       |    FROM d2) WHERE rn = 1)
       |""".stripMargin
 
-  /** One sweep point of the ann_nprobe_sweep oracle: probe the trained
-    * cells at width `p`, rank candidates, count overlap with the exact
-    * baseline `bf`. Appended after [[kmeansFin]] + the bf/tot CTEs.
-    */
-  private[graft] def nprobeBlock(p: Int): String =
-    s""", pr$p AS (
-       |  SELECT vec_id AS query_id, cell_id FROM (
-       |    SELECT vec_id, cell_id,
-       |      row_number() OVER (PARTITION BY vec_id
-       |                         ORDER BY dist, cell_id) AS crank
-       |    FROM d2 WHERE vec_id % $qmSql = 0) WHERE crank <= $p
-       |), cand$p AS (
-       |  SELECT p.query_id, a.vec_id AS neighbor_id,
-       |    CAST(sum(q.q * n.q) AS BIGINT) AS dot
-       |  FROM pr$p p
-       |  JOIN fin a ON a.cell_id = p.cell_id AND a.vec_id != p.query_id
-       |  JOIN v q ON q.vec_id = p.query_id
-       |  JOIN v n ON n.vec_id = a.vec_id AND n.i = q.i
-       |  GROUP BY 1, 2
-       |), top$p AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |      row_number() OVER (PARTITION BY query_id
-       |                         ORDER BY dot DESC, neighbor_id) AS rank
-       |    FROM cand$p) WHERE rank <= 10
-       |), row$p AS (
-       |  SELECT $p::BIGINT AS nprobe, n_queries, n_true,
-       |    (SELECT count(*)::BIGINT
-       |     FROM bf JOIN top$p USING (query_id, neighbor_id)) AS n_overlap
-       |  FROM tot
-       |)""".stripMargin
-
   /** SRP cosine-pair chain (shared by dedup_embed_pairs /
     * dedup_semantic_clusters): appended after [[quantized]], yields
     * `sprs` = (va, vb, dot, na, nb) pairs passing the exact 2/5 cosine
