@@ -13,6 +13,16 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 only = set(sys.argv[3:])
 
 con = duckdb.connect()
+# Optional resource caps for big-SF sweeps (unset = DuckDB defaults):
+# DUCK_TEMP_DIR / DUCK_MAX_TEMP / DUCK_MEM / DUCK_THREADS.
+for k in ("temp_directory", "max_temp_directory_size", "memory_limit",
+          "threads"):
+    v = os.environ.get("DUCK_" + {"temp_directory": "TEMP_DIR",
+                                  "max_temp_directory_size": "MAX_TEMP",
+                                  "memory_limit": "MEM",
+                                  "threads": "THREADS"}[k])
+    if v:
+        con.execute(f"SET {k}='{v}'")
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(p)[:-8]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")

@@ -36,7 +36,16 @@ Replication preserves the sf0.1 distributions instead of distorting them:
   measure. Non-key attributes (dates, prices, flags) are unchanged, so
   value distributions (and thus selectivities) are identical.
 
-Usage: python3 tools/gen_sf1.py [outdir]   (default /root/repo/data/sf1)
+Usage: python3 tools/gen_sf1.py [outdir] [replicas]
+       (defaults: /root/repo/data/sf1, 10)
+
+The replica count generalizes to further decades — e.g.
+`tools/gen_sf1.py /root/repo/data/sf10 100` builds an sf10 point (100
+disjoint sf0.1 copies) with the same distribution-preserving tricks:
+the key offsets (10^7 entity / 10^8 event) clear 100 replicas with
+room (max key ~10^9, far inside BIGINT), the `~k` token salt never
+collides across k, and the md5 sign patterns collide between two
+replicas with probability 2^-64.
 """
 import os
 import sys
@@ -45,7 +54,7 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/data/sf1"
-REPLICAS = 10
+REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
