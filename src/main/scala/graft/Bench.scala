@@ -38,6 +38,32 @@ object Bench {
     // BASELINE.md §"Bench protocol").
     def consume(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // ---- Host canary ------------------------------------------------------
+    // A fixed-cost workload measured FIRST and LAST (never in the total):
+    // scan-and-hash of a constant parquet file (sf0.01 lineitem — the same
+    // bytes at every benched SF) widened by an 8-way self-union and a
+    // 16-round xxhash64 chain so the sample reflects both IO and sustained
+    // CPU throughput. Identical code ⇒ identical expected cost, so
+    //   host_shift = canary_r{N} / canary_r{M}
+    // turns "is this round's total a plan regression or a loaded host?"
+    // into arithmetic (BASELINE.md §"Bench protocol"). Single sample, no
+    // retry-min: the canary's JOB is to capture host state, and retries
+    // would launder exactly the stalls it exists to expose. Two samples
+    // (pre/post) also bound drift across the run.
+    val canaryPath = "/root/testdata/sf0.01/lineitem.parquet"
+    def canaryDf(): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions.{xxhash64, lit, expr}
+      val base = spark.read.parquet(canaryPath)
+      val h0 = xxhash64(base.columns.map(base.col): _*)
+      val h = (1 to 16).foldLeft(h0)((e, i) => xxhash64(e, lit(i)))
+      // bit_xor, not sum: summing 64-bit hashes overflows under ANSI mode.
+      Seq.fill(16)(base.select(h.as("h"))).reduce(_ union _).agg(expr("bit_xor(h)"))
+    }
+    def canarySample(): Double = {
+      val t0 = System.nanoTime()
+      consume(canaryDf())
+      (System.nanoTime() - t0) / 1e9
+    }
     // Untimed warmup at the smallest SF: first execution of each plan pays
     // Janino codegen compilation + JIT, which at sf0.1 can exceed the
     // actual query time. One pass over tiny data warms those caches so the
@@ -51,6 +77,10 @@ object Bench {
       }
     // Fixture setup (generated log files) happens outside the timed loop.
     try SparkEntry.prepare(spark, sfDir) catch { case _: Throwable => () }
+    // Warm the canary plan (codegen/JIT) so both samples measure execution;
+    // two passes — one leaves measurable JIT residue in the first sample.
+    try { consume(canaryDf()); consume(canaryDf()) } catch { case _: Throwable => () }
+    val canaryPre = canarySample()
     var errors = List.empty[(String, String)]
     // Shared materialized stages (StageCache) are timed HERE, once, as
     // explicit "_stage_*" rows included in the total. The family queries
@@ -125,19 +155,27 @@ object Bench {
       }
       name -> best
     }
+    val canaryPost = canarySample()
     // A failed query must not masquerade as a timing: report it in "errors"
     // and exclude it from the per-query map and the total.
     val failed = errors.map(_._1).toSet
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val ok = (stageRows ++ results).filterNot { case (n, _) => failed(n) }
-    val qs = ok.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    // Canary rows ride the per-query map (prefixed, like _stage_) so every
+    // committed jsonl self-documents its host state — but NEVER the total:
+    // the total must stay comparable to pre-canary rounds.
+    val withCanary = ok ++ Seq("_canary_pre" -> canaryPre, "_canary_post" -> canaryPost)
+    val qs = withCanary.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val total = ms(ok.map(_._2).sum)
+    val canaries = s""""canary_pre":${ms(canaryPre)},"canary_post":${ms(canaryPost)}"""
+    // Compact headline FIRST and LAST: the full per-query line has outrun
+    // capture windows in both directions (r6 lost its tail total; r11's
+    // driver artifact truncated the map head-side). Totals + canaries must
+    // survive either truncation.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"n_errors":${errors.size},$canaries,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
-    // The full line above grows with the query count and has outrun tail
-    // capture before (r6's total was lost). A short summary line LAST
-    // guarantees any tail window contains the headline numbers.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"n_errors":${errors.size},$canaries,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -79,7 +79,9 @@ object OracleAnn {
 
     // Hybrid RRF: dense brute-force top-10 (d/r, as ann_bruteforce) ⊕
     // lexical bigram tf-idf top-10 (toksh..lt, as text_tfidf_topk),
-    // fused by integer reciprocal rank 1e6 // (60 + rank).
+    // fused by integer reciprocal rank 1e6 // (60 + rank). BOTH panels
+    // use the embedding-count modulus qmc (r11 ADVICE: per-corpus
+    // moduli only coincided at their lcm, degenerating the fusion).
     "ann_hybrid_rrf" -> (quantized +
       raw""", d AS (
         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
@@ -92,7 +94,7 @@ object OracleAnn {
         |    SELECT *, row_number() OVER (PARTITION BY query_id
         |      ORDER BY dot DESC, neighbor_id) AS rank
         |    FROM d) WHERE rank <= 10
-        |), $docQmCte, toksh AS (
+        |), toksh AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
         |                             x -> x != '') AS t
         |  FROM documents
@@ -113,7 +115,7 @@ object OracleAnn {
         |  SELECT q.doc_id AS query_id, p.doc_id AS neighbor_id,
         |    sum(q.wt * p.wt)::BIGINT AS score
         |  FROM post q JOIN post p ON q.term = p.term
-        |    AND q.doc_id % $docQmSql = 0 AND p.doc_id != q.doc_id
+        |    AND q.doc_id % $qmSql = 0 AND p.doc_id != q.doc_id
         |  GROUP BY 1, 2
         |), lt AS (
         |  SELECT query_id, neighbor_id, rank::BIGINT AS lex_rank FROM (

@@ -246,6 +246,15 @@ object StageCache {
   /** Delete `.{stage}.tmp-*` dirs older than [[TmpSweepAgeMs]] — orphans
     * from crashed writers that would otherwise leak cache-dir disk
     * forever (tolerated-race losers already clean up after themselves).
+    *
+    * Age is the NEWEST mtime found in a shallow recursive listing of the
+    * tmp dir, not the dir's own mtime (r11 ADVICE): a parquet job writes
+    * into a `_temporary` subtree, so the top dir's mtime goes quiet the
+    * moment the job starts — a legitimate cross-JVM build running longer
+    * than the sweep age would have its LIVE tmp swept out from under it,
+    * turning a tolerated rename race into a failed write. The recursive
+    * walk sees the task files the job keeps creating, so a live writer's
+    * tmp always looks fresh.
     */
   private def sweepStaleTmps(fs: org.apache.hadoop.fs.FileSystem,
       root: Path, stageName: String): Unit =
@@ -254,10 +263,25 @@ object StageCache {
       fs.listStatus(root).foreach { st =>
         if (st.isDirectory &&
             st.getPath.getName.startsWith(s".$stageName.tmp-") &&
-            st.getModificationTime < cutoff)
+            newestMtime(fs, st.getPath, st.getModificationTime) < cutoff)
           fs.delete(st.getPath, true)
       }
     } catch { case _: java.io.FileNotFoundException => () }
+
+  /** Newest modification time across `p` and everything under it. A
+    * concurrently-deleted subtree (the race loser cleaning up) reads as
+    * "fresh" — the conservative direction for a sweep.
+    */
+  private def newestMtime(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      own: Long): Long =
+    try {
+      fs.listStatus(p).foldLeft(own) { (acc, st) =>
+        val m =
+          if (st.isDirectory) newestMtime(fs, st.getPath, st.getModificationTime)
+          else st.getModificationTime
+        math.max(acc, m)
+      }
+    } catch { case _: java.io.FileNotFoundException => Long.MaxValue }
 
   /** Drop this session's entries and unpersist their checkpoint blocks
     * (blocking, so a post-clear bench window starts clean). Durable

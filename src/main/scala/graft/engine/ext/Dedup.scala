@@ -961,6 +961,13 @@ object Dedup {
       spark.read.parquet(s"$dir/embeddings.parquet"),
       nPlanes = ScaleKnobs.srpPlanes(ScaleKnobs.embeddingCount(spark, dir)))
 
+  /** NOTE: with the `nPlanes = 0` derive-default, THIS overload runs one
+    * un-memoized `embeddings.count()` Spark action per call (only the
+    * dir-based wrapper routes through [[ScaleKnobs]]' memo — an arbitrary
+    * DataFrame has no stable cache key). Callers invoking it in a loop
+    * should pass a pinned `nPlanes` (or pre-derive one via
+    * [[ScaleKnobs.srpPlanes]]) to pay the count once.
+    */
   def embedCosinePairs(spark: SparkSession, embeddings: DataFrame,
                        nPlanes: Int = 0,
                        bands: Int = 4, thrNum: Long = 2L, thrDen: Long = 5L,
@@ -1033,6 +1040,10 @@ object Dedup {
     srpOccupancy(spark, spark.read.parquet(s"$dir/embeddings.parquet"),
       nPlanes = ScaleKnobs.srpPlanes(ScaleKnobs.embeddingCount(spark, dir)))
 
+  /** NOTE: same as [[embedCosinePairs]] — `nPlanes = 0` on this DataFrame
+    * overload costs one un-memoized `count()` action per call; loopers
+    * should pass a pinned or pre-derived width.
+    */
   def srpOccupancy(spark: SparkSession, embeddings: DataFrame,
                    nPlanes: Int = 0, bands: Int = 4,
                    dims: Int = 64): DataFrame = {

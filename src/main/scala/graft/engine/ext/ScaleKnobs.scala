@@ -83,18 +83,34 @@ object ScaleKnobs {
 
   private val counts = new ConcurrentHashMap[String, java.lang.Long]()
 
-  /** Row count of `dir/table.parquet`, memoized per path for the life of
-    * the process (a parquet metadata count — cheap, but every derived
-    * default in a query should agree on one value). Same immutable-corpus
-    * contract as the durable StageCache: regenerate data in place and the
-    * memo is stale — use a fresh dir (or JVM).
+  /** Row count of `dir/table.parquet`, memoized per (path, CONTENT
+    * fingerprint) for the life of the process (a parquet metadata count —
+    * cheap, but every derived default in a query should agree on one
+    * value). The fingerprint is the same listing-shaped digest the
+    * durable [[graft.engine.StageCache]] keys by (name/size/mtime), so
+    * the two caches agree on what "the same corpus" means: regenerating
+    * a table IN PLACE changes its fingerprint, the memo misses, and the
+    * knob re-derives from the fresh count — without this, a long-lived
+    * JVM would rebuild a durable stage under its new fingerprint key
+    * using a STALE memoized count, persisting a wrong derivation that
+    * other JVMs then trust (r11 ADVICE). Superseded entries linger in
+    * the map unread — bounded by the number of in-place regenerations.
+    * Cost per call is one FileSystem listing, far below the count job
+    * it memoizes.
     */
   def tableCount(spark: SparkSession, dir: String, table: String): Long = {
-    val key = s"$dir/$table"
+    val pathStr = s"$dir/$table.parquet"
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val fp =
+      if (st.isDirectory) graft.engine.StageCache.corpusFingerprint(fs, p)
+      else s"${st.getLen}|${st.getModificationTime}"
+    val key = s"$pathStr|$fp"
     val cached = counts.get(key)
     if (cached != null) cached.longValue()
     else {
-      val n = spark.read.parquet(s"$key.parquet").count()
+      val n = spark.read.parquet(pathStr).count()
       counts.put(key, n)
       n
     }

@@ -676,13 +676,26 @@ object Similarity {
     * the output are all query-bounded — the corpus-sized work happened
     * inside the two retrieval operators. At 100 TB this is the cheap
     * last stage over two index scans.
+    *
+    * ONE panel modulus drives BOTH retrievers (r11 ADVICE fix): when
+    * each side derived from its own corpus count (embeddings 200 vs
+    * documents 500 at sf1) the panels only coincided at multiples of
+    * lcm(200, 500) = 1000 and ~80% of fused queries carried ranks from
+    * a single retriever — degenerate single-source ranking. The shared
+    * modulus is the DENSE side's derived default (so the dense input
+    * stays on the materialized exact baseline); the lexical panel uses
+    * the same modulus, making every embedded query a genuine two-
+    * retriever fusion. Documents beyond the embedding id range still
+    * fuse lexical-only — honest: no embedding exists for them.
     */
   def hybridRrf(spark: SparkSession, dir: String, k: Int = 10,
                 rrfK: Int = 60): DataFrame = {
+    val qm = resolveQm(spark, dir, 0)
     val dense = bruteForceTopK(spark, dir)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("dense_rank"))
-    val lex = TextAnalysis.tfidfTopK(spark, dir)
+    val lex = TextAnalysis.tfidfTopK(
+        spark.read.parquet(s"$dir/documents.parquet"), queryMod = qm)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").as("lex_rank"))
     val w = Window.partitionBy(col("query_id"))
