@@ -54,14 +54,22 @@ object OracleAnn {
         |            WHERE (1::BIGINT << b) >=
         |              (SELECT n_embeddings FROM ne)) - 7)) END::BIGINT
         |    AS srp_bits
+        |), ic AS (
+        |  SELECT CASE WHEN (SELECT n_embeddings FROM ne) <= 1 THEN 16
+        |         ELSE greatest(16, 1::BIGINT <<
+        |           (((SELECT min(b) FROM range(0, 63) t(b)
+        |              WHERE (1::BIGINT << b) >=
+        |                (SELECT n_embeddings FROM ne)) + 1) // 2)) END::BIGINT
+        |    AS ivf_cells
         |)
         |SELECT ne.n_embeddings, nd.n_documents, b.srp_bits,
         |  (b.srp_bits * 4)::BIGINT AS srp_planes,
         |  greatest(50, (ne.n_embeddings + 99) // 100)::BIGINT
         |    AS embed_query_mod,
         |  greatest(50, (nd.n_documents + 99) // 100)::BIGINT
-        |    AS doc_query_mod
-        |FROM ne, nd, b""".stripMargin,
+        |    AS doc_query_mod,
+        |  ic.ivf_cells
+        |FROM ne, nd, b, ic""".stripMargin,
     "ann_bruteforce" -> (quantized +
       raw""", d AS (
         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
@@ -232,11 +240,11 @@ object OracleAnn {
     // final centroids (c1), and the census full-outer-joins both sides.
     "ann_index_update" -> (quantized +
       raw""", vb AS (
-        |  SELECT * FROM v WHERE vec_id < 16 OR vec_id % 5 != 4
+        |  SELECT * FROM v WHERE vec_id < $nccSql OR vec_id % 5 != 4
         |), vn AS (
-        |  SELECT * FROM v WHERE vec_id >= 16 AND vec_id % 5 = 4
+        |  SELECT * FROM v WHERE vec_id >= $nccSql AND vec_id % 5 = 4
         |), c0 AS (
-        |  SELECT vec_id AS cell_id, i, q AS c FROM vb WHERE vec_id < 16
+        |  SELECT vec_id AS cell_id, i, q AS c FROM vb WHERE vec_id < $nccSql
         |), d1 AS (
         |  SELECT vb.vec_id, c.cell_id,
         |    CAST(sum((vb.q - c.c) * (vb.q - c.c)) AS BIGINT) AS dist
@@ -289,7 +297,7 @@ object OracleAnn {
     // extended with L2-ranked probes and inner-product candidate ranking.
     "ann_ivf_trained" -> (quantized +
       raw""", c0 AS (
-        |  SELECT vec_id AS cell_id, i, q AS c FROM v WHERE vec_id < 16
+        |  SELECT vec_id AS cell_id, i, q AS c FROM v WHERE vec_id < $nccSql
         |), d1 AS (
         |  SELECT v.vec_id, c.cell_id,
         |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS dist
@@ -376,7 +384,7 @@ object OracleAnn {
     // tie-breaks, so DuckDB reproduces it bit-for-bit.
     "ann_ivf" -> (quantized +
       raw""", cent AS (
-        |  SELECT vec_id AS cell_id, i, q AS cq FROM v WHERE vec_id < 16
+        |  SELECT vec_id AS cell_id, i, q AS cq FROM v WHERE vec_id < $nccSql
         |), adot AS (
         |  SELECT v.vec_id, c.cell_id, CAST(sum(v.q * c.cq) AS BIGINT) AS d
         |  FROM v JOIN cent c ON v.i = c.i
@@ -699,7 +707,7 @@ object OracleAnn {
 
     "corpus_cell_quality" -> (quantized +
       raw""", cent AS (
-        |  SELECT vec_id AS cell_id, i, q AS cq FROM v WHERE vec_id < 16
+        |  SELECT vec_id AS cell_id, i, q AS cq FROM v WHERE vec_id < $nccSql
         |), adot AS (
         |  SELECT v.vec_id, c.cell_id, CAST(sum(v.q * c.cq) AS BIGINT) AS d
         |  FROM v JOIN cent c ON v.i = c.i
@@ -721,7 +729,7 @@ object OracleAnn {
 
     "ann_range_search" -> (quantized +
       raw""", cent AS (
-        |  SELECT vec_id AS cell_id, i, q AS cq FROM v WHERE vec_id < 16
+        |  SELECT vec_id AS cell_id, i, q AS cq FROM v WHERE vec_id < $nccSql
         |), adot AS (
         |  SELECT v.vec_id, c.cell_id, CAST(sum(v.q * c.cq) AS BIGINT) AS d
         |  FROM v JOIN cent c ON v.i = c.i

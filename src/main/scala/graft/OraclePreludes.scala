@@ -138,7 +138,10 @@ private[graft] object OraclePreludes {
     * `qmc.qm`  = query-panel modulus max(50, ⌈n/100⌉) — fixed ~100-query
     *             panels, so exact baselines stay linear in the corpus;
     * `nbc.bits` = SRP band width min(15, max(4, ⌈log2 n⌉ − 7)) — bucket
-    *             occupancy ≤ 128, so LSH pair work stays linear.
+    *             occupancy ≤ 128, so LSH pair work stays linear;
+    * `ncc.nc`  = IVF coarse-cell count max(16, 2^⌈⌈log2 n⌉/2⌉) — the
+    *             nCells ≈ √n train-time rule (r12), so centroid ranking
+    *             and per-cell candidate scans both grow as √n.
     * Unreferenced CTEs cost nothing in DuckDB, so the non-panel oracles
     * sharing this prelude are unaffected.
     */
@@ -155,11 +158,18 @@ private[graft] object OraclePreludes {
       |    (SELECT min(b) FROM range(0, 63) t(b)
       |     WHERE (1::BIGINT << b) >= (SELECT count(*) FROM embeddings))
       |    - 7))::BIGINT AS bits
+      |), ncc AS (
+      |  SELECT greatest(16, 1::BIGINT <<
+      |    (((SELECT min(b) FROM range(0, 63) t(b)
+      |       WHERE (1::BIGINT << b) >= (SELECT count(*) FROM embeddings))
+      |      + 1) // 2))::BIGINT AS nc
       |)""".stripMargin
 
-  /** The panel predicate / band-width scalars, inlined at each use site. */
+  /** The panel predicate / band-width / cell-count scalars, inlined at
+    * each use site. */
   private[graft] val qmSql = "(SELECT qm FROM qmc)"
   private[graft] val srpBitsSql = "(SELECT bits FROM nbc)"
+  private[graft] val nccSql = "(SELECT nc FROM ncc)"
 
   /** Document-side panel modulus (text/RAG retrieval panels): same
     * fixed-panel rule, derived from the documents count.
@@ -178,8 +188,8 @@ private[graft] object OraclePreludes {
     * identical trained index.
     */
   private[graft] val kmeansFin = quantized +
-    """, c0 AS (
-      |  SELECT vec_id AS cell_id, i, q AS c FROM v WHERE vec_id < 16
+    s""", c0 AS (
+      |  SELECT vec_id AS cell_id, i, q AS c FROM v WHERE vec_id < $nccSql
       |), d1 AS (
       |  SELECT v.vec_id, c.cell_id,
       |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS dist
@@ -299,7 +309,7 @@ private[graft] object OraclePreludes {
     */
   private[graft] val ivfPqChain =
     s""", kc0 AS (
-      |  SELECT vec_id AS cell_id, i, q AS c FROM v WHERE vec_id < 16
+      |  SELECT vec_id AS cell_id, i, q AS c FROM v WHERE vec_id < $nccSql
       |), kd1 AS (
       |  SELECT v.vec_id, c.cell_id,
       |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS dist

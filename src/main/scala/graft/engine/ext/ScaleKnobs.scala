@@ -64,6 +64,22 @@ object ScaleKnobs {
   def panelMod(n: Long): Int =
     math.max(50L, (n + 99L) / 100L).toInt
 
+  /** IVF coarse-cell count: 2^⌈log2 √n⌉ — the classical nCells ≈ √n
+    * train-time rule, snapped to a power of two so the derivation stays
+    * integer-exact (⌈log2 √n⌉ = ⌈⌈log2 n⌉ / 2⌉, an identity of the
+    * ceiling), floored at the historical 16 so small corpora reproduce
+    * every pre-derivation artifact bit-for-bit. √n balances the two
+    * costs a probe pays — ranking nCells centroids vs scanning
+    * n/nCells candidates per probed cell — so both sides grow as √n
+    * instead of one of them going linear. nprobe stays a PINNED
+    * recall/cost dial (the nprobe-sweep query is the tool that sizes it
+    * per deployment; a fixed probe FRACTION would hold recall but
+    * re-linearize probe cost). SQL replay:
+    * `greatest(16, 1 << ((L + 1) // 2))` with L the min-b bit length.
+    */
+  def ivfCells(n: Long): Int =
+    math.max(16, 1 << ((ceilLog2(n) + 1) / 2))
+
   /** The SAME rules as in-plan Column expressions (for
     * [[Similarity.knobReport]] and anything else that wants the derived
     * value computed inside the query instead of on the driver):
@@ -80,6 +96,12 @@ object ScaleKnobs {
 
   def panelModCol(n: String): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.expr(s"greatest(50L, ($n + 99) div 100)")
+
+  def ivfCellsCol(n: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      s"""CASE WHEN $n <= 1 THEN 16L
+         |ELSE greatest(16L, shiftleft(1L,
+         |  cast((length(bin($n - 1)) + 1) div 2 AS int))) END""".stripMargin)
 
   private val counts = new ConcurrentHashMap[String, java.lang.Long]()
 

@@ -64,6 +64,18 @@ object Similarity {
     if (queryMod == 0) ScaleKnobs.panelMod(ScaleKnobs.embeddingCount(spark, dir))
     else queryMod
 
+  /** Resolve a wrapper's nCells: 0 (the default everywhere, r12) means
+    * "derive the coarse-cell count from the corpus size at TRAIN time" —
+    * [[ScaleKnobs.ivfCells]], max(16, 2^⌈log2 √n⌉) — the classical
+    * nCells ≈ √n rule that balances centroid-ranking cost against
+    * per-cell candidate-scan cost (16 cells at every scale left sf1
+    * probes scanning 1/4 of a 10× corpus). Explicit values pin the cell
+    * count; the DuckDB oracles replay the same rule from count(*).
+    */
+  private def resolveCells(spark: SparkSession, dir: String, nCells: Int): Int =
+    if (nCells == 0) ScaleKnobs.ivfCells(ScaleKnobs.embeddingCount(spark, dir))
+    else nCells
+
   /** Exact top-k by inner product for every query vector
     * (vec_id % queryMod == 0), self-match excluded, ties broken by
     * neighbor id. The query side is broadcast; the corpus is scanned once.
@@ -100,26 +112,44 @@ object Similarity {
     * cross-joins the query set.
     */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 10,
-              queryMod: Int = 0, nCells: Int = 16, nprobe: Int = 4): DataFrame =
-    ivfTopK(vectors(spark, dir), k, resolveQm(spark, dir, queryMod), nCells,
-      nprobe)
+              queryMod: Int = 0, nCells: Int = 0, nprobe: Int = 4): DataFrame =
+    ivfTopK(vectors(spark, dir), k, resolveQm(spark, dir, queryMod),
+      resolveCells(spark, dir, nCells), nprobe)
+
+  /** Cell assignment by argmax inner product, ties → lowest cell id, as
+    * a PACKED codegen'd aggregate: the n × nCells broadcast expansion
+    * carries (vec_id, one packed long) and min() picks the winner —
+    * pk = (2²⁸ − dot) · 2²⁰ + cell_id, exact because |dot| ≤
+    * dims · 1000² = 64e6 < 2²⁷ (a quantization bound, corpus-
+    * independent) and the √n rule keeps nCells < 2²⁰ until n = 2⁴⁰.
+    * The old max_by-over-struct form (with q riding the group key) hit
+    * BOTH non-codegen demotions at the r12 derived cell count: an array
+    * grouping key hashes 512 B per candidate row, and a struct in
+    * max_by's ordering demotes to ObjectHashAggregate — measured 19 s
+    * vs 1.5 s at sf1 when 16 cells became 256. Returns (vec_id,
+    * cell_id); callers re-attach label/q per VECTOR (n rows, not
+    * n × nCells) — deterministic, vec_id is unique.
+    */
+  private def argmaxDotCell(vs: DataFrame, centroids: DataFrame,
+                            nCells: Int): DataFrame = {
+    require(nCells < (1 << 20),
+      s"packed cell assignment supports < 2^20 cells, got $nCells")
+    vs.join(broadcast(centroids))
+      .select(col("vec_id"),
+        ((lit(1L << 28) - qdot(col("q"), col("cq"))) * lit(1L << 20) +
+          col("cell_id")).as("pk"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("pk")).as("pk"))
+      .select(col("vec_id"), (col("pk") % lit(1L << 20)).cast("int").as("cell_id"))
+  }
 
   def ivfTopK(vs: DataFrame, k: Int, queryMod: Int, nCells: Int,
               nprobe: Int): DataFrame = {
     val centroids = vs.filter(col("vec_id") < nCells)
       .select(col("vec_id").cast("int").as("cell_id"), col("q").as("cq"))
 
-    // cell assignment: argmax_cell dot(v, centroid); max_by on the
-    // (dot, -cell_id) struct gives highest dot, then lowest cell id.
-    // q rides in the GROUP KEY (functionally dependent on vec_id, so the
-    // groups are identical) — deterministic by construction, where a
-    // first(q) would be plan-order-dependent.
-    val assigned = vs.join(broadcast(centroids))
-      .groupBy(col("vec_id"), col("label"), col("q"))
-      .agg(
-        max_by(col("cell_id"),
-          struct(qdot(col("q"), col("cq")).as("d"), (-col("cell_id")).as("t")))
-          .as("cell_id"))
+    val assigned = argmaxDotCell(vs, centroids, nCells)
+      .join(vs.select(col("vec_id"), col("label"), col("q")), "vec_id")
     val queries = assigned.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("q").as("qq"))
 
@@ -159,21 +189,17 @@ object Similarity {
     * bounds the candidate set exactly as in top-k search.
     */
   def ivfRangeSearch(spark: SparkSession, dir: String, minDot: Long = 250000L,
-                     queryMod: Int = 0, nCells: Int = 16,
+                     queryMod: Int = 0, nCells: Int = 0,
                      nprobe: Int = 4): DataFrame =
     ivfRangeSearch(vectors(spark, dir), minDot,
-      resolveQm(spark, dir, queryMod), nCells, nprobe)
+      resolveQm(spark, dir, queryMod), resolveCells(spark, dir, nCells), nprobe)
 
   def ivfRangeSearch(vs: DataFrame, minDot: Long, queryMod: Int, nCells: Int,
                      nprobe: Int): DataFrame = {
     val centroids = vs.filter(col("vec_id") < nCells)
       .select(col("vec_id").cast("int").as("cell_id"), col("q").as("cq"))
-    val assigned = vs.join(broadcast(centroids))
-      .groupBy(col("vec_id"), col("label"), col("q"))
-      .agg(
-        max_by(col("cell_id"),
-          struct(qdot(col("q"), col("cq")).as("d"), (-col("cell_id")).as("t")))
-          .as("cell_id"))
+    val assigned = argmaxDotCell(vs, centroids, nCells)
+      .join(vs.select(col("vec_id"), col("label"), col("q")), "vec_id")
     val queries = assigned.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("q").as("qq"))
     val probes = queries.join(broadcast(centroids))
@@ -265,21 +291,23 @@ object Similarity {
     * All arithmetic is exact BIGINT / exact-in-double floor-means, so
     * DuckDB replays the whole training bit-for-bit.
     */
-  def kmeansCells(spark: SparkSession, dir: String, nCells: Int = 16,
+  def kmeansCells(spark: SparkSession, dir: String, nCells: Int = 0,
                   iters: Int = 2): DataFrame =
-    if (nCells == 16 && iters == 2)
+    if (nCells == 0 && iters == 2)
       kmeansT(spark, dir)._1
         .select(col("vec_id"), col("cell_id"), col("dist"))
         .orderBy(col("vec_id"))
-    else kmeansCells(vectors(spark, dir), nCells, iters)
+    else kmeansCells(vectors(spark, dir), resolveCells(spark, dir, nCells),
+      iters)
 
   def kmeansCells(vs: DataFrame, nCells: Int, iters: Int): DataFrame =
     kmeansLoop(vs, nCells, iters)._1
       .select(col("vec_id"), col("cell_id"), col("dist"))
       .orderBy(col("vec_id"))
 
-  /** Default-parameter trained IVF index (nCells=16, iters=2),
-    * materialized once per (session, dir) via
+  /** Default-parameter trained IVF index (nCells derived at train time
+    * via [[ScaleKnobs.ivfCells]], iters=2), materialized once per
+    * (session, dir) via
     * [[graft.engine.StageCache]]: the k-means queries, the balance
     * audit, trained-IVF search, the nprobe sweep and IVF-PQ all ride ONE
     * training run — exactly how a production index is trained offline
@@ -295,14 +323,16 @@ object Similarity {
       var stash: DataFrame = null
       val assigned = graft.engine.StageCache
         .materialized(spark, dir, "ann.kmeans_assigned") {
-          val (a, c) = kmeansLoop(vectors(spark, dir), 16, 2)
+          val (a, c) =
+            kmeansLoop(vectors(spark, dir), resolveCells(spark, dir, 0), 2)
           stash = c
           a
         }
       val centroids = graft.engine.StageCache
         .materialized(spark, dir, "ann.kmeans_centroids") {
           if (stash != null) stash
-          else kmeansLoop(vectors(spark, dir), 16, 2)._2 // full retrain; see doc
+          else // full retrain; see doc
+            kmeansLoop(vectors(spark, dir), resolveCells(spark, dir, 0), 2)._2
         }
       (assigned, centroids)
     }
@@ -315,11 +345,12 @@ object Similarity {
     * queries use, so the audit sees exactly what the index serves.
     * The share window runs over nCells rows (constant).
     */
-  def cellBalance(spark: SparkSession, dir: String, nCells: Int = 16,
+  def cellBalance(spark: SparkSession, dir: String, nCells: Int = 0,
                   iters: Int = 2): DataFrame =
-    if (nCells == 16 && iters == 2)
+    if (nCells == 0 && iters == 2)
       cellBalanceFromAssigned(kmeansT(spark, dir)._1)
-    else cellBalance(vectors(spark, dir), nCells, iters)
+    else cellBalance(vectors(spark, dir), resolveCells(spark, dir, nCells),
+      iters)
 
   def cellBalance(vs: DataFrame, nCells: Int, iters: Int): DataFrame =
     cellBalanceFromAssigned(kmeansLoop(vs, nCells, iters)._1)
@@ -345,23 +376,45 @@ object Similarity {
     */
   private def kmeansLoop(vs: DataFrame, nCells: Int,
                          iters: Int): (DataFrame, DataFrame) = {
+    // Precompute each side's self-dot ONCE: dist(v,c) = v·v − 2·v·c + c·c,
+    // so the n × nCells candidate expansion pays one qdot per pair, not
+    // three (v·v was recomputed nCells times per vector — a 3× multiply
+    // tax the r12 derived cell count made visible at 16 → 256 cells).
+    val vss = vs.select(col("vec_id"), col("q"),
+      qdot(col("q"), col("q")).as("qq"))
     var centroids = vs.filter(col("vec_id") < nCells)
       .select(col("vec_id").cast("int").as("cell_id"), col("q").as("cq"))
     var assigned: DataFrame = null
     for (it <- 1 to iters) {
-      val dist = qdot(col("q"), col("q")) - lit(2L) * qdot(col("q"), col("cq")) +
-        qdot(col("cq"), col("cq")) // == Σ(q−c)², exact in BIGINT
-      // q rides in the group key (functionally dependent on vec_id, so
-      // groups are identical) — deterministic where first(q) is plan-order-
-      // dependent. Same convention as ivfTopK.
-      assigned = vs.join(broadcast(centroids))
-        .select(col("vec_id"), col("q"), col("cell_id"), dist.as("dist"))
-        .groupBy(col("vec_id"), col("q"))
-        .agg(
-          min_by(struct(col("cell_id"), col("dist")),
-            struct(col("dist"), col("cell_id"))).as("best"))
-        .select(col("vec_id"), col("q"),
-          col("best.cell_id").as("cell_id"), col("best.dist").as("dist"))
+      val cents = centroids.select(col("cell_id"), col("cq"),
+        qdot(col("cq"), col("cq")).as("cc"))
+      val dist = col("qq") - lit(2L) * qdot(col("q"), col("cq")) +
+        col("cc") // == Σ(q−c)², exact in BIGINT
+      // The argmin aggregate must stay PRIMITIVE on key and buffer: an
+      // array in the grouping key hashes 512 bytes per candidate row, and
+      // a struct anywhere in min_by (payload OR buffer) demotes the whole
+      // aggregate to non-codegen ObjectHashAggregate — either way the
+      // n × nCells expansion pays interpreted/array work per pair
+      // (measured 15 s and 10 s vs 2.8 s at sf1 when the derived count
+      // hit 256 cells). So (dist, cell_id) packs into ONE long —
+      // dist · 2²⁰ + cell_id, exact because dist ≤ dims · (2 · 1000)² <
+      // 2²⁸ (a quantization bound, corpus-independent) and the √n rule
+      // keeps nCells < 2²⁰ until n = 2⁴⁰ vectors — min() of it is the
+      // same (dist, then cell_id) tie-break as the min_by struct, and
+      // the whole argmin stays inside whole-stage codegen. q is joined
+      // back per VECTOR (n rows, not n × nCells) — deterministic, vec_id
+      // is unique in vss.
+      require(nCells < (1 << 20), s"packed argmin supports < 2^20 cells, got $nCells")
+      val argmin = vss.join(broadcast(cents))
+        .select(col("vec_id"),
+          (dist * lit(1L << 20) + col("cell_id")).as("pk"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("pk")).as("pk"))
+        .select(col("vec_id"),
+          (col("pk") % lit(1L << 20)).cast("int").as("cell_id"),
+          expr(s"pk div ${1L << 20}").as("dist"))
+      assigned = argmin.join(vss.select(col("vec_id"), col("q")), "vec_id")
+        .select(col("vec_id"), col("q"), col("cell_id"), col("dist"))
       if (it < iters) {
         centroids = assigned
           .select(col("cell_id"), posexplode(col("q")).as(Seq("pos", "v")))
@@ -391,13 +444,14 @@ object Similarity {
     * probing and ranking end to end.
     */
   def ivfTrainedTopK(spark: SparkSession, dir: String, k: Int = 10,
-                     queryMod: Int = 0, nCells: Int = 16, iters: Int = 2,
+                     queryMod: Int = 0, nCells: Int = 0, iters: Int = 2,
                      nprobe: Int = 4): DataFrame = {
     val qm = resolveQm(spark, dir, queryMod)
-    if (nCells == 16 && iters == 2) {
+    if (nCells == 0 && iters == 2) {
       val (assigned, centroids) = kmeansT(spark, dir)
       ivfTrainedFromIndex(assigned, centroids, k, qm, nprobe)
-    } else ivfTrainedTopK(vectors(spark, dir), k, qm, nCells, iters, nprobe)
+    } else ivfTrainedTopK(vectors(spark, dir), k, qm,
+      resolveCells(spark, dir, nCells), iters, nprobe)
   }
 
   def ivfTrainedTopK(vs: DataFrame, k: Int, queryMod: Int, nCells: Int,
@@ -444,14 +498,14 @@ object Similarity {
     * single widest search, not |probes| retrainings.
     */
   def nprobeSweep(spark: SparkSession, dir: String, k: Int = 10,
-                  queryMod: Int = 0, nCells: Int = 16, iters: Int = 2,
+                  queryMod: Int = 0, nCells: Int = 0, iters: Int = 2,
                   probesList: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
     val qm = resolveQm(spark, dir, queryMod)
     val vs = vectors(spark, dir)
     // defaults ride the materialized index + exact baseline
     val (assigned, centroids) =
-      if (nCells == 16 && iters == 2) kmeansT(spark, dir)
-      else kmeansLoop(vs, nCells, iters)
+      if (nCells == 0 && iters == 2) kmeansT(spark, dir)
+      else kmeansLoop(vs, resolveCells(spark, dir, nCells), iters)
     val exact = (if (k == 10 && queryMod == 0) bruteForceTopK(spark, dir)
                  else bruteForceTopK(vs, k, qm))
       .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
@@ -508,20 +562,27 @@ object Similarity {
     * nCells centroid rows — the batch never shuffles; both censuses are
     * map-side-combined counts at cell grain (nCells rows).
     */
-  def ivfIndexUpdate(spark: SparkSession, dir: String, nCells: Int = 16,
+  def ivfIndexUpdate(spark: SparkSession, dir: String, nCells: Int = 0,
                      iters: Int = 2): DataFrame = {
+    val nc = resolveCells(spark, dir, nCells)
     val vs = vectors(spark, dir)
-    val isBase = col("vec_id") < nCells || col("vec_id") % 5 =!= 4
-    val (assignedBase, centroids) = kmeansLoop(vs.filter(isBase), nCells, iters)
-    val dist = qdot(col("q"), col("q")) - lit(2L) * qdot(col("q"), col("cq")) +
-      qdot(col("cq"), col("cq"))
-    val assignedNew = vs.filter(!isBase).join(broadcast(centroids))
-      .select(col("vec_id"), col("q"), col("cell_id"), dist.as("dist"))
-      .groupBy(col("vec_id"), col("q"))
-      .agg(min_by(struct(col("cell_id"), col("dist")),
-        struct(col("dist"), col("cell_id"))).as("best"))
-      .select(col("vec_id"), col("best.cell_id").as("cell_id"),
-        col("best.dist").as("dist"))
+    val isBase = col("vec_id") < nc || col("vec_id") % 5 =!= 4
+    val (assignedBase, centroids) = kmeansLoop(vs.filter(isBase), nc, iters)
+    // same packed codegen'd argmin as kmeansLoop (dist ≥ 0, < 2²⁸ by the
+    // quantization bound; cell_id < 2²⁰ by the require in kmeansLoop)
+    val cents = centroids.select(col("cell_id"), col("cq"),
+      qdot(col("cq"), col("cq")).as("cc"))
+    val batch = vs.filter(!isBase)
+      .select(col("vec_id"), col("q"), qdot(col("q"), col("q")).as("qq"))
+    val dist = col("qq") - lit(2L) * qdot(col("q"), col("cq")) + col("cc")
+    val assignedNew = batch.join(broadcast(cents))
+      .select(col("vec_id"),
+        (dist * lit(1L << 20) + col("cell_id")).as("pk"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("pk")).as("pk"))
+      .select(col("vec_id"),
+        (col("pk") % lit(1L << 20)).cast("int").as("cell_id"),
+        expr(s"pk div ${1L << 20}").as("dist"))
     val baseC = assignedBase.groupBy(col("cell_id"))
       .agg(count(lit(1)).as("n_base"), max(col("dist")).as("max_base_dist"))
     val newC = assignedNew.groupBy(col("cell_id"))
@@ -562,15 +623,15 @@ object Similarity {
     * per consumer (see OpaqueBarrier).
     */
   def ivfPqTopK(spark: SparkSession, dir: String, topK: Int = 10,
-                shortlist: Int = 30, queryMod: Int = 0, nCells: Int = 16,
+                shortlist: Int = 30, queryMod: Int = 0, nCells: Int = 0,
                 ivfIters: Int = 2, nprobe: Int = 4, M: Int = 8,
                 subDim: Int = 8, pqK: Int = 16, pqIters: Int = 2): DataFrame =
     // consumed by the IVF-PQ search query AND its recall QA — materialized
-    if (topK == 10 && shortlist == 30 && queryMod == 0 && nCells == 16 &&
+    if (topK == 10 && shortlist == 30 && queryMod == 0 && nCells == 0 &&
         ivfIters == 2 && nprobe == 4 && M == 8 && subDim == 8 && pqK == 16 &&
         pqIters == 2)
       graft.engine.StageCache.materialized(spark, dir, "ann.ivfpq_topk") {
-        ivfPqCompute(spark, dir, 10, 30, 0, 16, 2, 4, 8, 8, 16, 2)
+        ivfPqCompute(spark, dir, 10, 30, 0, 0, 2, 4, 8, 8, 16, 2)
       }
     else ivfPqCompute(spark, dir, topK, shortlist, queryMod, nCells, ivfIters,
       nprobe, M, subDim, pqK, pqIters)
@@ -582,8 +643,8 @@ object Similarity {
     val qm = resolveQm(spark, dir, queryMod)
     val vs = vectors(spark, dir)
     val (cellAssigned, centroids) =
-      if (nCells == 16 && ivfIters == 2) kmeansT(spark, dir)
-      else kmeansLoop(vs, nCells, ivfIters)
+      if (nCells == 0 && ivfIters == 2) kmeansT(spark, dir)
+      else kmeansLoop(vs, resolveCells(spark, dir, nCells), ivfIters)
     val (pqAssigned, cb) =
       if (M == 8 && subDim == 8 && pqK == 16 && pqIters == 2) pqT(spark, dir)
       else pqLoop(vs, M, subDim, pqK, pqIters)
@@ -1143,15 +1204,12 @@ object Similarity {
     * (nCells centroids), one equi-join on the shared id, one tiny
     * rollup — no new shuffles beyond the operators it composes.
     */
-  def cellQuality(spark: SparkSession, dir: String, nCells: Int = 16): DataFrame = {
+  def cellQuality(spark: SparkSession, dir: String, nCells: Int = 0): DataFrame = {
+    val nc = resolveCells(spark, dir, nCells)
     val vs = vectors(spark, dir)
-    val centroids = vs.filter(col("vec_id") < nCells)
+    val centroids = vs.filter(col("vec_id") < nc)
       .select(col("vec_id").cast("int").as("cell_id"), col("q").as("cq"))
-    val assigned = vs.join(broadcast(centroids))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cell_id"),
-        struct(qdot(col("q"), col("cq")).as("d"), (-col("cell_id")).as("t")))
-        .as("cell_id"))
+    val assigned = argmaxDotCell(vs, centroids, nc)
     val verdicts = Corpus
       .qualityClean(spark.read.parquet(s"$dir/documents.parquet"))
       .select(col("doc_id"), col("keep"))
@@ -1184,10 +1242,12 @@ object Similarity {
       .select(col("n_embeddings"), col("n_documents"),
         ScaleKnobs.srpBitsCol("n_embeddings").as("srp_bits"),
         ScaleKnobs.panelModCol("n_embeddings").as("embed_query_mod"),
-        ScaleKnobs.panelModCol("n_documents").as("doc_query_mod"))
+        ScaleKnobs.panelModCol("n_documents").as("doc_query_mod"),
+        ScaleKnobs.ivfCellsCol("n_embeddings").as("ivf_cells"))
       .withColumn("srp_planes", col("srp_bits") * lit(4L))
       .select(col("n_embeddings"), col("n_documents"), col("srp_bits"),
-        col("srp_planes"), col("embed_query_mod"), col("doc_query_mod"))
+        col("srp_planes"), col("embed_query_mod"), col("doc_query_mod"),
+        col("ivf_cells"))
   }
 
   def labelCentroidSim(spark: SparkSession, dir: String): DataFrame =

@@ -27,12 +27,14 @@ class ScaleKnobsSpec extends AnyFunSuite {
             org.apache.spark.sql.types.LongType))))
       .select(col("n"),
         graft.engine.ext.ScaleKnobs.srpBitsCol("n").as("bits"),
-        graft.engine.ext.ScaleKnobs.panelModCol("n").as("qm"))
+        graft.engine.ext.ScaleKnobs.panelModCol("n").as("qm"),
+        graft.engine.ext.ScaleKnobs.ivfCellsCol("n").as("nc"))
       .collect()
     rows.foreach { r =>
       val n = r.getLong(0)
       assert(r.getLong(1) === ScaleKnobs.srpBitsPerBand(n).toLong, s"bits at n=$n")
       assert(r.getLong(2) === ScaleKnobs.panelMod(n).toLong, s"qm at n=$n")
+      assert(r.getLong(3) === ScaleKnobs.ivfCells(n).toLong, s"nc at n=$n")
     }
   }
 
@@ -70,6 +72,29 @@ class ScaleKnobsSpec extends AnyFunSuite {
       if (bits > 4 && bits < 15)
         assert(n.toDouble / (1L << bits) <= 128.0, s"occupancy at n=$n")
       assert(bits <= 15)
+    }
+  }
+
+  test("ivfCells: the nCells ~ sqrt(n) train-time rule, power-of-two") {
+    // the driver-tested scales: 500 vectors -> 32 cells, 2000 -> 64
+    assert(ScaleKnobs.ivfCells(500L) === 32)
+    assert(ScaleKnobs.ivfCells(2000L) === 64)
+    // sf1 embeddings (20k) -> 256; sf10 (200k) -> 512
+    assert(ScaleKnobs.ivfCells(20000L) === 256)
+    assert(ScaleKnobs.ivfCells(200000L) === 512)
+    // floor reproduces the historical 16 for tiny corpora
+    assert(ScaleKnobs.ivfCells(1L) === 16)
+    assert(ScaleKnobs.ivfCells(256L) === 16)
+    // 2^⌈log2 √n⌉ brackets √n within [√n, 2√n): both probe-side costs
+    // (rank nc centroids; scan ~n/nc candidates per cell) grow as √n
+    for (e <- 9 to 40) {
+      val n = 1L << e
+      val nc = ScaleKnobs.ivfCells(n).toLong
+      val sqrtN = math.sqrt(n.toDouble)
+      assert(nc >= sqrtN && nc < 2 * sqrtN, s"nc=$nc at n=$n")
+      // ceiling identity used by the derivation: ⌈log2 √n⌉ = ⌈⌈log2 n⌉/2⌉
+      assert(nc === (1L << math.ceil(math.log(sqrtN) / math.log(2)).toInt),
+        s"identity at n=$n")
     }
   }
 
