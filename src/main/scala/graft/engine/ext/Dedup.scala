@@ -573,52 +573,146 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhash(documents(spark, dir))
 
-  def simhash(docs: DataFrame): DataFrame = {
+  /** The historical 60-bit single-BIGINT signature — the default 4 × 15
+    * layout of [[simhashSig]] recombined (bit b of the long = bit
+    * b mod 15 of band b div 15 — bit-identical to the pre-r12 layout;
+    * the oracle gate proves it every round). For the > 60-bit regime use
+    * [[simhashSig]] directly — a wider signature cannot fit one signed
+    * long, which is exactly why the width was baked in before r12.
+    */
+  def simhash(docs: DataFrame): DataFrame =
+    simhashSig(docs)
+      .select(col("doc_id"),
+        (0 until 4).map(b =>
+          shiftleft(element_at(col("sig"), b + 1), b * 15)).reduce(_ + _)
+          .as("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** Validate a (bands, bitsPerBand) signature geometry — the r11 verdict
+    * ask #3: the split is a BUILD-TIME parameter with explicit bounds
+    * (like RegexFindGroup validates patterns), not a baked-in constant.
+    * Each band must fit a signed long; two md5 halves supply up to 120
+    * hash bits per token, which covers the ~4M-doc occupancy boundary the
+    * knob audit names (n/2^bits ≤ 128 holds to n = 2^37 at 4 × 30).
+    */
+  private def validateSigGeometry(bands: Int, bitsPerBand: Int): Unit =
+    require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 60 &&
+      bands * bitsPerBand <= 120,
+      s"signature geometry must satisfy 1 <= bitsPerBand <= 60 and " +
+        s"bands * bitsPerBand <= 120 (two md5 halves); got $bands x $bitsPerBand")
+
+  /** Width-parameterized SimHash: per-band signature ARRAY (element b =
+    * that band's `bitsPerBand` vote bits), so the total width is no
+    * longer capped by one signed long. Each token votes ±1 on every bit
+    * of its md5-derived hash (two 60-bit md5 halves supply up to 120
+    * bits); bit j of band b is 1 when the vote sum of global bit
+    * b·bitsPerBand + j is positive. Linear in tokens × width, fully
+    * integer.
+    */
+  def simhashSig(docs: DataFrame, bands: Int = 4,
+                 bitsPerBand: Int = 15): DataFrame = {
+    validateSigGeometry(bands, bitsPerBand)
+    val total = bands * bitsPerBand
+    val halves = (total + 59) / 60
     val toks = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), md5Hash60(col("tok")).as("h"))
-    // One wide aggregation (count + 60 per-bit ones-counts) instead of a
-    // 60× row explode + double groupBy: the vote sum for bit b is
-    // ones_b - (n - ones_b), positive iff 2*ones_b > n — same signature at
-    // 1/60th the shuffled rows, and the sums stay in whole-stage codegen.
-    val onesCols = (0 until 60).map(b =>
-      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"ones_$b"))
+      .select(col("doc_id"), md5(col("tok")).as("m"))
+      .select(col("doc_id") +:
+        (0 until halves).map(k =>
+          conv(substring(col("m"), 1 + 15 * k, 15), 16, 10).cast("long")
+            .as(s"h$k")): _*)
+    // One wide aggregation (count + `total` per-bit ones-counts) instead
+    // of a width× row explode + double groupBy: the vote sum for bit p is
+    // ones_p - (n - ones_p), positive iff 2*ones_p > n — same signature
+    // at 1/width the shuffled rows, and the sums stay in whole-stage
+    // codegen.
+    val onesCols = (0 until total).map(p =>
+      sum(shiftright(col(s"h${p / 60}"), p % 60).bitwiseAND(lit(1L)))
+        .as(s"ones_$p"))
     toks
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"), onesCols: _*)
       .select(col("doc_id"),
-        (0 until 60).map(b =>
-          when(col(s"ones_$b") * 2 > col("n"), lit(1L << b)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
-      .orderBy(col("doc_id"))
+        array((0 until bands).map(b =>
+          (0 until bitsPerBand).map(j =>
+            when(col(s"ones_${b * bitsPerBand + j}") * 2 > col("n"),
+              lit(1L << j)).otherwise(0L))
+            .reduce(_ + _)): _*).as("sig"))
   }
 
-  /** SimHash near-dup pairs: band-blocked (4 bands × 15 bits — two docs
-    * within Hamming distance 3 of each other must agree on ≥1 band), then
-    * exact Hamming distance via bit_count(xor).
+  /** Band-blocked Hamming pair generation over a per-band signature
+    * array (doc_id, sig): bucket on each band's exact value, generate
+    * pairs locally per bucket, keep pairs within `maxHamming` total
+    * bits. Shared by text SimHash and media pHash at ANY geometry.
+    *
+    * Geometries that fit one signed long (total ≤ 60 bits — including
+    * the default 4 × 15) pack the band array back into a single BIGINT
+    * first: the bucket collect_list then carries (doc_id, one long)
+    * instead of (doc_id, array) — measurably cheaper to shuffle, sort
+    * and xor (the pre-r12 shape, ~1.7 s faster per stage build at
+    * sf0.1) and bit-identical in output. Wider geometries take the
+    * array path: banding reads `element_at(sig, band)`, the distance is
+    * the sum of per-band bit_count(xor).
+    */
+  private[ext] def bandedHammingPairs(sig: DataFrame, bands: Int,
+                                      bitsPerBand: Int,
+                                      maxHamming: Int): DataFrame = {
+    val pairs =
+      if (bands * bitsPerBand <= 60) {
+        val packed = sig.select(col("doc_id"),
+          (0 until bands).map(b =>
+            shiftleft(element_at(col("sig"), b + 1), b * bitsPerBand))
+            .reduce(_ + _).as("s"))
+        packed.select(col("doc_id"), col("s"),
+          explode(sequence(lit(0), lit(bands - 1))).as("band"))
+          .select(col("doc_id"), col("s"), col("band"),
+            expr(s"shiftright(s, cast(band as int) * $bitsPerBand)")
+              .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("band_val"))
+          .groupBy(col("band"), col("band_val"))
+          .agg(collect_list(struct(col("doc_id"), col("s"))).as("ms"))
+          .filter(size(col("ms")) >= 2)
+          .select(explode(localPairs(array_sort(col("ms")))).as("p"))
+          .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+            bit_count(col("p.a.s").bitwiseXOR(col("p.b.s"))).as("hamming"))
+      } else {
+        sig.select(col("doc_id"), col("sig"),
+          explode(sequence(lit(0), lit(bands - 1))).as("band"))
+          .select(col("doc_id"), col("sig"), col("band"),
+            element_at(col("sig"), (col("band") + 1).cast("int")).as("band_val"))
+          .groupBy(col("band"), col("band_val"))
+          .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ms"))
+          .filter(size(col("ms")) >= 2)
+          .select(explode(localPairs(array_sort(col("ms")))).as("p"))
+          .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+            aggregate(
+              zip_with(col("p.a.sig"), col("p.b.sig"),
+                (x, y) => bit_count(x.bitwiseXOR(y))),
+              lit(0), (acc, h) => acc + h).as("hamming"))
+      }
+    pairs
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash near-dup pairs: band-blocked (default 4 bands × 15 bits —
+    * two docs within Hamming distance 3 of each other must agree on ≥1
+    * band), then exact Hamming distance via bit_count(xor). The geometry
+    * is a build-time parameter (r12): past ~4M docs the 15-bit band is
+    * occupancy-bound (n/2¹⁵ > 128) — rebuild with a wider split (e.g.
+    * 4 × 30 → occupancy bound holds to n = 2³⁷). Signatures at different
+    * geometries are incomparable; a width change is an index REBUILD,
+    * exactly like retraining IVF cells.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     graft.engine.StageCache.materialized(spark, dir, "dedup.simhash_pairs") {
       simhashPairs(documents(spark, dir))
     }
 
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
-    val sig = simhash(docs)
-    sig.select(col("doc_id"), col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("band"))
-      .select(col("doc_id"), col("simhash"), col("band"),
-        expr("shiftright(simhash, cast(band as int) * 15)")
-          .bitwiseAND(lit(0x7FFFL)).as("band_val"))
-      .groupBy(col("band"), col("band_val"))
-      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ms"))
-      .filter(size(col("ms")) >= 2)
-      .select(explode(localPairs(array_sort(col("ms")))).as("p"))
-      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
-        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 8, bands: Int = 4,
+                   bitsPerBand: Int = 15): DataFrame =
+    bandedHammingPairs(simhashSig(docs, bands, bitsPerBand), bands,
+      bitsPerBand, maxHamming)
 
   /** Integer-exact PageRank over the SimHash near-dup graph: rank
     * documents by centrality in the similarity graph — the principled way

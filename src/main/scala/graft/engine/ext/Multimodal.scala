@@ -159,13 +159,16 @@ object Multimodal {
   }
 
   final case class PHashRow(doc_id: Long, phash: Long)
+  final case class PHashSigRow(doc_id: Long, sig: Array[Long])
 
   /** Perceptual-hash signature per media item: sample 60 payload points
     * on a fixed stride grid, threshold each against the integer mean —
     * the aHash/pHash family's shape (a real impl swaps the stride sample
     * for DCT coefficients of the decoded image; everything else stands).
     * 60 bits keeps the signature positive in signed-64 space, matching
-    * the SimHash convention.
+    * the SimHash convention. The single-long form is the historical
+    * default; [[pHashSigs]] is the width-parameterized build for the
+    * > 60-bit regime (r12).
     */
   def pHashes(spark: SparkSession, dir: String, points: Int = 60,
               batchSize: Int = 32): Dataset[PHashRow] = {
@@ -193,32 +196,60 @@ object Multimodal {
       }
   }
 
-  /** Media near-dup pairs by perceptual hash: the same band-blocked
-    * bucket join as text SimHash (4 bands × 15 bits → two items within
-    * Hamming 8 share ≥1 band when ≤3 differing bits land per band is
-    * violated only with probability bounded by the band split), candidate
-    * pairs generated locally per bucket — image/audio dedup at corpus
-    * scale without an all-pairs comparison.
+  /** Width-parameterized pHash: the same stride-sample-and-threshold
+    * signature as [[pHashes]], laid out as a per-band ARRAY (element b =
+    * that band's `bitsPerBand` threshold bits) so the total width is not
+    * capped by one signed long — the build path for the > 4M-item regime
+    * where 15-bit bands are occupancy-bound (knob audit). The default
+    * 4 × 15 geometry samples the same 60 points and sets the same bits
+    * as the single-long form (MultimodalSpec/DedupSpec pin it).
     */
-  def phashPairs(spark: SparkSession, dir: String,
-                 maxHamming: Int = 8): DataFrame = {
-    import graft.engine.ext.Dedup.localPairs
-    val sig = pHashes(spark, dir).toDF()
-    sig.select(col("doc_id"), col("phash"),
-        explode(sequence(lit(0), lit(3))).as("band"))
-      .select(col("doc_id"), col("phash"), col("band"),
-        expr("shiftright(phash, cast(band as int) * 15)")
-          .bitwiseAND(lit(0x7FFFL)).as("band_val"))
-      .groupBy(col("band"), col("band_val"))
-      .agg(collect_list(struct(col("doc_id"), col("phash"))).as("ms"))
-      .filter(size(col("ms")) >= 2)
-      .select(explode(localPairs(array_sort(col("ms")))).as("p"))
-      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
-        bit_count(col("p.a.phash").bitwiseXOR(col("p.b.phash"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-      .orderBy(col("doc_a"), col("doc_b"))
+  def pHashSigs(spark: SparkSession, dir: String, bands: Int = 4,
+                bitsPerBand: Int = 15,
+                batchSize: Int = 32): Dataset[PHashSigRow] = {
+    require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 60,
+      s"signature geometry must satisfy 1 <= bitsPerBand <= 60; " +
+        s"got $bands x $bitsPerBand")
+    val points = bands * bitsPerBand
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRecord]
+      .repartition(col("doc_id"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val n = r.media.length
+            if (n == 0) PHashSigRow(r.doc_id, Array.fill(bands)(0L))
+            else {
+              val bytes = (0 until points).map { i =>
+                r.media(math.min((i.toLong * n / points).toInt, n - 1)) & 0xff
+              }
+              val mean = bytes.sum / points
+              val sig = Array.tabulate(bands) { b =>
+                (0 until bitsPerBand).foldLeft(0L) { (acc, j) =>
+                  if (bytes(b * bitsPerBand + j) > mean) acc | (1L << j) else acc
+                }
+              }
+              PHashSigRow(r.doc_id, sig)
+            }
+          }
+        }
+      }
   }
+
+  /** Media near-dup pairs by perceptual hash: the same band-blocked
+    * bucket join as text SimHash (default 4 bands × 15 bits → two items
+    * within Hamming 8 share ≥1 band when ≤3 differing bits land per band
+    * is violated only with probability bounded by the band split),
+    * candidate pairs generated locally per bucket — image/audio dedup at
+    * corpus scale without an all-pairs comparison. Geometry is a
+    * build-time parameter (r12, [[Dedup.bandedHammingPairs]]); a width
+    * change is an index rebuild.
+    */
+  def phashPairs(spark: SparkSession, dir: String, maxHamming: Int = 8,
+                 bands: Int = 4, bitsPerBand: Int = 15): DataFrame =
+    graft.engine.ext.Dedup.bandedHammingPairs(
+      pHashSigs(spark, dir, bands, bitsPerBand).toDF(), bands, bitsPerBand,
+      maxHamming)
 
   /** Rollup per format — the sanity aggregation a curation job runs after
     * feature extraction.

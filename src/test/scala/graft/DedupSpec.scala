@@ -114,6 +114,84 @@ class DedupSpec extends SparkTestBase {
       r.getAs[Long]("hamming"))).toSeq === Seq((1L, 2L, 0L)))
   }
 
+  test("simhashSig: width-parameterized geometry — default recombines to " +
+    "the 60-bit long, a wide build matches its brute-force replay") {
+    val docs = (0L until 40L).map { i =>
+      // 8-token docs; every 4th doc is a near-dup of doc i-1 (one token
+      // swapped) so both geometries have real pairs to find
+      val base = (0 until 8).map(t => s"w${(i / 4) * 8 + t}")
+      val txt = if (i % 4 == 3) (base.dropRight(1) :+ "swapped").mkString(" ")
+      else base.mkString(" ")
+      (i, txt, "en", "a", txt.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    // default geometry: sig array recombines to EXACTLY the single-long
+    // signature (the bit layout the committed artifacts were built on)
+    val recombined = Dedup.simhashSig(docs)
+      .select(col("doc_id"), (0 until 4).map(b =>
+        shiftleft(element_at(col("sig"), b + 1), b * 15)).reduce(_ + _)
+        .as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val single = Dedup.simhash(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(recombined === single)
+
+    // non-default 4 x 30 = 120-bit build (the >4M-doc geometry from the
+    // knob audit): the banded pair list must equal its definition — all
+    // pairs sharing >= 1 exact band value with total Hamming <= max
+    val wideSig = Dedup.simhashSig(docs, bands = 4, bitsPerBand = 30)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val maxHamming = 8
+    val expected = (for {
+      a <- wideSig.keys; b <- wideSig.keys if a < b
+      sa = wideSig(a); sb = wideSig(b)
+      if sa.zip(sb).exists { case (x, y) => x == y }
+      h = sa.zip(sb).map { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y) }.sum
+      if h <= maxHamming
+    } yield (a, b, h)).toSeq.sorted
+    val got = Dedup.simhashPairs(docs, maxHamming, bands = 4, bitsPerBand = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty) // the fixture actually exercises the wide path
+    // wide signatures use bits >= 60 (the regime a single long cannot hold)
+    assert(wideSig.values.exists(_.exists(_ >= (1L << 15))))
+
+    // geometry validation: per-band width and the two-md5-halves budget
+    intercept[IllegalArgumentException](Dedup.simhashSig(docs, 4, 61))
+    intercept[IllegalArgumentException](Dedup.simhashSig(docs, 3, 41))
+    intercept[IllegalArgumentException](Dedup.simhashSig(docs, 0, 15))
+  }
+
+  test("pHashSigs: default geometry recombines to the single-long pHash; " +
+    "wide geometry samples more points") {
+    import graft.engine.ext.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("media1").toString
+    (0L until 20L).map { i =>
+      val txt = ("x" * 40) + ("abcdefgh" * (1 + (i % 5)).toInt) + i.toString
+      (i, txt, "en", "a", txt.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val recombined = Multimodal.pHashSigs(spark, dir).toDF()
+      .select(col("doc_id"), (0 until 4).map(b =>
+        shiftleft(element_at(col("sig"), b + 1), b * 15)).reduce(_ + _)
+        .as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val single = Multimodal.pHashes(spark, dir).toDF()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(recombined === single)
+
+    // a 4 x 30 build thresholds 120 sampled points — band values reach
+    // the bit range a single signed long could not have carried
+    val wide = Multimodal.pHashSigs(spark, dir, bands = 4, bitsPerBand = 30)
+      .collect()
+    assert(wide.forall(_.sig.length == 4))
+    assert(wide.exists(_.sig.exists(_ >= (1L << 15))))
+    intercept[IllegalArgumentException](
+      Multimodal.pHashSigs(spark, dir, 4, 61).toDF().collect())
+  }
+
   test("minhash pairs: exact dups estimate 1e6 ppm; estimates bounded") {
     val dir = java.nio.file.Files.createTempDirectory("docs4").toString
     Seq(
