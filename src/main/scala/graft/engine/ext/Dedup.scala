@@ -749,12 +749,12 @@ object Dedup {
     // keeps the lineage linear: measured at sf0.1, iterations now cost
     // ~0.25 s each on a ~3.6 s fixed pair-generation base (was: the whole
     // pipeline × iters).
-    val ids = vertices.localCheckpoint(true)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+    val ids = checkpointEager(vertices)
+    val edges = checkpointEager(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    val deg = checkpointEager(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     var ranks = ids.withColumn("pr_rank", lit(1000000L))
     for (_ <- 1 to iters) {
       val contrib = edges
@@ -762,12 +762,11 @@ object Dedup {
         .join(deg, "src")
         .select(col("dst"), expr("pr_rank div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = ids
+      ranks = checkpointEager(ids
         .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100"))
-            .as("pr_rank"))
-        .localCheckpoint(true)
+            .as("pr_rank")))
     }
     ranks.orderBy(col("doc_id"))
   }
@@ -816,6 +815,32 @@ object Dedup {
 
   // ------------------------------------------------------------ clustering
 
+  /** Set to a durable directory (HDFS/object-store path) to switch the
+    * iterative operators' per-round checkpoints from `localCheckpoint`
+    * (executor blocks — fast, but losing ANY executor mid-loop
+    * invalidates them) to RELIABLE `checkpoint()` files under that
+    * directory — the cluster-durable mode (r11 verdict ask #5). Applies
+    * to [[connectedComponents]] and [[pagerankFromPairs]] round state
+    * and loop invariants; unset (the default) keeps localCheckpoint,
+    * which is exactly right for `local[n]` and for clusters where a
+    * lost-executor recomputation is tolerable.
+    */
+  val CheckpointDirConf = "spark.graft.checkpointDir"
+
+  /** Eager checkpoint in the configured mode: reliable files when
+    * [[CheckpointDirConf]] is set (the SparkContext checkpoint dir is
+    * initialized from the conf on first use and left alone if the
+    * caller already set one), executor-local blocks otherwise.
+    */
+  private def checkpointEager(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption(CheckpointDirConf) match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(true)
+      case None => df.localCheckpoint(true)
+    }
+
   /** Truncate lineage AND logical-plan statistics between loop rounds.
     *
     * `localCheckpoint` alone is not enough for an iterative dataflow:
@@ -833,7 +858,7 @@ object Dedup {
     * no shuffle, no extra action.
     */
   private def checkpointFresh(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint(true)
+    val ck = checkpointEager(df)
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 

@@ -215,6 +215,34 @@ class DedupSpec extends SparkTestBase {
       r.getAs[Long]("est_jaccard_ppm") == 1000000L))
   }
 
+  test("connectedComponents: reliable-checkpoint mode (spark.graft." +
+    "checkpointDir) writes round state to the configured dir, same labels") {
+    val ckDir = java.nio.file.Files.createTempDirectory("graftck").toString
+    val vertices = (1L to 12L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    val local = Dedup.connectedComponents(vertices, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set(Dedup.CheckpointDirConf, ckDir)
+    try {
+      val reliable = Dedup.connectedComponents(vertices, edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable === local)
+      // round state actually went to the reliable dir (rdd-* checkpoint
+      // dirs with part files), not executor blocks
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      var sawRdd = false
+      while (files.hasNext) {
+        if (files.next().getFileName.toString.startsWith("rdd-")) sawRdd = true
+      }
+      assert(sawRdd, s"no rdd-* checkpoint dirs under $ckDir")
+      // pagerank rides the same switch
+      val pr = Dedup.pagerankFromPairs(vertices, edges, iters = 2).collect()
+      assert(pr.length === 12)
+    } finally spark.conf.unset(Dedup.CheckpointDirConf)
+  }
+
   test("connectedComponents: chain propagates min label over >1 iteration") {
     // chain 1-2-3-4 plus isolated 9: all chain members label 1
     val vertices = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
