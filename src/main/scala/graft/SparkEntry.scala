@@ -38,22 +38,41 @@ object SparkEntry {
 
   /** Materialize the generated logs as REAL text files (once per sf dir) so
     * the file-based sources (S1 readLines, S2 readDelimited) are exercised
-    * by the correctness gate, not only the in-memory path. Written in
-    * line_no / file_id order so file order equals generation order and the
-    * same oracles apply.
+    * by the correctness gate, not only the in-memory path.
+    *
+    * Written as EIGHT part files (r12 — was repartition(1)): range-
+    * partitioned on the generation order key and sorted within each part,
+    * so lexicographic part-file order concatenates back to generation
+    * order — the (file name, in-file offset) contract the readers number
+    * by. The multi-file parallel ingest path is therefore what the
+    * tri-scale correctness gate checks at EVERY scale, and what the sf1
+    * bench measures — not a single-file special case.
     */
   private def logFileDir(s: SparkSession, dir: String, kind: String): String = {
     // v-token guards against stale caches when LogGen's templates change
-    // between rounds (same tmp dir, different generation).
+    // between rounds (same tmp dir, different generation). The SOURCE
+    // fingerprint (size+mtime of the parquet the log derives from) guards
+    // against the dir's data regenerating in place under the same token —
+    // exactly what happened when gen_sf1 grew orders 10x for the r11 TPC-H
+    // replicas: the r11 sf1 log rows silently measured the stale 150k-entry
+    // fixture instead of the true 1.5M entries.
+    def fp(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(fp).sum
+      else f.length() + f.lastModified() / 1000
+    val src = new java.io.File(dir,
+      if (kind == "mysql") "orders.parquet" else "events.parquet")
     val out = new java.io.File(
       new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_logs_v3_" + dir.replaceAll("[^A-Za-z0-9]", "_")), kind)
+        "graft_logs_v4_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + java.lang.Long.toHexString(fp(src))), kind)
     if (!new java.io.File(out, "_SUCCESS").exists()) {
       val df = kind match {
         case "mysql" => LogGen.mysqlFiles(s, dir)
-          .repartition(1).sortWithinPartitions("file_id").select("content")
+          .repartitionByRange(8, col("file_id"))
+          .sortWithinPartitions("file_id").select("content")
         case "mongo" => LogGen.mongoLines(s, dir)
-          .repartition(1).sortWithinPartitions("line_no").select("line")
+          .repartitionByRange(8, col("line_no"))
+          .sortWithinPartitions("line_no").select("line")
       }
       df.write.mode("overwrite").text(out.getAbsolutePath)
     }

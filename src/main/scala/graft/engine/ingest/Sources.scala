@@ -87,16 +87,80 @@ object Sources {
     raw.withColumn("ts_us", tsUs)
   }
 
-  /** S1: line-oriented text scan with 1-based line numbers
-    * (mongo_parser.py:215-216 readlines + enumerate).
+  /** Records of a Hadoop text scan tagged with their (file path, byte
+    * offset WITHIN that file) — the two coordinates that define the
+    * reference's sequential read order without depending on Spark's
+    * split scheduling. `zipWithIndex` scan order is NOT that order:
+    * Spark sorts splits by size descending for bin-packing, so a
+    * multi-file directory (and even a single file large enough to
+    * split) enumerates out of file order. Offsets are per-file and
+    * strictly increasing, so (file, off) is a total order per file.
     */
-  def readLines(spark: SparkSession, path: String): DataFrame = {
+  private def taggedRecords(spark: SparkSession, path: String,
+                            conf: Configuration): DataFrame = {
     import spark.implicits._
-    spark.read.textFile(path).rdd
-      .zipWithIndex()
-      .map { case (line, idx) => (line, idx + 1L) }
-      .toDF("line", "line_no")
+    spark.sparkContext
+      .newAPIHadoopFile(path, classOf[TextInputFormat],
+        classOf[LongWritable], classOf[Text], conf)
+      .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[LongWritable, Text]]
+      .mapPartitionsWithInputSplit { (split, it) =>
+        val fs = split
+          .asInstanceOf[org.apache.hadoop.mapreduce.lib.input.FileSplit]
+        val file = fs.getPath.toString
+        val splitOff = fs.getStart
+        var idx = -1L
+        // Text/LongWritable are reused by the record reader — copy out
+        // before the iterator advances.
+        it.map { case (off, t) =>
+          idx += 1
+          (file, splitOff, idx, off.get(), t.toString)
+        }
+      }
+      .toDF("file", "split_off", "idx", "off", "rec")
   }
+
+  /** Global 1-based record numbering in (file NAME, in-file offset)
+    * order, for a `taggedRecords` scan, WITHOUT shuffling the record
+    * data: each record already carries its (file, split offset, index
+    * within split) coordinates from the scan, a census of ONE ROW PER
+    * SPLIT (count of records) is aggregated, the running sum over
+    * (file, split_off) order — a tiny global window, ≪ the 4096-row
+    * audit gate — yields each split's global base, and a broadcast join
+    * adds base + idx + 1 back in the scan stage. File names define the
+    * sequence — the writer's contract (part-00000 < part-00001, log
+    * rotation timestamps, …); within a file, split offsets and
+    * record-reader order define the rest. Costs one extra pass of the
+    * scan for the census and zero record-data shuffles — the numbering
+    * that survives a 1000-executor multi-file scan.
+    */
+  private def withGlobalOrder(tagged: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = tagged.groupBy(col("file"), col("split_off"))
+      .agg(count(lit(1)).as("n"))
+    val bases = census
+      .withColumn("base",
+        coalesce(sum(col("n")).over(Window.orderBy(col("file"), col("split_off"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("file"), col("split_off"), col("base"))
+    tagged.join(broadcast(bases), Seq("file", "split_off"))
+      .withColumn("seq", col("base") + col("idx") + 1L)
+  }
+
+  /** S1: line-oriented text scan with 1-based line numbers
+    * (mongo_parser.py:215-216 readlines + enumerate). Numbering is
+    * global across a multi-file directory in (file name, in-file
+    * offset) order — see [[withGlobalOrder]] — so the single-file and
+    * N-file layouts of the same log produce identical line numbers.
+    * The trailing repartition round-robins the numbered lines so the
+    * (CPU-heavy) downstream parse uses every core regardless of file
+    * count; `line_no` is explicit, so nothing downstream depends on
+    * physical order.
+    */
+  def readLines(spark: SparkSession, path: String): DataFrame =
+    withGlobalOrder(taggedRecords(spark, path,
+      new Configuration(spark.sparkContext.hadoopConfiguration)))
+      .select(col("rec").as("line"), col("seq").as("line_no"))
+      .repartition(spark.sparkContext.defaultParallelism)
 
   /** S3: in-memory lines (mongo_parser.py:157-158 upload path). */
   def fromLines(spark: SparkSession, lines: Seq[String]): DataFrame = {
@@ -134,29 +198,30 @@ object Sources {
     */
   def readDelimited(spark: SparkSession, path: String,
                     delimiter: String = "\n# Time: "): DataFrame = {
-    import spark.implicits._
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     conf.set("textinputformat.record.delimiter", delimiter)
-    spark.sparkContext
-      .newAPIHadoopFile(path, classOf[TextInputFormat],
-        classOf[LongWritable], classOf[Text], conf)
-      // The record key is the record's byte offset WITHIN ITS FILE: offset 0
-      // marks each file's first record, which keeps its own content verbatim
-      // (either a preamble, dropped below, or a full first entry). Every
-      // later record lost its leading "# Time: " to the delimiter —
-      // reconstruct it. Keying on offset (not global index) makes this
-      // correct for multi-file directories, where every file restarts the
-      // preamble/header cycle.
-      .map { case (off, t) =>
-        val s = if (off.get() == 0L) t.toString else "# Time: " + t.toString
-        // The delimiter match consumed the entry's trailing newline; the
-        // whole-file split keeps it, and the query-capture regex requires
-        // a newline-terminated "SET timestamp=...;" line. Restore it.
-        if (s.endsWith("\n")) s else s + "\n"
-      }
-      .zipWithIndex()
-      .map { case (entry, idx) => (idx + 1L, entry) }
-      .toDF("entry_no", "entry")
+    // The record key is the record's byte offset WITHIN ITS FILE: offset 0
+    // marks each file's first record, which keeps its own content verbatim
+    // (either a preamble, dropped below, or a full first entry). Every
+    // later record lost its leading "# Time: " to the delimiter —
+    // reconstruct it. Keying on offset (not global index) makes this
+    // correct for multi-file directories, where every file restarts the
+    // preamble/header cycle. Numbering is global in (file name, offset)
+    // order via withGlobalOrder — identical for the single-file and
+    // N-file layouts of the same log, and stable when a multi-hundred-MB
+    // file splits across many tasks.
+    withGlobalOrder(taggedRecords(spark, path, conf)
+      .select(col("file"), col("split_off"), col("idx"),
+        when(col("off") === 0L, col("rec"))
+          .otherwise(concat(lit("# Time: "), col("rec"))).as("rec0"))
+      .select(col("file"), col("split_off"), col("idx"),
+        when(col("rec0").endsWith("\n"), col("rec0"))
+          // the delimiter match consumed the entry's trailing newline; the
+          // whole-file split keeps it, and the query-capture regex requires
+          // a newline-terminated "SET timestamp=...;" line. Restore it.
+          .otherwise(concat(col("rec0"), lit("\n"))).as("rec")))
+      .select(col("seq").as("entry_no"), col("rec").as("entry"))
       .filter(col("entry").startsWith("# Time: "))
+      .repartition(spark.sparkContext.defaultParallelism)
   }
 }

@@ -35,6 +35,28 @@ class MongoPipelineSpec extends SparkTestBase {
   private lazy val res = MongoLogPipeline.analyze(Sources.fromLines(spark, lines))
   private lazy val det = res.detailed.orderBy("line_no").collect()
 
+  test("readLines: multi-file dir numbers lines globally in FILE-NAME " +
+    "order, not Spark's size-descending split order") {
+    val dir = java.nio.file.Files.createTempDirectory("mongo-multi").toFile
+    // file a: 2 short lines; file b: 3 long lines (size-descending scan
+    // order would visit b first); file c: 1 line
+    java.nio.file.Files.writeString(new java.io.File(dir, "a.log").toPath,
+      "l1\nl2\n")
+    java.nio.file.Files.writeString(new java.io.File(dir, "b.log").toPath,
+      s"l3${"x" * 5000}\nl4\nl5\n")
+    java.nio.file.Files.writeString(new java.io.File(dir, "c.log").toPath,
+      "l6\n")
+    try {
+      val got = Sources.readLines(spark, dir.getAbsolutePath)
+        .orderBy("line_no").collect()
+        .map(r => (r.getAs[Long]("line_no"), r.getAs[String]("line").take(2)))
+      assert(got.toSeq ===
+        (1L to 6L).map(i => i -> s"l$i"))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("R1: slow rows = lines containing 'Slow query' that parse as JSON") {
     assert(det.map(_.getAs[Long]("line_no")).toSeq === Seq(1L, 2L, 7L, 8L, 9L, 10L))
   }

@@ -159,6 +159,36 @@ class MySqlPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("readDelimited: multi-file dir numbers entries in FILE-NAME order, " +
+    "not Spark's size-descending split order") {
+    val dir = java.nio.file.Files.createTempDirectory("mysql-multi").toFile
+    def entry(i: Int, pad: Int): String =
+      s"""# Time: 23102$i 12:00:0$i
+         |# User@Host: u$i[u] @ h [ip] thread_id: $i
+         |# Query_time: 1.0 Lock_time: 0.0 Rows_sent: 1 Rows_examined: 1
+         |SET timestamp=$i;
+         |SELECT $i; -- ${"x" * pad}
+         |""".stripMargin
+    // file a: 1 entry; file b: 3 much larger entries — size-descending
+    // scan order would visit b first and number its entries 1-3
+    java.nio.file.Files.writeString(new java.io.File(dir, "a.log").toPath,
+      entry(1, 1))
+    java.nio.file.Files.writeString(new java.io.File(dir, "b.log").toPath,
+      entry(2, 4000) + entry(3, 4000) + entry(4, 4000))
+    try {
+      val got = Sources.readDelimited(spark, dir.getAbsolutePath)
+        .orderBy("entry_no").collect()
+        .map(r => (r.getAs[Long]("entry_no"),
+          r.getAs[String]("entry").linesIterator
+            .find(_.startsWith("SET timestamp=")).get))
+      assert(got.toSeq === Seq(
+        (1L, "SET timestamp=1;"), (2L, "SET timestamp=2;"),
+        (3L, "SET timestamp=3;"), (4L, "SET timestamp=4;")))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("P8: split fires on '# Time: ' ANYWHERE, even mid-line (reference semantics)") {
     // a query whose text contains the marker gets truncated into a new
     // (incomplete) entry — exactly what content.split('# Time: ') does
