@@ -89,6 +89,86 @@ object NativeFunctions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** The FULL SRP signature in one expression: bit p of the result is 1
+    * iff Σ_i q(i) · coefs(p)(i) > 0 — `coefs.length` hyperplane dots in
+    * one constant-size nested loop over a reference-object matrix.
+    *
+    * Exists because the declarative form — one chained
+    * `CASE WHEN qdot(q, <64-literal array>) > 0 THEN 2^p` term per plane
+    * — generates code LINEAR in the plane count, and at the sf10-derived
+    * 44 planes the stage blows past Janino/JIT limits and silently falls
+    * back to fully INTERPRETED evaluation (measured: the SRP occupancy
+    * census, a linear projection+rollup, ran 43× sf1's time on 10× data;
+    * with this expression the code size is constant at ANY plane count).
+    * Overflow-free by construction: |dot| ≤ dims · 1000 ≪ 2^63.
+    *
+    * The coefficient matrix arrives as a FOLDABLE array<array<bigint>>
+    * literal (builder evals it once at resolution, like RegexFindGroup
+    * folds its pattern); the expression itself carries the primitive
+    * long[][] into codegen via a reference object.
+    */
+  case class SrpSignature(child: Expression, coefs: Array[Array[Long]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    require(coefs.nonEmpty && coefs.length <= 63,
+      s"srp_signature supports 1..63 planes, got ${coefs.length}")
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"srp_signature expects array<bigint>, got ${other.sql}")
+      }
+
+    override def nullSafeEval(a: Any): Any = {
+      val q = a.asInstanceOf[ArrayData]
+      val n = q.numElements()
+      var sig = 0L
+      var p = 0
+      while (p < coefs.length) {
+        val row = coefs(p)
+        val lim = math.min(n, row.length)
+        var dot = 0L
+        var i = 0
+        while (i < lim) { dot += q.getLong(i) * row(i); i += 1 }
+        if (dot > 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val m = ctx.addReferenceObj("srpCoefs", coefs, "long[][]")
+        val sig = ctx.freshName("sig")
+        val n = ctx.freshName("n")
+        val p = ctx.freshName("p")
+        val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        val row = ctx.freshName("row")
+        val lim = ctx.freshName("lim")
+        s"""
+           |long $sig = 0L;
+           |int $n = $a.numElements();
+           |for (int $p = 0; $p < ${coefs.length}; $p++) {
+           |  long[] $row = $m[$p];
+           |  int $lim = java.lang.Math.min($n, $row.length);
+           |  long $dot = 0L;
+           |  for (int $i = 0; $i < $lim; $i++) {
+           |    $dot += $a.getLong($i) * $row[$i];
+           |  }
+           |  if ($dot > 0) $sig |= (1L << $p);
+           |}
+           |${ev.value} = $sig;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Identity wrapper the optimizer cannot see through: evaluates exactly
     * like its child (same value, same nulls, same codegen) but reports
     * `deterministic = false`, which blocks the two rewrites that
@@ -216,6 +296,7 @@ object NativeFunctions {
   }
 
   val QdotName = "qdot_native"
+  val SrpSignatureName = "srp_signature"
   val PyCheckName = "py_parity_check"
   val PyErrorBranchName = "py_error_branch"
   val OpaqueName = "graft_opaque"
@@ -275,10 +356,31 @@ object NativeFunctions {
           checkArity(RegexFindName, 2, exprs)
           RegexFindGroup(exprs(0), exprs(1))
         }, "built-in")
+    if (!spark.catalog.functionExists(SrpSignatureName))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        SrpSignatureName, exprs => {
+          checkArity(SrpSignatureName, 2, exprs)
+          require(exprs(1).foldable,
+            s"$SrpSignatureName: the coefficient matrix must be foldable")
+          val ad = exprs(1).eval().asInstanceOf[ArrayData]
+          val coefs = Array.tabulate(ad.numElements())(p =>
+            ad.getArray(p).toLongArray())
+          SrpSignature(exprs(0), coefs)
+        }, "built-in")
   }
 
   /** Codegen'd exact dot product; caller must have ensureRegistered. */
   def qdotNative(a: Column, b: Column): Column = call_function(QdotName, a, b)
+
+  /** Codegen'd full SRP signature (see [[SrpSignature]]); `coefs` becomes
+    * a foldable nested-array literal folded at resolution. Caller must
+    * have ensureRegistered.
+    */
+  def srpSignature(q: Column, coefs: Seq[Seq[Long]]): Column = {
+    import org.apache.spark.sql.functions.{array, lit}
+    call_function(SrpSignatureName, q,
+      array(coefs.map(row => array(row.map(lit): _*)): _*))
+  }
 
   /** Optimizer-opaque identity (see [[OpaqueBarrier]]); caller must have
     * ensureRegistered.

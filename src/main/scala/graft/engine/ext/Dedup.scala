@@ -790,8 +790,36 @@ object Dedup {
   def triangles(spark: SparkSession, dir: String): DataFrame =
     trianglesFromPairs(simhashPairs(spark, dir))
 
-  def trianglesFromPairs(pairs: DataFrame): DataFrame = {
-    val e = pairs.select(col("doc_a"), col("doc_b")) // oriented: a < b
+  /** `maxDegree`: the hub cap — the standard dense-graph mitigation.
+    * 0 (default) = exact census over every vertex, which costs the
+    * OUTPUT's size: the near-dup graph is clique-shaped, so the triangle
+    * total is Σ_cluster C(s, 3) — cubic in cluster size, and measured
+    * growing 78×/decade on this corpus family (0.46M triangles at sf0.1
+    * → 13.7M at sf1 → 1.07B at sf10) because duplicate families DENSIFY
+    * with crawl size (max degree 238 → 469 → 1518). No enumeration
+    * algorithm beats an output-bound cost (a degree-ordered "forward"
+    * A/B measured SLOWER here — cliques have equal degrees, so the
+    * ordering degenerates to id order and just pays two extra joins).
+    * A positive cap excludes vertices with degree > maxDegree from
+    * wedge formation — their closure is definitionally ~1 (they sit in
+    * a near-clique) and a production census caps them instead of
+    * enumerating C(1500, 3) wedges per mega-hub; capped vertices still
+    * report their degree with n_triangles counted among SURVIVING
+    * wedges only.
+    */
+  def trianglesFromPairs(pairs: DataFrame, maxDegree: Long = 0L): DataFrame = {
+    val e0 = pairs.select(col("doc_a"), col("doc_b")) // oriented: a < b
+    val degree = e0.select(col("doc_a").as("doc_id"))
+      .unionAll(e0.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    val e =
+      if (maxDegree <= 0L) e0
+      else {
+        val keep = degree.filter(col("degree") <= maxDegree)
+          .select(col("doc_id"))
+        e0.join(keep.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+          .join(keep.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+      }
     val wedges = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .join(e.select(col("doc_a").as("b"), col("doc_b").as("c")), "b")
     val tri = wedges.join(
@@ -800,9 +828,6 @@ object Dedup {
     val perDocTri = tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
-    val degree = e.select(col("doc_a").as("doc_id"))
-      .unionAll(e.select(col("doc_b").as("doc_id")))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
     degree.join(perDocTri, Seq("doc_id"), "left")
       .select(col("doc_id"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
@@ -1111,11 +1136,22 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** The full md5-derived coefficient matrix for `planes` hyperplanes —
+    * one Seq per plane, consumed by the native signature expression.
+    */
+  private[ext] def srpCoefMatrix(planes: Int, dims: Int): Seq[Seq[Long]] =
+    (0 until planes).map(p => (1 to dims).map(i => srpCoefficient(p, i)))
+
   /** The SRP signature → (vec_id, q, n2, band, bv) band rows the pair
     * join and the occupancy census share: quantize, project onto the
-    * `planes` md5-derived hyperplanes (codegen'd integer dots), pack the
-    * sign bits, split into `bands` bucket keys. Pure projection — no
-    * shuffle until a consumer groups or joins on (band, bv).
+    * `planes` md5-derived hyperplanes, pack the sign bits, split into
+    * `bands` bucket keys. Pure projection — no shuffle until a consumer
+    * groups or joins on (band, bv). The signature is ONE native
+    * expression ([[graft.engine.expr.NativeFunctions.SrpSignature]]):
+    * the per-plane CASE-chain form generated code linear in the plane
+    * count and fell out of codegen entirely at the sf10-derived 44
+    * planes (whole stage interpreted — measured 43× on the occupancy
+    * census at 10× data).
     */
   private[ext] def srpBandRows(spark: SparkSession, embeddings: DataFrame,
                                planes: Int, bands: Int,
@@ -1124,12 +1160,8 @@ object Dedup {
     graft.engine.expr.NativeFunctions.ensureRegistered(spark)
     val bitsPerBand = planes / bands
     val q = Similarity.quantize(col("embedding"))
-    val planeArrays = (0 until planes).map(p =>
-      array((1 to dims).map(i => lit(srpCoefficient(p, i))): _*))
-    val sigCol = (0 until planes).map { p =>
-      val proj = Similarity.qdot(col("q"), planeArrays(p))
-      when(proj > 0, lit(1L << p)).otherwise(0L)
-    }.reduce(_ + _)
+    val sigCol = graft.engine.expr.NativeFunctions
+      .srpSignature(col("q"), srpCoefMatrix(planes, dims))
     embeddings
       .select(col("vec_id"), q.as("q"))
       .select(col("vec_id"), col("q"),

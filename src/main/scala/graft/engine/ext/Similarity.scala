@@ -1101,11 +1101,11 @@ object Similarity {
     require(nPlanes % bands == 0)
     val bitsPerBand = nPlanes / bands
     val mask = (1L << bitsPerBand) - 1
-    val planeArrays = (0 until nPlanes).map(p =>
-      array((1 to dims).map(i => lit(Dedup.srpCoefficient(p, i))): _*))
-    val sigCol = (0 until nPlanes).map { p =>
-      when(qdot(col("q"), planeArrays(p)) > 0, lit(1L << p)).otherwise(0L)
-    }.reduce(_ + _)
+    // one native expression, constant code size at any plane count (the
+    // per-plane CASE chain fell out of codegen at 44 planes — see
+    // Dedup.srpBandRows)
+    val sigCol = graft.engine.expr.NativeFunctions
+      .srpSignature(col("q"), Dedup.srpCoefMatrix(nPlanes, dims))
     val sig = vs.select(col("vec_id"), col("q")).withColumn("sig", sigCol)
 
     def bandRows(df: DataFrame): DataFrame = df

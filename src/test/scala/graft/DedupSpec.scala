@@ -215,6 +215,24 @@ class DedupSpec extends SparkTestBase {
       r.getAs[Long]("est_jaccard_ppm") == 1000000L))
   }
 
+  test("trianglesFromPairs maxDegree cap: hubs keep their degree but are " +
+    "excluded from wedge formation") {
+    // clique {1..5} (degree 4 each) + triangle {10,11,12} (degree 2 each)
+    val k5 = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)
+    val k3 = Seq((10L, 11L), (10L, 12L), (11L, 12L))
+    val pairs = (k5 ++ k3).toDF("doc_a", "doc_b")
+    val exact = Dedup.trianglesFromPairs(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(exact(1L) === ((4L, 6L))) // C(4,2) = 6 triangles per K5 member
+    assert(exact(10L) === ((2L, 1L)))
+    val capped = Dedup.trianglesFromPairs(pairs, maxDegree = 3L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // K5 members: true degree reported, zero surviving wedges
+    assert(capped(1L) === ((4L, 0L)))
+    // the small clique is untouched
+    assert(capped(10L) === ((2L, 1L)))
+  }
+
   test("connectedComponents: reliable-checkpoint mode (spark.graft." +
     "checkpointDir) writes round state to the configured dir, same labels") {
     val ckDir = java.nio.file.Files.createTempDirectory("graftck").toString
