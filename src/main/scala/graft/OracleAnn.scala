@@ -61,6 +61,20 @@ object OracleAnn {
         |              WHERE (1::BIGINT << b) >=
         |                (SELECT n_embeddings FROM ne)) + 1) // 2)) END::BIGINT
         |    AS ivf_cells
+        |), sg AS (
+        |  SELECT CASE WHEN (SELECT n_documents FROM nd) <= 1 THEN 15
+        |         ELSE least(30, greatest(15,
+        |           (SELECT min(b) FROM range(0, 63) t(b)
+        |            WHERE (1::BIGINT << b) >=
+        |              (SELECT n_documents FROM nd)) - 1)) END::BIGINT
+        |    AS sig_bits
+        |), tc AS (
+        |  SELECT CASE WHEN (SELECT n_documents FROM nd) <= 1 THEN 32
+        |         ELSE 32 * greatest(1,
+        |           (SELECT min(b) FROM range(0, 63) t(b)
+        |            WHERE (1::BIGINT << b) >=
+        |              (SELECT n_documents FROM nd))) END::BIGINT
+        |    AS triangle_cap
         |)
         |SELECT ne.n_embeddings, nd.n_documents, b.srp_bits,
         |  (b.srp_bits * 4)::BIGINT AS srp_planes,
@@ -68,8 +82,10 @@ object OracleAnn {
         |    AS embed_query_mod,
         |  greatest(50, (nd.n_documents + 99) // 100)::BIGINT
         |    AS doc_query_mod,
-        |  ic.ivf_cells
-        |FROM ne, nd, b, ic""".stripMargin,
+        |  ic.ivf_cells, sg.sig_bits,
+        |  ((8 * 4 * sg.sig_bits) // 60)::BIGINT AS sig_max_hamming,
+        |  tc.triangle_cap
+        |FROM ne, nd, b, ic, sg, tc""".stripMargin,
     "ann_bruteforce" -> (quantized +
       raw""", d AS (
         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,

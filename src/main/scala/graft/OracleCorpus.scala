@@ -206,7 +206,7 @@ object OracleCorpus {
     // contributes ONE document's worth of mass, split across members
     // (weight_ppm = 1e6 // size); per-language effective token mass.
     "corpus_dedup_weights" -> ("WITH RECURSIVE " +
-      simhashSig.stripPrefix("WITH ") + simhashCcChain +
+      simhashDerivedPairs.stripPrefix("WITH ") + simhashDerivedCcChain +
       """, sz AS (
         |  SELECT doc_id, cluster_id,
         |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
@@ -231,7 +231,7 @@ object OracleCorpus {
     // Duplication × quality audit: the dedup_clusters chain + the
     // corpus_clean gate, rolled up per (lang, duplicated?) cell.
     "corpus_dup_quality" -> ("WITH RECURSIVE " +
-      simhashSig.stripPrefix("WITH ") + simhashCcChain +
+      simhashDerivedPairs.stripPrefix("WITH ") + simhashDerivedCcChain +
       """, sz AS (
         |  SELECT doc_id,
         |    (count(*) OVER (PARTITION BY cluster_id)) > 1 AS is_dup

@@ -149,27 +149,19 @@ object OracleDedup {
     "dedup_simhash" -> (simhashSig +
       """SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin),
 
-    "dedup_simhash_pairs" -> (simhashSig +
-      """, bands AS (
-        |  SELECT doc_id, simhash, band,
-        |    (simhash >> (band * 15)) & 32767 AS band_val
-        |  FROM sig, range(0, 4) r(band)
-        |)
-        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
-        |FROM bands a JOIN bands b
-        |  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    "dedup_simhash_pairs" -> (simhashDerivedPairs +
+      """
+        |SELECT doc_a, doc_b, hamming FROM pairs
         |ORDER BY doc_a, doc_b""".stripMargin),
 
     "dedup_clusters" -> ("WITH RECURSIVE " +
-      simhashSig.stripPrefix("WITH ") + simhashCcChain +
+      simhashDerivedPairs.stripPrefix("WITH ") + simhashDerivedCcChain +
       """
         |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin),
 
     // Cluster-size histogram over the same CC chain.
     "dedup_cluster_sizes" -> ("WITH RECURSIVE " +
-      simhashSig.stripPrefix("WITH ") + simhashCcChain +
+      simhashDerivedPairs.stripPrefix("WITH ") + simhashDerivedCcChain +
       """, cs AS (
         |  SELECT cluster_id, count(*)::BIGINT AS cluster_size
         |  FROM cl GROUP BY 1
@@ -181,7 +173,7 @@ object OracleDedup {
     // Canonical-by-quality: the dedup_clusters chain + the corpus_clean
     // gate; survivor = keep-first, longest, then lowest id.
     "dedup_canonical" -> ("WITH RECURSIVE " +
-      simhashSig.stripPrefix("WITH ") + simhashCcChain +
+      simhashDerivedPairs.stripPrefix("WITH ") + simhashDerivedCcChain +
       """, """.stripMargin + docQuality + """, qq AS (
         |  SELECT doc_id, keep FROM dq
         |), mem AS (
@@ -464,19 +456,11 @@ object OracleDedup {
         |  md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
         |FROM cut ORDER BY doc_id""".stripMargin),
 
-    "dedup_pagerank" -> (simhashSig +
-      """, bnd AS (
-        |  SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS band_val
-        |  FROM sig, range(0, 4) r(band)
-        |), pr AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bnd a JOIN bnd b
-        |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
-        |), edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pr
+    "dedup_pagerank" -> (simhashDerivedPairs +
+      """, edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
         |  UNION ALL
-        |  SELECT doc_b AS src, doc_a AS dst FROM pr
+        |  SELECT doc_b AS src, doc_a AS dst FROM pairs
         |), deg AS (
         |  SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src
         |), r0 AS (
@@ -546,31 +530,37 @@ object OracleDedup {
         |JOIN si sa ON sa.idx = pr.idx_a JOIN si sb ON sb.idx = pr.idx_b
         |ORDER BY src_a, src_b""".stripMargin),
 
-    // Triangle census over the same band-blocked SimHash edge list the
-    // pair query states; wedge join + closing-edge check in plain SQL.
-    "dedup_triangles" -> (simhashSig +
-      """, bands AS (
-        |  SELECT doc_id, simhash, band,
-        |    (simhash >> (band * 15)) & 32767 AS band_val
-        |  FROM sig, range(0, 4) r(band)
-        |), e AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.band_val = b.band_val
-        |      AND a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    // Triangle census over the derived-geometry SimHash edge list the
+    // pair query states, SCALE-BOUNDED by the derived hub cap (r13):
+    // `tcc.cap` replays ScaleKnobs.triangleDegreeCap = 32·⌈log2 n⌉ from
+    // the oracle's own count(*); vertices above the cap are excluded
+    // from wedge formation but keep their (full-graph) degree row with
+    // triangles counted among surviving wedges only — exactly
+    // Dedup.trianglesFromPairs(maxDegree) semantics.
+    "dedup_triangles" -> (simhashDerivedPairs +
+      """, tcc AS (
+        |  SELECT 32::BIGINT * greatest(1,
+        |    (SELECT min(b) FROM range(0, 63) t(b)
+        |     WHERE (1::BIGINT << b) >= (SELECT count(*) FROM documents)))
+        |    AS cap
+        |), deg AS (
+        |  SELECT v AS doc_id, count(*)::BIGINT AS degree
+        |  FROM (SELECT doc_a AS v FROM pairs UNION ALL SELECT doc_b FROM pairs)
+        |  GROUP BY 1
+        |), ec AS (
+        |  SELECT p.doc_a, p.doc_b FROM pairs p
+        |  JOIN deg da ON da.doc_id = p.doc_a
+        |  JOIN deg db ON db.doc_id = p.doc_b
+        |  WHERE da.degree <= (SELECT cap FROM tcc)
+        |    AND db.degree <= (SELECT cap FROM tcc)
         |), tri AS (
         |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
-        |  FROM e e1
-        |  JOIN e e2 ON e2.doc_a = e1.doc_b
-        |  JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+        |  FROM ec e1
+        |  JOIN ec e2 ON e2.doc_a = e1.doc_b
+        |  JOIN ec e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
         |), pt AS (
         |  SELECT v AS doc_id, count(*)::BIGINT AS n_triangles
         |  FROM (SELECT unnest([a, b, c]) AS v FROM tri) GROUP BY 1
-        |), deg AS (
-        |  SELECT v AS doc_id, count(*)::BIGINT AS degree
-        |  FROM (SELECT doc_a AS v FROM e UNION ALL SELECT doc_b FROM e)
-        |  GROUP BY 1
         |)
         |SELECT d.doc_id, d.degree,
         |  coalesce(p.n_triangles, 0)::BIGINT AS n_triangles,

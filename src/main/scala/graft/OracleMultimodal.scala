@@ -31,6 +31,50 @@ object OracleMultimodal {
     "mm_phash_clusters" -> ((s, dir) => Multimodal.phashClusters(s, dir)),
   )
 
+  /** Derived-geometry pHash pair chain (r13) — the replay of
+    * [[Multimodal.phashPairs]]' derive-default: `sbc` re-derives the
+    * band width from the oracle's own count(*) (media is 1:1 with
+    * documents), the payload is stride-sampled at 4·bits points and
+    * thresholded against the integer mean, per-BAND signature values
+    * band-block the candidates, and exact Hamming is the sum of
+    * per-band bit_count(xor) against the fraction-preserving derived
+    * threshold. At ≤ 65k items bits = 15, which reproduces the
+    * historical 60-point single-long chain bit-for-bit.
+    */
+  private val phashDerived = media + ", " + OraclePreludes.sigBitsCte +
+    """, pb AS (
+      |  SELECT doc_id, i,
+      |    coalesce(try_cast('0x' || substring(hx,
+      |      greatest(least((i * n_bytes) // (4 * (SELECT bits FROM sbc)),
+      |        n_bytes - 1), 0)::INT * 2 + 1, 2) AS INT), 0) AS b
+      |  FROM m, range(0, 120) t(i) WHERE i < 4 * (SELECT bits FROM sbc)
+      |), mn AS (
+      |  SELECT doc_id, sum(b) // (4 * (SELECT bits FROM sbc)) AS mean
+      |  FROM pb GROUP BY 1
+      |), sbv AS (
+      |  SELECT pb.doc_id, (i // (SELECT bits FROM sbc))::BIGINT AS band,
+      |    CAST(sum(CASE WHEN b > mean
+      |      THEN (1::BIGINT << (i % (SELECT bits FROM sbc))::INT)
+      |      ELSE 0 END) AS BIGINT) AS band_val
+      |  FROM pb JOIN mn USING (doc_id) GROUP BY 1, 2
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sbv a JOIN sbv b
+      |    ON a.band = b.band AND a.band_val = b.band_val
+      |      AND a.doc_id < b.doc_id
+      |), prs AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    CAST(sum(bit_count(xor(x.band_val, y.band_val))) AS BIGINT)
+      |      AS hamming
+      |  FROM cand c
+      |  JOIN sbv x ON x.doc_id = c.doc_a
+      |  JOIN sbv y ON y.doc_id = c.doc_b AND y.band = x.band
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT doc_a, doc_b, hamming FROM prs
+      |  WHERE hamming <= (8 * 4 * (SELECT bits FROM sbc)) // 60
+      |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "mm_features" -> (media +
       """SELECT m.doc_id, format, width, height, n_frames,
@@ -81,29 +125,9 @@ object OracleMultimodal {
         |FROM m JOIN fr ON m.doc_id = fr.doc_id
         |GROUP BY format ORDER BY format""".stripMargin),
 
-    "mm_phash_pairs" -> (media +
-      """, pb AS (
-        |  SELECT doc_id, i,
-        |    coalesce(try_cast('0x' || substring(hx,
-        |      greatest(least((i * n_bytes) // 60, n_bytes - 1), 0)::INT * 2 + 1,
-        |      2) AS INT), 0) AS b
-        |  FROM m, range(0, 60) t(i)
-        |), mn AS (
-        |  SELECT doc_id, sum(b) // 60 AS mean FROM pb GROUP BY 1
-        |), psig AS (
-        |  SELECT pb.doc_id,
-        |    CAST(sum(CASE WHEN b > mean THEN (1::BIGINT << i) ELSE 0 END)
-        |         AS BIGINT) AS phash
-        |  FROM pb JOIN mn USING (doc_id) GROUP BY 1
-        |), pbands AS (
-        |  SELECT doc_id, phash, band, (phash >> (band * 15)) & 32767 AS band_val
-        |  FROM psig, range(0, 4) r(band)
-        |)
-        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  bit_count(xor(a.phash, b.phash)) AS hamming
-        |FROM pbands a JOIN pbands b
-        |  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.phash, b.phash)) <= 8
+    "mm_phash_pairs" -> (phashDerived +
+      """
+        |SELECT doc_a, doc_b, hamming FROM pairs
         |ORDER BY doc_a, doc_b""".stripMargin),
 
     "mm_frame_samples" -> (media +
@@ -116,44 +140,13 @@ object OracleMultimodal {
         |FROM m, range(0, 8) t(f) WHERE f < n_frames
         |ORDER BY doc_id, frame_no""".stripMargin),
 
-    // pHash clusters: the pair chain's edges + the same recursive
-    // min-label closure the text cluster oracles use.
-    "mm_phash_clusters" -> ("WITH RECURSIVE " + media.stripPrefix("WITH ") +
-      """, pb AS (
-        |  SELECT doc_id, i,
-        |    coalesce(try_cast('0x' || substring(hx,
-        |      greatest(least((i * n_bytes) // 60, n_bytes - 1), 0)::INT * 2 + 1,
-        |      2) AS INT), 0) AS b
-        |  FROM m, range(0, 60) t(i)
-        |), mn AS (
-        |  SELECT doc_id, sum(b) // 60 AS mean FROM pb GROUP BY 1
-        |), psig AS (
-        |  SELECT pb.doc_id,
-        |    CAST(sum(CASE WHEN b > mean THEN (1::BIGINT << i) ELSE 0 END)
-        |         AS BIGINT) AS phash
-        |  FROM pb JOIN mn USING (doc_id) GROUP BY 1
-        |), pbands AS (
-        |  SELECT doc_id, phash, band, (phash >> (band * 15)) & 32767 AS band_val
-        |  FROM psig, range(0, 4) r(band)
-        |), pe AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM pbands a JOIN pbands b
-        |    ON a.band = b.band AND a.band_val = b.band_val
-        |      AND a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.phash, b.phash)) <= 8
-        |), pe2 AS MATERIALIZED (
-        |  -- MATERIALIZED: stop the recursion re-inlining the pHash chain
-        |  -- per iteration (same evaluation hint as the text CC oracles).
-        |  SELECT doc_a, doc_b FROM pe
-        |  UNION ALL
-        |  SELECT doc_b, doc_a FROM pe
-        |), rr(v, m2) AS (
-        |  SELECT doc_id, doc_id FROM psig
-        |  UNION
-        |  SELECT e.doc_b, rr.m2 FROM rr JOIN pe2 e ON e.doc_a = rr.v
-        |)
-        |SELECT v AS doc_id, min(m2) AS cluster_id FROM rr GROUP BY v
-        |ORDER BY doc_id""".stripMargin),
+    // pHash clusters: the derived-geometry pair chain's edges + the same
+    // recursive min-label closure the text cluster oracles use.
+    "mm_phash_clusters" -> ("WITH RECURSIVE " +
+      phashDerived.stripPrefix("WITH ") +
+      OraclePreludes.simhashDerivedCcChain +
+      """
+        |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin),
 
   )
 }

@@ -132,6 +132,98 @@ private[graft] object OraclePreludes {
       |  SELECT v AS doc_id, min(m) AS cluster_id FROM rr GROUP BY v
       |)""".stripMargin
 
+  /** Corpus-derived Hamming-signature geometry (r13) — the exact integer
+    * rules of [[graft.engine.ext.ScaleKnobs.sigBitsPerBand]] /
+    * [[graft.engine.ext.ScaleKnobs.sigMaxHamming]], replayed from the
+    * oracle's own count(*): band width min(30, max(15, ⌈log2 n⌉ − 1))
+    * (occupancy ≤ 2 past the 15-bit floor) and the fraction-preserving
+    * match threshold (8·4·bits) // 60 (exactly 8 at 4 × 15).
+    */
+  private[graft] val sigBitsCte =
+    """sbc AS (
+      |  SELECT least(30, greatest(15,
+      |    (SELECT min(b) FROM range(0, 63) t(b)
+      |     WHERE (1::BIGINT << b) >= (SELECT count(*) FROM documents))
+      |    - 1))::BIGINT AS bits
+      |)""".stripMargin
+  private[graft] val sigBitsSql = "(SELECT bits FROM sbc)"
+  private[graft] val sigMaxHamSql = s"((8 * 4 * $sigBitsSql) // 60)"
+
+  /** SimHash near-dup PAIR chain at the CORPUS-DERIVED geometry — the
+    * replay of [[graft.engine.ext.Dedup.simhashPairs]]'s r13 default:
+    * two 60-bit md5 halves per token (120 hash bits cover the 30-bit
+    * band cap), ±1 votes per global bit, per-BAND signature values
+    * `sbv` (band b holds derived-width bits b·w .. b·w+w−1 — the same
+    * global-bit allocation the packed single-long form used at 4 × 15,
+    * so at ≤ 65k docs this chain reproduces the historical oracle
+    * bit-for-bit), band-blocked candidates, exact Hamming as the sum of
+    * per-band bit_count(xor). Yields `pairs` = (doc_a, doc_b, hamming ≤
+    * derived threshold).
+    */
+  private[graft] val simhashDerivedPairs =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                                    x -> x != '')) AS tok
+      |  FROM documents
+      |), h2 AS (
+      |  SELECT doc_id,
+      |    ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h0,
+      |    ('0x' || substring(md5(tok), 16, 15))::BIGINT AS h1
+      |  FROM tok
+      |), """.stripMargin + sigBitsCte +
+      """, vote AS (
+        |  SELECT doc_id, bit,
+        |    sum(CASE WHEN ((CASE WHEN bit < 60 THEN h0 ELSE h1 END)
+        |        >> (bit % 60)::INT) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM h2, range(0, 120) r(bit)
+        |  WHERE bit < 4 * (SELECT bits FROM sbc)
+        |  GROUP BY 1, 2
+        |), sbv AS (
+        |  SELECT doc_id, (bit // (SELECT bits FROM sbc))::BIGINT AS band,
+        |    CAST(sum(CASE WHEN vote > 0
+        |      THEN (1::BIGINT << (bit % (SELECT bits FROM sbc))::INT)
+        |      ELSE 0 END) AS BIGINT) AS band_val
+        |  FROM vote GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sbv a JOIN sbv b
+        |    ON a.band = b.band AND a.band_val = b.band_val
+        |      AND a.doc_id < b.doc_id
+        |), prs AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(sum(bit_count(xor(x.band_val, y.band_val))) AS BIGINT)
+        |      AS hamming
+        |  FROM cand c
+        |  JOIN sbv x ON x.doc_id = c.doc_a
+        |  JOIN sbv y ON y.doc_id = c.doc_b AND y.band = x.band
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT doc_a, doc_b, hamming FROM prs
+        |  WHERE hamming <= (8 * 4 * (SELECT bits FROM sbc)) // 60
+        |)""".stripMargin
+
+  /** Connected-components chain over the derived-geometry pair list
+    * (appended after [[simhashDerivedPairs]] under a WITH RECURSIVE
+    * header); yields `cl` = (doc_id, cluster_id = min member id) —
+    * the derived-geometry successor of [[simhashCcChain]].
+    */
+  private[graft] val simhashDerivedCcChain =
+    """, edges2 AS MATERIALIZED (
+      |  -- MATERIALIZED: the recursion below otherwise re-inlines the whole
+      |  -- SimHash chain (tokenize → vote → sig → band join) into EVERY
+      |  -- iteration — hours of CPU at sf1 vs seconds with the hint. Purely
+      |  -- an evaluation hint; results are identical (tri-scale replayed).
+      |  SELECT doc_a, doc_b FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b, doc_a FROM pairs
+      |), rr(v, m) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.doc_b, rr.m FROM rr JOIN edges2 e ON e.doc_a = rr.v
+      |), cl AS (
+      |  SELECT v AS doc_id, min(m) AS cluster_id FROM rr GROUP BY v
+      |)""".stripMargin
+
   /** Quantized-vector working set `v`, plus the two SCALE-DERIVED knob
     * CTEs every ANN/SRP oracle replays from its own count(*) (the exact
     * integer rules of [[graft.engine.ext.ScaleKnobs]]):

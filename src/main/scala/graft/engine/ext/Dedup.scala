@@ -581,7 +581,7 @@ object Dedup {
     * long, which is exactly why the width was baked in before r12.
     */
   def simhash(docs: DataFrame): DataFrame =
-    simhashSig(docs)
+    simhashSig(docs, 4, 15) // the 60-bit EXPORT FORMAT is pinned, not derived
       .select(col("doc_id"),
         (0 until 4).map(b =>
           shiftleft(element_at(col("sig"), b + 1), b * 15)).reduce(_ + _)
@@ -608,10 +608,30 @@ object Dedup {
     * bits); bit j of band b is 1 when the vote sum of global bit
     * b·bitsPerBand + j is positive. Linear in tokens × width, fully
     * integer.
+    *
+    * THE WIDTH IS SIZED WITH THE CORPUS BY DEFAULT (r13): `bitsPerBand
+    * = 0` (the default) derives [[ScaleKnobs.sigBitsPerBand]] from the
+    * document count — band occupancy stays ≤ 2 instead of the pinned
+    * 15-bit band going n²/2¹⁵ past ~32k docs (the r12 sf10 study
+    * measured the sibling pHash default at 15.1×/decade). Pass
+    * bitsPerBand > 0 to pin a geometry; signatures at different
+    * geometries are incomparable, so a width change is an index
+    * REBUILD. NOTE: on this DataFrame overload the sentinel runs one
+    * `docs.count()` action to derive (the `(spark, dir)` wrappers use
+    * the memoized [[ScaleKnobs.documentCount]] instead — same rule,
+    * no extra job).
     */
   def simhashSig(docs: DataFrame, bands: Int = 4,
-                 bitsPerBand: Int = 15): DataFrame = {
-    validateSigGeometry(bands, bitsPerBand)
+                 bitsPerBand: Int = 0): DataFrame = {
+    val bpb =
+      if (bitsPerBand == 0) ScaleKnobs.sigBitsPerBand(docs.count())
+      else bitsPerBand
+    validateSigGeometry(bands, bpb)
+    simhashSigAt(docs, bands, bpb)
+  }
+
+  private def simhashSigAt(docs: DataFrame, bands: Int,
+                           bitsPerBand: Int): DataFrame = {
     val total = bands * bitsPerBand
     val halves = (total + 59) / 60
     val toks = docs
@@ -695,24 +715,42 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** SimHash near-dup pairs: band-blocked (default 4 bands × 15 bits —
-    * two docs within Hamming distance 3 of each other must agree on ≥1
-    * band), then exact Hamming distance via bit_count(xor). The geometry
-    * is a build-time parameter (r12): past ~4M docs the 15-bit band is
-    * occupancy-bound (n/2¹⁵ > 128) — rebuild with a wider split (e.g.
-    * 4 × 30 → occupancy bound holds to n = 2³⁷). Signatures at different
-    * geometries are incomparable; a width change is an index REBUILD,
-    * exactly like retraining IVF cells.
+  /** SimHash near-dup pairs: band-blocked (4 bands at the corpus-derived
+    * band width — [[ScaleKnobs.sigBitsPerBand]], 15 bits through 65k
+    * docs, +1 bit per corpus doubling after), then exact Hamming
+    * distance via bit_count(xor). Deriving the geometry at build time
+    * (r13) is what keeps candidate work linear: a pinned 15-bit band
+    * holds n/2¹⁵ random collisions per bucket, measured 15.1×/decade on
+    * the sibling pHash family at sf10. The match threshold derives with
+    * the width ([[ScaleKnobs.sigMaxHamming]] — the historical 8-of-60
+    * differing-bit FRACTION, so a wider rebuild grades the same
+    * similarity, exactly 8 at the default geometry). Pass explicit
+    * values to pin either knob; signatures at different geometries are
+    * incomparable, so a width change is an index REBUILD, exactly like
+    * retraining IVF cells.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     graft.engine.StageCache.materialized(spark, dir, "dedup.simhash_pairs") {
-      simhashPairs(documents(spark, dir))
+      simhashPairs(documents(spark, dir),
+        bitsPerBand =
+          ScaleKnobs.sigBitsPerBand(ScaleKnobs.documentCount(spark, dir)))
     }
 
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 8, bands: Int = 4,
-                   bitsPerBand: Int = 15): DataFrame =
-    bandedHammingPairs(simhashSig(docs, bands, bitsPerBand), bands,
-      bitsPerBand, maxHamming)
+  /** `maxHamming = -1` (default) = derive the fraction-preserving
+    * threshold from the geometry in effect; `bitsPerBand = 0` (default)
+    * = derive the band width from `docs.count()` (one extra action on
+    * this DataFrame overload — see [[simhashSig]]).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = -1, bands: Int = 4,
+                   bitsPerBand: Int = 0): DataFrame = {
+    val bpb =
+      if (bitsPerBand == 0) ScaleKnobs.sigBitsPerBand(docs.count())
+      else bitsPerBand
+    val maxH =
+      if (maxHamming < 0) ScaleKnobs.sigMaxHamming(bands, bpb)
+      else maxHamming
+    bandedHammingPairs(simhashSig(docs, bands, bpb), bands, bpb, maxH)
+  }
 
   /** Integer-exact PageRank over the SimHash near-dup graph: rank
     * documents by centrality in the similarity graph — the principled way
@@ -787,8 +825,17 @@ object Dedup {
     * counts are Σ deg² over a sparse graph, not corpus-quadratic; the
     * edge list itself is the session-materialized stage.
     */
+  /** The registered census is SCALE-BOUNDED by default (r13): the hub
+    * cap derives from the corpus count ([[ScaleKnobs.triangleDegreeCap]]
+    * — 32·⌈log2 n⌉, clearing every measured max degree through sf1 so
+    * the ≤ sf1 artifacts replay bit-for-bit, first binding at sf10
+    * where the exact census was measured 35×/decade on its own 1.07B-
+    * triangle output). Call [[trianglesFromPairs]] with `maxDegree = 0`
+    * for the exact census, or a pinned cap.
+    */
   def triangles(spark: SparkSession, dir: String): DataFrame =
-    trianglesFromPairs(simhashPairs(spark, dir))
+    trianglesFromPairs(simhashPairs(spark, dir),
+      ScaleKnobs.triangleDegreeCap(ScaleKnobs.documentCount(spark, dir)))
 
   /** `maxDegree`: the hub cap — the standard dense-graph mitigation.
     * 0 (default) = exact census over every vertex, which costs the

@@ -199,18 +199,31 @@ object Multimodal {
   /** Width-parameterized pHash: the same stride-sample-and-threshold
     * signature as [[pHashes]], laid out as a per-band ARRAY (element b =
     * that band's `bitsPerBand` threshold bits) so the total width is not
-    * capped by one signed long — the build path for the > 4M-item regime
-    * where 15-bit bands are occupancy-bound (knob audit). The default
-    * 4 × 15 geometry samples the same 60 points and sets the same bits
-    * as the single-long form (MultimodalSpec/DedupSpec pin it).
+    * capped by one signed long. THE WIDTH IS SIZED WITH THE CORPUS BY
+    * DEFAULT (r13): `bitsPerBand = 0` (the default) derives
+    * [[ScaleKnobs.sigBitsPerBand]] from the media count — the r12 sf10
+    * study measured the pinned 4 × 15 geometry at 15.1×/decade
+    * (`mm_phash_pairs`: occupancy n/2¹⁵ ⇒ candidate work ~n²/2¹⁵); the
+    * derived width holds occupancy ≤ 2 at any corpus size. At every
+    * committed artifact scale (≤ 65k items) the derivation reproduces
+    * 4 × 15, which samples the same 60 points and sets the same bits as
+    * the single-long form (MultimodalSpec/DedupSpec pin it). A width
+    * change resamples the payload grid and re-thresholds the mean —
+    * signatures at different geometries are incomparable, so deriving
+    * at BUILD time is exactly when the geometry may safely move (an
+    * index rebuild, like retraining IVF cells).
     */
   def pHashSigs(spark: SparkSession, dir: String, bands: Int = 4,
-                bitsPerBand: Int = 15,
+                bitsPerBand: Int = 0,
                 batchSize: Int = 32): Dataset[PHashSigRow] = {
-    require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 60,
+    val bpb =
+      if (bitsPerBand == 0)
+        ScaleKnobs.sigBitsPerBand(ScaleKnobs.documentCount(spark, dir))
+      else bitsPerBand
+    require(bands >= 1 && bpb >= 1 && bpb <= 60,
       s"signature geometry must satisfy 1 <= bitsPerBand <= 60; " +
-        s"got $bands x $bitsPerBand")
-    val points = bands * bitsPerBand
+        s"got $bands x $bpb")
+    val points = bands * bpb
     import spark.implicits._
     mediaTable(spark, dir).as[MediaRecord]
       .repartition(col("doc_id"))
@@ -225,8 +238,8 @@ object Multimodal {
               }
               val mean = bytes.sum / points
               val sig = Array.tabulate(bands) { b =>
-                (0 until bitsPerBand).foldLeft(0L) { (acc, j) =>
-                  if (bytes(b * bitsPerBand + j) > mean) acc | (1L << j) else acc
+                (0 until bpb).foldLeft(0L) { (acc, j) =>
+                  if (bytes(b * bpb + j) > mean) acc | (1L << j) else acc
                 }
               }
               PHashSigRow(r.doc_id, sig)
@@ -237,19 +250,29 @@ object Multimodal {
   }
 
   /** Media near-dup pairs by perceptual hash: the same band-blocked
-    * bucket join as text SimHash (default 4 bands × 15 bits → two items
-    * within Hamming 8 share ≥1 band when ≤3 differing bits land per band
-    * is violated only with probability bounded by the band split),
-    * candidate pairs generated locally per bucket — image/audio dedup at
-    * corpus scale without an all-pairs comparison. Geometry is a
-    * build-time parameter (r12, [[Dedup.bandedHammingPairs]]); a width
-    * change is an index rebuild.
+    * bucket join as text SimHash (4 bands at the corpus-derived band
+    * width — [[ScaleKnobs.sigBitsPerBand]], 15 bits through 65k items,
+    * +1 bit per corpus doubling after), candidate pairs generated
+    * locally per bucket — image/audio dedup at corpus scale without an
+    * all-pairs comparison. `maxHamming = -1` (default) derives the
+    * fraction-preserving threshold ([[ScaleKnobs.sigMaxHamming]] — the
+    * historical 8-of-60 differing-bit fraction, exactly 8 at the
+    * default geometry); pass explicit values to pin either knob. A
+    * geometry change is an index rebuild
+    * ([[Dedup.bandedHammingPairs]]).
     */
-  def phashPairs(spark: SparkSession, dir: String, maxHamming: Int = 8,
-                 bands: Int = 4, bitsPerBand: Int = 15): DataFrame =
+  def phashPairs(spark: SparkSession, dir: String, maxHamming: Int = -1,
+                 bands: Int = 4, bitsPerBand: Int = 0): DataFrame = {
+    val bpb =
+      if (bitsPerBand == 0)
+        ScaleKnobs.sigBitsPerBand(ScaleKnobs.documentCount(spark, dir))
+      else bitsPerBand
+    val maxH =
+      if (maxHamming < 0) ScaleKnobs.sigMaxHamming(bands, bpb)
+      else maxHamming
     graft.engine.ext.Dedup.bandedHammingPairs(
-      pHashSigs(spark, dir, bands, bitsPerBand).toDF(), bands, bitsPerBand,
-      maxHamming)
+      pHashSigs(spark, dir, bands, bpb).toDF(), bands, bpb, maxH)
+  }
 
   /** Rollup per format — the sanity aggregation a curation job runs after
     * feature extraction.

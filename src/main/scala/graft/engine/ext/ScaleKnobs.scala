@@ -64,6 +64,66 @@ object ScaleKnobs {
   def panelMod(n: Long): Int =
     math.max(50L, (n + 99L) / 100L).toInt
 
+  /** Hamming-signature band width (SimHash / pHash) in bits:
+    * min(30, max(15, ceil(log2 n) − 1)) — band occupancy n/2^bits ≤ 2
+    * past the 15-bit floor, so banded candidate work (buckets ×
+    * C(occupancy, 2) local pairs) stays LINEAR in the corpus instead of
+    * ~n²/2^bits (the r12 sf10 study measured the pinned 4 × 15 default
+    * at 15.1×/decade — `mm_phash_pairs`, 500k items ⇒ ~15 random
+    * collisions per bucket and quadrupling per further doubling).
+    * The floor reproduces the historical 60-bit geometry bit-for-bit at
+    * every committed artifact scale (sf0.001..sf1 ≤ 65,536 docs); the
+    * 30-bit cap is where 4 bands exhaust the 120 hash bits two md5
+    * halves supply (n = 2^31 — band occupancy only re-grows past two
+    * billion items). Occupancy ≤ 2 is far tighter than SRP's ≤ 128
+    * ([[srpBitsPerBand]]) on purpose: an SRP candidate still pays a
+    * 64-dim dot product to confirm, so tolerating collisions trades
+    * hash width against verify cost, while a Hamming candidate verifies
+    * in one xor+bit_count — the only real cost of a false bucket
+    * collision is the collect_list shuffle itself, so the knob buys
+    * pure savings. Recall is band-COUNT-shaped, not width-shaped (a
+    * near-dup pair collides when some band is clean of its differing
+    * bits; each band is 1/`bands` of the signature at any width), but
+    * the absolute `maxHamming` threshold tightens as width grows —
+    * [[sigMaxHamming]] is the fraction-preserving companion rule.
+    * SQL replay: `least(30, greatest(15, L − 1))` with L the min-b bit
+    * length.
+    */
+  def sigBitsPerBand(n: Long): Int =
+    math.min(30, math.max(15, ceilLog2(n) - 1))
+
+  /** Hamming near-dup threshold at a given signature geometry: the
+    * historical "≤ 8 of 60 bits differ" similarity FRACTION re-expressed
+    * at whatever width is in effect — `(8 · bands · bits) div 60`
+    * (exactly 8 at the default 4 × 15). Without this, a derived width
+    * silently tightens the match threshold as the corpus grows (a
+    * SimHash vote disagrees per bit with probability ∝ document
+    * distance, so expected Hamming distance of a fixed-similarity pair
+    * scales with total width). Integer-exact; SQL replay:
+    * `(8 * bands * bits) // 60`.
+    */
+  def sigMaxHamming(bands: Int, bitsPerBand: Int): Int =
+    (8 * bands * bitsPerBand) / 60
+
+  /** Triangle-census hub cap: 32 · ⌈log2 n⌉ (floor 32) — vertices with
+    * near-dup degree above the cap are excluded from wedge formation
+    * ([[Dedup.trianglesFromPairs]]). The exact census costs the OUTPUT's
+    * size, Σ_family C(s, 3) — the r12 sf10 study measured it 35×/decade
+    * (1.07B triangles at 500k docs) because duplicate families densify
+    * with crawl size. A log-shaped cap keeps the census quasi-linear
+    * (wedge work ≤ n · cap² = n log² n) while leaving every family a
+    * constant-per-doubling growth allowance; members of a capped
+    * mega-family sit in a near-clique, so their closure is
+    * definitionally ~1 and enumerating C(1500, 3) wedges each buys no
+    * information. At the committed artifact scales the cap clears the
+    * measured max degrees (416 vs 238 at sf0.1; 512 vs 469 at sf1), so
+    * every ≤ sf1 artifact replays bit-for-bit; the first capped scale is
+    * sf10 (608 vs 1518). SQL replay: `32 * greatest(1, L)` with L the
+    * min-b bit length.
+    */
+  def triangleDegreeCap(n: Long): Long =
+    32L * math.max(1, ceilLog2(n))
+
   /** IVF coarse-cell count: 2^⌈log2 √n⌉ — the classical nCells ≈ √n
     * train-time rule, snapped to a power of two so the derivation stays
     * integer-exact (⌈log2 √n⌉ = ⌈⌈log2 n⌉ / 2⌉, an identity of the
@@ -96,6 +156,17 @@ object ScaleKnobs {
 
   def panelModCol(n: String): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.expr(s"greatest(50L, ($n + 99) div 100)")
+
+  def sigBitsCol(n: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      s"""CASE WHEN $n <= 1 THEN 15L
+         |ELSE least(30L, greatest(15L, length(bin($n - 1)) - 1L)) END"""
+        .stripMargin)
+
+  def triangleCapCol(n: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      s"""CASE WHEN $n <= 1 THEN 32L
+         |ELSE 32L * greatest(1L, length(bin($n - 1))) END""".stripMargin)
 
   def ivfCellsCol(n: String): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.expr(

@@ -192,6 +192,47 @@ class DedupSpec extends SparkTestBase {
       Multimodal.pHashSigs(spark, dir, 4, 61).toDF().collect())
   }
 
+  test("derive sentinels (r13): bitsPerBand = 0 / maxHamming = -1 reproduce " +
+    "the pinned historical geometry below the 65k floor") {
+    val docs = (0L until 30L).map { i =>
+      val base = (0 until 8).map(t => s"w${(i / 3) * 8 + t}")
+      val txt = if (i % 3 == 2) (base.dropRight(1) :+ "sw").mkString(" ")
+      else base.mkString(" ")
+      (i, txt, "en", "a", txt.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // sentinel call == fully pinned call at the fixture's scale (the
+    // derivation floors at 15 bits / threshold 8 below 65k docs)
+    val derived = Dedup.simhashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val pinned = Dedup.simhashPairs(docs, maxHamming = 8, bands = 4,
+      bitsPerBand = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(derived === pinned)
+    assert(derived.nonEmpty)
+
+    // the registered triangle census is the derived-cap census; at this
+    // scale the cap (32·⌈log2 n⌉ ≥ 32) clears every degree, so it equals
+    // the exact census — the capped semantics themselves are pinned by
+    // the maxDegree=3 test below
+    val dir = java.nio.file.Files.createTempDirectory("docs_tri").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val reg = Dedup.triangles(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exact = Dedup.trianglesFromPairs(Dedup.simhashPairs(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(reg === exact)
+    assert(reg.nonEmpty)
+
+    // pHash sentinel: same floor, same pair list as the pinned call
+    import graft.engine.ext.Multimodal
+    val derivedP = Multimodal.phashPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val pinnedP = Multimodal.phashPairs(spark, dir, maxHamming = 8,
+      bands = 4, bitsPerBand = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(derivedP === pinnedP)
+  }
+
   test("minhash pairs: exact dups estimate 1e6 ppm; estimates bounded") {
     val dir = java.nio.file.Files.createTempDirectory("docs4").toString
     Seq(

@@ -28,13 +28,61 @@ class ScaleKnobsSpec extends AnyFunSuite {
       .select(col("n"),
         graft.engine.ext.ScaleKnobs.srpBitsCol("n").as("bits"),
         graft.engine.ext.ScaleKnobs.panelModCol("n").as("qm"),
-        graft.engine.ext.ScaleKnobs.ivfCellsCol("n").as("nc"))
+        graft.engine.ext.ScaleKnobs.ivfCellsCol("n").as("nc"),
+        graft.engine.ext.ScaleKnobs.sigBitsCol("n").as("sb"),
+        graft.engine.ext.ScaleKnobs.triangleCapCol("n").as("cap"))
       .collect()
     rows.foreach { r =>
       val n = r.getLong(0)
       assert(r.getLong(1) === ScaleKnobs.srpBitsPerBand(n).toLong, s"bits at n=$n")
       assert(r.getLong(2) === ScaleKnobs.panelMod(n).toLong, s"qm at n=$n")
       assert(r.getLong(3) === ScaleKnobs.ivfCells(n).toLong, s"nc at n=$n")
+      assert(r.getLong(4) === ScaleKnobs.sigBitsPerBand(n).toLong, s"sb at n=$n")
+      assert(r.getLong(5) === ScaleKnobs.triangleDegreeCap(n), s"cap at n=$n")
+    }
+  }
+
+  test("sigBitsPerBand: occupancy <= 2 past the 15-bit floor; the floor " +
+    "covers every committed artifact scale") {
+    // every driver scale AND sf1 stay on the historical 4 x 15 geometry
+    assert(ScaleKnobs.sigBitsPerBand(50L) === 15)
+    assert(ScaleKnobs.sigBitsPerBand(500L) === 15)
+    assert(ScaleKnobs.sigBitsPerBand(5000L) === 15)
+    assert(ScaleKnobs.sigBitsPerBand(50000L) === 15)
+    assert(ScaleKnobs.sigBitsPerBand(65536L) === 15)
+    // the first derived step: sf10 (500k docs) rebuilds at 4 x 18 —
+    // the geometry QUERIES.md's r12 occupancy analysis called for
+    assert(ScaleKnobs.sigBitsPerBand(65537L) === 16)
+    assert(ScaleKnobs.sigBitsPerBand(500000L) === 18)
+    // monotone; occupancy n / 2^bits <= 2 between floor and cap; the cap
+    // is where 4 bands exhaust the two-md5-half 120-bit hash budget
+    var prev = 0
+    for (e <- 1 to 62) {
+      val n = 1L << e
+      val bits = ScaleKnobs.sigBitsPerBand(n)
+      assert(bits >= prev); prev = bits
+      if (bits > 15 && bits < 30)
+        assert(n.toDouble / (1L << bits) <= 2.0, s"occupancy at n=$n")
+      assert(bits <= 30)
+    }
+    // the derived threshold preserves the historical 8-of-60 fraction
+    assert(ScaleKnobs.sigMaxHamming(4, 15) === 8)
+    assert(ScaleKnobs.sigMaxHamming(4, 18) === 9)
+    assert(ScaleKnobs.sigMaxHamming(4, 30) === 16)
+  }
+
+  test("triangleDegreeCap: log-shaped, clears every measured max degree " +
+    "through sf1, first binds at sf10") {
+    // measured near-dup max degrees: 238 (sf0.1), 469 (sf1), 1518 (sf10)
+    assert(ScaleKnobs.triangleDegreeCap(5000L) === 416L)   // > 238
+    assert(ScaleKnobs.triangleDegreeCap(50000L) === 512L)  // > 469
+    assert(ScaleKnobs.triangleDegreeCap(500000L) === 608L) // < 1518: capped
+    assert(ScaleKnobs.triangleDegreeCap(1L) === 32L)
+    // quasi-linear census: wedge work <= n * cap^2 = n log^2 n
+    var prev = 0L
+    for (e <- 1 to 62) {
+      val cap = ScaleKnobs.triangleDegreeCap(1L << e)
+      assert(cap >= prev); prev = cap
     }
   }
 
