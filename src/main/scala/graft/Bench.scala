@@ -51,6 +51,11 @@ object Bench {
     // would launder exactly the stalls it exists to expose. Two samples
     // (pre/post) also bound drift across the run.
     val canaryPath = "/root/testdata/sf0.01/lineitem.parquet"
+    // Guarded like warmDir (r12 ADVICE): on a machine without the sf0.01
+    // fixture the canary is SKIPPED — samples return None and every
+    // canary field is absent from the output — instead of crashing the
+    // whole bench before any query runs.
+    val canaryAvailable = new java.io.File(canaryPath).exists()
     def canaryDf(): org.apache.spark.sql.DataFrame = {
       import org.apache.spark.sql.functions.{xxhash64, lit, expr}
       val base = spark.read.parquet(canaryPath)
@@ -59,11 +64,31 @@ object Bench {
       // bit_xor, not sum: summing 64-bit hashes overflows under ANSI mode.
       Seq.fill(16)(base.select(h.as("h"))).reduce(_ union _).agg(expr("bit_xor(h)"))
     }
-    def canarySample(): Double = {
-      val t0 = System.nanoTime()
-      consume(canaryDf())
-      (System.nanoTime() - t0) / 1e9
-    }
+    def canarySample(): Option[Double] =
+      if (!canaryAvailable) None
+      else {
+        val t0 = System.nanoTime()
+        consume(canaryDf())
+        Some((System.nanoTime() - t0) / 1e9)
+      }
+    // Run-identity stamp (r12 verdict ask #6): sf, git commit, and the
+    // query list in scope — printed FIRST so any committed jsonl is
+    // self-describing and a post-fix subset re-run mechanically
+    // supersedes the rows of an earlier run with the same stamp shape.
+    val gitSha =
+      try {
+        val head = java.nio.file.Files
+          .readString(java.nio.file.Paths.get(".git/HEAD")).trim
+        if (head.startsWith("ref: "))
+          java.nio.file.Files.readString(
+            java.nio.file.Paths.get(".git/" + head.stripPrefix("ref: ")))
+            .trim
+        else head
+      } catch { case _: Throwable => "unknown" }
+    val scopeNames = SparkEntry.queries.keysIterator
+      .filter(n => subset.isEmpty || subset(n)).toSeq.sorted
+    val scopeJson = scopeNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"run_meta","sf":"$sfDir","git_sha":"$gitSha","mode":"${if (subset.isEmpty) "full" else "subset"}","n_queries":${scopeNames.size},"queries":$scopeJson}""")
     // Untimed warmup at the smallest SF: first execution of each plan pays
     // Janino codegen compilation + JIT, which at sf0.1 can exceed the
     // actual query time. One pass over tiny data warms those caches so the
@@ -79,7 +104,8 @@ object Bench {
     try SparkEntry.prepare(spark, sfDir) catch { case _: Throwable => () }
     // Warm the canary plan (codegen/JIT) so both samples measure execution;
     // two passes — one leaves measurable JIT residue in the first sample.
-    try { consume(canaryDf()); consume(canaryDf()) } catch { case _: Throwable => () }
+    if (canaryAvailable)
+      try { consume(canaryDf()); consume(canaryDf()) } catch { case _: Throwable => () }
     val canaryPre = canarySample()
     var errors = List.empty[(String, String)]
     // Shared materialized stages (StageCache) are timed HERE, once, as
@@ -164,18 +190,32 @@ object Bench {
     // Canary rows ride the per-query map (prefixed, like _stage_) so every
     // committed jsonl self-documents its host state — but NEVER the total:
     // the total must stay comparable to pre-canary rounds.
-    val withCanary = ok ++ Seq("_canary_pre" -> canaryPre, "_canary_post" -> canaryPost)
+    val withCanary = ok ++
+      canaryPre.map("_canary_pre" -> _).toSeq ++
+      canaryPost.map("_canary_post" -> _).toSeq
     val qs = withCanary.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
-    val total = ms(ok.map(_._2).sum)
-    val canaries = s""""canary_pre":${ms(canaryPre)},"canary_post":${ms(canaryPost)}"""
+    val totalSec = ok.map(_._2).sum
+    val total = ms(totalSec)
+    // canary_mean / total_canary_norm (r12 verdict ask #7): the
+    // BASELINE.md protocol — divide a run's total by its mean canary
+    // before cross-run comparison — computed in the artifact itself, so
+    // normalized totals compare directly without hand arithmetic.
+    val canaries = (canaryPre, canaryPost) match {
+      case (Some(pre), Some(post)) =>
+        val mean = (pre + post) / 2.0
+        s""""canary_pre":${ms(pre)},"canary_post":${ms(post)},""" +
+          s""""canary_mean":${ms(mean)},""" +
+          s""""total_canary_norm":${ms(totalSec / mean)},"""
+      case _ => "" // no canary fixture on this machine (guarded skip)
+    }
     // Compact headline FIRST and LAST: the full per-query line has outrun
     // capture windows in both directions (r6 lost its tail total; r11's
     // driver artifact truncated the map head-side). Totals + canaries must
     // survive either truncation.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"n_errors":${errors.size},$canaries,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"n_errors":${errors.size},$canaries"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"n_errors":${errors.size},$canaries,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"n_errors":${errors.size},$canaries"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -62,7 +62,9 @@ object BenchStages {
     "_stage_ivfpq_topk" ->
       ((s, d) => graft.engine.ext.Similarity.ivfPqTopK(s, d)),
     "_stage_pq_rerank_topk" ->
-      ((s, d) => graft.engine.ext.Similarity.pqRerankTopK(s, d)))
+      ((s, d) => graft.engine.ext.Similarity.pqRerankTopK(s, d)),
+    "_stage_exact_audit" ->
+      ((s, d) => graft.engine.ext.Sessionize.exactAudit(s, d)))
 
   /** bench row → the StageCache keys its build populates (two-key rows
     * are the atomic two-key trainings: assignment + centroids/codebook).
@@ -78,5 +80,6 @@ object BenchStages {
     "_stage_pq" -> Set("ann.pq_assigned", "ann.pq_codebook"),
     "_stage_srp_topk" -> Set("ann.srp_topk"),
     "_stage_ivfpq_topk" -> Set("ann.ivfpq_topk"),
-    "_stage_pq_rerank_topk" -> Set("ann.pq_rerank_topk"))
+    "_stage_pq_rerank_topk" -> Set("ann.pq_rerank_topk"),
+    "_stage_exact_audit" -> Set("events.exact_audit"))
 }

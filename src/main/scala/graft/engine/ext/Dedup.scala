@@ -896,6 +896,13 @@ object Dedup {
     * and loop invariants; unset (the default) keeps localCheckpoint,
     * which is exactly right for `local[n]` and for clusters where a
     * lost-executor recomputation is tolerable.
+    *
+    * NOTE the SparkContext checkpoint dir is STICKY: it is initialized
+    * from this conf on first reliable-mode use and a later change to
+    * the conf's PATH is ignored for the life of the SparkContext (only
+    * the local/reliable mode switch is re-read per call) — Spark has
+    * one context-wide checkpoint dir, so repoint it via
+    * `sparkContext.setCheckpointDir` directly if it must move mid-app.
     */
   val CheckpointDirConf = "spark.graft.checkpointDir"
 
@@ -903,15 +910,47 @@ object Dedup {
     * [[CheckpointDirConf]] is set (the SparkContext checkpoint dir is
     * initialized from the conf on first use and left alone if the
     * caller already set one), executor-local blocks otherwise.
+    *
+    * Cleanup (r12 ADVICE): Spark never deletes reliable checkpoint
+    * files by default, so every pagerank/CC round leaves an rdd-* dir
+    * under the checkpoint dir for the life of the app AND after it
+    * exits. The reclaim switch —
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, which
+    * makes the ContextCleaner delete a round's files once its RDD is
+    * garbage-collected — lives in the CORE SparkConf (read per
+    * checkpoint by ReliableRDDCheckpointData.doCheckpoint, but only
+    * settable at submit/context-build time; Spark exposes no live
+    * mutator). Reliable deployments should pass it with the checkpoint
+    * dir; entering reliable mode without it WARNS once per context
+    * that the caller owns cleanup of the directory. Files from rounds
+    * still referenced at app death remain on disk either way — final-
+    * exit cleanup is the caller's, which is also what makes
+    * crash-recovery inspection possible.
     */
   private def checkpointEager(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption(CheckpointDirConf) match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
+        if (!sc.getConf.getBoolean(
+            "spark.cleaner.referenceTracking.cleanCheckpoints", false) &&
+          warnedNoCheckpointCleanup.add(sc.applicationId))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"$CheckpointDirConf is set but spark.cleaner." +
+              "referenceTracking.cleanCheckpoints is false: reliable " +
+              "checkpoint files accumulate under the directory until " +
+              "YOU delete them (Spark never does by default). Pass " +
+              "spark.cleaner.referenceTracking.cleanCheckpoints=true at " +
+              "context build to reclaim per-round files automatically.")
         if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
         df.checkpoint(true)
       case None => df.localCheckpoint(true)
     }
+
+  /** app ids already warned about missing checkpoint cleanup (once per
+    * context, not once per round).
+    */
+  private val warnedNoCheckpointCleanup =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Truncate lineage AND logical-plan statistics between loop rounds.
     *

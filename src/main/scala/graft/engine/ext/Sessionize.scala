@@ -259,23 +259,42 @@ object Sessionize {
     */
   def sketchAudit(spark: SparkSession, dir: String): DataFrame =
     // sketch partials at accuracy 10000 are CPU-bound: re-balance a
-    // single-row-group events file so they don't run on one core
-    sketchAudit(graft.engine.ingest.Sources.rebalanceSmall(spark,
-      events(spark, dir)))
+    // single-row-group events file so they don't run on one core.
+    // The exact half rides its session-materialized stage (below): the
+    // registered query then measures the SKETCH side's real cost, with
+    // the shared exact baseline priced once as `_stage_exact_audit`.
+    sketchAuditFrom(graft.engine.ingest.Sources.rebalanceSmall(spark,
+      events(spark, dir)), exactAudit(spark, dir))
 
-  def sketchAudit(ev: DataFrame): DataFrame = {
-    // flag: |approx − exact| ≤ |exact|/20 (+ slack), in pure integer math.
-    // abs() on the RHS: a negative exact value would otherwise collapse
-    // (or invert) the band and flag a perfect sketch as out-of-band.
-    def ok(approx: Column, exact: Column, slack: Int): Column =
-      (abs(approx - exact) * 20 <= abs(exact) + lit(slack.toLong * 20)).cast("long")
+  def sketchAudit(ev: DataFrame): DataFrame =
+    sketchAuditFrom(ev, exactAudit(ev))
+
+  /** The EXACT half of the sketch audit — per event_type exact distinct
+    * users and exact ceil-rank percentiles — as its own build (r13,
+    * r12 verdict ask #5): it is the shared comparison BASELINE, the same
+    * production shape as the ANN exact-recall baselines (compute the
+    * exact census once per corpus snapshot, grade any number of sketch
+    * configurations against it), so the `(spark, dir)` form is
+    * session-materialized ([[graft.engine.StageCache]]) and the bench
+    * prices it as an explicit `_stage_exact_audit` row instead of
+    * folding it into the sketch query's time (the combined row was the
+    * suite's slowest honest query — 4.8 s sf0.1 / 15.7 s sf1 — with the
+    * exact side the dominant cost).
+    */
+  def exactAudit(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.StageCache.materialized(spark, dir, "events.exact_audit") {
+      exactAudit(graft.engine.ingest.Sources.rebalanceSmall(spark,
+        events(spark, dir)))
+    }
+
+  def exactAudit(ev: DataFrame): DataFrame = {
     val vals = ev.select(col("event_type"), col("user_id"),
       floor(col("value") * 100).cast("long").as("value_c"))
     // rank r's value = first census value whose cumulative count reaches
     // r — identical to row_number() == r over (value_c, ·), without
     // materializing a per-row rank
     val wcum = Window.partitionBy(col("event_type")).orderBy(col("value_c"))
-    val exact = vals.groupBy(col("event_type"), col("value_c"))
+    val exactPct = vals.groupBy(col("event_type"), col("value_c"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(wcum))
       .withColumn("n",
@@ -289,8 +308,20 @@ object Sessionize {
         min(when(col("cum") >= expr("(n * 99 + 99) div 100"), col("value_c")))
           .as("p99_c"))
     vals.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .join(exactPct, "event_type")
+  }
+
+  private def sketchAuditFrom(ev: DataFrame, exact: DataFrame): DataFrame = {
+    // flag: |approx − exact| ≤ |exact|/20 (+ slack), in pure integer math.
+    // abs() on the RHS: a negative exact value would otherwise collapse
+    // (or invert) the band and flag a perfect sketch as out-of-band.
+    def ok(approx: Column, exact: Column, slack: Int): Column =
+      (abs(approx - exact) * 20 <= abs(exact) + lit(slack.toLong * 20)).cast("long")
+    val vals = ev.select(col("event_type"), col("user_id"),
+      floor(col("value") * 100).cast("long").as("value_c"))
+    vals.groupBy(col("event_type"))
       .agg(
-        countDistinct(col("user_id")).as("n_users"),
         approx_count_distinct(col("user_id"), 0.01).as("au"),
         // accuracy 2500 (down from 10000): rank error ≤ 1/2500 stays far
         // inside the 5% value band at every tested SF. Measured effect on

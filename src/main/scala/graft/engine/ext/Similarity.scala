@@ -22,7 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** floor(x*1000) integer quantization of a float vector. */
+  /** floor(x*1000) integer quantization of a float vector.
+    *
+    * INPUT CONTRACT: components in [-1, 1] (unit-normalized embeddings —
+    * the testdata's shape and the overwhelmingly common one), i.e.
+    * |q_i| ≤ 1000. The packed argmin/argmax forms ([[argmaxDotCell]],
+    * kmeansLoop) rely on quantized dots staying under 2²⁸, which holds
+    * with 2 000× headroom at 64 dims under this contract; quantize does
+    * NOT clamp (a silent clamp would corrupt magnitudes invisibly).
+    * Out-of-contract magnitudes are caught, not mis-assigned: the packed
+    * assignment raises on the dot > 2²⁸ window that would otherwise
+    * yield a negative packed key (r12 ADVICE), and larger excursions
+    * overflow loudly under ANSI arithmetic.
+    */
   def quantize(v: Column): Column =
     transform(v, x => floor(x.cast("double") * 1000).cast("long"))
 
@@ -134,10 +146,19 @@ object Similarity {
                             nCells: Int): DataFrame = {
     require(nCells < (1 << 20),
       s"packed cell assignment supports < 2^20 cells, got $nCells")
+    val pk = (lit(1L << 28) - qdot(col("q"), col("cq"))) * lit(1L << 20) +
+      col("cell_id")
     vs.join(broadcast(centroids))
+      // pk < 0 ⟺ dot > 2²⁸, the one window where an out-of-contract
+      // magnitude (see [[quantize]]: inputs in [-1, 1]) would silently
+      // mis-assign via a NEGATIVE pk % 2^20; raise instead — one branch
+      // per candidate row next to a 64-multiply dot, and still
+      // whole-stage-codegen'd. Larger excursions overflow loudly (ANSI).
       .select(col("vec_id"),
-        ((lit(1L << 28) - qdot(col("q"), col("cq"))) * lit(1L << 20) +
-          col("cell_id")).as("pk"))
+        when(pk >= 0, pk).otherwise(raise_error(concat(
+          lit("quantized dot exceeds 2^28 for vec_id="), col("vec_id"),
+          lit(" — embeddings must be unit-normalized (components in" +
+            " [-1, 1]); see Similarity.quantize")))).as("pk"))
       .groupBy(col("vec_id"))
       .agg(min(col("pk")).as("pk"))
       .select(col("vec_id"), (col("pk") % lit(1L << 20)).cast("int").as("cell_id"))
