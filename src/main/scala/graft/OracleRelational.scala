@@ -437,8 +437,11 @@ object OracleRelational {
         |  CAST(sum(CASE WHEN is_promo THEN rev_bp ELSE 0 END) AS BIGINT)
         |    AS promo_rev_bp,
         |  CAST(sum(rev_bp) AS BIGINT) AS total_rev_bp,
-        |  CAST(sum(CASE WHEN is_promo THEN rev_bp ELSE 0 END) * 1000000
-        |       // sum(rev_bp) AS BIGINT) AS promo_ppm
+        |  -- HUGEINT ppm: the engine computes this through DECIMAL(38,0)
+        |  -- for the same reason — a month's revenue-bp sum × 1e6 clears
+        |  -- 2^63 at the sf10 fact (r13 finding); values identical
+        |  CAST(sum(CASE WHEN is_promo THEN rev_bp ELSE 0 END)::HUGEINT
+        |       * 1000000 // sum(rev_bp) AS BIGINT) AS promo_ppm
         |FROM m""".stripMargin,
 
     // Q19 shape: OR of three (brand, size, qty) conjunction groups.
@@ -529,8 +532,8 @@ object OracleRelational {
         |                ELSE 0 END) AS BIGINT) AS nation_rev_bp,
         |  CAST(sum(rev_bp) AS BIGINT) AS total_rev_bp,
         |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_bp
-        |                ELSE 0 END) * 1000000 // sum(rev_bp) AS BIGINT)
-        |    AS share_ppm
+        |                ELSE 0 END)::HUGEINT * 1000000 // sum(rev_bp)
+        |    AS BIGINT) AS share_ppm
         |FROM base GROUP BY 1 ORDER BY o_year""".stripMargin,
 
     // Q11 shape: per-part value from one nation's suppliers, HAVING

@@ -658,8 +658,20 @@ object Relational {
         sum(when(col("is_promo"), col("rev_bp")).otherwise(0L))
           .as("promo_rev_bp"),
         sum(col("rev_bp")).as("total_rev_bp"))
+      // ppm through DECIMAL(38,0): a one-month revenue sum in basis
+      // points reaches ~3.5e14 at sf10 (60M-row fact), so the former
+      // BIGINT `promo_rev_bp * 1e6` needs ~3.5e20 — past 2^63; ANSI
+      // multiplyExact threw exactly there (found by the r13 sf10 sweep,
+      // the first ext-family decade point). 128-bit only on this final
+      // one-row projection; identical floor-division values at every
+      // scale (oracle mirrors via HUGEINT). Same fix in marketShare —
+      // the only other REVENUE-sum ppm; the count-based ppm sites
+      // (violation_ppm, top_share_ppm, df/overlap ratios) are safe to
+      // ~9e12-row tables because their numerators are row counts, not
+      // cent·bp products.
       .select(col("promo_rev_bp"), col("total_rev_bp"),
-        expr("promo_rev_bp * 1000000L div total_rev_bp").as("promo_ppm"))
+        expr("cast(cast(promo_rev_bp as decimal(38,0)) * 1000000" +
+          " div total_rev_bp as bigint)").as("promo_ppm"))
   }
 
   /** TPC-H Q19 shape — disjunctive-predicate revenue: the join whose
@@ -850,7 +862,11 @@ object Relational {
           .otherwise(0L)).as("nation_rev_bp"),
         sum(col("rev_bp")).as("total_rev_bp"))
       .select(col("o_year"), col("nation_rev_bp"), col("total_rev_bp"),
-        expr("nation_rev_bp * 1000000 div total_rev_bp").as("share_ppm"))
+        // DECIMAL(38,0) ppm — same overflow class as promoShare (a
+        // per-year revenue-bp sum × 1e6 clears 2^63 between sf10 and
+        // sf100); values identical, see the q14 note
+        expr("cast(cast(nation_rev_bp as decimal(38,0)) * 1000000" +
+          " div total_rev_bp as bigint)").as("share_ppm"))
       .orderBy(col("o_year"))
   }
 
