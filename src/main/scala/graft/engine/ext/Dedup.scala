@@ -665,53 +665,94 @@ object Dedup {
     * pairs locally per bucket, keep pairs within `maxHamming` total
     * bits. Shared by text SimHash and media pHash at ANY geometry.
     *
-    * Geometries that fit one signed long (total ≤ 60 bits — including
-    * the default 4 × 15) pack the band array back into a single BIGINT
-    * first: the bucket collect_list then carries (doc_id, one long)
-    * instead of (doc_id, array) — measurably cheaper to shuffle, sort
-    * and xor (the pre-r12 shape, ~1.7 s faster per stage build at
-    * sf0.1) and bit-identical in output. Wider geometries take the
-    * array path: banding reads `element_at(sig, band)`, the distance is
-    * the sum of per-band bit_count(xor).
+    * ONE chunk-packed shape at every geometry (r13): consecutive bands
+    * pack into ⌈bands / ⌊60/bits⌋⌉ signed-long CHUNKS (one chunk = the
+    * historical single-BIGINT layout for any total ≤ 60 bits, so the
+    * committed 4 × 15 artifacts replay bit-for-bit), banding reads a
+    * CASE-selected shift+mask of its chunk, and the pair distance is
+    * Σ per-chunk bit_count(xor) — plain codegen'd expressions on every
+    * candidate pair. The former > 60-bit path carried the raw ARRAY
+    * into the buckets and computed the distance with
+    * `aggregate(zip_with(...))` — higher-order functions are
+    * CodegenFallback, so every candidate pair paid an INTERPRETED
+    * lambda eval (the corpus_clean lesson at pair scale: the r13 sf10
+    * corpus holds ~140M family-driven candidates at the derived 4 × 18,
+    * each a fallback eval). Chunks also shuffle smaller than arrays
+    * (no per-element headers).
+    *
+    * `localCap` bounds the per-bucket IN-ROW pair expansion (see the
+    * mega-bucket note inside): 512 keeps the expanded array ≤ ~3 MB; it
+    * is a memory-shape knob, not a semantic one — any value yields the
+    * identical pair list.
     */
-  private[ext] def bandedHammingPairs(sig: DataFrame, bands: Int,
-                                      bitsPerBand: Int,
-                                      maxHamming: Int): DataFrame = {
-    val pairs =
-      if (bands * bitsPerBand <= 60) {
-        val packed = sig.select(col("doc_id"),
-          (0 until bands).map(b =>
-            shiftleft(element_at(col("sig"), b + 1), b * bitsPerBand))
-            .reduce(_ + _).as("s"))
-        packed.select(col("doc_id"), col("s"),
-          explode(sequence(lit(0), lit(bands - 1))).as("band"))
-          .select(col("doc_id"), col("s"), col("band"),
-            expr(s"shiftright(s, cast(band as int) * $bitsPerBand)")
-              .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("band_val"))
-          .groupBy(col("band"), col("band_val"))
-          .agg(collect_list(struct(col("doc_id"), col("s"))).as("ms"))
-          .filter(size(col("ms")) >= 2)
-          .select(explode(localPairs(array_sort(col("ms")))).as("p"))
-          .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
-            bit_count(col("p.a.s").bitwiseXOR(col("p.b.s"))).as("hamming"))
-      } else {
-        sig.select(col("doc_id"), col("sig"),
-          explode(sequence(lit(0), lit(bands - 1))).as("band"))
-          .select(col("doc_id"), col("sig"), col("band"),
-            element_at(col("sig"), (col("band") + 1).cast("int")).as("band_val"))
-          .groupBy(col("band"), col("band_val"))
-          .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ms"))
-          .filter(size(col("ms")) >= 2)
-          .select(explode(localPairs(array_sort(col("ms")))).as("p"))
-          .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
-            aggregate(
-              zip_with(col("p.a.sig"), col("p.b.sig"),
-                (x, y) => bit_count(x.bitwiseXOR(y))),
-              lit(0), (acc, h) => acc + h).as("hamming"))
-      }
-    pairs
-      .distinct()
+  private[graft] def bandedHammingPairs(sig: DataFrame, bands: Int,
+                                        bitsPerBand: Int,
+                                        maxHamming: Int,
+                                        localCap: Int = 512): DataFrame = {
+    val perChunk = math.max(1, 60 / bitsPerBand)
+    val nChunks = (bands + perChunk - 1) / perChunk
+    val mask = (1L << bitsPerBand) - 1
+    val chunkNames = (0 until nChunks).map(c => s"s$c")
+    def chunk(c: Int): Column =
+      (c * perChunk until math.min(bands, (c + 1) * perChunk))
+        .map(b => shiftleft(element_at(col("sig"), b + 1),
+          (b - c * perChunk) * bitsPerBand))
+        .reduce(_ + _)
+    val packed = sig.select(col("doc_id") +:
+      (0 until nChunks).map(c => chunk(c).as(s"s$c")): _*)
+    // band b lives in chunk b / perChunk at offset (b % perChunk)·bits;
+    // the chunk index is data-dependent (band comes from the explode),
+    // so a CASE over the ≤ ⌈120/60⌉ = 2 chunks selects it — constant
+    // code size, stays in whole-stage codegen.
+    val bandVal = expr(
+      s"CASE cast(band div $perChunk as int) " +
+        (0 until nChunks).map(c =>
+          s"WHEN $c THEN shiftright(s$c, " +
+            s"cast(band % $perChunk as int) * $bitsPerBand)").mkString(" ") +
+        " END").bitwiseAND(lit(mask))
+    val buckets = packed
+      .select((col("doc_id") +: chunkNames.map(col)) :+
+        explode(sequence(lit(0), lit(bands - 1))).as("band"): _*)
+      .withColumn("band_val", bandVal)
+      .groupBy(col("band"), col("band_val"))
+      .agg(collect_list(struct(col("doc_id") +: chunkNames.map(col): _*))
+        .as("ms"))
+      .filter(size(col("ms")) >= 2)
+    def hamming(a: String, b: String): Column =
+      chunkNames.map(n =>
+        bit_count(col(s"$a.$n").bitwiseXOR(col(s"$b.$n"))))
+        .reduce(_ + _).as("hamming")
+    // Normal buckets expand pairs LOCALLY (one array op per bucket, no
+    // join) — the right shape for the ≤ localCap common case. MEGA
+    // buckets — real near-dup families, measured at 1,400–1,750 members
+    // on the sf10 corpus and unbounded in principle — must NOT: the
+    // in-row expansion materializes C(s, 2) structs in ONE array value
+    // (s = 100k ⇒ 5e9 structs in a single row — a guaranteed executor
+    // OOM at crawl scale, and at sf10 already a ~36 MB single-row
+    // allocation that made the query time GC-bimodal). Those buckets
+    // re-explode to member rows and stream through a per-bucket
+    // self-join instead: memory O(bucket), the C(s, 2) output produced
+    // incrementally, AQE free to split the skewed key. Identical output
+    // either way (DedupSpec pins both paths against the same fixture).
+    val smallPairs = buckets.filter(size(col("ms")) <= localCap)
+      .select(explode(localPairs(array_sort(col("ms")))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        hamming("p.a", "p.b"))
+    val bigMembers = buckets.filter(size(col("ms")) > localCap)
+      .select(col("band"), col("band_val"), explode(col("ms")).as("m"))
+    val bigPairs = bigMembers.as("a")
+      .join(bigMembers.as("b"), Seq("band", "band_val"))
+      .where(col("a.m.doc_id") < col("b.m.doc_id"))
+      .select(col("a.m.doc_id").as("doc_a"), col("b.m.doc_id").as("doc_b"),
+        hamming("a.m", "b.m"))
+    // threshold BEFORE the distinct: the dedup shuffle then carries only
+    // matching pairs (small), not every candidate (~140M family-driven
+    // rows at sf10) — Catalyst can push a grouping-column predicate
+    // below an Aggregate, but stating the intended order costs nothing
+    // and never depends on a rule firing
+    smallPairs.unionAll(bigPairs)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
