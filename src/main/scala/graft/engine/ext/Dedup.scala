@@ -679,16 +679,10 @@ object Dedup {
     * corpus holds ~140M family-driven candidates at the derived 4 × 18,
     * each a fallback eval). Chunks also shuffle smaller than arrays
     * (no per-element headers).
-    *
-    * `localCap` bounds the per-bucket IN-ROW pair expansion (see the
-    * mega-bucket note inside): 512 keeps the expanded array ≤ ~3 MB; it
-    * is a memory-shape knob, not a semantic one — any value yields the
-    * identical pair list.
     */
   private[graft] def bandedHammingPairs(sig: DataFrame, bands: Int,
                                         bitsPerBand: Int,
-                                        maxHamming: Int,
-                                        localCap: Int = 512): DataFrame = {
+                                        maxHamming: Int): DataFrame = {
     val perChunk = math.max(1, 60 / bitsPerBand)
     val nChunks = (bands + perChunk - 1) / perChunk
     val mask = (1L << bitsPerBand) - 1
@@ -710,7 +704,7 @@ object Dedup {
           s"WHEN $c THEN shiftright(s$c, " +
             s"cast(band % $perChunk as int) * $bitsPerBand)").mkString(" ") +
         " END").bitwiseAND(lit(mask))
-    val buckets = packed
+    val sorted = packed
       .select((col("doc_id") +: chunkNames.map(col)) :+
         explode(sequence(lit(0), lit(bands - 1))).as("band"): _*)
       .withColumn("band_val", bandVal)
@@ -718,39 +712,39 @@ object Dedup {
       .agg(collect_list(struct(col("doc_id") +: chunkNames.map(col): _*))
         .as("ms"))
       .filter(size(col("ms")) >= 2)
+      .select(array_sort(col("ms")).as("ms"))
     def hamming(a: String, b: String): Column =
       chunkNames.map(n =>
-        bit_count(col(s"$a.$n").bitwiseXOR(col(s"$b.$n"))))
+        bit_count(col(s"$a$n").bitwiseXOR(col(s"$b$n"))))
         .reduce(_ + _).as("hamming")
-    // Normal buckets expand pairs LOCALLY (one array op per bucket, no
-    // join) — the right shape for the ≤ localCap common case. MEGA
-    // buckets — real near-dup families, measured at 1,400–1,750 members
-    // on the sf10 corpus and unbounded in principle — must NOT: the
-    // in-row expansion materializes C(s, 2) structs in ONE array value
-    // (s = 100k ⇒ 5e9 structs in a single row — a guaranteed executor
-    // OOM at crawl scale, and at sf10 already a ~36 MB single-row
-    // allocation that made the query time GC-bimodal). Those buckets
-    // re-explode to member rows and stream through a per-bucket
-    // self-join instead: memory O(bucket), the C(s, 2) output produced
-    // incrementally, AQE free to split the skewed key. Identical output
-    // either way (DedupSpec pins both paths against the same fixture).
-    val smallPairs = buckets.filter(size(col("ms")) <= localCap)
-      .select(explode(localPairs(array_sort(col("ms")))).as("p"))
-      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
-        hamming("p.a", "p.b"))
-    val bigMembers = buckets.filter(size(col("ms")) > localCap)
-      .select(col("band"), col("band_val"), explode(col("ms")).as("m"))
-    val bigPairs = bigMembers.as("a")
-      .join(bigMembers.as("b"), Seq("band", "band_val"))
-      .where(col("a.m.doc_id") < col("b.m.doc_id"))
-      .select(col("a.m.doc_id").as("doc_a"), col("b.m.doc_id").as("doc_b"),
-        hamming("a.m", "b.m"))
+    // Pairs stream through a TWO-LEVEL explode — member i against the
+    // slice after i — at EVERY bucket size. The two shapes this
+    // replaces (r13, measured): (a) in-row expansion via
+    // [[localPairs]], which materializes C(s, 2) structs in ONE array
+    // value — ~36 MB per row for the sf10 corpus's 1,400–1,750-member
+    // near-dup families (GC-bimodal 45–150 s timings) and a guaranteed
+    // executor OOM for a 100k-member family (5e9 structs in one value)
+    // at crawl scale — and whose nested transform/flatten is itself a
+    // CodegenFallback lambda; (b) a per-bucket self-join for big
+    // buckets, whose inferred IsNotNull filters de-canonicalize the
+    // shared exchange so the whole signature build ran once PER SIDE
+    // (three corpus scans in the physical plan). The explode keeps peak
+    // memory per generated row at O(bucket), produces the C(s, 2)
+    // output incrementally, and leaves ONE consumer chain over ONE
+    // exchange. mm_phash_pairs at sf10: 51.8 s → ~20 s.
+    val pairs = sorted
+      .select(col("ms"), posexplode(col("ms")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("ms"), col("i") + lit(2),
+          greatest(size(col("ms")) - col("i") - 1, lit(0)))).as("b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming("a.", "b."))
     // threshold BEFORE the distinct: the dedup shuffle then carries only
     // matching pairs (small), not every candidate (~140M family-driven
     // rows at sf10) — Catalyst can push a grouping-column predicate
     // below an Aggregate, but stating the intended order costs nothing
     // and never depends on a rule firing
-    smallPairs.unionAll(bigPairs)
+    pairs
       .filter(col("hamming") <= maxHamming)
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))

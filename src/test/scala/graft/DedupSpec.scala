@@ -233,11 +233,11 @@ class DedupSpec extends SparkTestBase {
     assert(derivedP === pinnedP)
   }
 
-  test("bandedHammingPairs mega-bucket join path (localCap) emits the " +
-    "identical pair list as the local expansion") {
-    // a 12-member exact-dup family forces buckets of 12 in every band;
-    // localCap = 4 routes them through the streamed self-join, cap = 512
-    // through the in-row expansion — one pair list, two memory shapes
+  test("bandedHammingPairs streamed expansion matches the brute-force " +
+    "definition on a dense exact-dup family") {
+    // a 12-member exact-dup family forces buckets of 12 in every band —
+    // the streamed two-level explode must emit exactly the pairs the
+    // all-pairs definition yields (sharing >= 1 band value, Hamming <= 8)
     val docs = ((0L until 12L).map(i => (i, "alpha beta gamma delta " +
       "epsilon zeta eta theta")) ++
       (12L until 40L).map(i => (i, (0 until 8).map(t => s"u${i}_$t")
@@ -246,14 +246,21 @@ class DedupSpec extends SparkTestBase {
       .select(col("doc_id"), col("text"), lit("en").as("lang"),
         lit("a").as("source"), length(col("text")).cast("long").as("n_chars"))
     val sig = Dedup.simhashSig(docs, 4, 15)
-    def run(cap: Int) =
-      Dedup.bandedHammingPairs(sig, 4, 15, 8, cap)
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString)).toSeq
-    val local = run(512)
-    val joined = run(4)
-    assert(local === joined)
-    assert(local.size >= 66) // C(12,2) family pairs all present
+    val sigs = sig.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val expected = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      sa = sigs(a); sb = sigs(b)
+      if sa.zip(sb).exists { case (x, y) => x == y }
+      h = sa.zip(sb).map { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y) }.sum
+      if h <= 8
+    } yield (a, b, h.toString)).toSeq.sorted
+    val got = Dedup.bandedHammingPairs(sig, 4, 15, 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString)).toSeq
+    assert(got === expected)
+    assert(got.size >= 66) // C(12,2) family pairs all present
   }
 
   test("minhash pairs: exact dups estimate 1e6 ppm; estimates bounded") {
