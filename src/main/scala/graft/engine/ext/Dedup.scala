@@ -1388,6 +1388,33 @@ object Dedup {
 
   /** [[minhashPairs]] over a pre-built (doc_id, shingle) table — see
     * [[ngramJaccardPairsFromShingles]].
+    *
+    * Pair generation shares the r13 Hamming-path architecture
+    * ([[bandedHammingPairs]]) — the LAST two in-row scale hazards were
+    * removed here in r14:
+    *
+    *  - candidates STREAM through a two-level explode (member i against
+    *    the slice after i), never [[localPairs]]: MinHash band buckets
+    *    are NOT df-capped (a real dup family agrees on every band
+    *    signature), so the in-row C(s, 2) expansion materialized one
+    *    O(s²) array VALUE per bucket — ~5e9 structs in a single row for
+    *    a 100k-member crawl family, a guaranteed executor OOM. The
+    *    explode keeps peak memory per generated row at O(bucket) and
+    *    emits the C(s, 2) candidates incrementally.
+    *  - the signature agreement count is a FIXED-WIDTH codegen'd sum of
+    *    `numHashes` element equality checks (numHashes is a build
+    *    constant), not `aggregate(zip_with(...))`: higher-order
+    *    functions are CodegenFallback, so every candidate pair paid an
+    *    INTERPRETED two-lambda eval — the corpus_clean lesson at pair
+    *    scale, and exactly what r13 measured on the Hamming path (the
+    *    chunk-packed codegen distance was worth ~2× at sf10 on top of
+    *    the derived geometry).
+    *
+    * The MinHash values are 61-bit (mod 2^61−1), so unlike the ≤ 30-bit
+    * Hamming bands they cannot chunk-pack several-per-long; the struct
+    * carries the signature as `numHashes` scalar LONG columns instead of
+    * one ARRAY — same bytes, no per-element array headers in the
+    * exchange, and the equality sum reads plain struct fields.
     */
   def minhashPairsFromShingles(sh: DataFrame, numHashes: Int, bands: Int,
                                minEstPpm: Long): DataFrame = {
@@ -1406,25 +1433,45 @@ object Dedup {
       min(pmod(col("h") * a + b, lit(p))).as(s"mh_$i")
     }
     val sig = exploded.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
 
-    sig.select(col("doc_id"), col("sig"),
-      explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("doc_id"), col("sig"), col("band"),
-        md5(concat_ws(",",
-          slice(col("sig"), col("band") * perBand + 1, lit(perBand)))).as("bucket"))
+    // band b's bucket key = md5 of its perBand components, comma-joined —
+    // byte-identical to the historical slice-of-array form, so the
+    // candidate set (and every committed artifact) replays exactly. The
+    // band index is data-dependent (it comes from the explode), so a
+    // CASE over the `bands` alternatives selects the concat — constant
+    // code size, stays in whole-stage codegen.
+    val bucketByBand = (0 until bands).map { b =>
+      val s = concat_ws(",",
+        (b * perBand until (b + 1) * perBand).map(i => col(s"mh_$i")): _*)
+      (b, md5(s))
+    }.foldRight(lit(null).cast("string")) { case ((b, m), e) =>
+      when(col("band") === b, m).otherwise(e)
+    }
+    val member = struct(col("doc_id") +:
+      (0 until numHashes).map(i => col(s"mh_$i")): _*)
+    val agree = (0 until numHashes).map(i =>
+      when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+
+    sig.select(sig.columns.map(col) :+
+        explode(sequence(lit(0), lit(bands - 1))).as("band"): _*)
+      .select(col("band"), bucketByBand.as("bucket"), member.as("m"))
       .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ms"))
+      .agg(collect_list(col("m")).as("ms"))
       .filter(size(col("ms")) >= 2)
-      .select(explode(localPairs(array_sort(col("ms")))).as("p"))
-      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
-        (aggregate(zip_with(col("p.a.sig"), col("p.b.sig"),
-          (x, y) => when(x === y, 1L).otherwise(0L)),
-          lit(0L), (acc, v) => acc + v) * lit(1000000L) / numHashes)
+      .select(array_sort(col("ms")).as("ms"))
+      .select(col("ms"), posexplode(col("ms")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("ms"), col("i") + lit(2),
+          greatest(size(col("ms")) - col("i") - 1, lit(0)))).as("b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (agree * lit(1000000L) / numHashes)
           .cast("long").as("est_jaccard_ppm"))
-      .distinct()
+      // threshold BEFORE the distinct (the bandedHammingPairs rule): the
+      // dedup shuffle then carries only matching pairs, not every
+      // band-collision candidate
       .filter(col("est_jaccard_ppm") >= minEstPpm)
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
