@@ -75,20 +75,28 @@ object Bench {
     // query list in scope — printed FIRST so any committed jsonl is
     // self-describing and a post-fix subset re-run mechanically
     // supersedes the rows of an earlier run with the same stamp shape.
+    // `git rev-parse HEAD`, not hand-parsed .git files: the loose-ref
+    // read silently degraded to "unknown" after pack-refs/gc, in
+    // worktrees (.git is a file), or when run from another cwd (r13
+    // ADVICE). The subprocess handles every ref layout; same
+    // catch-to-unknown guard.
     val gitSha =
       try {
-        val head = java.nio.file.Files
-          .readString(java.nio.file.Paths.get(".git/HEAD")).trim
-        if (head.startsWith("ref: "))
-          java.nio.file.Files.readString(
-            java.nio.file.Paths.get(".git/" + head.stripPrefix("ref: ")))
-            .trim
-        else head
+        val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+          .redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out
+        else "unknown"
       } catch { case _: Throwable => "unknown" }
     val scopeNames = SparkEntry.queries.keysIterator
       .filter(n => subset.isEmpty || subset(n)).toSeq.sorted
     val scopeJson = scopeNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"run_meta","sf":"$sfDir","git_sha":"$gitSha","mode":"${if (subset.isEmpty) "full" else "subset"}","n_queries":${scopeNames.size},"queries":$scopeJson}""")
+    val mode =
+      if (subset.isEmpty) "full"
+      else if (sys.env.get("SPARK_GRAFT_STAGES").contains("1")) "subset+stages"
+      else "subset"
+    println(s"""{"metric":"run_meta","sf":"$sfDir","git_sha":"$gitSha","mode":"$mode","n_queries":${scopeNames.size},"queries":$scopeJson}""")
     // Untimed warmup at the smallest SF: first execution of each plan pays
     // Janino codegen compilation + JIT, which at sf0.1 can exceed the
     // actual query time. One pass over tiny data warms those caches so the
@@ -120,8 +128,15 @@ object Bench {
     graft.engine.StageCache.clear(spark)
     // The stage list lives in BenchStages (one definition, spec-checked
     // bijective with the stages the registry actually consumes).
+    // Subset runs skip stage rows by default (steady-state scaling
+    // studies) — SPARK_GRAFT_STAGES=1 overrides, timing EVERY stage
+    // build cold before the subset prewarm, so a big-SF subset run can
+    // still price the one-time builds (r13 verdict: no `_stage_*` sf10
+    // number existed because only subsets ever ran at sf10). The
+    // run_meta `mode` field records the override.
+    val timeStages = subset.isEmpty || mode == "subset+stages"
     val stageRows: Seq[(String, Double)] =
-      if (subset.nonEmpty) Seq.empty
+      if (!timeStages) Seq.empty
       else BenchStages.rows.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() } catch {

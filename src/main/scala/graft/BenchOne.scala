@@ -24,7 +24,17 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.engine.ingest.Sources.ensureNanosAsLong(spark)
-    val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query: $name"))
+    // `_stage_*` names resolve from BenchStages and measure the COLD
+    // build (cache cleared before every sample) — the one timing Bench's
+    // subset mode structurally cannot produce (subset runs prewarm
+    // stages untimed by protocol). Registry names keep the historical
+    // behavior: steady-state consumption, warm cache across reps.
+    val isStage = name.startsWith("_stage_")
+    val fn =
+      if (isStage)
+        BenchStages.rows.collectFirst { case (`name`, f) => f }
+          .getOrElse(sys.error(s"unknown stage: $name"))
+      else SparkEntry.queries.getOrElse(name, sys.error(s"unknown query: $name"))
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
       try SparkEntry.prepare(spark, sfDir) catch { case _: Throwable => () }
       println(fn(spark, sfDir).queryExecution.explainString(
@@ -43,8 +53,10 @@ object BenchOne {
     }
     try SparkEntry.prepare(spark, sfDir) catch { case _: Throwable => () }
     val samples = (1 to reps).map { _ =>
+      if (isStage) graft.engine.StageCache.clear(spark)
       val t0 = System.nanoTime()
-      consume(fn(spark, sfDir))
+      if (isStage) fn(spark, sfDir).queryExecution.toRdd.count()
+      else consume(fn(spark, sfDir))
       (System.nanoTime() - t0) / 1e9
     }
     println(s"""{"query":"$name","sf":"$sfDir","samples":[${samples.mkString(",")}]}""")

@@ -617,15 +617,20 @@ object Dedup {
     * bitsPerBand > 0 to pin a geometry; signatures at different
     * geometries are incomparable, so a width change is an index
     * REBUILD. NOTE: on this DataFrame overload the sentinel runs one
-    * `docs.count()` action to derive (the `(spark, dir)` wrappers use
-    * the memoized [[ScaleKnobs.documentCount]] instead — same rule,
-    * no extra job).
+    * `docs.count()` action AT PLAN-CONSTRUCTION TIME to derive (the
+    * `(spark, dir)` wrappers use the memoized
+    * [[ScaleKnobs.documentCount]] instead — same rule, no extra job).
+    * Callers composing lazy pipelines over expensive inputs should pass
+    * `nDocs` (a corpus count they already hold) — plan construction is
+    * then action-free and the derivation rule is applied to the given
+    * count (r13 ADVICE: a repeated-count hot path is otherwise one full
+    * upstream scan per call).
     */
   def simhashSig(docs: DataFrame, bands: Int = 4,
-                 bitsPerBand: Int = 0): DataFrame = {
+                 bitsPerBand: Int = 0, nDocs: Long = -1L): DataFrame = {
     val bpb =
-      if (bitsPerBand == 0) ScaleKnobs.sigBitsPerBand(docs.count())
-      else bitsPerBand
+      if (bitsPerBand != 0) bitsPerBand
+      else ScaleKnobs.sigBitsPerBand(if (nDocs >= 0L) nDocs else docs.count())
     validateSigGeometry(bands, bpb)
     simhashSigAt(docs, bands, bpb)
   }
@@ -773,14 +778,15 @@ object Dedup {
 
   /** `maxHamming = -1` (default) = derive the fraction-preserving
     * threshold from the geometry in effect; `bitsPerBand = 0` (default)
-    * = derive the band width from `docs.count()` (one extra action on
-    * this DataFrame overload — see [[simhashSig]]).
+    * = derive the band width from `docs.count()` (one plan-construction
+    * action on this DataFrame overload — pass `nDocs` to stay
+    * action-free, see [[simhashSig]]).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = -1, bands: Int = 4,
-                   bitsPerBand: Int = 0): DataFrame = {
+                   bitsPerBand: Int = 0, nDocs: Long = -1L): DataFrame = {
     val bpb =
-      if (bitsPerBand == 0) ScaleKnobs.sigBitsPerBand(docs.count())
-      else bitsPerBand
+      if (bitsPerBand != 0) bitsPerBand
+      else ScaleKnobs.sigBitsPerBand(if (nDocs >= 0L) nDocs else docs.count())
     val maxH =
       if (maxHamming < 0) ScaleKnobs.sigMaxHamming(bands, bpb)
       else maxHamming
