@@ -67,6 +67,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NativeFunctions.checkArity(NativeFunctions.RegexFindName, 2, exprs)
         NativeFunctions.RegexFindGroup(exprs(0), exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier(NativeFunctions.LangSignalName),
+      info(NativeFunctions.LangSignalName,
+        "per-word-set ASCII \\b match counts + Han-char count in ONE " +
+          "text scan; array<bigint> of size(sets)+1",
+        "_FUNC_(text, array(array('the','and'), array('el','la')))"),
+      (exprs: Seq[Expression]) => NativeFunctions.buildLangSignal(exprs)))
   }
 
   private def info(name: String, usage: String, example: String): ExpressionInfo =

@@ -295,12 +295,162 @@ object NativeFunctions {
       copy(subject = newLeft, regexp = newRight)
   }
 
+  /** Fused language-signal counter: ONE linear scan of the text replaces
+    * the four independent `size(regexp_extract_all(...))` passes the
+    * language-ID heuristic ran per document (r13 verdict ask #5 —
+    * `text_langid` was the suite's biggest absolute row, 25.1 s at sf1 /
+    * 57.4 s at sf10, shape-clean but 4× regex + 4 materialized match
+    * arrays per row).
+    *
+    * Result: `array<bigint>` of length `sets.length + 1` — element k =
+    * the number of word occurrences from set k, last element = the
+    * number of Han-script characters.
+    *
+    * SEMANTICS ARE BIT-IDENTICAL to the regex battery it replaces, by
+    * construction rather than by test luck:
+    *  - a `(?i)\b(w1|w2|…)\b` count over ASCII words equals "number of
+    *    maximal ASCII-\w runs whose lowercase form is in the set": Java's
+    *    `\b` is defined by `\w = [A-Za-z0-9_]` (no UNICODE flags — the
+    *    same default Spark's own regexp functions compile with), so the
+    *    scan tokenizes maximal `[A-Za-z0-9_]+` runs and counts exact
+    *    set membership (`(?i)` on pure-ASCII patterns is ASCII case
+    *    folding = lowercase compare);
+    *  - `\p{IsHan}` counts every code point of script Han —
+    *    `Character.UnicodeScript.of(cp) == HAN`, surrogate pairs
+    *    handled via codePointAt/charCount exactly like the regex engine.
+    *
+    * One `toString` per document (each regexp call paid its own), zero
+    * match-array allocations; tokens longer than the longest set word
+    * skip the lookup entirely. The lookup maps word → BITMASK of the
+    * sets containing it, so words shared across languages (la/de/que/un
+    * appear in both the es and fr inventories) count into every set
+    * exactly as the independent regex passes did.
+    */
+  case class LangSignalCounts(child: Expression, sets: Array[Array[String]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.StringType
+
+    require(sets.nonEmpty && sets.length <= 62,
+      s"$LangSignalName supports 1..62 word sets, got ${sets.length}")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$LangSignalName expects a string, got ${other.sql}")
+      }
+
+    // word → bitmask of the sets containing it; compiled once per
+    // expression instance, shared with codegen via a reference object
+    @transient private lazy val wordMask: java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      for (k <- sets.indices; w <- sets(k)) {
+        val lw = w.toLowerCase(java.util.Locale.ROOT)
+        val prev = m.get(lw)
+        m.put(lw, java.lang.Long.valueOf(
+          (if (prev == null) 0L else prev.longValue()) | (1L << k)))
+      }
+      m
+    }
+    @transient private lazy val maxLen: Int =
+      sets.iterator.flatten.map(_.length).max
+
+    override def nullSafeEval(s: Any): Any =
+      NativeFunctions.langSignalRun(
+        s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        wordMask, sets.length, maxLen)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val m = ctx.addReferenceObj("langWordMask", wordMask,
+          "java.util.HashMap")
+        s"${ev.value} = graft.engine.expr.NativeFunctions.langSignalRun(" +
+          s"$c, $m, ${sets.length}, $maxLen);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** The per-row kernel of [[LangSignalCounts]] — a plain compiled method
+    * so generated code calls ONE static forwarder instead of inlining the
+    * scan (constant generated-code size, the SrpSignature lesson).
+    */
+  def langSignalRun(s: org.apache.spark.unsafe.types.UTF8String,
+                    mask: java.util.HashMap[String, java.lang.Long],
+                    nSets: Int, maxLen: Int): ArrayData = {
+    val str = s.toString
+    val counts = new Array[Long](nSets + 1)
+    val n = str.length
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      val isWord = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_'
+      if (isWord) {
+        var j = i + 1
+        while (j < n && {
+          val d = str.charAt(j)
+          (d >= 'a' && d <= 'z') || (d >= 'A' && d <= 'Z') ||
+            (d >= '0' && d <= '9') || d == '_'
+        }) j += 1
+        val len = j - i
+        if (len <= maxLen) {
+          val buf = new Array[Char](len)
+          var k = 0
+          while (k < len) {
+            val ch = str.charAt(i + k)
+            buf(k) = if (ch >= 'A' && ch <= 'Z') (ch + 32).toChar else ch
+            k += 1
+          }
+          val m = mask.get(new String(buf))
+          if (m != null) {
+            var mm = m.longValue()
+            var b = 0
+            while (mm != 0L) {
+              if ((mm & 1L) != 0L) counts(b) += 1L
+              mm >>>= 1
+              b += 1
+            }
+          }
+        }
+        i = j
+      } else {
+        val cp = str.codePointAt(i)
+        if (Character.UnicodeScript.of(cp) == Character.UnicodeScript.HAN)
+          counts(nSets) += 1L
+        i += Character.charCount(cp)
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+  }
+
   val QdotName = "qdot_native"
   val SrpSignatureName = "srp_signature"
   val PyCheckName = "py_parity_check"
   val PyErrorBranchName = "py_error_branch"
   val OpaqueName = "graft_opaque"
   val RegexFindName = "regex_find_group"
+  val LangSignalName = "lang_signal_counts"
+
+  /** `lang_signal_counts(text, sets)` builder: the word-set matrix must
+    * be a foldable array<array<string>> literal (folded once at
+    * resolution, like SrpSignature's coefficients).
+    */
+  def buildLangSignal(exprs: Seq[Expression]): Expression = {
+    checkArity(LangSignalName, 2, exprs)
+    require(exprs(1).foldable,
+      s"$LangSignalName: the word-set matrix must be foldable")
+    val ad = exprs(1).eval().asInstanceOf[ArrayData]
+    val sets = Array.tabulate(ad.numElements()) { k =>
+      val row = ad.getArray(k)
+      Array.tabulate(row.numElements())(w =>
+        row.getUTF8String(w).toString)
+    }
+    LangSignalCounts(exprs(0), sets)
+  }
 
   /** A wrong argument count must fail analysis with the standard
     * WRONG_NUM_ARGS AnalysisException, not an IndexOutOfBoundsException
@@ -356,6 +506,9 @@ object NativeFunctions {
           checkArity(RegexFindName, 2, exprs)
           RegexFindGroup(exprs(0), exprs(1))
         }, "built-in")
+    if (!spark.catalog.functionExists(LangSignalName))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        LangSignalName, buildLangSignal, "built-in")
     if (!spark.catalog.functionExists(SrpSignatureName))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         SrpSignatureName, exprs => {
@@ -380,6 +533,16 @@ object NativeFunctions {
     import org.apache.spark.sql.functions.{array, lit}
     call_function(SrpSignatureName, q,
       array(coefs.map(row => array(row.map(lit): _*)): _*))
+  }
+
+  /** Fused word-set + Han-char counter (see [[LangSignalCounts]]); the
+    * set matrix becomes a foldable nested-array literal. Caller must
+    * have ensureRegistered.
+    */
+  def langSignalCounts(text: Column, sets: Seq[Seq[String]]): Column = {
+    import org.apache.spark.sql.functions.{array, lit}
+    call_function(LangSignalName, text,
+      array(sets.map(row => array(row.map(lit): _*)): _*))
   }
 
   /** Optimizer-opaque identity (see [[OpaqueBarrier]]); caller must have

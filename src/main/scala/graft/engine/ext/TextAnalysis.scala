@@ -26,11 +26,16 @@ object TextAnalysis {
   val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
   /** Tiny per-language stopword inventories for the n-gram/stopword
-    * language-ID heuristic. Word-boundary regexes, case-insensitive.
+    * language-ID heuristic (the word LISTS are the source of truth; the
+    * equivalent word-boundary case-insensitive regexes below derive from
+    * them, so the regex and fused-scan forms cannot drift apart).
     */
-  val EnStop = "(?i)\\b(the|and|of|to|in|is|a|for|with|on)\\b"
-  val EsStop = "(?i)\\b(el|la|de|que|y|en|un|por|con|para)\\b"
-  val FrStop = "(?i)\\b(le|la|de|et|un|pour|que|dans|sur|avec)\\b"
+  val EnStopWords = Seq("the", "and", "of", "to", "in", "is", "a", "for", "with", "on")
+  val EsStopWords = Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "para")
+  val FrStopWords = Seq("le", "la", "de", "et", "un", "pour", "que", "dans", "sur", "avec")
+  val EnStop = s"(?i)\\b(${EnStopWords.mkString("|")})\\b"
+  val EsStop = s"(?i)\\b(${EsStopWords.mkString("|")})\\b"
+  val FrStop = s"(?i)\\b(${FrStopWords.mkString("|")})\\b"
   /** CJK presence: any Han character is a strong zh signal. */
   val HanChar = "\\p{IsHan}"
 
@@ -68,18 +73,29 @@ object TextAnalysis {
     langId(spark.read.parquet(s"$dir/documents.parquet"))
 
   def langId(docs: DataFrame): DataFrame = {
-    val en = nMatches(col("text"), EnStop)
-    val es = nMatches(col("text"), EsStop)
-    val fr = nMatches(col("text"), FrStop)
-    val han = nMatches(col("text"), HanChar)
-    docs.select(
-      col("doc_id"), col("lang").as("lang_true"),
-      en.as("en_hits"), es.as("es_hits"), fr.as("fr_hits"), han.as("han_hits"),
-      when(han > 0, "zh")
-        .when(en >= es && en >= fr && en > 0, "en")
-        .when(es >= fr && es > 0, "es")
-        .when(fr > 0, "fr")
-        .otherwise("unknown").as("lang_pred"))
+    // ONE fused text scan for all four signals (r14): the four
+    // independent size(regexp_extract_all(...)) passes each re-scanned
+    // the document AND materialized its match array — 4 regex executions
+    // + 4 allocations per row on the suite's biggest absolute query.
+    // lang_signal_counts is semantically bit-identical (ASCII-\b word
+    // sets + \p{IsHan} char count — see LangSignalCounts scaladoc), so
+    // every committed artifact replays. Counts stay INT in the output
+    // schema, as size() produced.
+    val sig = graft.engine.expr.NativeFunctions.langSignalCounts(
+      col("text"), Seq(EnStopWords, EsStopWords, FrStopWords))
+    val en = col("lsc").getItem(0).cast("int")
+    val es = col("lsc").getItem(1).cast("int")
+    val fr = col("lsc").getItem(2).cast("int")
+    val han = col("lsc").getItem(3).cast("int")
+    docs.select(col("doc_id"), col("lang"), sig.as("lsc"))
+      .select(
+        col("doc_id"), col("lang").as("lang_true"),
+        en.as("en_hits"), es.as("es_hits"), fr.as("fr_hits"), han.as("han_hits"),
+        when(han > 0, "zh")
+          .when(en >= es && en >= fr && en > 0, "en")
+          .when(es >= fr && es > 0, "es")
+          .when(fr > 0, "fr")
+          .otherwise("unknown").as("lang_pred"))
   }
 
   /** Language-ID CONFUSION matrix — [[langId]]'s predictions against the

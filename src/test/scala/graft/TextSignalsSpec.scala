@@ -206,4 +206,54 @@ class TextSignalsSpec extends SparkTestBase {
     assert(got.values.forall(_._1 != 3L))
     assert(got.size === 4)
   }
+
+  test("lang_signal_counts equals the regex battery on adversarial text") {
+    import graft.engine.expr.NativeFunctions
+    // boundary traps: stopwords embedded in longer \w runs (the5, _the,
+    // thé → run "th"), digits/underscore as word chars, shared es/fr
+    // words (la, de, que, un) counting into BOTH sets, mixed case, Han
+    // chars adjacent to ASCII words, supplementary-plane Han (𠀀),
+    // non-Han CJK (kana), empty string
+    val texts = Seq(
+      "The quick brown fox and the lazy dog",
+      "la de que un PARA con y el",
+      "le la pour AVEC dans de que un sur et",
+      "the5 _the the_ thé the-the THE",
+      "漢字テスト the 漢 and 𠀀𠀁 中文",
+      "a b c 1_2 for-with on.of to,in is;a",
+      "",
+      "qué quelла 'la' (de) [un] {que}")
+    val d = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val fused = d.select(col("doc_id"),
+      NativeFunctions.langSignalCounts(col("text"),
+        Seq(TextAnalysis.EnStopWords, TextAnalysis.EsStopWords,
+          TextAnalysis.FrStopWords)).as("c"))
+    val rx = d.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(TextAnalysis.EnStop), lit(0)))
+        .cast("long").as("en"),
+      size(regexp_extract_all(col("text"), lit(TextAnalysis.EsStop), lit(0)))
+        .cast("long").as("es"),
+      size(regexp_extract_all(col("text"), lit(TextAnalysis.FrStop), lit(0)))
+        .cast("long").as("fr"),
+      size(regexp_extract_all(col("text"), lit(TextAnalysis.HanChar), lit(0)))
+        .cast("long").as("han"))
+    val joined = fused.join(rx, "doc_id").orderBy("doc_id").collect()
+    joined.foreach { r =>
+      val c = r.getAs[scala.collection.Seq[Long]]("c")
+      assert(c(0) === r.getAs[Long]("en"), s"en @ doc ${r.get(0)}")
+      assert(c(1) === r.getAs[Long]("es"), s"es @ doc ${r.get(0)}")
+      assert(c(2) === r.getAs[Long]("fr"), s"fr @ doc ${r.get(0)}")
+      assert(c(3) === r.getAs[Long]("han"), s"han @ doc ${r.get(0)}")
+    }
+    // spot-check the traps landed where intended: doc 3's "the5"/"_the"/
+    // "the_" are single \w runs (no boundary) and "thé" tokenizes as
+    // "th" — only "the-the" (2) + "THE" count; doc 4's Han census is
+    // 漢字 + 漢 + 𠀀𠀁 (supplementary-plane Ext B) + 中文 = 7, katakana
+    // テスト excluded (script Katakana, not Han)
+    val byId = joined.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[scala.collection.Seq[Long]]("c")).toMap
+    assert(byId(3L) === Seq(3L, 0L, 0L, 0L))
+    assert(byId(4L)(3) === 7L)
+  }
 }
