@@ -64,7 +64,9 @@ object BenchStages {
     "_stage_pq_rerank_topk" ->
       ((s, d) => graft.engine.ext.Similarity.pqRerankTopK(s, d)),
     "_stage_exact_audit" ->
-      ((s, d) => graft.engine.ext.Sessionize.exactAudit(s, d)))
+      ((s, d) => graft.engine.ext.Sessionize.exactAudit(s, d)),
+    "_stage_quality" ->
+      ((s, d) => graft.engine.ext.Corpus.qualitySignals(s, d)))
 
   /** bench row → the StageCache keys its build populates (two-key rows
     * are the atomic two-key trainings: assignment + centroids/codebook).
@@ -81,5 +83,6 @@ object BenchStages {
     "_stage_srp_topk" -> Set("ann.srp_topk"),
     "_stage_ivfpq_topk" -> Set("ann.ivfpq_topk"),
     "_stage_pq_rerank_topk" -> Set("ann.pq_rerank_topk"),
-    "_stage_exact_audit" -> Set("events.exact_audit"))
+    "_stage_exact_audit" -> Set("events.exact_audit"),
+    "_stage_quality" -> Set("corpus.quality"))
 }

@@ -156,7 +156,24 @@ object Corpus {
     * no shuffle, one codegen span.
     */
   def qualityClean(spark: SparkSession, dir: String): DataFrame =
-    qualityClean(docs(spark, dir)).orderBy(col("doc_id"))
+    qualitySignals(spark, dir).orderBy(col("doc_id"))
+
+  /** The doc-grain quality-signal table (qualityClean's sort-free
+    * output), materialized once per (session, corpus): FIVE dir-form
+    * consumers re-derived the same per-document tokenize + regex +
+    * verdict — corpus_clean, the dup×quality census, quality-aware
+    * canonical pick, per-IVF-cell quality, batch drift — at sf10 that
+    * was 100.5 + 35.2 + 34.3 s of overlapping signal recompute on the
+    * three largest alone (r13 verdict ask #4; the ext_sketches lesson:
+    * build once, price the build as an explicit `_stage_quality` bench
+    * row, let every policy consume steady-state). Rows are doc-grain
+    * and narrow (id, lang, source, two longs, bool, short string), so
+    * the materialization is small relative to the text it distills.
+    */
+  def qualitySignals(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.StageCache.materialized(spark, dir, "corpus.quality") {
+      qualityClean(docs(spark, dir))
+    }
 
   /** Sort-free core: a pure stateless projection, so the same gate runs
     * unchanged under Structured Streaming (see StreamingSpec).
@@ -410,7 +427,7 @@ object Corpus {
     * pass's work (and vice versa); the keep-rate ppm is the evidence.
     *
     * Scale shape: the cluster build is the checkpointed SimHash CC
-    * pipeline; quality is a pure projection riding the document scan;
+    * pipeline; quality rides the materialized [[qualitySignals]] stage;
     * the join is doc-grain on doc_id; the rollup is ≤ 2·|languages|
     * rows, map-side combined.
     */
@@ -419,7 +436,7 @@ object Corpus {
       .withColumn("cluster_size", count(lit(1)).over(
         Window.partitionBy(col("cluster_id"))))
       .select(col("doc_id"), (col("cluster_size") > 1).as("is_dup"))
-    qualityClean(docs(spark, dir))
+    qualitySignals(spark, dir)
       .join(cl, "doc_id")
       .groupBy(col("lang"), col("is_dup"))
       .agg(count(lit(1)).as("n_docs"),
@@ -509,11 +526,14 @@ object Corpus {
     * rollup is (|sources|·|batches|) rows, map-side combined.
     */
   def batchDrift(spark: SparkSession, dir: String, batch: Int = 25): DataFrame =
-    batchDrift(docs(spark, dir), batch)
+    batchDriftFromQuality(qualitySignals(spark, dir), batch)
 
-  def batchDrift(documents: DataFrame, batch: Int): DataFrame = {
+  def batchDrift(documents: DataFrame, batch: Int): DataFrame =
+    batchDriftFromQuality(qualityClean(documents), batch)
+
+  private def batchDriftFromQuality(quality: DataFrame, batch: Int): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    qualityClean(documents)
+    quality
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("batch_no", expr(s"(rn - 1) div $batch"))
       .groupBy(col("source"), col("batch_no"))

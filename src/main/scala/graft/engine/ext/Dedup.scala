@@ -1151,17 +1151,22 @@ object Dedup {
     * (cluster_id) — no window, one exchange past the cluster build.
     */
   def canonicalByQuality(spark: SparkSession, dir: String): DataFrame =
-    // rides the materialized cluster table (StageCache) — the quality
-    // join and min_by pick are the only per-query work
-    canonicalFromClusters(documents(spark, dir), simhashClusters(spark, dir))
+    // rides TWO materialized stages (cluster table + quality signals,
+    // StageCache) — the joins and the min_by pick are the only
+    // per-query work
+    canonicalCore(documents(spark, dir), simhashClusters(spark, dir),
+      Corpus.qualitySignals(spark, dir).select(col("doc_id"), col("keep")))
 
   def canonicalByQuality(docs: DataFrame): DataFrame =
     canonicalFromClusters(docs,
       connectedComponents(docs.select(col("doc_id")), simhashPairs(docs)))
 
-  def canonicalFromClusters(docs: DataFrame, clusters: DataFrame): DataFrame = {
-    val quality = Corpus.qualityClean(docs)
-      .select(col("doc_id"), col("keep"))
+  def canonicalFromClusters(docs: DataFrame, clusters: DataFrame): DataFrame =
+    canonicalCore(docs, clusters,
+      Corpus.qualityClean(docs).select(col("doc_id"), col("keep")))
+
+  private def canonicalCore(docs: DataFrame, clusters: DataFrame,
+                            quality: DataFrame): DataFrame = {
     clusters
       .join(quality, "doc_id")
       .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")

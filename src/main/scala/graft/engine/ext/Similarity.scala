@@ -1231,8 +1231,7 @@ object Similarity {
     val centroids = vs.filter(col("vec_id") < nc)
       .select(col("vec_id").cast("int").as("cell_id"), col("q").as("cq"))
     val assigned = argmaxDotCell(vs, centroids, nc)
-    val verdicts = Corpus
-      .qualityClean(spark.read.parquet(s"$dir/documents.parquet"))
+    val verdicts = Corpus.qualitySignals(spark, dir)
       .select(col("doc_id"), col("keep"))
     assigned.join(verdicts, col("vec_id") === col("doc_id"))
       .groupBy(col("cell_id"))
