@@ -75,6 +75,13 @@ object OracleAnn {
         |            WHERE (1::BIGINT << b) >=
         |              (SELECT n_documents FROM nd))) END::BIGINT
         |    AS triangle_cap
+        |), bc AS (
+        |  SELECT CASE WHEN (SELECT n_documents FROM nd) <= 1 THEN 64
+        |         ELSE 64 * greatest(1,
+        |           (SELECT min(b) FROM range(0, 63) t(b)
+        |            WHERE (1::BIGINT << b) >=
+        |              (SELECT n_documents FROM nd))) END::BIGINT
+        |    AS bucket_cap
         |)
         |SELECT ne.n_embeddings, nd.n_documents, b.srp_bits,
         |  (b.srp_bits * 4)::BIGINT AS srp_planes,
@@ -84,8 +91,8 @@ object OracleAnn {
         |    AS doc_query_mod,
         |  ic.ivf_cells, sg.sig_bits,
         |  ((8 * 4 * sg.sig_bits) // 60)::BIGINT AS sig_max_hamming,
-        |  tc.triangle_cap
-        |FROM ne, nd, b, ic, sg, tc""".stripMargin,
+        |  tc.triangle_cap, bc.bucket_cap
+        |FROM ne, nd, b, ic, sg, tc, bc""".stripMargin,
     "ann_bruteforce" -> (quantized +
       raw""", d AS (
         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,

@@ -20,6 +20,7 @@ object OracleDedup {
     "dedup_ngram_pairs" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
+    "dedup_bucket_audit" -> ((s, dir) => Dedup.bucketAudit(s, dir)),
     "dedup_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(s, dir)),
     "dedup_minhash_recall" -> ((s, dir) => Dedup.minhashRecall(s, dir)),
     "dedup_embed_pairs" -> ((s, dir) => Dedup.embedCosinePairs(s, dir)),
@@ -153,6 +154,21 @@ object OracleDedup {
       """
         |SELECT doc_a, doc_b, hamming FROM pairs
         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Band-bucket occupancy census + family-cap audit (the hbc CTE
+    // replays ScaleKnobs.hammingBucketCap from count(*)).
+    "dedup_bucket_audit" -> (simhashDerivedPairs +
+      """, occ AS (
+        |  SELECT band, band_val, count(*)::BIGINT AS s
+        |  FROM sbv GROUP BY 1, 2
+        |)
+        |SELECT band, count(*)::BIGINT AS n_buckets,
+        |  CAST(sum(CASE WHEN s >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
+        |  max(s)::BIGINT AS max_bucket,
+        |  CAST(sum(CASE WHEN s > (SELECT cap FROM hbc) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_over_cap,
+        |  (SELECT cap FROM hbc) AS bucket_cap
+        |FROM occ GROUP BY band ORDER BY band""".stripMargin),
 
     "dedup_clusters" -> ("WITH RECURSIVE " +
       simhashDerivedPairs.stripPrefix("WITH ") + simhashDerivedCcChain +

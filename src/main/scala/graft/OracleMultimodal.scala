@@ -57,11 +57,19 @@ object OracleMultimodal {
       |      THEN (1::BIGINT << (i % (SELECT bits FROM sbc))::INT)
       |      ELSE 0 END) AS BIGINT) AS band_val
       |  FROM pb JOIN mn USING (doc_id) GROUP BY 1, 2
+      |), """.stripMargin + OraclePreludes.bucketCapCte +
+    """, bok AS (
+      |  -- r14 family cap (ScaleKnobs.hammingBucketCap) — the knob that
+      |  -- first binds on THIS chain (sf10 pHash max bucket 1,746 vs cap
+      |  -- 1,216); buckets past the cap route to exact dedup (mm_dupes)
+      |  SELECT band, band_val FROM sbv GROUP BY 1, 2
+      |  HAVING count(*) BETWEEN 2 AND (SELECT cap FROM hbc)
       |), cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM sbv a JOIN sbv b
-      |    ON a.band = b.band AND a.band_val = b.band_val
-      |      AND a.doc_id < b.doc_id
+      |  FROM bok k
+      |  JOIN sbv a ON a.band = k.band AND a.band_val = k.band_val
+      |  JOIN sbv b ON b.band = k.band AND b.band_val = k.band_val
+      |    AND a.doc_id < b.doc_id
       |), prs AS (
       |  SELECT c.doc_a, c.doc_b,
       |    CAST(sum(bit_count(xor(x.band_val, y.band_val))) AS BIGINT)

@@ -149,6 +149,21 @@ private[graft] object OraclePreludes {
   private[graft] val sigBitsSql = "(SELECT bits FROM sbc)"
   private[graft] val sigMaxHamSql = s"((8 * 4 * $sigBitsSql) // 60)"
 
+  /** Corpus-derived Hamming band-bucket family cap (r14) — the exact
+    * integer rule of [[graft.engine.ext.ScaleKnobs.hammingBucketCap]]:
+    * 64 · ⌈log2 n⌉ (floor 64), replayed from the oracle's own count(*).
+    * Band buckets past the cap are real duplicate families and are
+    * excluded from pair generation on both sides.
+    */
+  private[graft] val bucketCapCte =
+    """hbc AS (
+      |  SELECT 64 * greatest(1,
+      |    (SELECT min(b) FROM range(0, 63) t(b)
+      |     WHERE (1::BIGINT << b) >= (SELECT count(*) FROM documents)))::BIGINT
+      |    AS cap
+      |)""".stripMargin
+  private[graft] val bucketCapSql = "(SELECT cap FROM hbc)"
+
   /** SimHash near-dup PAIR chain at the CORPUS-DERIVED geometry — the
     * replay of [[graft.engine.ext.Dedup.simhashPairs]]'s r13 default:
     * two 60-bit md5 halves per token (120 hash bits cover the 30-bit
@@ -184,11 +199,19 @@ private[graft] object OraclePreludes {
         |      THEN (1::BIGINT << (bit % (SELECT bits FROM sbc))::INT)
         |      ELSE 0 END) AS BIGINT) AS band_val
         |  FROM vote GROUP BY 1, 2
+        |), """.stripMargin + bucketCapCte +
+      """, bok AS (
+        |  -- band buckets within the derived family cap (r14): buckets
+        |  -- past the cap are excluded from pair generation, replaying
+        |  -- ScaleKnobs.hammingBucketCap
+        |  SELECT band, band_val FROM sbv GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND (SELECT cap FROM hbc)
         |), cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sbv a JOIN sbv b
-        |    ON a.band = b.band AND a.band_val = b.band_val
-        |      AND a.doc_id < b.doc_id
+        |  FROM bok k
+        |  JOIN sbv a ON a.band = k.band AND a.band_val = k.band_val
+        |  JOIN sbv b ON b.band = k.band AND b.band_val = k.band_val
+        |    AND a.doc_id < b.doc_id
         |), prs AS (
         |  SELECT c.doc_a, c.doc_b,
         |    CAST(sum(bit_count(xor(x.band_val, y.band_val))) AS BIGINT)

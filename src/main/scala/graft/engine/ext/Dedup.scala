@@ -687,7 +687,8 @@ object Dedup {
     */
   private[graft] def bandedHammingPairs(sig: DataFrame, bands: Int,
                                         bitsPerBand: Int,
-                                        maxHamming: Int): DataFrame = {
+                                        maxHamming: Int,
+                                        bucketCap: Long = Long.MaxValue): DataFrame = {
     val perChunk = math.max(1, 60 / bitsPerBand)
     val nChunks = (bands + perChunk - 1) / perChunk
     val mask = (1L << bitsPerBand) - 1
@@ -716,7 +717,15 @@ object Dedup {
       .groupBy(col("band"), col("band_val"))
       .agg(collect_list(struct(col("doc_id") +: chunkNames.map(col): _*))
         .as("ms"))
-      .filter(size(col("ms")) >= 2)
+      // bucketCap (r14, [[ScaleKnobs.hammingBucketCap]]): a bucket past
+      // the cap is a real duplicate family — its C(s, 2) pair list is
+      // O(family²) output whose mass belongs to exact fingerprint dedup,
+      // and the collect_list above is one O(family) array value per row
+      // (the last open-ended memory shape). Capped buckets are excluded
+      // here; [[bucketAudit]] is the census that reports them. The cap
+      // clears every measured bucket at ≤ sf1, so committed artifacts
+      // replay unchanged; the DuckDB oracles replay the same rule.
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= bucketCap)
       .select(array_sort(col("ms")).as("ms"))
     def hamming(a: String, b: String): Column =
       chunkNames.map(n =>
@@ -771,26 +780,72 @@ object Dedup {
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     graft.engine.StageCache.materialized(spark, dir, "dedup.simhash_pairs") {
+      val n = ScaleKnobs.documentCount(spark, dir)
       simhashPairs(documents(spark, dir),
-        bitsPerBand =
-          ScaleKnobs.sigBitsPerBand(ScaleKnobs.documentCount(spark, dir)))
+        bitsPerBand = ScaleKnobs.sigBitsPerBand(n), nDocs = n)
     }
 
   /** `maxHamming = -1` (default) = derive the fraction-preserving
     * threshold from the geometry in effect; `bitsPerBand = 0` (default)
-    * = derive the band width from `docs.count()` (one plan-construction
-    * action on this DataFrame overload — pass `nDocs` to stay
-    * action-free, see [[simhashSig]]).
+    * = derive the band width from the corpus count; `bucketCap = 0`
+    * (default) = derive the band-bucket family cap
+    * ([[ScaleKnobs.hammingBucketCap]]) from the same count. Any derive
+    * sentinel left at its default costs one `docs.count()`
+    * plan-construction action on this DataFrame overload — pass `nDocs`
+    * to stay action-free (see [[simhashSig]]); pass explicit values to
+    * pin each knob.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = -1, bands: Int = 4,
-                   bitsPerBand: Int = 0, nDocs: Long = -1L): DataFrame = {
+                   bitsPerBand: Int = 0, nDocs: Long = -1L,
+                   bucketCap: Long = 0L): DataFrame = {
+    lazy val n = if (nDocs >= 0L) nDocs else docs.count()
     val bpb =
       if (bitsPerBand != 0) bitsPerBand
-      else ScaleKnobs.sigBitsPerBand(if (nDocs >= 0L) nDocs else docs.count())
+      else ScaleKnobs.sigBitsPerBand(n)
     val maxH =
       if (maxHamming < 0) ScaleKnobs.sigMaxHamming(bands, bpb)
       else maxHamming
-    bandedHammingPairs(simhashSig(docs, bands, bpb), bands, bpb, maxH)
+    val cap =
+      if (bucketCap > 0L) bucketCap else ScaleKnobs.hammingBucketCap(n)
+    bandedHammingPairs(simhashSig(docs, bands, bpb), bands, bpb, maxH, cap)
+  }
+
+  /** Band-bucket occupancy census at the derived SimHash geometry — the
+    * [[srpOccupancy]] analog for the Hamming LSH index, and the audit
+    * row for [[ScaleKnobs.hammingBucketCap]]: per band, how many
+    * buckets exist, how many hold candidates (≥ 2 members), the largest
+    * bucket, and how many buckets the family cap excludes from pair
+    * generation ([[bandedHammingPairs]]). `n_over_cap > 0` is the
+    * signal that a duplicate family outgrew the near-dup pair path and
+    * its mass is being routed to exact fingerprint dedup — the operator
+    * an engineer runs when pair counts look lower than expected at a
+    * new scale.
+    *
+    * Scale shape: one projection (the band rows) into a two-level
+    * partial-agg rollup — (band, value) grain then band grain; output
+    * is `bands` rows regardless of corpus size.
+    */
+  def bucketAudit(spark: SparkSession, dir: String): DataFrame = {
+    val n = ScaleKnobs.documentCount(spark, dir)
+    bucketAudit(documents(spark, dir), nDocs = n)
+  }
+
+  def bucketAudit(docs: DataFrame, bands: Int = 4,
+                  nDocs: Long = -1L): DataFrame = {
+    val n = if (nDocs >= 0L) nDocs else docs.count()
+    val bpb = ScaleKnobs.sigBitsPerBand(n)
+    val cap = ScaleKnobs.hammingBucketCap(n)
+    simhashSig(docs, bands, bpb)
+      .select(posexplode(col("sig")).as(Seq("band", "bv")))
+      .groupBy(col("band"), col("bv")).agg(count(lit(1)).as("s"))
+      .groupBy(col("band").cast("long").as("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("s") >= 2, 1L).otherwise(0L)).as("n_multi"),
+        max(col("s")).as("max_bucket"),
+        sum(when(col("s") > cap, 1L).otherwise(0L)).as("n_over_cap"))
+      .select(col("band"), col("n_buckets"), col("n_multi"),
+        col("max_bucket"), col("n_over_cap"), lit(cap).as("bucket_cap"))
+      .orderBy(col("band"))
   }
 
   /** Integer-exact PageRank over the SimHash near-dup graph: rank

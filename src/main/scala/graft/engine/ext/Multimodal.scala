@@ -262,16 +262,24 @@ object Multimodal {
     * ([[Dedup.bandedHammingPairs]]).
     */
   def phashPairs(spark: SparkSession, dir: String, maxHamming: Int = -1,
-                 bands: Int = 4, bitsPerBand: Int = 0): DataFrame = {
+                 bands: Int = 4, bitsPerBand: Int = 0,
+                 bucketCap: Long = 0L): DataFrame = {
+    val n = ScaleKnobs.documentCount(spark, dir)
     val bpb =
-      if (bitsPerBand == 0)
-        ScaleKnobs.sigBitsPerBand(ScaleKnobs.documentCount(spark, dir))
+      if (bitsPerBand == 0) ScaleKnobs.sigBitsPerBand(n)
       else bitsPerBand
     val maxH =
       if (maxHamming < 0) ScaleKnobs.sigMaxHamming(bands, bpb)
       else maxHamming
+    // bucketCap = 0 derives the band-bucket family cap — the knob that
+    // BINDS first on the media side: the r14 sf10 study measured the
+    // largest pHash bucket at 1,746 members (one near-identical media
+    // family) vs a 1,216 derived cap; its C(s, 2) ≈ 1.5M pair rows are
+    // exact-dup mass that mm_dupes handles at fingerprint grain.
+    val cap =
+      if (bucketCap > 0L) bucketCap else ScaleKnobs.hammingBucketCap(n)
     graft.engine.ext.Dedup.bandedHammingPairs(
-      pHashSigs(spark, dir, bands, bpb).toDF(), bands, bpb, maxH)
+      pHashSigs(spark, dir, bands, bpb).toDF(), bands, bpb, maxH, cap)
   }
 
   /** Rollup per format — the sanity aggregation a curation job runs after

@@ -124,6 +124,29 @@ object ScaleKnobs {
   def triangleDegreeCap(n: Long): Long =
     32L * math.max(1, ceilLog2(n))
 
+  /** Hamming band-bucket cap: 64 · ⌈log2 n⌉ (floor 64) — LSH band
+    * buckets larger than the cap are excluded from pair generation
+    * ([[Dedup.bandedHammingPairs]]), closing the last open-ended
+    * per-bucket memory/output shape (r13 verdict optional ask #7): the
+    * derived band width holds RANDOM collisions to occupancy ≤ 2, so a
+    * bucket at thousands of members is a real duplicate family whose
+    * C(s, 2) pair list is O(family²) output carrying one bit of
+    * information ("these are all the same document") — exact
+    * fingerprint dedup ([[Dedup.exact]], `mm_dupes`) is the operator
+    * for that mass, and [[Dedup.bucketAudit]] is the census that shows
+    * what the cap excluded. A log cap bounds per-bucket pair work at
+    * C(64 log n, 2) ≈ 2k log² n while leaving family recall a
+    * constant-per-doubling allowance, mirroring [[triangleDegreeCap]].
+    * At the committed artifact scales the cap clears the measured max
+    * buckets (576 vs 27 at sf0.01; 832 vs 269 at sf0.1; 1024 vs 400 at
+    * sf1 — the pHash side is the larger), so every ≤ sf1 artifact
+    * replays bit-for-bit; the first capped scale is sf10, and only on
+    * the media side (1216 vs pHash 1746; text SimHash measured 861).
+    * SQL replay: `64 * greatest(1, L)` with L the min-b bit length.
+    */
+  def hammingBucketCap(n: Long): Long =
+    64L * math.max(1, ceilLog2(n))
+
   /** IVF coarse-cell count: 2^⌈log2 √n⌉ — the classical nCells ≈ √n
     * train-time rule, snapped to a power of two so the derivation stays
     * integer-exact (⌈log2 √n⌉ = ⌈⌈log2 n⌉ / 2⌉, an identity of the
@@ -167,6 +190,11 @@ object ScaleKnobs {
     org.apache.spark.sql.functions.expr(
       s"""CASE WHEN $n <= 1 THEN 32L
          |ELSE 32L * greatest(1L, length(bin($n - 1))) END""".stripMargin)
+
+  def bucketCapCol(n: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      s"""CASE WHEN $n <= 1 THEN 64L
+         |ELSE 64L * greatest(1L, length(bin($n - 1))) END""".stripMargin)
 
   def ivfCellsCol(n: String): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.expr(

@@ -1265,14 +1265,15 @@ object Similarity {
         ScaleKnobs.panelModCol("n_documents").as("doc_query_mod"),
         ScaleKnobs.ivfCellsCol("n_embeddings").as("ivf_cells"),
         ScaleKnobs.sigBitsCol("n_documents").as("sig_bits"),
-        ScaleKnobs.triangleCapCol("n_documents").as("triangle_cap"))
+        ScaleKnobs.triangleCapCol("n_documents").as("triangle_cap"),
+        ScaleKnobs.bucketCapCol("n_documents").as("bucket_cap"))
       .withColumn("srp_planes", col("srp_bits") * lit(4L))
       .withColumn("sig_max_hamming",
         expr("(8 * 4 * sig_bits) div 60").cast("long"))
       .select(col("n_embeddings"), col("n_documents"), col("srp_bits"),
         col("srp_planes"), col("embed_query_mod"), col("doc_query_mod"),
         col("ivf_cells"), col("sig_bits"), col("sig_max_hamming"),
-        col("triangle_cap"))
+        col("triangle_cap"), col("bucket_cap"))
   }
 
   def labelCentroidSim(spark: SparkSession, dir: String): DataFrame =

@@ -261,6 +261,37 @@ class DedupSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString)).toSeq
     assert(got === expected)
     assert(got.size >= 66) // C(12,2) family pairs all present
+
+    // family cap (r14): a cap below the family size excludes its buckets
+    // from pair generation entirely (that mass belongs to exact dedup);
+    // the derived cap (64·⌈log2 n⌉ ≫ 12 here) changes nothing
+    val capped = Dedup.bandedHammingPairs(sig, 4, 15, 8, bucketCap = 11L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.forall { case (a, b) => a >= 12L || b >= 12L },
+      "family pairs must be excluded under the cap")
+    val derived = Dedup.simhashPairs(docs, bitsPerBand = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2).toString)).toSeq
+    assert(derived === got)
+  }
+
+  test("bucketAudit: per-band census counts the family bucket and flags " +
+    "it only past the cap") {
+    val docs = ((0L until 10L).map(i => (i, "alpha beta gamma delta " +
+      "epsilon zeta eta theta")) ++
+      (10L until 30L).map(i => (i, (0 until 8).map(t => s"v${i}_$t")
+        .mkString(" "))))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("a").as("source"), length(col("text")).cast("long").as("n_chars"))
+    val audit = Dedup.bucketAudit(docs).collect()
+    assert(audit.length === 4)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("max_bucket") >= 10L) // the exact-dup family
+      assert(r.getAs[Long]("n_multi") >= 1L)
+      assert(r.getAs[Long]("bucket_cap") ===
+        graft.engine.ext.ScaleKnobs.hammingBucketCap(30L))
+      assert(r.getAs[Long]("n_over_cap") === 0L) // derived cap ≫ family
+    }
   }
 
   test("minhash pairs: exact dups estimate 1e6 ppm; estimates bounded") {

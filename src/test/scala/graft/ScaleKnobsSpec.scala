@@ -30,7 +30,8 @@ class ScaleKnobsSpec extends AnyFunSuite {
         graft.engine.ext.ScaleKnobs.panelModCol("n").as("qm"),
         graft.engine.ext.ScaleKnobs.ivfCellsCol("n").as("nc"),
         graft.engine.ext.ScaleKnobs.sigBitsCol("n").as("sb"),
-        graft.engine.ext.ScaleKnobs.triangleCapCol("n").as("cap"))
+        graft.engine.ext.ScaleKnobs.triangleCapCol("n").as("cap"),
+        graft.engine.ext.ScaleKnobs.bucketCapCol("n").as("bcap"))
       .collect()
     rows.foreach { r =>
       val n = r.getLong(0)
@@ -39,7 +40,21 @@ class ScaleKnobsSpec extends AnyFunSuite {
       assert(r.getLong(3) === ScaleKnobs.ivfCells(n).toLong, s"nc at n=$n")
       assert(r.getLong(4) === ScaleKnobs.sigBitsPerBand(n).toLong, s"sb at n=$n")
       assert(r.getLong(5) === ScaleKnobs.triangleDegreeCap(n), s"cap at n=$n")
+      assert(r.getLong(6) === ScaleKnobs.hammingBucketCap(n), s"bcap at n=$n")
     }
+  }
+
+  test("hammingBucketCap: log-shaped, clears every measured max bucket " +
+    "through sf1, first binds at sf10 (media side only)") {
+    // measured max band buckets (r14 probe, larger of simhash/pHash):
+    // 27 (sf0.01), 269 (sf0.1), 400 (sf1), 861/1746 (sf10 text/media)
+    assert(ScaleKnobs.hammingBucketCap(500L) === 576L)     // > 27
+    assert(ScaleKnobs.hammingBucketCap(5000L) === 832L)    // > 269
+    assert(ScaleKnobs.hammingBucketCap(50000L) === 1024L)  // > 400
+    assert(ScaleKnobs.hammingBucketCap(500000L) === 1216L) // < 1746: capped
+    assert(ScaleKnobs.hammingBucketCap(1L) === 64L)
+    // derived-branch fixture value matches no historical constant
+    assert(ScaleKnobs.hammingBucketCap(70000L) === 1088L)
   }
 
   test("sigBitsPerBand: occupancy <= 2 past the 15-bit floor; the floor " +
