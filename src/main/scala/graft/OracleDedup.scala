@@ -223,10 +223,21 @@ object OracleDedup {
         |  SELECT doc_id, i // 4 AS band,
         |    md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS bucket
         |  FROM sig GROUP BY doc_id, i // 4
+        |), """.stripMargin + OraclePreludes.bucketCapCte +
+      """, bok AS (
+        |  -- r14 family cap (ScaleKnobs.hammingBucketCap): a MinHash band
+        |  -- bucket past the cap is an exact-duplicate family (all four
+        |  -- permutation minima agree) — excluded from pair generation,
+        |  -- like the Hamming chains. Measured max bucket 23 at sf10, so
+        |  -- this is crawl-scale insurance, not a result change.
+        |  SELECT band, bucket FROM bands GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND (SELECT cap FROM hbc)
         |), cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |  FROM bok k
+        |  JOIN bands a ON a.band = k.band AND a.bucket = k.bucket
+        |  JOIN bands b ON b.band = k.band AND b.bucket = k.bucket
+        |    AND a.doc_id < b.doc_id
         |), est AS (
         |  SELECT doc_a, doc_b,
         |    CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) * 1000000 // 16
@@ -274,10 +285,16 @@ object OracleDedup {
         |  SELECT doc_id, i // 4 AS band,
         |    md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS bucket
         |  FROM msig GROUP BY doc_id, i // 4
+        |), """.stripMargin + OraclePreludes.bucketCapCte +
+      """, mbok AS (
+        |  SELECT band, bucket FROM mbands GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND (SELECT cap FROM hbc)
         |), mcand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM mbands a JOIN mbands b
-        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |  FROM mbok k
+        |  JOIN mbands a ON a.band = k.band AND a.bucket = k.bucket
+        |  JOIN mbands b ON b.band = k.band AND b.bucket = k.bucket
+        |    AND a.doc_id < b.doc_id
         |), lsh AS (
         |  SELECT doc_a, doc_b FROM (
         |    SELECT doc_a, doc_b,

@@ -1442,15 +1442,25 @@ object Dedup {
     */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     // two consumers (the pair query, the recall QA's LSH side) — one
-    // session-materialized build
+    // session-materialized build; the dir wrapper derives the family
+    // bucket cap ([[ScaleKnobs.hammingBucketCap]]) from the memoized
+    // corpus count, exactly like the Hamming chains
     graft.engine.StageCache.materialized(spark, dir, "dedup.minhash_pairs") {
-      minhashPairs(documents(spark, dir))
+      minhashPairs(documents(spark, dir),
+        bucketCap =
+          ScaleKnobs.hammingBucketCap(ScaleKnobs.documentCount(spark, dir)))
     }
 
+  /** `bucketCap = Long.MaxValue` (default) leaves this DataFrame overload
+    * uncapped — fixture specs exercise the full build; the `(spark, dir)`
+    * wrapper derives the cap from the corpus count.
+    */
   def minhashPairs(docs: DataFrame, n: Int = 3,
                    numHashes: Int = 16, bands: Int = 4,
-                   minEstPpm: Long = 250000L): DataFrame =
-    minhashPairsFromShingles(shingleRows(docs, n), numHashes, bands, minEstPpm)
+                   minEstPpm: Long = 250000L,
+                   bucketCap: Long = Long.MaxValue): DataFrame =
+    minhashPairsFromShingles(shingleRows(docs, n), numHashes, bands,
+      minEstPpm, bucketCap)
 
   /** [[minhashPairs]] over a pre-built (doc_id, shingle) table — see
     * [[ngramJaccardPairsFromShingles]].
@@ -1483,7 +1493,8 @@ object Dedup {
     * exchange, and the equality sum reads plain struct fields.
     */
   def minhashPairsFromShingles(sh: DataFrame, numHashes: Int, bands: Int,
-                               minEstPpm: Long): DataFrame = {
+                               minEstPpm: Long,
+                               bucketCap: Long = Long.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val perBand = numHashes / bands
 
@@ -1524,7 +1535,12 @@ object Dedup {
       .select(col("band"), bucketByBand.as("bucket"), member.as("m"))
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("m")).as("ms"))
-      .filter(size(col("ms")) >= 2)
+      // family cap (r14, [[ScaleKnobs.hammingBucketCap]] via the
+      // callers): a MinHash band bucket past the cap is an
+      // exact-duplicate family (all `perBand` permutation minima
+      // agree) — its pair mass belongs to [[exact]], like the Hamming
+      // chains. Measured max bucket 23 at sf10: crawl-scale insurance.
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= bucketCap)
       .select(array_sort(col("ms")).as("ms"))
       .select(col("ms"), posexplode(col("ms")).as(Seq("i", "a")))
       .select(col("a"),
