@@ -74,6 +74,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "text scan; array<bigint> of size(sets)+1",
         "_FUNC_(text, array(array('the','and'), array('el','la')))"),
       (exprs: Seq[Expression]) => NativeFunctions.buildLangSignal(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier(NativeFunctions.TextStatName),
+      info(NativeFunctions.TextStatName,
+        "ws-token, BPE-token, punct, upper and stopword-hit counts in " +
+          "ONE text scan; array<bigint> of 5",
+        "_FUNC_(text, array('the','and'))"),
+      (exprs: Seq[Expression]) => NativeFunctions.buildTextStat(exprs)))
   }
 
   private def info(name: String, usage: String, example: String): ExpressionInfo =

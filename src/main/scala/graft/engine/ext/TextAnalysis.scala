@@ -39,30 +39,39 @@ object TextAnalysis {
   /** CJK presence: any Han character is a strong zh signal. */
   val HanChar = "\\p{IsHan}"
 
-  private def nMatches(text: Column, pattern: String): Column =
-    size(regexp_extract_all(text, lit(pattern), lit(0)))
-
   /** Per-document analysis row: token counts, ppm ratios, fingerprint. */
   def analyze(spark: SparkSession, dir: String): DataFrame =
     analyze(spark.read.parquet(s"$dir/documents.parquet"))
 
   def analyze(docs: DataFrame): DataFrame = {
+    // ONE fused text scan for the five count signals (r14): the regex
+    // battery ran 5 passes + 5 materialized match arrays per row and was
+    // the #2 absolute sf10 row (101.5 s). text_stat_counts is
+    // semantically bit-identical by construction (see its scaladoc);
+    // the normalize-fingerprint keeps its own two passes (regexp_replace
+    // rewrites, it doesn't count). The counts stay INT in the output
+    // schema, as size() produced; the ppm ratios repeat the original
+    // long-multiply / double-divide / cast-long arithmetic exactly.
     val len = length(col("text"))
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-    docs.select(
-      col("doc_id"), col("lang"), col("source"),
-      len.as("n_chars_m"),
-      size(wsTokens(col("text"))).as("n_tokens_ws"),
-      nMatches(col("text"), BpeTokenPattern).as("n_tokens_bpe"),
-      nMatches(col("text"), "[^A-Za-z0-9\\s]").as("n_punct"),
-      nMatches(col("text"), "[A-Z]").as("n_upper"),
-      (nMatches(col("text"), "[^A-Za-z0-9\\s]") * lit(1000000L)
-        / greatest(len, lit(1))) // empty doc -> 0, not NULL/div-by-zero
-        .cast("long").as("punct_ppm"),
-      (nMatches(col("text"), EnStop) * lit(1000000L)
-        / greatest(size(wsTokens(col("text"))), lit(1)))
-        .cast("long").as("stopword_ppm"),
-      md5(norm).as("fingerprint"))
+    val ts = graft.engine.expr.NativeFunctions.textStatCounts(
+      col("text"), EnStopWords)
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        len.as("n_chars_m"), md5(norm).as("fingerprint"), ts.as("tsc"))
+      .select(
+        col("doc_id"), col("lang"), col("source"),
+        col("n_chars_m"),
+        col("tsc").getItem(0).cast("int").as("n_tokens_ws"),
+        col("tsc").getItem(1).cast("int").as("n_tokens_bpe"),
+        col("tsc").getItem(2).cast("int").as("n_punct"),
+        col("tsc").getItem(3).cast("int").as("n_upper"),
+        (col("tsc").getItem(2) * lit(1000000L)
+          / greatest(col("n_chars_m"), lit(1))) // empty doc -> 0, not NULL
+          .cast("long").as("punct_ppm"),
+        (col("tsc").getItem(4) * lit(1000000L)
+          / greatest(col("tsc").getItem(0), lit(1)))
+          .cast("long").as("stopword_ppm"),
+        col("fingerprint"))
   }
 
   /** Language-ID heuristic: stopword-hit counts per language plus a CJK

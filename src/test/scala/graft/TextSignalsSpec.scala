@@ -256,4 +256,43 @@ class TextSignalsSpec extends SparkTestBase {
     assert(byId(3L) === Seq(3L, 0L, 0L, 0L))
     assert(byId(4L)(3) === 7L)
   }
+
+  test("text_stat_counts equals the 5-pass regex battery on adversarial text") {
+    import graft.engine.expr.NativeFunctions
+    // traps: NBSP (punct + ws-token glue, not a \s split point), tabs/CR,
+    // supplementary-plane code point (one punct + one BPE match),
+    // letter/digit run alternation (a1b2), underscores (punct + BPE
+    // single but \w for the stopword boundary), accents splitting
+    // letter runs, leading/trailing whitespace, empty string
+    val texts = Seq(
+      "The quick brown fox and the lazy dog.",
+      "a1b2 c3_d4 e5-f6",
+      "x\u00A0y z\tw\r\nv a\u00A0b",
+      "café résumé naïve",
+      "𠀀 mixed 漢 text",
+      "  leading and trailing  ",
+      "",
+      "the _the the_ the5 THE the-the")
+    val d = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def cnt(p: String) =
+      size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("long")
+    val fused = d.select(col("doc_id"),
+      NativeFunctions.textStatCounts(col("text"),
+        TextAnalysis.EnStopWords).as("c"))
+    val rx = d.select(col("doc_id"),
+      size(TextAnalysis.wsTokens(col("text"))).cast("long").as("ws"),
+      cnt(TextAnalysis.BpeTokenPattern).as("bpe"),
+      cnt("[^A-Za-z0-9\\s]").as("punct"),
+      cnt("[A-Z]").as("upper"),
+      cnt(TextAnalysis.EnStop).as("en"))
+    fused.join(rx, "doc_id").orderBy("doc_id").collect().foreach { r =>
+      val c = r.getAs[scala.collection.Seq[Long]]("c")
+      assert(c(0) === r.getAs[Long]("ws"), s"ws @ doc ${r.get(0)}")
+      assert(c(1) === r.getAs[Long]("bpe"), s"bpe @ doc ${r.get(0)}")
+      assert(c(2) === r.getAs[Long]("punct"), s"punct @ doc ${r.get(0)}")
+      assert(c(3) === r.getAs[Long]("upper"), s"upper @ doc ${r.get(0)}")
+      assert(c(4) === r.getAs[Long]("en"), s"en @ doc ${r.get(0)}")
+    }
+  }
 }
