@@ -214,13 +214,24 @@ object Dedup {
 
     // Blocking: group per shingle, drop shingles with document frequency
     // > dfCap (quadratic bucket blowup, no signal), emit in-bucket pairs
-    // locally. One shuffle on shingle — no self-join re-shuffles.
+    // locally. One shuffle on shingle — no self-join re-shuffles. Pairs
+    // stream through the two-level explode (r14): [[localPairs]] is a
+    // nested transform/flatten — CodegenFallback HOFs evaluated
+    // INTERPRETED per bucket, C(df, 2) lambda dispatches each — while
+    // posexplode + slice generate the same pairs inside whole-stage
+    // codegen (the bandedHammingPairs lesson applied to the df-capped
+    // family; the cap already bounds memory, this removes the
+    // interpreter).
     val pairs = sh
       .groupBy(col("shingle"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, dfCap))
-      .select(explode(localPairs(array_sort(col("ids")))).as("p"))
-      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .select(array_sort(col("ids")).as("ids"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "doc_a")))
+      .select(col("doc_a"),
+        explode(slice(col("ids"), col("i") + lit(2),
+          greatest(size(col("ids")) - col("i") - 1, lit(0)))).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_rare"))
 
     pairs
@@ -318,12 +329,17 @@ object Dedup {
     val sh = shingleRows(docs, n)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
 
+    // streamed two-level pair explode — see ngramJaccardPairsFromShingles
     val pairs = sh
       .groupBy(col("shingle"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, dfCap))
-      .select(explode(localPairs(array_sort(col("ids")))).as("p"))
-      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .select(array_sort(col("ids")).as("ids"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "doc_a")))
+      .select(col("doc_a"),
+        explode(slice(col("ids"), col("i") + lit(2),
+          greatest(size(col("ids")) - col("i") - 1, lit(0)))).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_rare"))
 
     pairs
@@ -397,14 +413,18 @@ object Dedup {
           .as("fp"))
 
     // df-capped occurrence buckets → cross-document occurrence pairs,
-    // expanded locally (one shuffle, no bucket self-join)
+    // expanded locally (one shuffle, no bucket self-join) through the
+    // streamed two-level explode — see ngramJaccardPairsFromShingles
     val pairs = sh.groupBy(col("fp"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("p")))).as("occ"))
       .filter(size(col("occ")).between(2, dfCap))
-      .select(explode(localPairs(col("occ"))).as("pr"))
-      .filter(col("pr.a.doc_id") < col("pr.b.doc_id"))
-      .select(col("pr.a.doc_id").as("doc_a"), col("pr.a.p").as("pa"),
-        col("pr.b.doc_id").as("doc_b"), col("pr.b.p").as("pb"))
+      .select(col("occ"), posexplode(col("occ")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("occ"), col("i") + lit(2),
+          greatest(size(col("occ")) - col("i") - 1, lit(0)))).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.p").as("pa"),
+        col("b.doc_id").as("doc_b"), col("b.p").as("pb"))
 
     // gaps-and-islands on the match diagonal: consecutive pa values on
     // one (doc_a, doc_b, pa-pb) diagonal share (pa - row_number)
