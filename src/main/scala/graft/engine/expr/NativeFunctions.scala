@@ -306,15 +306,19 @@ object NativeFunctions {
     * the number of word occurrences from set k, last element = the
     * number of Han-script characters.
     *
-    * SEMANTICS ARE BIT-IDENTICAL to the regex battery it replaces, by
-    * construction rather than by test luck:
-    *  - a `(?i)\b(w1|w2|…)\b` count over ASCII words equals "number of
-    *    maximal ASCII-\w runs whose lowercase form is in the set": Java's
-    *    `\b` is defined by `\w = [A-Za-z0-9_]` (no UNICODE flags — the
-    *    same default Spark's own regexp functions compile with), so the
-    *    scan tokenizes maximal `[A-Za-z0-9_]+` runs and counts exact
-    *    set membership (`(?i)` on pure-ASCII patterns is ASCII case
-    *    folding = lowercase compare);
+    * WORD-BOUNDARY SEMANTICS (r14 ADVICE — stated, not assumed): the
+    * scan counts "maximal ASCII-`[A-Za-z0-9_]+` runs whose lowercase
+    * form is in the set" — the ASCII `\b` of RE2/DuckDB, which is what
+    * the oracle gate replays. This DELIBERATELY diverges from Java's
+    * default `\b` (whose boundary test is Unicode-aware via
+    * `Character.isLetterOrDigit || '_'`): a set word directly abutting
+    * a non-ASCII letter or digit (`"queла"`, `"the中文"`) COUNTS here
+    * and under RE2, but did not under the Java-regex battery this scan
+    * replaced. The ASCII-boundary reading is the pinned contract
+    * (NativeTextScanSpec holds a parity doc for exactly this case);
+    * the remaining semantics are shared with the old battery:
+    *  - `(?i)` on pure-ASCII patterns is ASCII case folding =
+    *    lowercase compare;
     *  - `\p{IsHan}` counts every code point of script Han —
     *    `Character.UnicodeScript.of(cp) == HAN`, surrogate pairs
     *    handled via codePointAt/charCount exactly like the regex engine.
@@ -326,7 +330,7 @@ object NativeFunctions {
     * appear in both the es and fr inventories) count into every set
     * exactly as the independent regex passes did.
     */
-  case class LangSignalCounts(child: Expression, sets: Array[Array[String]])
+  case class LangSignalCounts(child: Expression, sets: Seq[Seq[String]])
       extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
     import org.apache.spark.sql.types.StringType
@@ -447,11 +451,13 @@ object NativeFunctions {
     *    single third-alternative match);
     *  - `n_punct` = `[^A-Za-z0-9\s]` code points;
     *  - `n_upper` = ASCII `[A-Z]`;
-    *  - `stopword_hits` = the `(?i)\b(w1|…)\b` count over the given
-    *    word set — maximal ASCII-`\w` runs whose lowercase form is in
-    *    the set, exactly like [[LangSignalCounts]].
+    *  - `stopword_hits` = maximal ASCII-`\w` runs whose lowercase form
+    *    is in the set — the ASCII-boundary `\b` of RE2/the oracle,
+    *    deliberately NOT Java's Unicode-aware `\b`; see the
+    *    [[LangSignalCounts]] word-boundary contract (the one place the
+    *    fused scans diverge from the Java-regex battery they replaced).
     */
-  case class TextStatCounts(child: Expression, words: Array[String])
+  case class TextStatCounts(child: Expression, words: Seq[String])
       extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
     import org.apache.spark.sql.types.StringType
@@ -558,7 +564,11 @@ object NativeFunctions {
     require(exprs(1).foldable,
       s"$TextStatName: the word set must be foldable")
     val ad = exprs(1).eval().asInstanceOf[ArrayData]
-    val words = Array.tabulate(ad.numElements())(w =>
+    // IndexedSeq, not Array: case-class equality on the word set must be
+    // by CONTENT so identical calls canonicalize equal and Catalyst can
+    // reuse subexpressions (r14 ADVICE — Array fields compare by
+    // reference and defeat CSE).
+    val words = IndexedSeq.tabulate(ad.numElements())(w =>
       ad.getUTF8String(w).toString)
     TextStatCounts(exprs(0), words)
   }
@@ -572,9 +582,10 @@ object NativeFunctions {
     require(exprs(1).foldable,
       s"$LangSignalName: the word-set matrix must be foldable")
     val ad = exprs(1).eval().asInstanceOf[ArrayData]
-    val sets = Array.tabulate(ad.numElements()) { k =>
+    // content-equal IndexedSeqs for canonicalization — see buildTextStat
+    val sets = IndexedSeq.tabulate(ad.numElements()) { k =>
       val row = ad.getArray(k)
-      Array.tabulate(row.numElements())(w =>
+      IndexedSeq.tabulate(row.numElements())(w =>
         row.getUTF8String(w).toString)
     }
     LangSignalCounts(exprs(0), sets)

@@ -802,22 +802,25 @@ object Dedup {
     graft.engine.StageCache.materialized(spark, dir, "dedup.simhash_pairs") {
       val n = ScaleKnobs.documentCount(spark, dir)
       simhashPairs(documents(spark, dir),
-        bitsPerBand = ScaleKnobs.sigBitsPerBand(n), nDocs = n)
+        bitsPerBand = ScaleKnobs.sigBitsPerBand(n), nDocs = n,
+        bucketCap = ScaleKnobs.hammingBucketCap(n))
     }
 
   /** `maxHamming = -1` (default) = derive the fraction-preserving
     * threshold from the geometry in effect; `bitsPerBand = 0` (default)
-    * = derive the band width from the corpus count; `bucketCap = 0`
-    * (default) = derive the band-bucket family cap
-    * ([[ScaleKnobs.hammingBucketCap]]) from the same count. Any derive
-    * sentinel left at its default costs one `docs.count()`
-    * plan-construction action on this DataFrame overload — pass `nDocs`
-    * to stay action-free (see [[simhashSig]]); pass explicit values to
-    * pin each knob.
+    * = derive the band width from the corpus count (costs one
+    * `docs.count()` plan-construction action unless `nDocs` is passed —
+    * see [[simhashSig]]). `bucketCap` defaults to UNCAPPED on this
+    * DataFrame overload — the [[ScaleKnobs.hammingBucketCap]] family cap
+    * is derived only in the (spark, dir) registry wrapper, matching the
+    * [[minhashPairs]] convention, so fixture specs exercise the full
+    * build and pinned-geometry plan construction stays action-free
+    * (r14 ADVICE: the derived-cap default here forced a count() even
+    * when every other knob was pinned).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = -1, bands: Int = 4,
                    bitsPerBand: Int = 0, nDocs: Long = -1L,
-                   bucketCap: Long = 0L): DataFrame = {
+                   bucketCap: Long = Long.MaxValue): DataFrame = {
     lazy val n = if (nDocs >= 0L) nDocs else docs.count()
     val bpb =
       if (bitsPerBand != 0) bitsPerBand
@@ -825,9 +828,8 @@ object Dedup {
     val maxH =
       if (maxHamming < 0) ScaleKnobs.sigMaxHamming(bands, bpb)
       else maxHamming
-    val cap =
-      if (bucketCap > 0L) bucketCap else ScaleKnobs.hammingBucketCap(n)
-    bandedHammingPairs(simhashSig(docs, bands, bpb), bands, bpb, maxH, cap)
+    bandedHammingPairs(simhashSig(docs, bands, bpb), bands, bpb, maxH,
+      bucketCap)
   }
 
   /** Band-bucket occupancy census at the derived SimHash geometry — the

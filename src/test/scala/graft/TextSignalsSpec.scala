@@ -295,4 +295,61 @@ class TextSignalsSpec extends SparkTestBase {
       assert(c(4) === r.getAs[Long]("en"), s"en @ doc ${r.get(0)}")
     }
   }
+
+  test("ASCII word boundary is the pinned contract: a stopword abutting a " +
+    "non-ASCII letter COUNTS (deliberate divergence from Java's Unicode \\b)") {
+    import graft.engine.expr.NativeFunctions
+    // The r14 parity docs ("quelла") never put a set word DIRECTLY
+    // against a non-ASCII letter, so the boundary semantics were
+    // accidental. This pins them: the fused scan tokenizes maximal
+    // ASCII-[A-Za-z0-9_] runs (RE2/DuckDB-oracle \b), so "que" in
+    // "queла" and "the" in "the中文" are complete tokens and COUNT —
+    // whereas Java's default \b (Unicode-aware isLetterOrDigit) sees
+    // que|ла as word-internal and does NOT match. The oracle gate
+    // replays the ASCII reading; the Java reading is the one we
+    // deliberately left behind.
+    val d = Seq((0L, "queла de1а the中文"), (1L, "unд 2ла para"))
+      .toDF("doc_id", "text")
+    val fused = d.select(col("doc_id"),
+      NativeFunctions.langSignalCounts(col("text"),
+        Seq(TextAnalysis.EnStopWords, TextAnalysis.EsStopWords,
+          TextAnalysis.FrStopWords)).as("c"),
+      NativeFunctions.textStatCounts(col("text"),
+        TextAnalysis.EnStopWords).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[scala.collection.Seq[Long]]("c"),
+          r.getAs[scala.collection.Seq[Long]]("s"))).toMap
+    // doc 0: runs = que, de1 (NOT de — the digit extends the run), the;
+    // que ∈ es+fr, the ∈ en; han = 中文
+    assert(fused(0L)._1 === Seq(1L, 1L, 1L, 2L))
+    assert(fused(0L)._2(4) === 1L) // stopword_hits: the
+    // doc 1: runs = un, 2 (ла breaks it), para; un ∈ es+fr, para ∈ es
+    assert(fused(1L)._1 === Seq(0L, 2L, 1L, 0L))
+    // and the Java-regex battery does NOT count the abutting forms —
+    // the divergence is real, measured here, and intended
+    val rx = d.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(TextAnalysis.EsStop), lit(0)))
+        .cast("long").as("es")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("es")).toMap
+    assert(rx(0L) === 0L) // Java \b: queла is one word, de1а too
+    assert(rx(1L) === 1L) // para survives (space-delimited); unд does not
+  }
+
+  test("identical fused-scan calls canonicalize equal (Seq word sets, " +
+    "content equality — r14 ADVICE)") {
+    import graft.engine.expr.NativeFunctions
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def sets() = IndexedSeq(TextAnalysis.EnStopWords.toIndexedSeq,
+      TextAnalysis.EsStopWords.toIndexedSeq)
+    val a = NativeFunctions.LangSignalCounts(Literal("x"), sets())
+    val b = NativeFunctions.LangSignalCounts(Literal("x"), sets())
+    val c = NativeFunctions.TextStatCounts(Literal("x"),
+      TextAnalysis.EnStopWords.toIndexedSeq)
+    val d2 = NativeFunctions.TextStatCounts(Literal("x"),
+      TextAnalysis.EnStopWords.toIndexedSeq)
+    assert(a == b && a.semanticEquals(b),
+      "LangSignalCounts must compare by content for Catalyst CSE")
+    assert(c == d2 && c.semanticEquals(d2),
+      "TextStatCounts must compare by content for Catalyst CSE")
+  }
 }
