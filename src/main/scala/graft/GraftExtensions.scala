@@ -81,6 +81,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "ONE text scan; array<bigint> of 5",
         "_FUNC_(text, array('the','and'))"),
       (exprs: Seq[Expression]) => NativeFunctions.buildTextStat(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier(NativeFunctions.WinnowName),
+      info(NativeFunctions.WinnowName,
+        "Karp-Rabin rolling-hash winnowing fingerprint: min and distinct " +
+          "count of every w-code-point window hash in ONE scan; " +
+          "struct<fingerprint_h: bigint, n_distinct_windows: int>",
+        "_FUNC_(text, 16)"),
+      (exprs: Seq[Expression]) => NativeFunctions.buildWinnow(exprs)))
   }
 
   private def info(name: String, usage: String, example: String): ExpressionInfo =

@@ -42,14 +42,23 @@ object OracleDedup {
   )
 
   def oracleSql: Map[String, String] = Map(
-    // Winnow-fingerprint candidate clusters (multi-doc groups only).
+    // Winnow-fingerprint candidate clusters (multi-doc groups only); the
+    // fingerprint is the Karp-Rabin min-window hash — see text_winnow for
+    // the exact-replay notes.
     "dedup_winnow_clusters" ->
-      """WITH f AS (
+      """WITH cp AS (
         |  SELECT doc_id,
-        |    list_min(list_transform(range(1, greatest(length(text) - 15, 1) + 1),
-        |      i -> ('0x' || substring(md5(substring(text, i::INT, 16)), 1, 15))::BIGINT))
-        |      AS fingerprint_h
+        |    list_transform(regexp_extract_all(text, '.', 0, 's'),
+        |                   x -> unicode(x)) AS cps
         |  FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(range(0, greatest(len(cps) - 15, 1)),
+        |      i -> list_reduce(list_prepend(0::BIGINT, cps[i+1:i+16]),
+        |        (h, c) -> ((h::HUGEINT * 257 + c)
+        |                   % 2305843009213693951)::BIGINT)))
+        |      AS fingerprint_h
+        |  FROM cp
         |)
         |SELECT min(doc_id)::BIGINT AS canonical_doc_id, fingerprint_h,
         |  count(*)::BIGINT AS n_docs

@@ -167,15 +167,28 @@ object OracleText {
         |  CAST(sum(n_punct) * 1000000 // greatest(sum(n_chars), 1) AS BIGINT) AS corpus_punct_ppm
         |FROM a GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
+    // Karp-Rabin polynomial over code points, exact integer replay of the
+    // engine's rolling form (r15 rebuild): fold h = (h*257 + cp) mod 2^61-1
+    // over each 16-cp window; HUGEINT keeps the multiply exact. The
+    // prepended 0 is the fold's initial accumulator (and makes the empty
+    // window hash 0, like the engine).
     "text_winnow" ->
-      """SELECT doc_id,
-        |  list_min(list_transform(range(1, greatest(length(text) - 15, 1) + 1),
-        |    i -> ('0x' || substring(md5(substring(text, i::INT, 16)), 1, 15))::BIGINT))
-        |    AS fingerprint_h,
-        |  len(list_distinct(list_transform(range(1, greatest(length(text) - 15, 1) + 1),
-        |    i -> ('0x' || substring(md5(substring(text, i::INT, 16)), 1, 15))::BIGINT)))
-        |    AS n_distinct_windows
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH cp AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_extract_all(text, '.', 0, 's'),
+        |                   x -> unicode(x)) AS cps
+        |  FROM documents
+        |), wh AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, greatest(len(cps) - 15, 1)),
+        |      i -> list_reduce(list_prepend(0::BIGINT, cps[i+1:i+16]),
+        |        (h, c) -> ((h::HUGEINT * 257 + c)
+        |                   % 2305843009213693951)::BIGINT)) AS hs
+        |  FROM cp
+        |)
+        |SELECT doc_id, list_min(hs) AS fingerprint_h,
+        |  len(list_distinct(hs)) AS n_distinct_windows
+        |FROM wh ORDER BY doc_id""".stripMargin,
 
     // Per-language trigram occurrence census, top-20 per language.
     // Frequency-of-frequencies per language, log2-bucketed k.

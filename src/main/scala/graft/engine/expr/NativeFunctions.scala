@@ -547,6 +547,146 @@ object NativeFunctions {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
   }
 
+  /** Karp-Rabin winnowing fingerprint: the min and distinct count of the
+    * polynomial rolling hash of every `w`-code-point window of the text,
+    * in ONE scan — `struct<fingerprint_h: bigint, n_distinct_windows:
+    * int>`.
+    *
+    * Replaces the md5-per-window form (r14 verdict ask #3: one md5 per
+    * CHARACTER made `text_winnow` the worst decade ratio in the suite,
+    * 9.9×/39.4 s at sf10 — ~100× the per-byte cost of any other scan).
+    * The hash is the textbook Karp-Rabin polynomial over Unicode CODE
+    * POINTS,
+    *
+    *   H(c₀…c_{w−1}) = Σ cᵢ · B^{w−1−i}  mod  M,
+    *   B = 257, M = 2⁶¹ − 1 (Mersenne),
+    *
+    * advanced in O(1) per window by the classic subtract-leading /
+    * multiply / add-trailing update — exact modular arithmetic, so the
+    * rolling form is VALUE-IDENTICAL to hashing each window
+    * independently (WinnowSpec asserts it against a naive fold). M fits
+    * HUGEINT arithmetic, so DuckDB replays the identical values with
+    * `(h::HUGEINT * 257 + c) % M` folds — the fingerprint stays
+    * oracle-exact, like the md5 form was. 61-bit hashes keep cross-doc
+    * min-fingerprint collisions (the clustering key of
+    * `dedup_winnow_clusters`) as improbable as the 60-bit md5 prefixes
+    * they replace; a narrower word (e.g. 31-bit) would manufacture
+    * ~n²·nWin/2³¹ false clusters at crawl scale because MIN-selection
+    * concentrates the fingerprint distribution near 0.
+    *
+    * Window rule (replicated from the md5 form): texts of at least `w`
+    * code points hash every full window (n − w + 1 of them); shorter
+    * texts — including empty — hash ONCE over all their code points
+    * (the old `substr(i, w)` truncation), with H(empty) = 0.
+    *
+    * SWITCHING COST: fingerprint VALUES are incomparable with the md5
+    * build — recluster, don't mix (an index REBUILD, exactly like a
+    * SimHash width change).
+    */
+  case class WinnowKarpRabin(child: Expression, w: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+
+    require(w >= 1 && w <= 4096, s"$WinnowName: window must be 1..4096, got $w")
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("fingerprint_h", LongType, nullable = false),
+      StructField("n_distinct_windows", IntegerType, nullable = false)))
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$WinnowName expects a string, got ${other.sql}")
+      }
+
+    override def nullSafeEval(s: Any): Any =
+      NativeFunctions.winnowRun(
+        s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.engine.expr.NativeFunctions.winnowRun($c, $w);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** 2⁶¹ − 1, the Karp-Rabin modulus (Mersenne: `x mod M` reduces by
+    * shift-and-add, and `a · b mod M` needs only a 64×64→128 multiply —
+    * `Math.multiplyHigh` here, HUGEINT in the oracle's replay).
+    */
+  val KrMod: Long = 2305843009213693951L
+  /** Karp-Rabin radix: any value > max code point's contribution works;
+    * 257 is the classic byte-alphabet prime. */
+  val KrBase: Long = 257L
+
+  /** a · b mod (2⁶¹ − 1) for a, b ∈ [0, M): split the 128-bit product at
+    * bit 61 (2⁶¹ ≡ 1 mod M, so the high part folds in by addition). */
+  private def krMulMod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    // product = hi·2⁶⁴ + lo; (product >> 61) = (hi << 3) | (lo >>> 61)
+    var r = (lo & KrMod) + ((hi << 3) | (lo >>> 61))
+    if (r >= KrMod) r -= KrMod
+    if (r >= KrMod) r -= KrMod
+    r
+  }
+
+  /** The per-row kernel of [[WinnowKarpRabin]] — compiled once, called as
+    * a static forwarder from generated code (the langSignalRun pattern).
+    * Min and distinct count come from one in-place sort of the window
+    * hashes: primitive longs, no boxing, no per-window string or hash-set
+    * allocation.
+    */
+  def winnowRun(s: org.apache.spark.unsafe.types.UTF8String,
+                w: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    val cps = new Array[Int](str.length)
+    var n = 0
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      cps(n) = cp
+      n += 1
+      i += Character.charCount(cp)
+    }
+    val nWin = if (n <= w) 1 else n - w + 1
+    val hashes = new Array[Long](nWin)
+    var h = 0L
+    val w0 = math.min(n, w)
+    i = 0
+    while (i < w0) {
+      h = krMulMod(h, KrBase) + cps(i)
+      if (h >= KrMod) h -= KrMod
+      i += 1
+    }
+    hashes(0) = h
+    if (nWin > 1) {
+      var bw = 1L // B^(w-1) mod M
+      var e = 0
+      while (e < w - 1) { bw = krMulMod(bw, KrBase); e += 1 }
+      var k = 1
+      while (k < nWin) {
+        h -= krMulMod(cps(k - 1).toLong, bw)
+        if (h < 0L) h += KrMod
+        h = krMulMod(h, KrBase) + cps(k + w - 1)
+        if (h >= KrMod) h -= KrMod
+        hashes(k) = h
+        k += 1
+      }
+    }
+    java.util.Arrays.sort(hashes)
+    var distinct = 1
+    var j = 1
+    while (j < nWin) {
+      if (hashes(j) != hashes(j - 1)) distinct += 1
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](hashes(0), distinct))
+  }
+
   val QdotName = "qdot_native"
   val SrpSignatureName = "srp_signature"
   val PyCheckName = "py_parity_check"
@@ -555,6 +695,23 @@ object NativeFunctions {
   val RegexFindName = "regex_find_group"
   val LangSignalName = "lang_signal_counts"
   val TextStatName = "text_stat_counts"
+  val WinnowName = "winnow_karp_rabin"
+
+  /** `winnow_karp_rabin(text, w)` builder: the window width must be a
+    * foldable integer literal (it sizes the rolling update).
+    */
+  def buildWinnow(exprs: Seq[Expression]): Expression = {
+    checkArity(WinnowName, 2, exprs)
+    require(exprs(1).foldable, s"$WinnowName: the window width must be foldable")
+    val w = exprs(1).eval() match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long => l.intValue()
+      case s: java.lang.Short => s.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$WinnowName: integral window width expected, got $other")
+    }
+    WinnowKarpRabin(exprs(0), w)
+  }
 
   /** `text_stat_counts(text, words)` builder: the stopword set must be a
     * foldable array<string> literal.
@@ -651,6 +808,9 @@ object NativeFunctions {
     if (!spark.catalog.functionExists(TextStatName))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         TextStatName, buildTextStat, "built-in")
+    if (!spark.catalog.functionExists(WinnowName))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        WinnowName, buildWinnow, "built-in")
     if (!spark.catalog.functionExists(SrpSignatureName))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         SrpSignatureName, exprs => {
@@ -694,6 +854,14 @@ object NativeFunctions {
   def textStatCounts(text: Column, words: Seq[String]): Column = {
     import org.apache.spark.sql.functions.{array, lit}
     call_function(TextStatName, text, array(words.map(lit): _*))
+  }
+
+  /** Karp-Rabin winnowing fingerprint (see [[WinnowKarpRabin]]); caller
+    * must have ensureRegistered.
+    */
+  def winnowKarpRabin(text: Column, w: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function(WinnowName, text, lit(w))
   }
 
   /** Optimizer-opaque identity (see [[OpaqueBarrier]]); caller must have

@@ -157,12 +157,20 @@ object TextAnalysis {
         expr("n_word_chars * 1000 div greatest(n_words, 1)").as("cpw_milli"))
       .orderBy(col("source"))
 
-  /** Rolling-window document fingerprint (winnowing-style): hash every
-    * 16-char window of the text (the set a Karp-Rabin rolling hash would
-    * produce incrementally — same values, expressed declaratively), then
-    * keep the MINIMUM window hash as the doc fingerprint plus the distinct
-    * window count. Near-identical docs share the min-hash window with high
-    * probability — the winnowing selection rule, one projection per doc.
+  /** Rolling-window document fingerprint (winnowing-style): Karp-Rabin
+    * hash every 16-code-point window of the text, then keep the MINIMUM
+    * window hash as the doc fingerprint plus the distinct window count.
+    * Near-identical docs share the min-hash window with high probability
+    * — the winnowing selection rule, one projection per doc.
+    *
+    * r15 REBUILD: the window hash is the native rolling Karp-Rabin
+    * expression ([[graft.engine.expr.NativeFunctions.WinnowKarpRabin]] —
+    * one multiply-add per code point) instead of one md5 per window
+    * position (one md5 per CHARACTER — ~100× the per-byte cost of any
+    * other scan and the suite's worst decade ratio at sf10). Fingerprint
+    * values are incomparable with the md5 build (an index REBUILD);
+    * the DuckDB oracle replays the identical 61-bit polynomial in
+    * HUGEINT arithmetic, so the gate stays value-exact.
     */
   def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
     winnowFingerprint(cpuBoundDocs(spark, dir))
@@ -170,36 +178,28 @@ object TextAnalysis {
   /** The documents scan, re-balanced for a CPU-BOUND per-row consumer.
     *
     * Spark sizes file splits by BYTES (maxPartitionBytes), which is right
-    * for I/O-bound scans but starves compute-bound ones: the winnowing
-    * fingerprint does one md5 per character, ~100× more CPU per byte than
-    * any other per-doc projection, so a compact parquet (5.7 MB at sf1 =
-    * ONE split) would hash tens of millions of windows on a single core.
-    * When the scan yields fewer splits than cores, redistribute rows
-    * round-robin first — the shuffle moves only the raw text (bytes ≪
-    * the hash work downstream); when the input is big enough to split
-    * naturally (the 100 TB case), this is a no-op and no shuffle happens.
+    * for I/O-bound scans but starves compute-bound ones: a compact
+    * parquet (5.7 MB at sf1 = ONE split) would otherwise run the whole
+    * per-window scan on a single core. When the scan yields fewer splits
+    * than cores, redistribute rows round-robin first — the shuffle moves
+    * only the raw text (bytes ≪ the hash work downstream); when the
+    * input is big enough to split naturally (the 100 TB case), this is a
+    * no-op and no shuffle happens. (Worth less since the Karp-Rabin
+    * rebuild cut per-byte cost ~100×, but a fixture-scale parquet still
+    * under-splits 32 cores.)
     */
   private[ext] def cpuBoundDocs(spark: SparkSession, dir: String): DataFrame =
     graft.engine.ingest.Sources.rebalanceSmall(spark,
       spark.read.parquet(s"$dir/documents.parquet"))
 
   def winnowFingerprint(docs: DataFrame, w: Int = 16): DataFrame = {
-    val nWin = greatest(length(col("text")) - (w - 1), lit(1))
-    // One md5 per window position is the inherent cost; everything else is
-    // kept off the per-window path. The array of 15-hex-digit prefixes is
-    // materialized ONCE in its own projection (ArrayTransform is a
-    // non-codegen higher-order function, and CollapseProject declines to
-    // re-inline a twice-referenced expensive alias, so min and distinct
-    // both read the same array instead of re-hashing the doc), and the
-    // fixed-width lowercase hex strings compare in the same order as their
-    // numeric values, so the hex→long conv runs once per DOC on the final
-    // min, not once per window.
-    val hexes = transform(sequence(lit(1), nWin),
-      i => substring(md5(col("text").substr(i, lit(w))), 1, 15))
-    docs.select(col("doc_id"), hexes.as("win_hex"))
+    graft.engine.expr.NativeFunctions.ensureRegistered(docs.sparkSession)
+    docs.select(col("doc_id"),
+        graft.engine.expr.NativeFunctions
+          .winnowKarpRabin(col("text"), w).as("kr"))
       .select(col("doc_id"),
-        conv(array_min(col("win_hex")), 16, 10).cast("long").as("fingerprint_h"),
-        size(array_distinct(col("win_hex"))).as("n_distinct_windows"))
+        col("kr.fingerprint_h").as("fingerprint_h"),
+        col("kr.n_distinct_windows").as("n_distinct_windows"))
   }
 
   /** Tokenizer fertility census per (lang, source): BPE-ish subtokens
