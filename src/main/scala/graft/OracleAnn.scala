@@ -82,6 +82,13 @@ object OracleAnn {
         |            WHERE (1::BIGINT << b) >=
         |              (SELECT n_documents FROM nd))) END::BIGINT
         |    AS bucket_cap
+        |), sdc AS (
+        |  SELECT CASE WHEN (SELECT n_documents FROM nd) <= 1 THEN 8
+        |         ELSE 8 * greatest(1,
+        |           (SELECT min(b) FROM range(0, 63) t(b)
+        |            WHERE (1::BIGINT << b) >=
+        |              (SELECT n_documents FROM nd))) END::BIGINT
+        |    AS shingle_df_cap
         |)
         |SELECT ne.n_embeddings, nd.n_documents, b.srp_bits,
         |  (b.srp_bits * 4)::BIGINT AS srp_planes,
@@ -89,10 +96,13 @@ object OracleAnn {
         |    AS embed_query_mod,
         |  greatest(50, (nd.n_documents + 99) // 100)::BIGINT
         |    AS doc_query_mod,
-        |  ic.ivf_cells, sg.sig_bits,
+        |  ic.ivf_cells,
+        |  greatest(1, ne.n_embeddings // (64 * ic.ivf_cells))::BIGINT
+        |    AS kmeans_train_mod,
+        |  sg.sig_bits,
         |  ((8 * 4 * sg.sig_bits) // 60)::BIGINT AS sig_max_hamming,
-        |  tc.triangle_cap, bc.bucket_cap
-        |FROM ne, nd, b, ic, sg, tc, bc""".stripMargin,
+        |  tc.triangle_cap, bc.bucket_cap, sdc.shingle_df_cap
+        |FROM ne, nd, b, ic, sg, tc, bc, sdc""".stripMargin,
     "ann_bruteforce" -> (quantized +
       raw""", d AS (
         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
@@ -271,7 +281,8 @@ object OracleAnn {
         |), d1 AS (
         |  SELECT vb.vec_id, c.cell_id,
         |    CAST(sum((vb.q - c.c) * (vb.q - c.c)) AS BIGINT) AS dist
-        |  FROM vb JOIN c0 c ON vb.i = c.i GROUP BY 1, 2
+        |  FROM vb JOIN c0 c ON vb.i = c.i
+        |  WHERE vb.vec_id % $tmSql = 0 GROUP BY 1, 2
         |), a1 AS (
         |  SELECT vec_id, cell_id FROM (
         |    SELECT vec_id, cell_id,
@@ -324,7 +335,8 @@ object OracleAnn {
         |), d1 AS (
         |  SELECT v.vec_id, c.cell_id,
         |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS dist
-        |  FROM v JOIN c0 c ON v.i = c.i GROUP BY 1, 2
+        |  FROM v JOIN c0 c ON v.i = c.i
+        |  WHERE v.vec_id % $tmSql = 0 GROUP BY 1, 2
         |), a1 AS (
         |  SELECT vec_id, cell_id FROM (
         |    SELECT vec_id, cell_id,

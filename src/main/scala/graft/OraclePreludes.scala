@@ -256,7 +256,12 @@ private[graft] object OraclePreludes {
     *             occupancy ≤ 128, so LSH pair work stays linear;
     * `ncc.nc`  = IVF coarse-cell count max(16, 2^⌈⌈log2 n⌉/2⌉) — the
     *             nCells ≈ √n train-time rule (r12), so centroid ranking
-    *             and per-cell candidate scans both grow as √n.
+    *             and per-cell candidate scans both grow as √n;
+    * `tmc.tm`  = k-means training-sample modulus max(1, n div (64·nc))
+    *             (r15) — the Lloyd RECOMPUTE iterations argmin only
+    *             `vec_id % tm = 0` vectors (≥ 64 per centroid), the
+    *             final assignment covers the corpus; tm = 1 at every
+    *             committed scale ≤ sf1.
     * Unreferenced CTEs cost nothing in DuckDB, so the non-panel oracles
     * sharing this prelude are unaffected.
     */
@@ -278,6 +283,9 @@ private[graft] object OraclePreludes {
       |    (((SELECT min(b) FROM range(0, 63) t(b)
       |       WHERE (1::BIGINT << b) >= (SELECT count(*) FROM embeddings))
       |      + 1) // 2))::BIGINT AS nc
+      |), tmc AS (
+      |  SELECT greatest(1, (SELECT count(*) FROM embeddings)
+      |    // (64 * (SELECT nc FROM ncc)))::BIGINT AS tm
       |)""".stripMargin
 
   /** The panel predicate / band-width / cell-count scalars, inlined at
@@ -285,6 +293,7 @@ private[graft] object OraclePreludes {
   private[graft] val qmSql = "(SELECT qm FROM qmc)"
   private[graft] val srpBitsSql = "(SELECT bits FROM nbc)"
   private[graft] val nccSql = "(SELECT nc FROM ncc)"
+  private[graft] val tmSql = "(SELECT tm FROM tmc)"
 
   /** Document-side panel modulus (text/RAG retrieval panels): same
     * fixed-panel rule, derived from the documents count.
@@ -300,7 +309,10 @@ private[graft] object OraclePreludes {
     * integer / floor-mean arithmetic, explicit tie-breaks), ending in
     * `fin` = the final (vec_id, cell_id, dist) assignment — shared by
     * ann_kmeans and the ann_cell_balance audit so both read the
-    * identical trained index.
+    * identical trained index. d1 (the recompute iteration's argmin)
+    * scans only the `vec_id % tm = 0` training sample (r15,
+    * ScaleKnobs.kmeansTrainMod); d2 (the final assignment) scans the
+    * full corpus.
     */
   private[graft] val kmeansFin = quantized +
     s""", c0 AS (
@@ -308,7 +320,8 @@ private[graft] object OraclePreludes {
       |), d1 AS (
       |  SELECT v.vec_id, c.cell_id,
       |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS dist
-      |  FROM v JOIN c0 c ON v.i = c.i GROUP BY 1, 2
+      |  FROM v JOIN c0 c ON v.i = c.i
+      |  WHERE v.vec_id % $tmSql = 0 GROUP BY 1, 2
       |), a1 AS (
       |  SELECT vec_id, cell_id FROM (
       |    SELECT vec_id, cell_id,
@@ -428,7 +441,8 @@ private[graft] object OraclePreludes {
       |), kd1 AS (
       |  SELECT v.vec_id, c.cell_id,
       |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS dist
-      |  FROM v JOIN kc0 c ON v.i = c.i GROUP BY 1, 2
+      |  FROM v JOIN kc0 c ON v.i = c.i
+      |  WHERE v.vec_id % $tmSql = 0 GROUP BY 1, 2
       |), ka1 AS (
       |  SELECT vec_id, cell_id FROM (
       |    SELECT vec_id, cell_id,

@@ -163,6 +163,56 @@ object ScaleKnobs {
   def ivfCells(n: Long): Int =
     math.max(16, 1 << ((ceilLog2(n) + 1) / 2))
 
+  /** Shingle document-frequency cap (r14 verdict ask #1 — the dedup
+    * family's last pinned scale knob, `dfCap = 100` since r6): shingles
+    * whose document frequency exceeds the cap are excluded from
+    * shared-shingle candidate blocking ([[Dedup.ngramJaccardPairs]] /
+    * containment / span buckets) — boilerplate phrases carry no
+    * near-dup signal and their C(df, 2) bucket expansions are the only
+    * quadratic term in the pipelines. The derived form is
+    * 8 · ⌈log2 n⌉ (floor 8), the [[triangleDegreeCap]] /
+    * [[hammingBucketCap]] log-allowance shape with the family's
+    * TIGHTEST multiplier: shingle buckets are by far the densest bucket
+    * population (every document contributes hundreds of shingle
+    * occurrences vs 4 signature bands), so per-bucket pair work
+    * C(8·log n, 2) ≈ 32 log² n keeps the whole candidate stage
+    * quasi-linear, while a genuine near-dup pair — sharing MANY
+    * low-df shingles — keeps its evidence through any single capped
+    * bucket. At the committed artifact scales the rule clears every
+    * measured maximum df (72 vs 7 at sf0.01; 104 vs 25 at sf0.1; the
+    * salted decade replicas hold per-replica df constant, so 25 stays
+    * the max at sf1/sf10) AND sits at/above the historical 100 from
+    * sf0.1 up, so every committed artifact replays bit-for-bit under
+    * either constant — [[Dedup.shingleAudit]] is the census that shows
+    * what the cap excludes (nothing, at these corpora; real crawls
+    * have df ∝ n boilerplate and the cap is what keeps them linear).
+    * SQL replay: `8 * greatest(1, L)` with L the min-b bit length.
+    */
+  def shingleDfCap(n: Long): Int =
+    8 * math.max(1, ceilLog2(n))
+
+  /** k-means TRAINING-SAMPLE modulus (r14 verdict ask #4): the Lloyd
+    * recompute iterations see only vectors with `vec_id % tm = 0`,
+    * tm = max(1, n div (64 · nCells)), and the FINAL assignment covers
+    * the full corpus. Classical IVF practice trains on
+    * O(points-per-centroid · nCells) vectors (the 64 sits inside the
+    * standard ~39–256-per-centroid band) because centroid positions
+    * stop moving long before the millionth example — only the
+    * ASSIGNMENT needs every vector. Cost: each training argmin drops
+    * from n · nCells to 64 · nCells² = 64 · n at the √n cell rule
+    * ([[ivfCells]]) — LINEAR — leaving the one-time full-corpus
+    * assignment (n · √n, the stored index itself) as the only
+    * superlinear term. Floor division makes the sample AT LEAST
+    * 64 · nCells (⌈n/tm⌉ ≥ 64 · nCells), and tm = 1 at every committed
+    * artifact scale ≤ sf1 (first binds at sf10: n = 200k, 512 cells →
+    * tm = 6), so every ≤ sf1 artifact replays bit-for-bit. Cells with
+    * no sampled member simply vanish from that recompute — the standard
+    * empty-cell outcome of Lloyd, identical in the oracle's replay.
+    * SQL replay: `greatest(1, n // (64 * nc))`.
+    */
+  def kmeansTrainMod(n: Long, nCells: Int): Int =
+    math.max(1L, n / (64L * nCells)).toInt
+
   /** The SAME rules as in-plan Column expressions (for
     * [[Similarity.knobReport]] and anything else that wants the derived
     * value computed inside the query instead of on the driver):
@@ -201,6 +251,17 @@ object ScaleKnobs {
       s"""CASE WHEN $n <= 1 THEN 16L
          |ELSE greatest(16L, shiftleft(1L,
          |  cast((length(bin($n - 1)) + 1) div 2 AS int))) END""".stripMargin)
+
+  def shingleDfCapCol(n: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      s"""CASE WHEN $n <= 1 THEN 8L
+         |ELSE 8L * greatest(1L, length(bin($n - 1))) END""".stripMargin)
+
+  def kmeansTrainModCol(n: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      s"""greatest(1L, $n div (64L * (CASE WHEN $n <= 1 THEN 16L
+         |ELSE greatest(16L, shiftleft(1L,
+         |  cast((length(bin($n - 1)) + 1) div 2 AS int))) END)))""".stripMargin)
 
   private val counts = new ConcurrentHashMap[String, java.lang.Long]()
 

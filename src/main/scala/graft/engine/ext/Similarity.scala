@@ -88,6 +88,15 @@ object Similarity {
     if (nCells == 0) ScaleKnobs.ivfCells(ScaleKnobs.embeddingCount(spark, dir))
     else nCells
 
+  /** Derived k-means training-sample modulus for this corpus at the cell
+    * count in effect ([[ScaleKnobs.kmeansTrainMod]]) — the (spark, dir)
+    * registry paths derive it; DataFrame-form callers default to 1
+    * (train on everything) like every other knob convention here.
+    */
+  private def resolveTrainMod(spark: SparkSession, dir: String,
+                              nCells: Int): Int =
+    ScaleKnobs.kmeansTrainMod(ScaleKnobs.embeddingCount(spark, dir), nCells)
+
   /** Exact top-k by inner product for every query vector
     * (vec_id % queryMod == 0), self-match excluded, ties broken by
     * neighbor id. The query side is broadcast; the corpus is scanned once.
@@ -318,11 +327,18 @@ object Similarity {
       kmeansT(spark, dir)._1
         .select(col("vec_id"), col("cell_id"), col("dist"))
         .orderBy(col("vec_id"))
-    else kmeansCells(vectors(spark, dir), resolveCells(spark, dir, nCells),
-      iters)
+    else {
+      val nc = resolveCells(spark, dir, nCells)
+      kmeansCells(vectors(spark, dir), nc, iters,
+        resolveTrainMod(spark, dir, nc))
+    }
 
   def kmeansCells(vs: DataFrame, nCells: Int, iters: Int): DataFrame =
-    kmeansLoop(vs, nCells, iters)._1
+    kmeansCells(vs, nCells, iters, 1)
+
+  def kmeansCells(vs: DataFrame, nCells: Int, iters: Int,
+                  trainMod: Int): DataFrame =
+    kmeansLoop(vs, nCells, iters, trainMod)._1
       .select(col("vec_id"), col("cell_id"), col("dist"))
       .orderBy(col("vec_id"))
 
@@ -344,16 +360,20 @@ object Similarity {
       var stash: DataFrame = null
       val assigned = graft.engine.StageCache
         .materialized(spark, dir, "ann.kmeans_assigned") {
-          val (a, c) =
-            kmeansLoop(vectors(spark, dir), resolveCells(spark, dir, 0), 2)
+          val nc = resolveCells(spark, dir, 0)
+          val (a, c) = kmeansLoop(vectors(spark, dir), nc, 2,
+            resolveTrainMod(spark, dir, nc))
           stash = c
           a
         }
       val centroids = graft.engine.StageCache
         .materialized(spark, dir, "ann.kmeans_centroids") {
           if (stash != null) stash
-          else // full retrain; see doc
-            kmeansLoop(vectors(spark, dir), resolveCells(spark, dir, 0), 2)._2
+          else { // full retrain; see doc
+            val nc = resolveCells(spark, dir, 0)
+            kmeansLoop(vectors(spark, dir), nc, 2,
+              resolveTrainMod(spark, dir, nc))._2
+          }
         }
       (assigned, centroids)
     }
@@ -370,11 +390,18 @@ object Similarity {
                   iters: Int = 2): DataFrame =
     if (nCells == 0 && iters == 2)
       cellBalanceFromAssigned(kmeansT(spark, dir)._1)
-    else cellBalance(vectors(spark, dir), resolveCells(spark, dir, nCells),
-      iters)
+    else {
+      val nc = resolveCells(spark, dir, nCells)
+      cellBalance(vectors(spark, dir), nc, iters,
+        resolveTrainMod(spark, dir, nc))
+    }
 
   def cellBalance(vs: DataFrame, nCells: Int, iters: Int): DataFrame =
-    cellBalanceFromAssigned(kmeansLoop(vs, nCells, iters)._1)
+    cellBalance(vs, nCells, iters, 1)
+
+  def cellBalance(vs: DataFrame, nCells: Int, iters: Int,
+                  trainMod: Int): DataFrame =
+    cellBalanceFromAssigned(kmeansLoop(vs, nCells, iters, trainMod)._1)
 
   private def cellBalanceFromAssigned(assigned: DataFrame): DataFrame = {
     val all = org.apache.spark.sql.expressions.Window
@@ -394,15 +421,27 @@ object Similarity {
   /** The training loop: returns (final assignment incl. the quantized
     * vector, the centroids that produced it) — the pieces
     * [[ivfTrainedTopK]] composes into a probed search.
+    *
+    * `trainMod` (r15, [[ScaleKnobs.kmeansTrainMod]]): the centroid
+    * RECOMPUTE iterations argmin only the deterministic `vec_id %
+    * trainMod = 0` sample; the final iteration assigns the FULL input.
+    * At the derived value the training argmins are linear in n (64 ·
+    * nCells² work) instead of n · √n, and tm = 1 ≤ sf1 so history
+    * replays bit-for-bit. Default 1 = train on everything (the
+    * DataFrame-form/fixture behavior; the (spark, dir) wrappers derive).
     */
   private def kmeansLoop(vs: DataFrame, nCells: Int,
-                         iters: Int): (DataFrame, DataFrame) = {
+                         iters: Int, trainMod: Int = 1): (DataFrame, DataFrame) = {
     // Precompute each side's self-dot ONCE: dist(v,c) = v·v − 2·v·c + c·c,
     // so the n × nCells candidate expansion pays one qdot per pair, not
     // three (v·v was recomputed nCells times per vector — a 3× multiply
     // tax the r12 derived cell count made visible at 16 → 256 cells).
     val vss = vs.select(col("vec_id"), col("q"),
       qdot(col("q"), col("q")).as("qq"))
+    // training slice: only the recompute iterations read it; the final
+    // assignment always scans the full vss
+    val vssTrain =
+      if (trainMod > 1) vss.filter(col("vec_id") % trainMod === 0) else vss
     var centroids = vs.filter(col("vec_id") < nCells)
       .select(col("vec_id").cast("int").as("cell_id"), col("q").as("cq"))
     var assigned: DataFrame = null
@@ -426,7 +465,8 @@ object Similarity {
       // back per VECTOR (n rows, not n × nCells) — deterministic, vec_id
       // is unique in vss.
       require(nCells < (1 << 20), s"packed argmin supports < 2^20 cells, got $nCells")
-      val argmin = vss.join(broadcast(cents))
+      val vssIt = if (it < iters) vssTrain else vss
+      val argmin = vssIt.join(broadcast(cents))
         .select(col("vec_id"),
           (dist * lit(1L << 20) + col("cell_id")).as("pk"))
         .groupBy(col("vec_id"))
@@ -471,13 +511,20 @@ object Similarity {
     if (nCells == 0 && iters == 2) {
       val (assigned, centroids) = kmeansT(spark, dir)
       ivfTrainedFromIndex(assigned, centroids, k, qm, nprobe)
-    } else ivfTrainedTopK(vectors(spark, dir), k, qm,
-      resolveCells(spark, dir, nCells), iters, nprobe)
+    } else {
+      val nc = resolveCells(spark, dir, nCells)
+      ivfTrainedTopK(vectors(spark, dir), k, qm, nc, iters, nprobe,
+        resolveTrainMod(spark, dir, nc))
+    }
   }
 
   def ivfTrainedTopK(vs: DataFrame, k: Int, queryMod: Int, nCells: Int,
-                     iters: Int, nprobe: Int): DataFrame = {
-    val (assigned, centroids) = kmeansLoop(vs, nCells, iters)
+                     iters: Int, nprobe: Int): DataFrame =
+    ivfTrainedTopK(vs, k, queryMod, nCells, iters, nprobe, 1)
+
+  def ivfTrainedTopK(vs: DataFrame, k: Int, queryMod: Int, nCells: Int,
+                     iters: Int, nprobe: Int, trainMod: Int): DataFrame = {
+    val (assigned, centroids) = kmeansLoop(vs, nCells, iters, trainMod)
     ivfTrainedFromIndex(assigned, centroids, k, queryMod, nprobe)
   }
 
@@ -526,7 +573,10 @@ object Similarity {
     // defaults ride the materialized index + exact baseline
     val (assigned, centroids) =
       if (nCells == 0 && iters == 2) kmeansT(spark, dir)
-      else kmeansLoop(vs, resolveCells(spark, dir, nCells), iters)
+      else {
+        val nc = resolveCells(spark, dir, nCells)
+        kmeansLoop(vs, nc, iters, resolveTrainMod(spark, dir, nc))
+      }
     val exact = (if (k == 10 && queryMod == 0) bruteForceTopK(spark, dir)
                  else bruteForceTopK(vs, k, qm))
       .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
@@ -588,7 +638,12 @@ object Similarity {
     val nc = resolveCells(spark, dir, nCells)
     val vs = vectors(spark, dir)
     val isBase = col("vec_id") < nc || col("vec_id") % 5 =!= 4
-    val (assignedBase, centroids) = kmeansLoop(vs.filter(isBase), nc, iters)
+    // trainMod derives from the FULL corpus count (the cheap metadata
+    // count the other knobs already consume — the base slice is a fixed
+    // 4/5 of it, so the sample stays within the same 64-256/centroid
+    // band); the oracle replays the same full-count rule
+    val (assignedBase, centroids) = kmeansLoop(vs.filter(isBase), nc, iters,
+      resolveTrainMod(spark, dir, nc))
     // same packed codegen'd argmin as kmeansLoop (dist ≥ 0, < 2²⁸ by the
     // quantization bound; cell_id < 2²⁰ by the require in kmeansLoop)
     val cents = centroids.select(col("cell_id"), col("cq"),
@@ -665,7 +720,10 @@ object Similarity {
     val vs = vectors(spark, dir)
     val (cellAssigned, centroids) =
       if (nCells == 0 && ivfIters == 2) kmeansT(spark, dir)
-      else kmeansLoop(vs, resolveCells(spark, dir, nCells), ivfIters)
+      else {
+        val nc = resolveCells(spark, dir, nCells)
+        kmeansLoop(vs, nc, ivfIters, resolveTrainMod(spark, dir, nc))
+      }
     val (pqAssigned, cb) =
       if (M == 8 && subDim == 8 && pqK == 16 && pqIters == 2) pqT(spark, dir)
       else pqLoop(vs, M, subDim, pqK, pqIters)
@@ -1264,16 +1322,19 @@ object Similarity {
         ScaleKnobs.panelModCol("n_embeddings").as("embed_query_mod"),
         ScaleKnobs.panelModCol("n_documents").as("doc_query_mod"),
         ScaleKnobs.ivfCellsCol("n_embeddings").as("ivf_cells"),
+        ScaleKnobs.kmeansTrainModCol("n_embeddings").as("kmeans_train_mod"),
         ScaleKnobs.sigBitsCol("n_documents").as("sig_bits"),
         ScaleKnobs.triangleCapCol("n_documents").as("triangle_cap"),
-        ScaleKnobs.bucketCapCol("n_documents").as("bucket_cap"))
+        ScaleKnobs.bucketCapCol("n_documents").as("bucket_cap"),
+        ScaleKnobs.shingleDfCapCol("n_documents").as("shingle_df_cap"))
       .withColumn("srp_planes", col("srp_bits") * lit(4L))
       .withColumn("sig_max_hamming",
         expr("(8 * 4 * sig_bits) div 60").cast("long"))
       .select(col("n_embeddings"), col("n_documents"), col("srp_bits"),
         col("srp_planes"), col("embed_query_mod"), col("doc_query_mod"),
-        col("ivf_cells"), col("sig_bits"), col("sig_max_hamming"),
-        col("triangle_cap"), col("bucket_cap"))
+        col("ivf_cells"), col("kmeans_train_mod"), col("sig_bits"),
+        col("sig_max_hamming"), col("triangle_cap"), col("bucket_cap"),
+        col("shingle_df_cap"))
   }
 
   def labelCentroidSim(spark: SparkSession, dir: String): DataFrame =

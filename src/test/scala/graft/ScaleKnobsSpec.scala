@@ -31,7 +31,9 @@ class ScaleKnobsSpec extends AnyFunSuite {
         graft.engine.ext.ScaleKnobs.ivfCellsCol("n").as("nc"),
         graft.engine.ext.ScaleKnobs.sigBitsCol("n").as("sb"),
         graft.engine.ext.ScaleKnobs.triangleCapCol("n").as("cap"),
-        graft.engine.ext.ScaleKnobs.bucketCapCol("n").as("bcap"))
+        graft.engine.ext.ScaleKnobs.bucketCapCol("n").as("bcap"),
+        graft.engine.ext.ScaleKnobs.shingleDfCapCol("n").as("sdc"),
+        graft.engine.ext.ScaleKnobs.kmeansTrainModCol("n").as("tm"))
       .collect()
     rows.foreach { r =>
       val n = r.getLong(0)
@@ -41,6 +43,44 @@ class ScaleKnobsSpec extends AnyFunSuite {
       assert(r.getLong(4) === ScaleKnobs.sigBitsPerBand(n).toLong, s"sb at n=$n")
       assert(r.getLong(5) === ScaleKnobs.triangleDegreeCap(n), s"cap at n=$n")
       assert(r.getLong(6) === ScaleKnobs.hammingBucketCap(n), s"bcap at n=$n")
+      assert(r.getLong(7) === ScaleKnobs.shingleDfCap(n).toLong, s"sdc at n=$n")
+      assert(r.getLong(8) ===
+        ScaleKnobs.kmeansTrainMod(n, ScaleKnobs.ivfCells(n)).toLong,
+        s"tm at n=$n")
+    }
+  }
+
+  test("shingleDfCap: clears every measured max df through sf10 (salted " +
+    "replicas hold per-replica df constant) and the historical 100 from " +
+    "sf0.1 up, so committed artifacts replay under either constant") {
+    // measured max shingle df: 7 (sf0.01), 25 (sf0.1 — and, by the
+    // token-salted replica construction, at sf1/sf10 too)
+    assert(ScaleKnobs.shingleDfCap(500L) === 72)      // > 7
+    assert(ScaleKnobs.shingleDfCap(5000L) === 104)    // > 25 and >= 100
+    assert(ScaleKnobs.shingleDfCap(50000L) === 128)
+    assert(ScaleKnobs.shingleDfCap(500000L) === 152)
+    assert(ScaleKnobs.shingleDfCap(1L) === 8)
+    // quasi-linear worst case: per-bucket pair work C(8L, 2) = O(log² n)
+    assert(ScaleKnobs.shingleDfCap(1L << 40) === 320)
+  }
+
+  test("kmeansTrainMod: >= 64 vectors per centroid, tm = 1 at every " +
+    "committed scale <= sf1, first binds at sf10") {
+    assert(ScaleKnobs.kmeansTrainMod(500L, ScaleKnobs.ivfCells(500L)) === 1)
+    assert(ScaleKnobs.kmeansTrainMod(2000L, ScaleKnobs.ivfCells(2000L)) === 1)
+    assert(ScaleKnobs.kmeansTrainMod(20000L, ScaleKnobs.ivfCells(20000L)) === 1)
+    // sf10: 200k vectors, 512 cells -> tm = 6, sample 33,334 >= 64*512
+    val tm10 = ScaleKnobs.kmeansTrainMod(200000L, ScaleKnobs.ivfCells(200000L))
+    assert(tm10 === 6)
+    assert((200000L + tm10 - 1) / tm10 >= 64L * ScaleKnobs.ivfCells(200000L))
+    // the floor-division sample-size guarantee holds across a sweep
+    for (e <- 4 to 40) {
+      val n = 1L << e
+      val nc = ScaleKnobs.ivfCells(n)
+      val tm = ScaleKnobs.kmeansTrainMod(n, nc)
+      assert(tm >= 1, s"tm >= 1 at n=$n")
+      if (tm > 1)
+        assert((n + tm - 1) / tm >= 64L * nc, s"sample >= 64*nc at n=$n")
     }
   }
 
