@@ -53,6 +53,8 @@ object BenchStages {
       ((s, d) => graft.engine.ext.Dedup.spansT(s, d)),
     "_stage_bruteforce_topk" ->
       ((s, d) => graft.engine.ext.Similarity.bruteForceTopK(s, d)),
+    "_stage_ivf_assigned" ->
+      ((s, d) => graft.engine.ext.Similarity.ivfAssigned(s, d)),
     "_stage_kmeans" ->
       ((s, d) => graft.engine.ext.Similarity.kmeansCells(s, d)),
     "_stage_pq" ->
@@ -78,6 +80,7 @@ object BenchStages {
     "_stage_minhash_pairs" -> Set("dedup.minhash_pairs"),
     "_stage_spans" -> Set("dedup.spans"),
     "_stage_bruteforce_topk" -> Set("ann.bruteforce_topk"),
+    "_stage_ivf_assigned" -> Set("ann.ivf_assigned"),
     "_stage_kmeans" -> Set("ann.kmeans_assigned", "ann.kmeans_centroids"),
     "_stage_pq" -> Set("ann.pq_assigned", "ann.pq_codebook"),
     "_stage_srp_topk" -> Set("ann.srp_topk"),

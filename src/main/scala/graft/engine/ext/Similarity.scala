@@ -134,8 +134,37 @@ object Similarity {
     */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 10,
               queryMod: Int = 0, nCells: Int = 0, nprobe: Int = 4): DataFrame =
-    ivfTopK(vectors(spark, dir), k, resolveQm(spark, dir, queryMod),
+    if (nCells == 0)
+      ivfTopKFromAssigned(vectors(spark, dir), ivfAssignedT(spark, dir),
+        resolveCells(spark, dir, 0), k, resolveQm(spark, dir, queryMod),
+        nprobe)
+    else ivfTopK(vectors(spark, dir), k, resolveQm(spark, dir, queryMod),
       resolveCells(spark, dir, nCells), nprobe)
+
+  /** Default-geometry UNTRAINED cell assignment — (vec_id, cell_id) by
+    * argmax inner product against the first-nCells centroids —
+    * materialized once per (session, dir) ([[graft.engine.StageCache]]):
+    * ann_ivf, ann_range_search and corpus_cell_quality each re-derived
+    * this identical n × nCells argmax per query (r14 verdict ask #5 —
+    * corpus_cell_quality alone paid 15.7 s / 9.3×-decade at sf10 for an
+    * assignment the family already computes). In production this table
+    * IS the flat IVF index: built once per corpus snapshot, served to
+    * every probe/audit. Consumers re-attach label/q per VECTOR from the
+    * vectors scan (n rows, never n × nCells).
+    */
+  /** Public handle on the materialized untrained assignment — the bench's
+    * `_stage_ivf_assigned` row times exactly this build. */
+  def ivfAssigned(spark: SparkSession, dir: String): DataFrame =
+    ivfAssignedT(spark, dir)
+
+  private def ivfAssignedT(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.StageCache.materialized(spark, dir, "ann.ivf_assigned") {
+      val nc = resolveCells(spark, dir, 0)
+      val vs = vectors(spark, dir)
+      val centroids = vs.filter(col("vec_id") < nc)
+        .select(col("vec_id").cast("int").as("cell_id"), col("q").as("cq"))
+      argmaxDotCell(vs, centroids, nc)
+    }
 
   /** Cell assignment by argmax inner product, ties → lowest cell id, as
     * a PACKED codegen'd aggregate: the n × nCells broadcast expansion
@@ -177,8 +206,16 @@ object Similarity {
               nprobe: Int): DataFrame = {
     val centroids = vs.filter(col("vec_id") < nCells)
       .select(col("vec_id").cast("int").as("cell_id"), col("q").as("cq"))
+    ivfTopKFromAssigned(vs, argmaxDotCell(vs, centroids, nCells), nCells,
+      k, queryMod, nprobe)
+  }
 
-    val assigned = argmaxDotCell(vs, centroids, nCells)
+  private def ivfTopKFromAssigned(vs: DataFrame, assignedIds: DataFrame,
+                                  nCells: Int, k: Int, queryMod: Int,
+                                  nprobe: Int): DataFrame = {
+    val centroids = vs.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cell_id"), col("q").as("cq"))
+    val assigned = assignedIds
       .join(vs.select(col("vec_id"), col("label"), col("q")), "vec_id")
     val queries = assigned.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("q").as("qq"))
@@ -221,14 +258,27 @@ object Similarity {
   def ivfRangeSearch(spark: SparkSession, dir: String, minDot: Long = 250000L,
                      queryMod: Int = 0, nCells: Int = 0,
                      nprobe: Int = 4): DataFrame =
-    ivfRangeSearch(vectors(spark, dir), minDot,
+    if (nCells == 0)
+      ivfRangeFromAssigned(vectors(spark, dir), ivfAssignedT(spark, dir),
+        resolveCells(spark, dir, 0), minDot,
+        resolveQm(spark, dir, queryMod), nprobe)
+    else ivfRangeSearch(vectors(spark, dir), minDot,
       resolveQm(spark, dir, queryMod), resolveCells(spark, dir, nCells), nprobe)
 
   def ivfRangeSearch(vs: DataFrame, minDot: Long, queryMod: Int, nCells: Int,
                      nprobe: Int): DataFrame = {
     val centroids = vs.filter(col("vec_id") < nCells)
       .select(col("vec_id").cast("int").as("cell_id"), col("q").as("cq"))
-    val assigned = argmaxDotCell(vs, centroids, nCells)
+    ivfRangeFromAssigned(vs, argmaxDotCell(vs, centroids, nCells), nCells,
+      minDot, queryMod, nprobe)
+  }
+
+  private def ivfRangeFromAssigned(vs: DataFrame, assignedIds: DataFrame,
+                                   nCells: Int, minDot: Long, queryMod: Int,
+                                   nprobe: Int): DataFrame = {
+    val centroids = vs.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cell_id"), col("q").as("cq"))
+    val assigned = assignedIds
       .join(vs.select(col("vec_id"), col("label"), col("q")), "vec_id")
     val queries = assigned.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("q").as("qq"))
@@ -1284,11 +1334,18 @@ object Similarity {
     * rollup — no new shuffles beyond the operators it composes.
     */
   def cellQuality(spark: SparkSession, dir: String, nCells: Int = 0): DataFrame = {
-    val nc = resolveCells(spark, dir, nCells)
-    val vs = vectors(spark, dir)
-    val centroids = vs.filter(col("vec_id") < nc)
-      .select(col("vec_id").cast("int").as("cell_id"), col("q").as("cq"))
-    val assigned = argmaxDotCell(vs, centroids, nc)
+    // default geometry rides the materialized untrained assignment
+    // (ann.ivf_assigned — shared with ann_ivf / ann_range_search); a
+    // pinned cell count re-derives inline
+    val assigned =
+      if (nCells == 0) ivfAssignedT(spark, dir)
+      else {
+        val nc = resolveCells(spark, dir, nCells)
+        val vs = vectors(spark, dir)
+        val centroids = vs.filter(col("vec_id") < nc)
+          .select(col("vec_id").cast("int").as("cell_id"), col("q").as("cq"))
+        argmaxDotCell(vs, centroids, nc)
+      }
     val verdicts = Corpus.qualitySignals(spark, dir)
       .select(col("doc_id"), col("keep"))
     assigned.join(verdicts, col("vec_id") === col("doc_id"))
