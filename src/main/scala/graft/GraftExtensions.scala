@@ -89,6 +89,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "struct<fingerprint_h: bigint, n_distinct_windows: int>",
         "_FUNC_(text, 16)"),
       (exprs: Seq[Expression]) => NativeFunctions.buildWinnow(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier(NativeFunctions.Md5PrefixName),
+      info(NativeFunctions.Md5PrefixName,
+        "first N hex digits of md5 as BIGINT — value-identical to " +
+          "conv(substring(md5(s), 1, N), 16, 10), allocation-free",
+        "_FUNC_(text, 15)"),
+      (exprs: Seq[Expression]) => NativeFunctions.buildMd5Prefix(exprs)))
   }
 
   private def info(name: String, usage: String, example: String): ExpressionInfo =

@@ -21,6 +21,7 @@ object OracleDedup {
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "dedup_bucket_audit" -> ((s, dir) => Dedup.bucketAudit(s, dir)),
+    "dedup_shingle_audit" -> ((s, dir) => Dedup.shingleAudit(s, dir)),
     "dedup_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(s, dir)),
     "dedup_minhash_recall" -> ((s, dir) => Dedup.minhashRecall(s, dir)),
     "dedup_embed_pairs" -> ((s, dir) => Dedup.embedCosinePairs(s, dir)),
@@ -98,25 +99,63 @@ object OracleDedup {
         |  count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY canonical_doc_id""".stripMargin,
 
+    // Shingle-df census: the ScaleKnobs.shingleDfCap audit row — distinct
+    // shingles, candidate buckets, max df, the derived cap, and the
+    // bucket/pair mass the cap excludes. Same 60-bit md5 identity as the
+    // pair pipelines, replayed exactly.
+    "dedup_shingle_audit" -> (toks + ", " + OraclePreludes.shingleCapCte +
+      """, pos AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |  FROM toks WHERE len(t) >= 3
+        |), shh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+        |                       1, 15))::BIGINT AS sh_h
+        |  FROM pos
+        |), dfs AS (
+        |  SELECT sh_h, count(*)::BIGINT AS df FROM shh GROUP BY 1
+        |)
+        |SELECT count(*)::BIGINT AS n_shingles,
+        |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_buckets,
+        |  max(df)::BIGINT AS max_df,
+        |  (SELECT cap FROM sdc) AS df_cap,
+        |  CAST(sum(CASE WHEN df > (SELECT cap FROM sdc) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_over_cap,
+        |  CAST(sum(CASE WHEN df > (SELECT cap FROM sdc)
+        |    THEN df * (df - 1) // 2 ELSE 0 END) AS BIGINT)
+        |    AS excluded_pair_mass,
+        |  CAST(sum(CASE WHEN df BETWEEN 2 AND (SELECT cap FROM sdc)
+        |    THEN df * (df - 1) // 2 ELSE 0 END) AS BIGINT)
+        |    AS kept_pair_mass
+        |FROM dfs""".stripMargin),
+
     "dedup_bow" -> (toks +
       """SELECT md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS bow_hash,
         |  min(doc_id) AS canonical_doc_id, count(*) AS n_copies
         |FROM toks GROUP BY 1 ORDER BY canonical_doc_id""".stripMargin),
 
-    "dedup_ngram_pairs" -> (shingles3 +
+    // The blocking key is the engine's 60-bit md5 shingle hash and the
+    // df cap is the derived 8*ceil(log2 n) rule — replayed exactly, so
+    // a hash collision or a cap change lands identically on both sides.
+    "dedup_ngram_pairs" -> (shingles3 + ", " + OraclePreludes.shingleCapCte +
       """, ex AS (
         |  SELECT doc_id, unnest(sh) AS shingle FROM sh
+        |), exh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS sh_h
+        |  FROM ex
         |), sizes AS (
-        |  SELECT doc_id, len(sh) AS n_sh FROM sh
+        |  SELECT doc_id, count(*)::BIGINT AS n_sh FROM exh GROUP BY 1
         |), rare AS (
-        |  SELECT doc_id, shingle FROM (
-        |    SELECT doc_id, shingle,
-        |      count(*) OVER (PARTITION BY shingle) AS df
-        |    FROM ex) WHERE df <= 100
+        |  SELECT doc_id, sh_h FROM (
+        |    SELECT doc_id, sh_h,
+        |      count(*) OVER (PARTITION BY sh_h) AS df
+        |    FROM exh) WHERE df <= (SELECT cap FROM sdc)
         |), pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_rare
         |  FROM rare a JOIN rare b
-        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2
         |)
         |SELECT doc_a, doc_b, shared_rare,
@@ -128,20 +167,24 @@ object OracleDedup {
         |ORDER BY doc_a, doc_b""".stripMargin),
 
     // Blocked-candidate Jaccard decile histogram (threshold 0).
-    "dedup_threshold_hist" -> (shingles3 +
+    "dedup_threshold_hist" -> (shingles3 + ", " + OraclePreludes.shingleCapCte +
       """, ex AS (
         |  SELECT doc_id, unnest(sh) AS shingle FROM sh
+        |), exh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS sh_h
+        |  FROM ex
         |), sizes AS (
-        |  SELECT doc_id, len(sh) AS n_sh FROM sh
+        |  SELECT doc_id, count(*)::BIGINT AS n_sh FROM exh GROUP BY 1
         |), rare AS (
-        |  SELECT doc_id, shingle FROM (
-        |    SELECT doc_id, shingle,
-        |      count(*) OVER (PARTITION BY shingle) AS df
-        |    FROM ex) WHERE df <= 100
+        |  SELECT doc_id, sh_h FROM (
+        |    SELECT doc_id, sh_h,
+        |      count(*) OVER (PARTITION BY sh_h) AS df
+        |    FROM exh) WHERE df <= (SELECT cap FROM sdc)
         |), pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_rare
         |  FROM rare a JOIN rare b
-        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2
         |), jp AS (
         |  SELECT shared_rare * 1000000
@@ -262,20 +305,24 @@ object OracleDedup {
     // LSH index QA: recall/precision of the banded MinHash candidates vs
     // exact blocked Jaccard >= 0.5 — both sides are the pipelines of
     // dedup_ngram_pairs / dedup_minhash_pairs above, CTEs renamed apart.
-    "dedup_minhash_recall" -> (shingles3 +
+    "dedup_minhash_recall" -> (shingles3 + ", " + OraclePreludes.shingleCapCte +
       """, gex AS (
         |  SELECT doc_id, unnest(sh) AS shingle FROM sh
+        |), gexh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS sh_h
+        |  FROM gex
         |), gsizes AS (
-        |  SELECT doc_id, len(sh) AS n_sh FROM sh
+        |  SELECT doc_id, count(*)::BIGINT AS n_sh FROM gexh GROUP BY 1
         |), grare AS (
-        |  SELECT doc_id, shingle FROM (
-        |    SELECT doc_id, shingle,
-        |      count(*) OVER (PARTITION BY shingle) AS df
-        |    FROM gex) WHERE df <= 100
+        |  SELECT doc_id, sh_h FROM (
+        |    SELECT doc_id, sh_h,
+        |      count(*) OVER (PARTITION BY sh_h) AS df
+        |    FROM gexh) WHERE df <= (SELECT cap FROM sdc)
         |), gpairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_rare
         |  FROM grare a JOIN grare b
-        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2
         |), truth AS (
         |  SELECT doc_a, doc_b FROM gpairs
@@ -388,20 +435,24 @@ object OracleDedup {
         |FROM batch b LEFT JOIN corpus c USING (content_hash)
         |ORDER BY doc_id""".stripMargin,
 
-    "dedup_containment" -> (shingles3 +
+    "dedup_containment" -> (shingles3 + ", " + OraclePreludes.shingleCapCte +
       """, ex AS (
         |  SELECT doc_id, unnest(sh) AS shingle FROM sh
+        |), exh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS sh_h
+        |  FROM ex
         |), sizes AS (
-        |  SELECT doc_id, len(sh) AS n_sh FROM sh
+        |  SELECT doc_id, count(*)::BIGINT AS n_sh FROM exh GROUP BY 1
         |), rare AS (
-        |  SELECT doc_id, shingle FROM (
-        |    SELECT doc_id, shingle,
-        |      count(*) OVER (PARTITION BY shingle) AS df
-        |    FROM ex) WHERE df <= 100
+        |  SELECT doc_id, sh_h FROM (
+        |    SELECT doc_id, sh_h,
+        |      count(*) OVER (PARTITION BY sh_h) AS df
+        |    FROM exh) WHERE df <= (SELECT cap FROM sdc)
         |), pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_rare
         |  FROM rare a JOIN rare b
-        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2
         |)
         |SELECT doc_a, doc_b, shared_rare, sa.n_sh AS n_a, sb.n_sh AS n_b,

@@ -46,11 +46,28 @@ private[graft] object OraclePreludes {
       |  FROM toks
       |)""".stripMargin
 
+  /** Derived shingle df cap 8 · ⌈log2 n_documents⌉ (r15,
+    * [[graft.engine.ext.ScaleKnobs.shingleDfCap]]): shingles above the
+    * cap are excluded from shared-shingle candidate blocking on both
+    * sides — boilerplate phrases carry no near-dup signal and their
+    * C(df, 2) expansions are the pipelines' only quadratic term.
+    * (Defined BEFORE spanChain: object vals initialize in declaration
+    * order and spanChain splices this in.)
+    */
+  private[graft] val shingleCapCte =
+    """sdc AS (
+      |  SELECT 8 * greatest(1,
+      |    (SELECT min(b) FROM range(0, 63) t(b)
+      |     WHERE (1::BIGINT << b) >= (SELECT count(*) FROM documents)))::BIGINT
+      |    AS cap
+      |)""".stripMargin
+  private[graft] val shingleCapSql = "(SELECT cap FROM sdc)"
+
   /** Positional-shingle shared-span chain (dedup_substring /
     * dedup_span_coverage): `spans` = maximal diagonal runs ≥ 10 tokens
     * with both start positions, BIGINT throughout.
     */
-  private[graft] val spanChain = toks +
+  private[graft] val spanChain = toks + ", " + shingleCapCte +
     """, pos AS (
       |  SELECT doc_id, t, unnest(range(0, len(t) - 2)) AS p
       |  FROM toks WHERE len(t) >= 3
@@ -64,7 +81,7 @@ private[graft] object OraclePreludes {
       |), prs AS (
       |  SELECT x.doc_id AS doc_a, x.p AS pa, y.doc_id AS doc_b, y.p AS pb
       |  FROM bkt x JOIN bkt y ON x.fp = y.fp AND x.doc_id < y.doc_id
-      |  WHERE x.df <= 100
+      |  WHERE x.df <= (SELECT cap FROM sdc)
       |), risl AS (
       |  SELECT doc_a, doc_b, pa - pb AS diag, pa,
       |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb

@@ -612,6 +612,72 @@ object NativeFunctions {
       copy(child = newChild)
   }
 
+  /** First `hexChars` hex digits of md5 as a BIGINT — VALUE-IDENTICAL to
+    * `conv(substring(md5(c), 1, hexChars), 16, 10)` (Md5PrefixSpec pins
+    * the equality), without that chain's allocations: the built-in form
+    * materializes a 32-char hex string, a substring copy and a conv
+    * parse PER ROW, and the resulting allocation churn — not the md5
+    * arithmetic — dominated the shingle pipelines at decade scale
+    * (r15 measured the cold sf10 candidate build at 74.5 s through the
+    * hex chain vs 31.6 s through an allocation-free hash; md5 itself
+    * prices at ~5 CPU-seconds for the whole corpus). One thread-local
+    * MessageDigest, one 16-byte digest array per row, top bits taken
+    * big-endian — the md5 VALUE is unchanged, so every DuckDB oracle
+    * replays `('0x' || substring(md5(s), 1, N))::BIGINT` exactly as
+    * before.
+    */
+  case class Md5PrefixLong(child: Expression, hexChars: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.StringType
+
+    require(hexChars >= 1 && hexChars <= 15,
+      s"$Md5PrefixName: hexChars must be 1..15 (a BIGINT holds < 16), got $hexChars")
+
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$Md5PrefixName expects a string, got ${other.sql}")
+      }
+
+    override def nullSafeEval(s: Any): Any =
+      NativeFunctions.md5PrefixRun(
+        s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], hexChars)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.engine.expr.NativeFunctions.md5PrefixRun($c, $hexChars);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** The per-row kernel of [[Md5PrefixLong]]: digest the UTF-8 bytes,
+    * read the first 8 digest bytes big-endian, keep the top 4·hexChars
+    * bits (unsigned shift — the first 15 hex digits are exactly the top
+    * 60 bits, so the value matches the hex-substring-conv chain
+    * bit-for-bit).
+    */
+  def md5PrefixRun(s: org.apache.spark.unsafe.types.UTF8String,
+                   hexChars: Int): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    val be =
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    be >>> (64 - 4 * hexChars)
+  }
+
   /** 2⁶¹ − 1, the Karp-Rabin modulus (Mersenne: `x mod M` reduces by
     * shift-and-add, and `a · b mod M` needs only a 64×64→128 multiply —
     * `Math.multiplyHigh` here, HUGEINT in the oracle's replay).
@@ -696,6 +762,21 @@ object NativeFunctions {
   val LangSignalName = "lang_signal_counts"
   val TextStatName = "text_stat_counts"
   val WinnowName = "winnow_karp_rabin"
+  val Md5PrefixName = "md5_prefix_long"
+
+  /** `md5_prefix_long(text, hexChars)` builder: the width must be a
+    * foldable integer literal. */
+  def buildMd5Prefix(exprs: Seq[Expression]): Expression = {
+    checkArity(Md5PrefixName, 2, exprs)
+    require(exprs(1).foldable, s"$Md5PrefixName: hexChars must be foldable")
+    val h = exprs(1).eval() match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long => l.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$Md5PrefixName: integral width expected, got $other")
+    }
+    Md5PrefixLong(exprs(0), h)
+  }
 
   /** `winnow_karp_rabin(text, w)` builder: the window width must be a
     * foldable integer literal (it sizes the rolling update).
@@ -811,6 +892,9 @@ object NativeFunctions {
     if (!spark.catalog.functionExists(WinnowName))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         WinnowName, buildWinnow, "built-in")
+    if (!spark.catalog.functionExists(Md5PrefixName))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        Md5PrefixName, buildMd5Prefix, "built-in")
     if (!spark.catalog.functionExists(SrpSignatureName))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         SrpSignatureName, exprs => {
@@ -862,6 +946,15 @@ object NativeFunctions {
   def winnowKarpRabin(text: Column, w: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function(WinnowName, text, lit(w))
+  }
+
+  /** Allocation-free md5 hex-prefix long (see [[Md5PrefixLong]]); caller
+    * must have ensureRegistered (every engine session does — the
+    * extension installs it, ensureRegistered is the embedded fallback).
+    */
+  def md5PrefixLong(text: Column, hexChars: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function(Md5PrefixName, text, lit(hexChars))
   }
 
   /** Optimizer-opaque identity (see [[OpaqueBarrier]]); caller must have

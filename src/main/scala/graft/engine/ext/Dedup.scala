@@ -75,19 +75,27 @@ object Dedup {
   /** 60-bit hash of a string via md5 (15 hex chars → BIGINT) — chosen over
     * xxhash64 because every engine has md5, making results portable, and
     * 60 bits keeps the value positive in signed 64-bit space.
+    *
+    * r15: computed by the native [[graft.engine.expr.NativeFunctions
+    * .Md5PrefixLong]] expression — the VALUE is unchanged (oracles still
+    * replay `('0x' || substring(md5(s), 1, 15))::BIGINT`), but the
+    * hex-string + substring + conv allocation chain is gone; the churn
+    * it generated, not the md5 arithmetic, dominated the shingle
+    * candidate builds at sf10 (74.5 → ~31 s cold, measured).
     */
   def md5Hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.engine.expr.NativeFunctions.md5PrefixLong(c, 15)
 
   /** 48-bit md5 hash — used where the value is multiplied by small
     * constants (MinHash permutations): 48 bits × the largest multiplier
     * stays far below 2^63, so the arithmetic is overflow-free and
     * identical in any engine's checked BIGINT math (Spark silently wraps
     * on overflow; other engines raise — staying under the limit keeps
-    * results portable).
+    * results portable). Same native md5-prefix expression as
+    * [[md5Hash60]], same values as the conv chain it replaced.
     */
   def md5Hash48(c: Column): Column =
-    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+    graft.engine.expr.NativeFunctions.md5PrefixLong(c, 12)
 
   /** The standard `documents` table: (doc_id, text, ...). All operators
     * below are DataFrame-first — any (doc_id: Long, text: String) input
@@ -169,12 +177,22 @@ object Dedup {
 
   /** Near-dup pairs by exact n-gram Jaccard with shared-shingle blocking.
     *
-    * (doc, shingle) is exploded once; candidate pairs are docs sharing at
-    * least one shingle whose document frequency is ≤ dfCap (high-frequency
-    * shingles generate quadratic bucket blowup and carry no signal — the
-    * cap is the scale knob, applied identically in any oracle). Exact
-    * Jaccard is then computed from the shared-count and per-doc distinct
-    * shingle counts; no second pass over the corpus.
+    * (doc, shingle-HASH) is exploded once; candidate pairs are docs
+    * sharing at least one shingle whose document frequency is ≤ dfCap
+    * (high-frequency shingles generate quadratic bucket blowup and carry
+    * no signal — [[ScaleKnobs.shingleDfCap]] is the derived default, the
+    * oracle replays the same rule and the same hash). Exact Jaccard is
+    * then computed from the shared-count and per-doc distinct shingle
+    * counts; no second pass over the corpus.
+    *
+    * The blocking key is [[md5Hash60]] of the shingle, projected BEFORE
+    * the first exchange (r15): every aggregation then hashes/compares
+    * one primitive LONG instead of a 15-30-byte (salted: longer) string
+    * — the distinct and bucket exchanges carry 16-byte rows, and the
+    * aggregates stay in fast primitive-key codegen. Hash collisions
+    * merge buckets for BOTH engines identically (the oracle hashes the
+    * same way), so results stay value-exact by construction, not by
+    * improbability.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String, n: Int,
                         dfCap: Int, minJaccardPpm: Long): DataFrame =
@@ -191,39 +209,91 @@ object Dedup {
       .filter(col("jaccard_ppm") >= 100000L)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** The blocked shingle-Jaccard pair pipeline with NO threshold
-    * (n=3, dfCap=100), materialized per session — the shared base of
-    * [[ngramJaccardPairs]] and [[thresholdHist]].
+  /** The blocked shingle-Jaccard pair pipeline with NO threshold (n=3,
+    * dfCap derived — [[ScaleKnobs.shingleDfCap]]), materialized per
+    * session — the shared base of [[ngramJaccardPairs]],
+    * [[thresholdHist]] and [[minhashRecall]]'s truth side. UNSORTED
+    * (r15): every consumer re-sorts or aggregates, so the stage itself
+    * skips the full range-partition sort of the pair output the old
+    * form paid at build time.
     */
   def ngramPairsT0(spark: SparkSession, dir: String): DataFrame =
     graft.engine.StageCache.materialized(spark, dir, "dedup.ngram_pairs_t0") {
-      ngramJaccardPairs(documents(spark, dir), 3, 100, 0L)
+      val nd = ScaleKnobs.documentCount(spark, dir)
+      sharedRareJaccard(shingleHashRows(documents(spark, dir), 3),
+        ScaleKnobs.shingleDfCap(nd), 0L)
     }
 
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
                         dfCap: Int = 100, minJaccardPpm: Long = 100000L): DataFrame =
-    ngramJaccardPairsFromShingles(shingleRows(docs, n), dfCap, minJaccardPpm)
+    sharedRareJaccard(shingleHashRows(docs, n), dfCap, minJaccardPpm)
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** [[ngramJaccardPairs]] over a pre-built (doc_id, shingle) table — lets
     * callers that need several shingle consumers (e.g. [[minhashRecall]])
-    * materialize the explode once.
+    * materialize the explode once. Hashes the strings it is given (and
+    * re-distincts on the hash — the [[sharedRareJaccard]] input
+    * contract), so the result is identical to the from-docs form.
     */
   def ngramJaccardPairsFromShingles(sh: DataFrame, dfCap: Int,
-                                    minJaccardPpm: Long): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+                                    minJaccardPpm: Long): DataFrame =
+    sharedRareJaccard(
+      sh.select(col("doc_id"), md5Hash60(col("shingle")).as("sh_h")),
+      dfCap, minJaccardPpm)
+      .orderBy(col("doc_a"), col("doc_b"))
 
-    // Blocking: group per shingle, drop shingles with document frequency
-    // > dfCap (quadratic bucket blowup, no signal), emit in-bucket pairs
-    // locally. One shuffle on shingle — no self-join re-shuffles. Pairs
-    // stream through the two-level explode (r14): [[localPairs]] is a
-    // nested transform/flatten — CodegenFallback HOFs evaluated
-    // INTERPRETED per bucket, C(df, 2) lambda dispatches each — while
-    // posexplode + slice generate the same pairs inside whole-stage
-    // codegen (the bandedHammingPairs lesson applied to the df-capped
-    // family; the cap already bounds memory, this removes the
-    // interpreter).
-    val pairs = sh
-      .groupBy(col("shingle"))
+  /** RAW (doc_id, 60-bit shingle hash) rows — [[shingleRows]] with the
+    * string dropped at the explode, NOT yet distinct: the consumers
+    * dedup behind ONE hash-partitioned exchange (see
+    * [[sharedRareJaccard]]), so materializing a distinct pass here would
+    * only add a second shuffle. The explode output is two longs per row.
+    */
+  private[ext] def shingleHashRows(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - n)).as("i"))
+      .select(col("doc_id"),
+        md5Hash60(concat_ws(" ",
+          (0 until n).map(j => element_at(col("toks"), col("i") + j + 1)): _*))
+          .as("sh_h"))
+
+  /** Distinct (doc_id, sh_h) rows. Deliberately the PLAIN two-exchange
+    * shape — distinct (both-column exchange, map-side partial dedup)
+    * then the bucket groupBy's sh_h exchange — NOT a single explicit
+    * `repartition(sh_h)`: the single-exchange variant ships every RAW
+    * explode row (~4× the corpus tokens) with no map-side combine,
+    * while the distinct's partial aggregate shrinks the raw explode
+    * ~4× BEFORE any bytes move; measured at sf10 the combined
+    * two-exchange build wins (min 50 s vs min 85 s cold) and stays
+    * stable across repetitions.
+    */
+  private def distinctByHash(shhRaw: DataFrame): DataFrame =
+    shhRaw.distinct()
+
+  /** The shared-rare core over raw (doc_id, sh_h) rows: df-capped
+    * shingle buckets → streamed in-bucket pair expansion → shared counts
+    * → Jaccard vs per-doc sizes. UNSORTED — callers order.
+    *
+    * Blocking: group per shingle hash, drop hashes with document
+    * frequency > dfCap, emit in-bucket pairs locally. One shuffle on the
+    * hash — no self-join re-shuffles, no separate distinct exchange
+    * ([[distinctByHash]]). Pairs stream through the two-level
+    * explode (r14): [[localPairs]] is a nested transform/flatten —
+    * CodegenFallback HOFs evaluated INTERPRETED per bucket, C(df, 2)
+    * lambda dispatches each — while posexplode + slice generate the same
+    * pairs inside whole-stage codegen (the bandedHammingPairs lesson
+    * applied to the df-capped family; the cap already bounds memory,
+    * this removes the interpreter). The per-doc size joins stay SHUFFLE
+    * joins on long keys: sizes is an n-row table, never broadcast.
+    */
+  private def sharedRareJaccard(shhRaw: DataFrame, dfCap: Int,
+                                minJaccardPpm: Long): DataFrame = {
+    val shh = distinctByHash(shhRaw)
+    val sizes = shh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+
+    val pairs = shh
+      .groupBy(col("sh_h"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, dfCap))
       .select(array_sort(col("ids")).as("ids"))
@@ -244,7 +314,6 @@ object Dedup {
           / (col("n_a") + col("n_b") - col("shared_rare"))).cast("long")
           .as("jaccard_ppm"))
       .filter(col("jaccard_ppm") >= minJaccardPpm)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** THRESHOLD-SENSITIVITY histogram for near-dup dedup: the blocked
@@ -322,16 +391,18 @@ object Dedup {
     * counts — never an all-pairs join.
     */
   def containmentPairs(spark: SparkSession, dir: String): DataFrame =
-    containmentPairs(documents(spark, dir))
+    containmentPairs(documents(spark, dir),
+      dfCap = ScaleKnobs.shingleDfCap(ScaleKnobs.documentCount(spark, dir)))
 
   def containmentPairs(docs: DataFrame, n: Int = 3,
                        dfCap: Int = 100, minContainPpm: Long = 400000L): DataFrame = {
-    val sh = shingleRows(docs, n)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // same hash-keyed blocking + streamed two-level pair explode as
+    // [[sharedRareJaccard]]; only the score (shared / min size) differs
+    val shh = distinctByHash(shingleHashRows(docs, n))
+    val sizes = shh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
 
-    // streamed two-level pair explode — see ngramJaccardPairsFromShingles
-    val pairs = sh
-      .groupBy(col("shingle"))
+    val pairs = shh
+      .groupBy(col("sh_h"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, dfCap))
       .select(array_sort(col("ids")).as("ids"))
@@ -394,7 +465,8 @@ object Dedup {
     */
   def spansT(spark: SparkSession, dir: String): DataFrame =
     graft.engine.StageCache.materialized(spark, dir, "dedup.spans") {
-      spansOf(documents(spark, dir), 3, 100, 10)
+      spansOf(documents(spark, dir), 3,
+        ScaleKnobs.shingleDfCap(ScaleKnobs.documentCount(spark, dir)), 10)
     }
 
   /** [[substringSpans]] without the presentation sort — the shared plan
@@ -868,6 +940,40 @@ object Dedup {
       .select(col("band"), col("n_buckets"), col("n_multi"),
         col("max_bucket"), col("n_over_cap"), lit(cap).as("bucket_cap"))
       .orderBy(col("band"))
+  }
+
+  /** Shingle document-frequency census — the audit row for
+    * [[ScaleKnobs.shingleDfCap]], mirroring [[bucketAudit]] for the
+    * Hamming band caps: how many distinct shingles exist, how many are
+    * candidate buckets (df ≥ 2), the largest df, the derived cap, and
+    * what the cap excludes — both as buckets and as C(df, 2) pair mass
+    * (the quadratic work a capped bucket would have cost). `n_over_cap
+    * > 0` says boilerplate phrases outgrew the near-dup pair path at
+    * this corpus size; their mass belongs to [[exact]] /
+    * [[substringSpans]]-style handling, not to pair expansion. One
+    * projection + two-level rollup; one output row.
+    */
+  def shingleAudit(spark: SparkSession, dir: String): DataFrame = {
+    val nd = ScaleKnobs.documentCount(spark, dir)
+    shingleAudit(documents(spark, dir), nDocs = nd)
+  }
+
+  def shingleAudit(docs: DataFrame, n: Int = 3, nDocs: Long = -1L): DataFrame = {
+    val nd = if (nDocs >= 0L) nDocs else docs.count()
+    val cap = ScaleKnobs.shingleDfCap(nd).toLong
+    distinctByHash(shingleHashRows(docs, n))
+      .groupBy(col("sh_h")).agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_buckets"),
+        max(col("df")).as("max_df"),
+        sum(when(col("df") > cap, 1L).otherwise(0L)).as("n_over_cap"),
+        sum(when(col("df") > cap, expr("df * (df - 1) div 2"))
+          .otherwise(0L)).as("excluded_pair_mass"),
+        sum(when(col("df").between(2L, cap), expr("df * (df - 1) div 2"))
+          .otherwise(0L)).as("kept_pair_mass"))
+      .select(col("n_shingles"), col("n_buckets"), col("max_df"),
+        lit(cap).as("df_cap"), col("n_over_cap"),
+        col("excluded_pair_mass"), col("kept_pair_mass"))
   }
 
   /** Integer-exact PageRank over the SimHash near-dup graph: rank
