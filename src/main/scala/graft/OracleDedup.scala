@@ -589,9 +589,12 @@ object OracleDedup {
 
     // Cross-source shingle-overlap matrix via per-shingle source
     // bitmasks — the pair expansion runs over the tiny mask census.
+    // Shingle identity is the engine's 60-bit md5 prefix (r15) —
+    // replayed exactly, like the pair pipelines.
     "dedup_source_overlap" -> (shingles3 +
       """, shx AS (
-        |  SELECT d.source, unnest(sh.sh) AS shingle
+        |  SELECT d.source,
+        |    ('0x' || substring(md5(unnest(sh.sh)), 1, 15))::BIGINT AS shingle
         |  FROM sh JOIN documents d USING (doc_id)
         |), si AS (
         |  SELECT source, row_number() OVER (ORDER BY source) - 1 AS idx

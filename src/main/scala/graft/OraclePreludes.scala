@@ -73,7 +73,8 @@ private[graft] object OraclePreludes {
       |  FROM toks WHERE len(t) >= 3
       |), psh AS (
       |  SELECT doc_id, p,
-      |    md5(t[p+1] || ' ' || t[p+2] || ' ' || t[p+3]) AS fp
+      |    ('0x' || substring(md5(t[p+1] || ' ' || t[p+2] || ' ' || t[p+3]),
+      |             1, 15))::BIGINT AS fp
       |  FROM pos
       |), bkt AS (
       |  SELECT doc_id, p, fp, count(*) OVER (PARTITION BY fp) AS df

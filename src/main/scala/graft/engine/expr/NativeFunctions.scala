@@ -626,13 +626,16 @@ object NativeFunctions {
     * replays `('0x' || substring(md5(s), 1, N))::BIGINT` exactly as
     * before.
     */
-  case class Md5PrefixLong(child: Expression, hexChars: Int)
+  case class Md5PrefixLong(child: Expression, hexChars: Int,
+                           startHex: Int = 1)
       extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
     import org.apache.spark.sql.types.StringType
 
     require(hexChars >= 1 && hexChars <= 15,
       s"$Md5PrefixName: hexChars must be 1..15 (a BIGINT holds < 16), got $hexChars")
+    require(startHex >= 1 && startHex - 1 + hexChars <= 32,
+      s"$Md5PrefixName: slice [$startHex, +$hexChars) exceeds the 32 md5 hex digits")
 
     override def dataType: DataType = LongType
     override def checkInputDataTypes(): TypeCheckResult =
@@ -644,11 +647,13 @@ object NativeFunctions {
 
     override def nullSafeEval(s: Any): Any =
       NativeFunctions.md5PrefixRun(
-        s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], hexChars)
+        s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        hexChars, startHex)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.engine.expr.NativeFunctions.md5PrefixRun($c, $hexChars);")
+        s"${ev.value} = graft.engine.expr.NativeFunctions.md5PrefixRun(" +
+          s"$c, $hexChars, $startHex);")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -660,22 +665,30 @@ object NativeFunctions {
   }
 
   /** The per-row kernel of [[Md5PrefixLong]]: digest the UTF-8 bytes,
-    * read the first 8 digest bytes big-endian, keep the top 4·hexChars
-    * bits (unsigned shift — the first 15 hex digits are exactly the top
-    * 60 bits, so the value matches the hex-substring-conv chain
-    * bit-for-bit).
+    * read the 128-bit digest as two big-endian longs, and take the
+    * 4·hexChars bits starting at hex digit `startHex` (1-based) — the
+    * value of `substring(md5hex, startHex, hexChars)` parsed base-16,
+    * bit-for-bit (the simhash halves read slices at 1 and 16).
     */
   def md5PrefixRun(s: org.apache.spark.unsafe.types.UTF8String,
-                   hexChars: Int): Long = {
+                   hexChars: Int, startHex: Int): Long = {
     val md = md5Digest.get()
     md.reset()
     val d = md.digest(s.getBytes)
-    val be =
-      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
-      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
-      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
-    be >>> (64 - 4 * hexChars)
+    def be(o: Int): Long =
+      ((d(o) & 0xffL) << 56) | ((d(o + 1) & 0xffL) << 48) |
+      ((d(o + 2) & 0xffL) << 40) | ((d(o + 3) & 0xffL) << 32) |
+      ((d(o + 4) & 0xffL) << 24) | ((d(o + 5) & 0xffL) << 16) |
+      ((d(o + 6) & 0xffL) << 8) | (d(o + 7) & 0xffL)
+    val off = 4 * (startHex - 1) // bit offset from the digest MSB
+    val hi = be(0)
+    // 128-bit left shift by `off`, keep the top 64: Java shifts are mod
+    // 64, so the off == 0 and off == 64 boundaries branch explicitly
+    val shifted =
+      if (off == 0) hi
+      else if (off < 64) (hi << off) | (be(8) >>> (64 - off))
+      else be(8) << (off - 64)
+    shifted >>> (64 - 4 * hexChars)
   }
 
   /** 2⁶¹ − 1, the Karp-Rabin modulus (Mersenne: `x mod M` reduces by
@@ -764,18 +777,23 @@ object NativeFunctions {
   val WinnowName = "winnow_karp_rabin"
   val Md5PrefixName = "md5_prefix_long"
 
-  /** `md5_prefix_long(text, hexChars)` builder: the width must be a
-    * foldable integer literal. */
+  /** `md5_prefix_long(text, hexChars[, startHex])` builder: width and
+    * optional 1-based start must be foldable integer literals. */
   def buildMd5Prefix(exprs: Seq[Expression]): Expression = {
-    checkArity(Md5PrefixName, 2, exprs)
-    require(exprs(1).foldable, s"$Md5PrefixName: hexChars must be foldable")
-    val h = exprs(1).eval() match {
-      case i: java.lang.Integer => i.intValue()
-      case l: java.lang.Long => l.intValue()
-      case other => throw new IllegalArgumentException(
-        s"$Md5PrefixName: integral width expected, got $other")
+    if (exprs.length != 2 && exprs.length != 3)
+      checkArity(Md5PrefixName, 2, exprs)
+    def intOf(e: Expression, what: String): Int = {
+      require(e.foldable, s"$Md5PrefixName: $what must be foldable")
+      e.eval() match {
+        case i: java.lang.Integer => i.intValue()
+        case l: java.lang.Long => l.intValue()
+        case other => throw new IllegalArgumentException(
+          s"$Md5PrefixName: integral $what expected, got $other")
+      }
     }
-    Md5PrefixLong(exprs(0), h)
+    val h = intOf(exprs(1), "width")
+    val s = if (exprs.length == 3) intOf(exprs(2), "start") else 1
+    Md5PrefixLong(exprs(0), h, s)
   }
 
   /** `winnow_karp_rabin(text, w)` builder: the window width must be a
@@ -955,6 +973,13 @@ object NativeFunctions {
   def md5PrefixLong(text: Column, hexChars: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function(Md5PrefixName, text, lit(hexChars))
+  }
+
+  /** Hex-slice variant: `substring(md5(s), startHex, hexChars)` base-16
+    * — the simhash second half reads digits 16..30. */
+  def md5SliceLong(text: Column, startHex: Int, hexChars: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function(Md5PrefixName, text, lit(hexChars), lit(startHex))
   }
 
   /** Optimizer-opaque identity (see [[OpaqueBarrier]]); caller must have
