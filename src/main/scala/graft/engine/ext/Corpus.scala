@@ -761,7 +761,9 @@ object Corpus {
         TextAnalysis.wsTokens(lower(col("text"))).as("t"))
       .select(col("doc_id"), col("keep"), explode(col("t")).as("tok"))
       .select(col("doc_id"), col("keep"),
-        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+        // native md5-prefix (r15): same value as the conv chain, no
+        // per-token hex-string/conv allocations on this corpus-wide scan
+        (graft.engine.expr.NativeFunctions.md5PrefixLong(col("tok"), 8)
           % nBuckets).as("bucket"))
     // Doc-grain bucket census, computed ONCE and persisted: both the
     // global weight table and the per-doc scores are diamonds over this

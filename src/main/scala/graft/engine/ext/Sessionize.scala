@@ -139,8 +139,9 @@ object Sessionize {
       .select(col("user_id")).distinct()
       .join(purchasers, Seq("user_id"), "left_anti")
     def positions = array((0 until k).map(i =>
-      expr(s"cast(conv(substring(md5(concat('$i', ':', user_id)), 1, 15)," +
-        s" 16, 10) AS bigint) % $mBits")): _*)
+      // native md5-prefix (r15): same value as the conv chain it replaced
+      graft.engine.expr.NativeFunctions.md5PrefixLong(
+        concat(lit(s"$i:"), col("user_id").cast("string")), 15) % mBits): _*)
     val slots = purchasers
       .select(explode(positions).as("pos"))
       .select(expr("pos div 64").as("slot"),
@@ -598,8 +599,9 @@ object Sessionize {
 
   def cmsHitters(ev: DataFrame, d: Int = 4, w: Int = 64): DataFrame = {
     def bucket(i: Column, key: Column): Column =
-      conv(substring(md5(concat(i.cast("string"), lit(":"),
-        key.cast("string"))), 1, 8), 16, 10).cast("long") % w
+      // native md5-prefix (r15): same value as the conv chain it replaced
+      graft.engine.expr.NativeFunctions.md5PrefixLong(
+        concat(i.cast("string"), lit(":"), key.cast("string")), 8) % w
     val sketch = ev
       .select(col("user_id"), explode(sequence(lit(0), lit(d - 1))).as("i"))
       .select(col("i"), bucket(col("i"), col("user_id")).as("b"))
