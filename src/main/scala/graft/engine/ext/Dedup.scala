@@ -207,6 +207,8 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     ngramPairsT0(spark, dir)
       .filter(col("jaccard_ppm") >= 100000L)
+      .select(col("doc_a"), col("doc_b"), col("shared_rare"),
+        col("jaccard_ppm"))
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** The blocked shingle-Jaccard pair pipeline with NO threshold (n=3,
@@ -227,6 +229,8 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
                         dfCap: Int = 100, minJaccardPpm: Long = 100000L): DataFrame =
     sharedRareJaccard(shingleHashRows(docs, n), dfCap, minJaccardPpm)
+      .select(col("doc_a"), col("doc_b"), col("shared_rare"),
+        col("jaccard_ppm"))
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** [[ngramJaccardPairs]] over a pre-built (doc_id, shingle) table — lets
@@ -240,6 +244,8 @@ object Dedup {
     sharedRareJaccard(
       sh.select(col("doc_id"), md5Hash60(col("shingle")).as("sh_h")),
       dfCap, minJaccardPpm)
+      .select(col("doc_a"), col("doc_b"), col("shared_rare"),
+        col("jaccard_ppm"))
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** RAW (doc_id, 60-bit shingle hash) rows — [[shingleRows]] with the
@@ -304,12 +310,18 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_rare"))
 
+    // n_a/n_b stay in the output (r15): the T0 stage row is the full
+    // blocked-candidate fact table — Jaccard AND containment are just
+    // formulas over (shared_rare, n_a, n_b), so dedup_containment reads
+    // this stage instead of rebuilding the whole candidate pipeline
+    // (its sf10 build was a second 37 s pass over the same explode).
     pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("n_sh", "n_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("shared_rare"),
+        col("n_a"), col("n_b"),
         (col("shared_rare") * lit(1000000L)
           / (col("n_a") + col("n_b") - col("shared_rare"))).cast("long")
           .as("jaccard_ppm"))
@@ -390,9 +402,23 @@ object Dedup {
     * expansion, then two broadcast-size joins against per-doc shingle
     * counts — never an all-pairs join.
     */
+  /** Registry form rides the threshold-0 stage (r15): the T0 fact table
+    * already carries (shared_rare, n_a, n_b) under the identical
+    * blocking (same derived cap, same hash), so containment is one
+    * formula + threshold over the materialization — dedup_ngram_pairs
+    * and dedup_containment now share ONE candidate build (the second
+    * full pipeline was 37 s at sf10). The T0 threshold is 0, so no
+    * containment-qualifying pair is lost: containment ≥ 0.4 implies
+    * jaccard > 0.
+    */
   def containmentPairs(spark: SparkSession, dir: String): DataFrame =
-    containmentPairs(documents(spark, dir),
-      dfCap = ScaleKnobs.shingleDfCap(ScaleKnobs.documentCount(spark, dir)))
+    ngramPairsT0(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("shared_rare"),
+        col("n_a"), col("n_b"),
+        (col("shared_rare") * lit(1000000L) / least(col("n_a"), col("n_b")))
+          .cast("long").as("containment_ppm"))
+      .filter(col("containment_ppm") >= 400000L)
+      .orderBy(col("doc_a"), col("doc_b"))
 
   def containmentPairs(docs: DataFrame, n: Int = 3,
                        dfCap: Int = 100, minContainPpm: Long = 400000L): DataFrame = {
