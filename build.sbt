@@ -32,4 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Ad-hoc JVM flags for measurement diagnosis (GC logs, collector
+  // A/Bs: e.g. SPARK_GRAFT_JVM_OPTS="-Xlog:gc*:file=/tmp/gc.log").
+  // Empty by default so bench protocol runs are unaffected.
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq
+    .flatMap(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))

@@ -1,5 +1,54 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Host-state instrumentation shared by [[Bench]] and [[BenchOne]]:
+  * the fixed-cost canary workload (BASELINE.md §"Host canary") and the
+  * run-identity git sha, factored so a BenchOne artifact carries the
+  * same self-describing fields as a full-suite jsonl — steady-state
+  * claims then cite committed artifacts with host state attached
+  * (r15 verdict ask #1a), not prose.
+  */
+object BenchHost {
+  val canaryPath = "/root/testdata/sf0.01/lineitem.parquet"
+  def canaryAvailable: Boolean = new java.io.File(canaryPath).exists()
+
+  def canaryDf(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{xxhash64, lit, expr}
+    val base = spark.read.parquet(canaryPath)
+    val h0 = xxhash64(base.columns.map(base.col): _*)
+    val h = (1 to 16).foldLeft(h0)((e, i) => xxhash64(e, lit(i)))
+    // bit_xor, not sum: summing 64-bit hashes overflows under ANSI mode.
+    Seq.fill(16)(base.select(h.as("h"))).reduce(_ union _).agg(expr("bit_xor(h)"))
+  }
+
+  def canarySample(spark: SparkSession,
+                   consume: org.apache.spark.sql.DataFrame => Unit): Option[Double] =
+    if (!canaryAvailable) None
+    else {
+      val t0 = System.nanoTime()
+      consume(canaryDf(spark))
+      Some((System.nanoTime() - t0) / 1e9)
+    }
+
+  /** `git rev-parse HEAD` (see Bench's run_meta comment for why the
+    * subprocess, not hand-parsed .git files). */
+  def gitSha: String =
+    try {
+      val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out
+      else "unknown"
+    } catch { case _: Throwable => "unknown" }
+
+  /** -Xmx actually in effect, as a self-description field. */
+  def heapDesc: String = {
+    val mb = Runtime.getRuntime.maxMemory() / (1024L * 1024L)
+    s"${mb}m"
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,27 +99,15 @@ object Bench {
     // retry-min: the canary's JOB is to capture host state, and retries
     // would launder exactly the stalls it exists to expose. Two samples
     // (pre/post) also bound drift across the run.
-    val canaryPath = "/root/testdata/sf0.01/lineitem.parquet"
-    // Guarded like warmDir (r12 ADVICE): on a machine without the sf0.01
-    // fixture the canary is SKIPPED — samples return None and every
-    // canary field is absent from the output — instead of crashing the
-    // whole bench before any query runs.
-    val canaryAvailable = new java.io.File(canaryPath).exists()
-    def canaryDf(): org.apache.spark.sql.DataFrame = {
-      import org.apache.spark.sql.functions.{xxhash64, lit, expr}
-      val base = spark.read.parquet(canaryPath)
-      val h0 = xxhash64(base.columns.map(base.col): _*)
-      val h = (1 to 16).foldLeft(h0)((e, i) => xxhash64(e, lit(i)))
-      // bit_xor, not sum: summing 64-bit hashes overflows under ANSI mode.
-      Seq.fill(16)(base.select(h.as("h"))).reduce(_ union _).agg(expr("bit_xor(h)"))
-    }
-    def canarySample(): Option[Double] =
-      if (!canaryAvailable) None
-      else {
-        val t0 = System.nanoTime()
-        consume(canaryDf())
-        Some((System.nanoTime() - t0) / 1e9)
-      }
+    // Canary workload + guard live in [[BenchHost]] (shared with
+    // BenchOne since r16). Guarded like warmDir (r12 ADVICE): on a
+    // machine without the sf0.01 fixture the canary is SKIPPED —
+    // samples return None and every canary field is absent from the
+    // output — instead of crashing the whole bench before any query
+    // runs.
+    val canaryAvailable = BenchHost.canaryAvailable
+    def canaryDf(): org.apache.spark.sql.DataFrame = BenchHost.canaryDf(spark)
+    def canarySample(): Option[Double] = BenchHost.canarySample(spark, consume)
     // Run-identity stamp (r12 verdict ask #6): sf, git commit, and the
     // query list in scope — printed FIRST so any committed jsonl is
     // self-describing and a post-fix subset re-run mechanically
@@ -80,15 +117,7 @@ object Bench {
     // worktrees (.git is a file), or when run from another cwd (r13
     // ADVICE). The subprocess handles every ref layout; same
     // catch-to-unknown guard.
-    val gitSha =
-      try {
-        val p = new ProcessBuilder("git", "rev-parse", "HEAD")
-          .redirectErrorStream(true).start()
-        val out = new String(p.getInputStream.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out
-        else "unknown"
-      } catch { case _: Throwable => "unknown" }
+    val gitSha = BenchHost.gitSha
     val scopeNames = SparkEntry.queries.keysIterator
       .filter(n => subset.isEmpty || subset(n)).toSeq.sorted
     val scopeJson = scopeNames.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -52,6 +52,20 @@ object BenchOne {
       try consume(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
     try SparkEntry.prepare(spark, sfDir) catch { case _: Throwable => () }
+    // Host canary pre/post (same fixed workload as Bench) + run identity
+    // on the output line (r15 verdict ask #1a): a BenchOne line is a
+    // COMMITTABLE artifact — sha, heap, host state, every sample, and
+    // the median attached — so a steady-state claim cites the line, not
+    // prose. Median, not min, is the headline: the sf10 48g stage
+    // builds are bimodal (observed 4× min..max spread on identical
+    // code), and a min over a bimodal distribution reports the lucky
+    // mode, not steady state.
+    // canary plan warmed twice (same as Bench) so both samples measure
+    // execution, not codegen/JIT
+    if (BenchHost.canaryAvailable)
+      try { consume(BenchHost.canaryDf(spark)); consume(BenchHost.canaryDf(spark)) }
+      catch { case _: Throwable => () }
+    val canaryPre = BenchHost.canarySample(spark, consume)
     val samples = (1 to reps).map { _ =>
       if (isStage) graft.engine.StageCache.clear(spark)
       val t0 = System.nanoTime()
@@ -59,7 +73,24 @@ object BenchOne {
       else consume(fn(spark, sfDir))
       (System.nanoTime() - t0) / 1e9
     }
-    println(s"""{"query":"$name","sf":"$sfDir","samples":[${samples.mkString(",")}]}""")
+    val canaryPost = BenchHost.canarySample(spark, consume)
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val sorted = samples.sorted
+    val median =
+      if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+      else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+    val canaries = (canaryPre, canaryPost) match {
+      case (Some(pre), Some(post)) =>
+        s""","canary_pre":${ms(pre)},"canary_post":${ms(post)}"""
+      case _ => ""
+    }
+    println(s"""{"metric":"bench_one","query":"$name","sf":"$sfDir",""" +
+      s""""git_sha":"${BenchHost.gitSha}","heap":"${BenchHost.heapDesc}",""" +
+      s""""cpus":$cpus,"mode":"${if (isStage) "cold_stage" else "steady"}",""" +
+      s""""samples":[${samples.map(ms).mkString(",")}],""" +
+      s""""min":${ms(sorted.head)},"median":${ms(median)},""" +
+      s""""max":${ms(sorted.last)},""" +
+      s""""mean":${ms(samples.sum / samples.size)}$canaries}""")
     spark.stop()
   }
 }

@@ -781,7 +781,16 @@ object NativeFunctions {
     * optional 1-based start must be foldable integer literals. */
   def buildMd5Prefix(exprs: Seq[Expression]): Expression = {
     if (exprs.length != 2 && exprs.length != 3)
-      checkArity(Md5PrefixName, 2, exprs)
+      // not checkArity: that helper states ONE expected count, and this
+      // function legitimately takes 2 or 3 arguments (r15 ADVICE — a
+      // 4-arg caller was told "takes exactly 2" when 3 is also valid)
+      throw new org.apache.spark.sql.AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map(
+          "functionName" -> s"`$Md5PrefixName`",
+          "expectedNum" -> "[2, 3]",
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
     def intOf(e: Expression, what: String): Int = {
       require(e.foldable, s"$Md5PrefixName: $what must be foldable")
       e.eval() match {

@@ -691,4 +691,35 @@ class DedupSpec extends SparkTestBase {
       (12L, "dup_in_batch", 11L),
       (13L, "new", 13L)))
   }
+
+  test("shingleAudit harvest (observe on the T0 build) equals the " +
+    "standalone census — pins that the df-cap filter is NOT pushed " +
+    "below CollectMetrics") {
+    val dir = java.nio.file.Files.createTempDirectory("sa").toString
+    // corpus with singleton shingles (df=1), shared shingles (df=2) and
+    // a >2 family, so every census bucket class is populated — if
+    // Catalyst pushed the [2, cap] filter below the observe point, the
+    // harvested n_shingles/max_df would miss the singletons and diverge
+    // from the standalone pipeline
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "a", 43L),
+      (2L, "the quick brown fox jumps over a sleeping cat", "en", "a", 46L),
+      (3L, "the quick brown fox jumps over the lazy dog", "en", "b", 43L),
+      (4L, "entirely different words about spacecraft engines", "en", "b", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.engine.StageCache.clear(spark)
+    val harvested = Dedup.shingleAudit(spark, dir).collect()
+    val standalone =
+      Dedup.shingleAudit(spark.read.parquet(s"$dir/documents.parquet"))
+        .collect()
+    assert(harvested.length === 1 && standalone.length === 1)
+    assert(harvested.head === standalone.head)
+    // and the harvest actually saw singletons: docs 1/3 are exact dups,
+    // doc 4 contributes singleton shingles only
+    assert(harvested.head.getAs[Long]("max_df") >= 2L)
+    assert(harvested.head.getAs[Long]("n_shingles") >
+      harvested.head.getAs[Long]("n_buckets"))
+    graft.engine.StageCache.clear(spark)
+  }
 }
