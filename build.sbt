@@ -32,6 +32,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Fixed-size, pre-touched heap (r16 — the 48g bimodality diagnosis):
+  // with Xms defaulting far below Xmx, G1 oscillates committed heap
+  // (grow -> concurrent-cycle uncommit -> regrow) and every regrow
+  // re-faults + re-zeroes gigabytes in the kernel — measured 80-98%
+  // SYSTEM cpu and 10^5..10^6 page faults/s during sf10 runs, first
+  // samples 134-300 s vs 8-20 s once the heap stabilized, with ~4 s of
+  // actual GC pauses (GC was NOT the cause). Xms=Xmx stops uncommit;
+  // AlwaysPreTouch moves the one-time page zeroing to JVM startup,
+  // outside every timed sample. This matches production Spark, which
+  // launches executors with Xms=Xmx by design.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 ) ++
   // Ad-hoc JVM flags for measurement diagnosis (GC logs, collector
   // A/Bs: e.g. SPARK_GRAFT_JVM_OPTS="-Xlog:gc*:file=/tmp/gc.log").

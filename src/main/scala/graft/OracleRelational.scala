@@ -42,6 +42,7 @@ object OracleRelational {
     "ext_yoy_revenue" -> ((s, dir) => Relational.yoyRevenue(s, dir)),
     "ext_integrity_audit" -> ((s, dir) => Relational.integrityAudit(s, dir)),
     "ext_basket_pairs" -> ((s, dir) => Relational.basketPairs(s, dir)),
+    "ext_basket_audit" -> ((s, dir) => Relational.basketAudit(s, dir)),
     "ext_fulfillment_lag" -> ((s, dir) => Relational.fulfillmentLag(s, dir)),
     "ext_weekday_revenue" -> ((s, dir) => Relational.weekdayRevenue(s, dir)),
     "ext_key_skew" -> ((s, dir) => Relational.keySkew(s, dir)),
@@ -118,16 +119,57 @@ object OracleRelational {
         |) ORDER BY op""".stripMargin,
 
     // Co-purchased part pairs, top-20 by distinct containing orders.
+    // Baskets above the derived cap (8 * bit-length of order count,
+    // floor 8; ScaleKnobs.basketCap) are excluded from pair expansion —
+    // the same rule the engine derives, replayed from DuckDB's own
+    // count(*). TPC-H baskets hold <= 7 distinct parts, so the filter
+    // excludes nothing at any testdata scale.
     "ext_basket_pairs" ->
-      """WITH p AS (
+      """WITH cap AS (
+        |  SELECT CASE WHEN c <= 1 THEN 8
+        |    ELSE 8 * greatest(1, length(bin(c - 1))) END AS bc
+        |  FROM (SELECT count(*)::BIGINT AS c FROM orders)
+        |), sz AS (
+        |  SELECT l_orderkey AS ok, count(DISTINCT l_partkey) AS sz
+        |  FROM lineitem GROUP BY 1
+        |), p AS (
         |  SELECT a.l_orderkey AS ok, a.l_partkey AS part_a,
         |    b.l_partkey AS part_b
         |  FROM lineitem a JOIN lineitem b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  JOIN sz ON a.l_orderkey = sz.ok
+        |  WHERE sz.sz <= (SELECT bc FROM cap)
         |)
         |SELECT part_a, part_b, count(DISTINCT ok)::BIGINT AS n_orders
         |FROM p GROUP BY 1, 2
         |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
+
+    // Basket-size census: what the derived cap excludes (zero at TPC-H
+    // geometry — the audit exists to prove it, and to show the excluded
+    // C(sz, 2) mass the first time a mega-basket appears at scale).
+    "ext_basket_audit" ->
+      """WITH cap AS (
+        |  SELECT CASE WHEN c <= 1 THEN 8
+        |    ELSE 8 * greatest(1, length(bin(c - 1))) END AS bc
+        |  FROM (SELECT count(*)::BIGINT AS c FROM orders)
+        |), sz AS (
+        |  SELECT l_orderkey AS ok, count(DISTINCT l_partkey)::BIGINT AS sz
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT count(*)::BIGINT AS n_baskets,
+        |  CAST(sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pair_baskets,
+        |  max(sz)::BIGINT AS max_basket,
+        |  (SELECT bc FROM cap)::BIGINT AS basket_cap,
+        |  CAST(sum(CASE WHEN sz > (SELECT bc FROM cap) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_over_cap,
+        |  CAST(sum(CASE WHEN sz > (SELECT bc FROM cap)
+        |    THEN sz * (sz - 1) // 2 ELSE 0 END) AS BIGINT)
+        |    AS excluded_pair_mass,
+        |  CAST(sum(CASE WHEN sz BETWEEN 2 AND (SELECT bc FROM cap)
+        |    THEN sz * (sz - 1) // 2 ELSE 0 END) AS BIGINT)
+        |    AS kept_pair_mass
+        |FROM sz""".stripMargin,
 
     // One row per declared constraint; healthy tables report zeros.
     "ext_integrity_audit" ->

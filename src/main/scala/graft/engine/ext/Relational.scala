@@ -1058,23 +1058,74 @@ object Relational {
   }
 
   /** MARKET-BASKET pairs — parts co-purchased in the same order, top-20
-    * by the number of distinct orders containing both. The pair
-    * expansion is a self equi-join on l_orderkey (shuffle once, expand
-    * locally): with TPC-H's ~4 lines/order the blow-up is ≤ C(7,2) per
-    * order regardless of total volume — the bounded-blocking shape every
-    * dedup pair generator here uses. Top-k is orderBy+limit
-    * (TakeOrderedAndProject: per-partition heaps, no global sort).
+    * by the number of orders containing both.
+    *
+    * ONE exchange of (orderkey, partkey), not the classic self equi-join
+    * (r15 verdict ask #5 — that shape shuffled lineitem TWICE, ran a
+    * sort-merge join, and then paid a countDistinct expand to dedup the
+    * multi-line-same-part case; measured 8.6×/decade at sf10): baskets
+    * are built by one groupBy(l_orderkey) collect_list, parts
+    * de-duplicated and sorted IN the basket array, and pairs stream out
+    * of the same posexplode+slice two-level explode every df-capped
+    * dedup pair generator here uses — each order then emits each
+    * unordered pair at most once, so a plain count(*) equals the old
+    * countDistinct(orderkey) by construction.
+    *
+    * Baskets larger than the derived [[ScaleKnobs.basketCap]] are
+    * excluded from pair expansion — the pair blow-up is C(size, 2) and a
+    * power-law mega-basket (a boilerplate order at crawl scale) would
+    * otherwise emit millions of rows carrying one bit of signal;
+    * [[basketAudit]] is the census of what the cap excludes (nothing, at
+    * TPC-H's ≤ 7 lines per order — every committed artifact replays
+    * bit-for-bit, and the oracle replays the same derived rule). Top-k
+    * is orderBy+limit (TakeOrderedAndProject: per-partition heaps, no
+    * global sort).
     */
   def basketPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val cap = ScaleKnobs.basketCap(
+      ScaleKnobs.tableCount(spark, dir, "orders"))
+    spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey"))
-    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("part_a"))
-    val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("part_b"))
-    a.join(b, col("ok") === col("ok2") && col("part_a") < col("part_b"))
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(array_distinct(collect_list(col("l_partkey"))))
+        .as("parts"))
+      .filter(size(col("parts")).between(2, cap))
+      .select(col("parts"), posexplode(col("parts")).as(Seq("i", "part_a")))
+      .select(col("part_a"),
+        explode(slice(col("parts"), col("i") + lit(2),
+          greatest(size(col("parts")) - col("i") - 1, lit(0)))).as("part_b"))
       .groupBy(col("part_a"), col("part_b"))
-      .agg(countDistinct(col("ok")).as("n_orders"))
+      .agg(count(lit(1)).as("n_orders"))
       .orderBy(desc("n_orders"), col("part_a"), col("part_b"))
       .limit(k)
+  }
+
+  /** Basket-size census — the audit row for [[ScaleKnobs.basketCap]],
+    * mirroring [[graft.engine.ext.Dedup.shingleAudit]]: how many baskets
+    * exist, how many generate pairs (≥ 2 distinct parts), the largest
+    * basket, the derived cap, and what the cap excludes — both as basket
+    * count and as C(size, 2) pair mass. `n_over_cap > 0` says mega-baskets
+    * outgrew the co-purchase pair path at this scale and their mass is
+    * being dropped rather than expanded. One groupBy + one-row rollup.
+    */
+  def basketAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cap = ScaleKnobs.basketCap(
+      ScaleKnobs.tableCount(spark, dir, "orders")).toLong
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_partkey")).as("sz"))
+      .agg(count(lit(1)).as("n_baskets"),
+        sum(when(col("sz") >= 2, 1L).otherwise(0L)).as("n_pair_baskets"),
+        max(col("sz")).as("max_basket"),
+        sum(when(col("sz") > cap, 1L).otherwise(0L)).as("n_over_cap"),
+        sum(when(col("sz") > cap, expr("sz * (sz - 1) div 2"))
+          .otherwise(0L)).as("excluded_pair_mass"),
+        sum(when(col("sz").between(2L, cap), expr("sz * (sz - 1) div 2"))
+          .otherwise(0L)).as("kept_pair_mass"))
+      .select(col("n_baskets"), col("n_pair_baskets"), col("max_basket"),
+        lit(cap).as("basket_cap"), col("n_over_cap"),
+        col("excluded_pair_mass"), col("kept_pair_mass"))
   }
 
   /** Data-quality CONSTRAINT census (the Deequ shape): one row per

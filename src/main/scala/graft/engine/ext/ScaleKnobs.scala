@@ -191,6 +191,24 @@ object ScaleKnobs {
   def shingleDfCap(n: Long): Int =
     8 * math.max(1, ceilLog2(n))
 
+  /** Market-basket size cap (r15 verdict ask #5 — the last
+    * quadratic-shaped pair expansion without a derived bound): baskets
+    * (orders) whose DISTINCT-part count exceeds the cap are excluded
+    * from co-purchase pair generation ([[Relational.basketPairs]]) —
+    * the same log-allowance shape as [[shingleDfCap]] with the same
+    * tightest multiplier, because basket pair work is C(size, 2)
+    * exactly like a shingle bucket's. n is the ORDER count (the basket
+    * population). TPC-H baskets hold ≤ 7 lines, so the cap
+    * (8 · ⌈log2 n⌉, floor 8) excludes nothing at any committed artifact
+    * scale and every artifact replays bit-for-bit under either form;
+    * real retail/crawl baskets have power-law sizes and the cap is what
+    * keeps the expansion linear — [[Relational.basketAudit]] is the
+    * census that shows the excluded mass. SQL replay:
+    * `8 * greatest(1, L)` with L the min-b bit length.
+    */
+  def basketCap(n: Long): Int =
+    8 * math.max(1, ceilLog2(n))
+
   /** k-means TRAINING-SAMPLE modulus (r14 verdict ask #4): the Lloyd
     * recompute iterations see only vectors with `vec_id % tm = 0`,
     * tm = max(1, n div (64 · nCells)), and the FINAL assignment covers
@@ -253,6 +271,11 @@ object ScaleKnobs {
          |  cast((length(bin($n - 1)) + 1) div 2 AS int))) END""".stripMargin)
 
   def shingleDfCapCol(n: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      s"""CASE WHEN $n <= 1 THEN 8L
+         |ELSE 8L * greatest(1L, length(bin($n - 1))) END""".stripMargin)
+
+  def basketCapCol(n: String): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.expr(
       s"""CASE WHEN $n <= 1 THEN 8L
          |ELSE 8L * greatest(1L, length(bin($n - 1))) END""".stripMargin)

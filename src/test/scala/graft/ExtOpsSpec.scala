@@ -203,6 +203,10 @@ class ExtOpsSpec extends SparkTestBase {
         (3L, 5L), (3L, 9L))            // order 3: (5,9)
       .toDF("l_orderkey", "l_partkey")
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // orders table sizes the derived basket cap (8 at n=3 — clears the
+    // 2-part baskets, so the cap is live but excludes nothing here)
+    Seq(1L, 2L, 3L).toDF("o_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
     val got = graft.engine.ext.Relational.basketPairs(spark, dir, k = 2)
       .collect()
       .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),

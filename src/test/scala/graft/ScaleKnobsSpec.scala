@@ -33,7 +33,8 @@ class ScaleKnobsSpec extends AnyFunSuite {
         graft.engine.ext.ScaleKnobs.triangleCapCol("n").as("cap"),
         graft.engine.ext.ScaleKnobs.bucketCapCol("n").as("bcap"),
         graft.engine.ext.ScaleKnobs.shingleDfCapCol("n").as("sdc"),
-        graft.engine.ext.ScaleKnobs.kmeansTrainModCol("n").as("tm"))
+        graft.engine.ext.ScaleKnobs.kmeansTrainModCol("n").as("tm"),
+        graft.engine.ext.ScaleKnobs.basketCapCol("n").as("bkc"))
       .collect()
     rows.foreach { r =>
       val n = r.getLong(0)
@@ -47,7 +48,18 @@ class ScaleKnobsSpec extends AnyFunSuite {
       assert(r.getLong(8) ===
         ScaleKnobs.kmeansTrainMod(n, ScaleKnobs.ivfCells(n)).toLong,
         s"tm at n=$n")
+      assert(r.getLong(9) === ScaleKnobs.basketCap(n).toLong, s"bkc at n=$n")
     }
+  }
+
+  test("basketCap: clears the TPC-H <= 7-line basket maximum at every " +
+    "scale, so committed artifacts replay under either form") {
+    assert(ScaleKnobs.basketCap(1L) === 8)          // floor > 7
+    assert(ScaleKnobs.basketCap(15000L) === 112)    // sf0.01 orders
+    assert(ScaleKnobs.basketCap(150000L) === 144)   // sf0.1
+    assert(ScaleKnobs.basketCap(15000000L) === 192) // sf10
+    // quasi-linear worst case: per-basket pair work C(8L, 2) = O(log² n)
+    assert(ScaleKnobs.basketCap(1L << 40) === 320)
   }
 
   test("shingleDfCap: clears every measured max df through sf10 (salted " +
