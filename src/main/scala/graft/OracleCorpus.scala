@@ -160,22 +160,32 @@ object OracleCorpus {
         |      FROM dq)
         |ORDER BY doc_id""".stripMargin),
 
-    "corpus_contamination" -> (shingles3 +
+    // r16: replays the engine's T0-stage identity — 60-bit md5 shingle
+    // hashes as the blocking key and the DERIVED df cap (shingleCapCte)
+    // instead of the pinned 100 — so the contamination family and the
+    // dedup pair family share one candidate-generation definition on
+    // both sides of the oracle gate.
+    "corpus_contamination" -> (shingles3 + ", " +
+      OraclePreludes.shingleCapCte +
       """, shx AS (
         |  SELECT doc_id, unnest(sh) AS shingle FROM sh
-        |), dfc AS (
-        |  SELECT shingle FROM shx GROUP BY shingle HAVING count(*) <= 100
+        |), exh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS sh_h
+        |  FROM shx
         |), rare AS (
-        |  SELECT shx.doc_id, shx.shingle FROM shx JOIN dfc USING (shingle)
+        |  SELECT doc_id, sh_h FROM (
+        |    SELECT doc_id, sh_h, count(*) OVER (PARTITION BY sh_h) AS df
+        |    FROM exh) WHERE df <= (SELECT cap FROM sdc)
         |), shared AS (
         |  SELECT b.doc_id AS bench_doc, t.doc_id AS train_doc,
         |    count(*)::BIGINT AS n_shared
-        |  FROM rare b JOIN rare t USING (shingle)
+        |  FROM rare b JOIN rare t ON b.sh_h = t.sh_h
         |  WHERE b.doc_id % 17 = 0 AND t.doc_id % 17 != 0
         |  GROUP BY 1, 2
         |), bn AS (
         |  SELECT doc_id AS bench_doc, count(*)::BIGINT AS bench_n
-        |  FROM shx WHERE doc_id % 17 = 0 GROUP BY 1
+        |  FROM exh WHERE doc_id % 17 = 0 GROUP BY 1
         |)
         |SELECT s.bench_doc, s.train_doc, s.n_shared,
         |  (s.n_shared * 1000000 // b.bench_n)::BIGINT AS contam_ppm
@@ -183,16 +193,21 @@ object OracleCorpus {
         |WHERE s.n_shared >= 2
         |ORDER BY bench_doc, train_doc""".stripMargin),
 
-    "corpus_decontaminated" -> (shingles3 +
+    "corpus_decontaminated" -> (shingles3 + ", " +
+      OraclePreludes.shingleCapCte +
       """, shx AS (
         |  SELECT doc_id, unnest(sh) AS shingle FROM sh
-        |), dfc AS (
-        |  SELECT shingle FROM shx GROUP BY shingle HAVING count(*) <= 100
+        |), exh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS sh_h
+        |  FROM shx
         |), rare AS (
-        |  SELECT shx.doc_id, shx.shingle FROM shx JOIN dfc USING (shingle)
+        |  SELECT doc_id, sh_h FROM (
+        |    SELECT doc_id, sh_h, count(*) OVER (PARTITION BY sh_h) AS df
+        |    FROM exh) WHERE df <= (SELECT cap FROM sdc)
         |), flagged AS (
         |  SELECT DISTINCT t.doc_id
-        |  FROM rare b JOIN rare t USING (shingle)
+        |  FROM rare b JOIN rare t ON b.sh_h = t.sh_h
         |  WHERE b.doc_id % 17 = 0 AND t.doc_id % 17 != 0
         |  GROUP BY b.doc_id, t.doc_id HAVING count(*) >= 2
         |)
@@ -451,16 +466,21 @@ object OracleCorpus {
         |SELECT doc_id, lang, n_tokens, cum_tokens, quota FROM cum
         |WHERE cum_tokens <= quota ORDER BY doc_id""".stripMargin,
 
-    "corpus_pipeline" -> (shingles3 +
+    "corpus_pipeline" -> (shingles3 + ", " +
+      OraclePreludes.shingleCapCte +
       """, shx AS (
         |  SELECT doc_id, unnest(sh) AS shingle FROM sh
-        |), dfc AS (
-        |  SELECT shingle FROM shx GROUP BY shingle HAVING count(*) <= 100
+        |), exh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS sh_h
+        |  FROM shx
         |), rare AS (
-        |  SELECT shx.doc_id, shx.shingle FROM shx JOIN dfc USING (shingle)
+        |  SELECT doc_id, sh_h FROM (
+        |    SELECT doc_id, sh_h, count(*) OVER (PARTITION BY sh_h) AS df
+        |    FROM exh) WHERE df <= (SELECT cap FROM sdc)
         |), flagged AS (
         |  SELECT DISTINCT t.doc_id
-        |  FROM rare b JOIN rare t USING (shingle)
+        |  FROM rare b JOIN rare t ON b.sh_h = t.sh_h
         |  WHERE b.doc_id % 17 = 0 AND t.doc_id % 17 != 0
         |  GROUP BY b.doc_id, t.doc_id HAVING count(*) >= 2
         |), """.stripMargin + docQuality + """, qr AS (

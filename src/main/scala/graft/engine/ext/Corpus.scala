@@ -220,42 +220,35 @@ object Corpus {
     * Σ bucket², never |bench| × |train|. The ppm denominator uses the
     * UNCAPPED shingle count, so scores stay comparable as the cap moves.
     */
+  /** Registry form rides the threshold-0 n-gram pair stage (r16 — the
+    * r15 `dedup_containment` move applied to the contamination family):
+    * [[Dedup.ngramPairsT0]] is the full blocked shared-shingle fact
+    * table — (doc_a, doc_b, shared_rare, n_a, n_b) under the SAME
+    * 60-bit md5 blocking key and the SAME derived df cap
+    * ([[ScaleKnobs.shingleDfCap]], which replaces this family's pinned
+    * `maxDf = 100`; both caps clear every measured testdata df, so
+    * committed artifacts replay bit-for-bit) — so a contamination pair
+    * is just a T0 pair with exactly one benchmark-side endpoint:
+    * n_shared ≡ shared_rare, and the UNCAPPED per-doc distinct-shingle
+    * counts the ppm denominator needs are the n_a/n_b the stage already
+    * carries. Before r16 this query re-ran the whole shingle explode +
+    * a string-keyed bucket shuffle per execution (19.3 s at sf10, plus
+    * the same again inside corpus_pipeline and corpus_decontaminated);
+    * now all three read one materialization.
+    */
   def contamination(spark: SparkSession, dir: String, benchMod: Int = 17,
-                    n: Int = 3, maxDf: Int = 100,
                     minShared: Long = 2L): DataFrame = {
-    val sh = Dedup.shingleRows(
-      docs(spark, dir).select(col("doc_id"), col("text")), n)
-    // ONE shuffle materializes every shingle's doc list; the shingle
-    // explode (tokenize + n-gram build over the whole corpus) is
-    // evaluated exactly once. The earlier shape self-joined sh against
-    // its own df rollup and re-joined bench×train on the shingle string
-    // — three evaluations of the explode and two shuffles of shingle
-    // STRINGS; this one shuffles them once and everything downstream
-    // carries only BIGINT doc ids.
-    val buckets = sh.groupBy(col("shingle"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-    // uncapped per-bench-doc shingle counts (the ppm denominator),
-    // recovered from the buckets: ids-only rows, map-side combined
-    val benchN = buckets
-      .select(explode(col("ids")).as("doc_id"))
-      .filter(col("doc_id") % benchMod === 0)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("bench_n"))
-      .select(col("doc_id").as("bench_doc"), col("bench_n"))
-    // df-capped buckets emit bench×train pairs LOCALLY (bounded by cap²
-    // per bucket), like Dedup.localPairs — never a shingle equi-join
-    val benchIds = filter(col("ids"), x => x % benchMod === 0)
-    val trainIds = filter(col("ids"), x => x % benchMod =!= 0)
-    buckets
-      .filter(size(col("ids")).between(2, maxDf))
-      .select(explode(flatten(transform(benchIds, b =>
-        transform(trainIds, t =>
-          struct(b.as("bench_doc"), t.as("train_doc")))))).as("p"))
-      .groupBy(col("p.bench_doc").as("bench_doc"),
-        col("p.train_doc").as("train_doc"))
-      .agg(count(lit(1)).as("n_shared")) // shingle rows are per-doc distinct
+    val t0 = Dedup.ngramPairsT0(spark, dir)
+    val aBench = t0
+      .filter(col("doc_a") % benchMod === 0 && col("doc_b") % benchMod =!= 0)
+      .select(col("doc_a").as("bench_doc"), col("doc_b").as("train_doc"),
+        col("shared_rare").as("n_shared"), col("n_a").as("bench_n"))
+    val bBench = t0
+      .filter(col("doc_b") % benchMod === 0 && col("doc_a") % benchMod =!= 0)
+      .select(col("doc_b").as("bench_doc"), col("doc_a").as("train_doc"),
+        col("shared_rare").as("n_shared"), col("n_b").as("bench_n"))
+    aBench.unionAll(bBench)
       .filter(col("n_shared") >= minShared)
-      .join(benchN, "bench_doc")
       .select(col("bench_doc"), col("train_doc"), col("n_shared"),
         (col("n_shared") * lit(1000000L) / col("bench_n"))
           .cast("long").as("contam_ppm"))
@@ -270,9 +263,8 @@ object Corpus {
     * auditable against the pre-filter one.
     */
   def decontaminated(spark: SparkSession, dir: String, benchMod: Int = 17,
-                     n: Int = 3, maxDf: Int = 100,
                      minShared: Long = 2L): DataFrame = {
-    val flagged = contamination(spark, dir, benchMod, n, maxDf, minShared)
+    val flagged = contamination(spark, dir, benchMod, minShared)
       .select(col("train_doc").as("doc_id")).distinct()
     docs(spark, dir)
       .filter(col("doc_id") % benchMod =!= 0) // the train side only
@@ -589,12 +581,19 @@ object Corpus {
     * stages adds no extra passes over the corpus.
     */
   def pipeline(spark: SparkSession, dir: String, benchMod: Int = 17,
-               n: Int = 3, maxDf: Int = 100, minShared: Long = 2L): DataFrame = {
+               minShared: Long = 2L): DataFrame = {
     val d = docs(spark, dir)
-    val flagged = contamination(spark, dir, benchMod, n, maxDf, minShared)
+    // Both expensive inputs are materialized stages (r16): the
+    // contamination flags ride the T0 pair table (see [[contamination]])
+    // and the quality verdicts ride `corpus.quality` — the pipeline's
+    // own work is the text window (exact-dup canonicals), the split
+    // bucketing, and three joins.
+    val flagged = contamination(spark, dir, benchMod, minShared)
       .select(col("train_doc").as("doc_id")).distinct()
       .withColumn("contaminated", lit(true))
-    val stage = qualityClean(d)
+    val stage = qualitySignals(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("keep"), col("reason"))
       .join(d.select(col("doc_id"), col("text")), "doc_id")
       .withColumn("is_bench", col("doc_id") % benchMod === 0)
       .withColumn("bucket", hashBucket(col("text")) % 100)
