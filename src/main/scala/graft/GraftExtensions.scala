@@ -96,6 +96,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "conv(substring(md5(s), 1, N), 16, 10), allocation-free",
         "_FUNC_(text, 15)"),
       (exprs: Seq[Expression]) => NativeFunctions.buildMd5Prefix(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier(NativeFunctions.WordRepName),
+      info(NativeFunctions.WordRepName,
+        "single-pass Gopher-repetition counters over a token array: " +
+          "[n_words, n_distinct_words, top_word_cnt, n2, d2, n3, d3]; " +
+          "empty/null tokens skipped, distinct counts exact (dense ids)",
+        "_FUNC_(split(lower(text), '\\\\s+'))"),
+      (exprs: Seq[Expression]) => {
+        NativeFunctions.checkArity(NativeFunctions.WordRepName, 1, exprs)
+        NativeFunctions.WordRepCounts(exprs(0))
+      }))
   }
 
   private def info(name: String, usage: String, example: String): ExpressionInfo =

@@ -583,6 +583,162 @@ object NativeFunctions {
     * build — recluster, don't mix (an index REBUILD, exactly like a
     * SimHash width change).
     */
+  /** Single-pass Gopher-repetition counters over a token array (r16 —
+    * the [[TextStatCounts]] treatment applied to `text_repetition`):
+    * [n_words, n_distinct_words, top_word_cnt, n2, d2, n3, d3] in ONE
+    * compiled scan of the tokens. The previous shape paid TWO shuffles
+    * (explode → (doc, word) agg → doc agg) for the word stats and two
+    * interpreted higher-order transforms building 2/3-gram STRINGS plus
+    * array_distinct over them for the gram stats — all of it per-doc
+    * local work that never needed an exchange.
+    *
+    * Exactness contract (the oracle counts distinct gram STRINGS
+    * `t[i] || ' ' || t[i+1]`): tokens are whitespace-split, so the
+    * joined gram string is injective in the token tuple, and the kernel
+    * counts distinct tuples via DENSE WORD IDS — a 2-gram is the long
+    * (idA << 32 | idB), a 3-gram is (dense 2-gram id << 32 | idC) —
+    * never a lossy hash, so the counts are bit-identical to the string
+    * form at any input. Empty/null tokens are skipped, which makes
+    * `word_rep_counts(split(lower(text), '\\s+'))` equal to the
+    * filtered wsTokens form without the interpreted filter() HOF.
+    */
+  case class WordRepCounts(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.StringType
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) | StringType =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$WordRepName expects array<string> or string, got ${other.sql}")
+      }
+    private def fromText: Boolean = child.dataType == StringType
+
+    override def nullSafeEval(a: Any): Any =
+      if (fromText)
+        NativeFunctions.wordRepRunText(
+          a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      else NativeFunctions.wordRepRun(a.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        if (fromText)
+          s"${ev.value} = graft.engine.expr.NativeFunctions.wordRepRunText($c);"
+        else s"${ev.value} = graft.engine.expr.NativeFunctions.wordRepRun($c);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = WordRepName
+  }
+
+  /** Shared counting core of [[WordRepCounts]]: tokens stream in as
+    * dense ids, grams are dense-id composites — every distinct count is
+    * exact (no hashing of content into a fixed width anywhere).
+    */
+  private final class WordRepAcc(sizeHint: Int) {
+    private val ids =
+      new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer]()
+    private var counts = new Array[Long](16)
+    private var pos = new Array[Int](math.max(sizeHint, 16))
+    private var n = 0
+
+    def add(s: org.apache.spark.unsafe.types.UTF8String): Unit = {
+      var id = ids.get(s)
+      if (id == null) {
+        id = Integer.valueOf(ids.size())
+        ids.put(s, id)
+        if (id.intValue() >= counts.length)
+          counts = java.util.Arrays.copyOf(counts, counts.length * 2)
+      }
+      counts(id.intValue()) += 1L
+      if (n >= pos.length) pos = java.util.Arrays.copyOf(pos, pos.length * 2)
+      pos(n) = id.intValue()
+      n += 1
+    }
+
+    def result(): ArrayData = {
+      val distinct = ids.size()
+      var top = 0L
+      var k = 0
+      while (k < distinct) { if (counts(k) > top) top = counts(k); k += 1 }
+      // 2-grams: dense gram ids (map value) double as the 3-gram prefix
+      val gram2 = new java.util.HashMap[java.lang.Long, Integer]()
+      val g2pos = if (n >= 2) new Array[Int](n - 1) else null
+      var j = 0
+      while (j + 1 < n) {
+        val key = (pos(j).toLong << 32) | (pos(j + 1).toLong & 0xffffffffL)
+        var g = gram2.get(key)
+        if (g == null) { g = Integer.valueOf(gram2.size()); gram2.put(key, g) }
+        g2pos(j) = g.intValue()
+        j += 1
+      }
+      val set3 = new java.util.HashSet[java.lang.Long]()
+      j = 0
+      while (j + 2 < n) {
+        set3.add((g2pos(j).toLong << 32) | (pos(j + 2).toLong & 0xffffffffL))
+        j += 1
+      }
+      val n2 = if (n >= 2) (n - 1).toLong else 0L
+      val n3 = if (n >= 3) (n - 2).toLong else 0L
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Long](n.toLong, distinct.toLong, top,
+          n2, gram2.size().toLong, n3, set3.size().toLong))
+    }
+  }
+
+  /** Array-input kernel of [[WordRepCounts]] — called as a static
+    * forwarder from generated code. Empty/null elements are skipped
+    * (the wsTokens filter contract).
+    */
+  def wordRepRun(arr: ArrayData): ArrayData = {
+    val total = arr.numElements()
+    val acc = new WordRepAcc(total)
+    var i = 0
+    while (i < total) {
+      val s = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      if (s != null && s.numBytes() > 0) acc.add(s)
+      i += 1
+    }
+    acc.result()
+  }
+
+  /** Text-input kernel of [[WordRepCounts]]: lowercases via the SAME
+    * UTF8String.toLowerCase Spark's `lower()` calls, then splits on runs
+    * of Java-regex `\s` (space, tab, LF, VT, FF, CR — ASCII bytes, which in
+    * UTF-8 never occur inside a multi-byte character, so byte-position
+    * splitting is exact) — value-identical to
+    * `word_rep_counts(split(lower(text), '\s+'))` without the regex
+    * engine or the per-document token-array materialization.
+    */
+  def wordRepRunText(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val lower = s.toLowerCase
+    val b = lower.getBytes
+    val len = b.length
+    val acc = new WordRepAcc(16)
+    var i = 0
+    var start = -1
+    while (i < len) {
+      val c = b(i)
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == 0x0B ||
+        c == '\f' || c == '\r'
+      if (ws) {
+        if (start >= 0) {
+          acc.add(org.apache.spark.unsafe.types.UTF8String
+            .fromBytes(b, start, i - start))
+          start = -1
+        }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    if (start >= 0)
+      acc.add(org.apache.spark.unsafe.types.UTF8String
+        .fromBytes(b, start, len - start))
+    acc.result()
+  }
+
   case class WinnowKarpRabin(child: Expression, w: Int)
       extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -776,6 +932,7 @@ object NativeFunctions {
   val TextStatName = "text_stat_counts"
   val WinnowName = "winnow_karp_rabin"
   val Md5PrefixName = "md5_prefix_long"
+  val WordRepName = "word_rep_counts"
 
   /** `md5_prefix_long(text, hexChars[, startHex])` builder: width and
     * optional 1-based start must be foldable integer literals. */
@@ -922,6 +1079,12 @@ object NativeFunctions {
     if (!spark.catalog.functionExists(Md5PrefixName))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         Md5PrefixName, buildMd5Prefix, "built-in")
+    if (!spark.catalog.functionExists(WordRepName))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        WordRepName, exprs => {
+          checkArity(WordRepName, 1, exprs)
+          WordRepCounts(exprs(0))
+        }, "built-in")
     if (!spark.catalog.functionExists(SrpSignatureName))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         SrpSignatureName, exprs => {
@@ -966,6 +1129,12 @@ object NativeFunctions {
     import org.apache.spark.sql.functions.{array, lit}
     call_function(TextStatName, text, array(words.map(lit): _*))
   }
+
+  /** Single-pass repetition counters over a token array (see
+    * [[WordRepCounts]]); caller must have ensureRegistered.
+    */
+  def wordRepCounts(tokens: Column): Column =
+    call_function(WordRepName, tokens)
 
   /** Karp-Rabin winnowing fingerprint (see [[WinnowKarpRabin]]); caller
     * must have ensureRegistered.

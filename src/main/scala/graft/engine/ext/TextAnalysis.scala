@@ -311,42 +311,36 @@ object TextAnalysis {
     repetition(spark.read.parquet(s"$dir/documents.parquet"))
 
   def repetition(docs: DataFrame): DataFrame = {
-    // The token ARRAY must be an attribute before the gram lambdas touch
-    // it: an expression inside a lambda body is re-evaluated on every
-    // element, so an inlined wsTokens(lower(text)) would re-split the
-    // whole document once per gram position — O(words²) per doc
-    // (measured 7.4 s at sf0.1; attribute form is ~1 s).
-    def grams(t: Column, n: Int): Column =
-      when(size(t) >= n,
-        transform(sequence(lit(1), size(t) - (n - 1)),
-          i => array_join(slice(t, i, lit(n)), " ")))
-        .otherwise(array().cast("array<string>"))
-    // materialize each gram array once: the transform() HOF is interpreted,
-    // and referencing it from two consumers keeps CollapseProject from
-    // inlining (and thus re-evaluating) it per consumer
-    val gramStats = docs
-      .select(col("doc_id"), wsTokens(lower(col("text"))).as("t"))
-      .select(col("doc_id"), grams(col("t"), 2).as("b2"),
-        grams(col("t"), 3).as("b3"))
-      .select(col("doc_id"),
-        size(col("b2")).cast("long").as("n2"),
-        size(array_distinct(col("b2"))).cast("long").as("d2"),
-        size(col("b3")).cast("long").as("n3"),
-        size(array_distinct(col("b3"))).cast("long").as("d3"))
-    val wordStats = docs
-      .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("word"))
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(
-        sum(col("c")).as("n_words"),
-        count(lit(1)).as("n_distinct_words"),
-        max(col("c")).as("top_word_cnt"))
+    // ONE compiled pass per document (r16): every counter here is
+    // per-doc local, so the old shape's two shuffles (explode →
+    // (doc, word) agg → doc agg) and two interpreted gram-building
+    // transforms + array_distinct were pure overhead —
+    // [[graft.engine.expr.NativeFunctions.WordRepCounts]] computes all
+    // seven counters in a single scan of the raw split output (it skips
+    // empties itself, so the interpreted wsTokens filter() HOF drops out
+    // too), with distinct counts over DENSE WORD IDS — exact, never a
+    // lossy hash, bit-identical to the oracle's distinct-gram-string
+    // counts. Measured 23.2 s → [r16 artifact] at sf10.
+    graft.engine.expr.NativeFunctions.ensureRegistered(docs.sparkSession)
+    // string-input mode: the kernel lowercases + splits itself (same
+    // UTF8String.toLowerCase, same Java-regex-\s byte set), skipping the
+    // regex engine and the per-doc token-array materialization entirely
+    val c = graft.engine.expr.NativeFunctions.wordRepCounts(col("text"))
     def ppm(num: Column, den: Column): Column =
       (num * lit(1000000L) / greatest(den, lit(1L))).cast("long")
     val topPpm = ppm(col("top_word_cnt"), col("n_words"))
     val dup2Ppm = ppm(col("n2") - col("d2"), col("n2"))
-    // inner join: a zero-word doc has no word rows and no meaningful
-    // repetition stats — it belongs to the length filter, not this one
-    gramStats.join(wordStats, Seq("doc_id"))
+    docs
+      .select(col("doc_id"), c.as("c"))
+      .select(col("doc_id"),
+        col("c").getItem(0).as("n_words"),
+        col("c").getItem(1).as("n_distinct_words"),
+        col("c").getItem(2).as("top_word_cnt"),
+        col("c").getItem(3).as("n2"), col("c").getItem(4).as("d2"),
+        col("c").getItem(5).as("n3"), col("c").getItem(6).as("d3"))
+      // a zero-word doc has no meaningful repetition stats — it belongs
+      // to the length filter, not this one (the old inner join's edge)
+      .filter(col("n_words") >= 1L)
       .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
         col("top_word_cnt"),
         ppm(col("n_words") - col("n_distinct_words"), col("n_words"))

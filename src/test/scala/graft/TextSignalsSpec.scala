@@ -352,4 +352,38 @@ class TextSignalsSpec extends SparkTestBase {
     assert(c == d2 && c.semanticEquals(d2),
       "TextStatCounts must compare by content for Catalyst CSE")
   }
+
+  test("word_rep_counts: string-input kernel == split(lower)-fed array " +
+    "kernel == the pre-r16 shuffle pipeline, on adversarial whitespace") {
+    import graft.engine.expr.NativeFunctions
+    val texts = Seq(
+      "",                                     // no tokens
+      "   \t\n  ",                            // ws only
+      "One one ONE",                          // case folding, top=3
+      "a b a b a b",                          // repeated 2/3-grams
+      "tab\tsep\u000Bvt\fff\rcr end",         // every Java-\s class
+      "nbsp\u00A0keeps one token",            // NBSP is NOT Java \s
+      "café café 日本語 tokens", // multibyte
+      "x",                                    // single token: n2=n3=0
+      "lead and trail  ")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    NativeFunctions.ensureRegistered(spark)
+    val both = df.select(col("doc_id"),
+        NativeFunctions.wordRepCounts(col("text")).as("s"),
+        NativeFunctions.wordRepCounts(
+          split(lower(col("text")), "\\s+")).as("a"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"doc ${r.getLong(0)}: string vs array kernel")
+    }
+    // spot-pin the counters against hand counts
+    val m = both.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(m(0L) === Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L))
+    assert(m(2L) === Seq(3L, 1L, 3L, 2L, 1L, 1L, 1L)) // one/one/one
+    assert(m(3L) === Seq(6L, 2L, 3L, 5L, 2L, 4L, 2L)) // a b a b a b
+    assert(m(5L).head === 3L)  // NBSP glues "nbsp keeps"
+    assert(m(7L) === Seq(1L, 1L, 1L, 0L, 0L, 0L, 0L))
+  }
 }
