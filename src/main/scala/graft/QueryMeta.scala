@@ -68,7 +68,11 @@ object BenchStages {
     "_stage_exact_audit" ->
       ((s, d) => graft.engine.ext.Sessionize.exactAudit(s, d)),
     "_stage_quality" ->
-      ((s, d) => graft.engine.ext.Corpus.qualitySignals(s, d)))
+      ((s, d) => graft.engine.ext.Corpus.qualitySignals(s, d)),
+    "_stage_mysql_parsed" ->
+      ((s, d) => SparkEntry.mysqlParsedStage(s, d)),
+    "_stage_mongo_scan" ->
+      ((s, d) => SparkEntry.mongoScanStage(s, d)))
 
   /** bench row → the StageCache keys its build populates (two-key rows
     * are the atomic two-key trainings: assignment + centroids/codebook).
@@ -87,5 +91,7 @@ object BenchStages {
     "_stage_ivfpq_topk" -> Set("ann.ivfpq_topk"),
     "_stage_pq_rerank_topk" -> Set("ann.pq_rerank_topk"),
     "_stage_exact_audit" -> Set("events.exact_audit"),
-    "_stage_quality" -> Set("corpus.quality"))
+    "_stage_quality" -> Set("corpus.quality"),
+    "_stage_mysql_parsed" -> Set("logs.mysql_parsed"),
+    "_stage_mongo_scan" -> Set("logs.mongo_scan"))
 }

@@ -30,11 +30,37 @@ object SparkEntry {
 
   // ----------------------------------------------------------- helpers
 
+  /** The mysql parse's expensive pass (7-regex battery + projection),
+    * materialized once per (session, corpus) — detailed/agg/warnings are
+    * cheap derivations, and re-running the battery per registry query
+    * was the family's whole steady-state cost (the reference parses
+    * once and writes every sheet from memory). Priced by the
+    * `_stage_mysql_parsed` bench row; also the BenchStages builder.
+    */
+  def mysqlParsedStage(s: SparkSession, dir: String): DataFrame =
+    graft.engine.StageCache.materialized(s, dir, "logs.mysql_parsed") {
+      MySqlLogPipeline.projectedOf(
+        MySqlLogPipeline.entriesFromFiles(LogGen.mysqlFiles(s, dir)))
+    }
+
   private def mysqlResult(s: SparkSession, dir: String): MySqlLogPipeline.Result =
-    MySqlLogPipeline.parse(LogGen.mysqlFiles(s, dir))
+    MySqlLogPipeline.resultFromProjected(mysqlParsedStage(s, dir))
+
+  /** The mongo parsed-line scan (from_json + parity verdict per line),
+    * materialized once per (session, corpus) — five registry queries
+    * (detailed / query_stats / errors / nonslow / parse_errors) are
+    * routing filters over it. Priced by `_stage_mongo_scan`.
+    * mongo_file_stats (the real-file reader path) and mongo_report_all
+    * (the one-persisted-parse census shape) deliberately keep their own
+    * scans.
+    */
+  def mongoScanStage(s: SparkSession, dir: String): DataFrame =
+    graft.engine.StageCache.materialized(s, dir, "logs.mongo_scan") {
+      MongoLogPipeline.parsedScan(LogGen.mongoLines(s, dir))
+    }
 
   private def mongoScan(s: SparkSession, dir: String): DataFrame =
-    MongoLogPipeline.parsedScan(LogGen.mongoLines(s, dir))
+    mongoScanStage(s, dir)
 
   /** Materialize the generated logs as REAL text files (once per sf dir) so
     * the file-based sources (S1 readLines, S2 readDelimited) are exercised

@@ -60,7 +60,19 @@ object MySqlLogPipeline {
   /** Entry records → detailed + aggregate + warnings.
     * Input: (file_id, entry_no, ord, entry).
     */
-  def parseEntries(entries: DataFrame): Result = {
+  def parseEntries(entries: DataFrame): Result =
+    resultFromProjected(projectedOf(entries))
+
+  /** The parse's one expensive pass — the 7-regex battery + field
+    * projection over every entry — separated (r16) so the registry can
+    * materialize it ONCE per (session, corpus) and serve all three
+    * outputs from it ([[resultFromProjected]]): detailed, aggregate and
+    * warnings are cheap derivations of this table, and re-running the
+    * battery per output was the mysql family's whole steady-state cost
+    * (the reference parses once and writes all sheets from memory —
+    * mysqlLogParser.py's single pass; this is that shape distributed).
+    */
+  def projectedOf(entries: DataFrame): DataFrame = {
     import graft.engine.expr.NativeFunctions
     // Fused battery: ONE regex execution per pattern per entry.
     // regex_find_group returns NULL on no-match (≡ !rlike) and the
@@ -114,7 +126,14 @@ object MySqlLogPipeline {
         .otherwise(col("query_raw")).as("Query"),
       when(col("query_raw") === "", EmptyQueryPlaceholder)
         .otherwise(Normalizers.normalizeMySqlQuery(col("query_raw"))).as("Normalized_Query"))
+    projected
+  }
 
+  /** The three reference outputs as cheap derivations of the
+    * [[projectedOf]] table (filters, one aggregate, one array-explode —
+    * no regex anywhere).
+    */
+  def resultFromProjected(projected: DataFrame): Result = {
     val detailed = projected.filter(col("all_ok")).select(
       col("file_id"), col("entry_no"), col("ord"),
       col("Time"), col("User@Host"), col("Query_time (ms)"), col("Lock_time"),
