@@ -320,7 +320,8 @@ object TextAnalysis {
     // empties itself, so the interpreted wsTokens filter() HOF drops out
     // too), with distinct counts over DENSE WORD IDS — exact, never a
     // lossy hash, bit-identical to the oracle's distinct-gram-string
-    // counts. Measured 23.2 s → [r16 artifact] at sf10.
+    // counts. Measured 23.2 → 7.6 s at sf10 (r16 artifact of record;
+    // BenchOne median 9.3), 7.2 → 3.3 s sf1.
     graft.engine.expr.NativeFunctions.ensureRegistered(docs.sparkSession)
     // string-input mode: the kernel lowercases + splits itself (same
     // UTF8String.toLowerCase, same Java-regex-\s byte set), skipping the
