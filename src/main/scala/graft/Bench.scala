@@ -60,7 +60,7 @@ object Bench {
     val subset = args.toSet
     val unknown = subset.diff(SparkEntry.queries.keySet)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -73,7 +73,10 @@ object Bench {
       // sizing and this override is unnecessary (splits are plentiful).
       .config("spark.sql.files.openCostInBytes", "131072")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // StageCache pin-level A/B knob (r16) — unset = StageCache.DefaultLevel
+    sys.env.get("SPARK_GRAFT_STAGE_LEVEL").foreach(
+      builder.config(graft.engine.StageCache.StorageLevelConf, _))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.engine.ingest.Sources.ensureNanosAsLong(spark)
     // Force FULL evaluation of every output column via the no-op v2 sink.
@@ -125,7 +128,10 @@ object Bench {
       if (subset.isEmpty) "full"
       else if (sys.env.get("SPARK_GRAFT_STAGES").contains("1")) "subset+stages"
       else "subset"
-    println(s"""{"metric":"run_meta","sf":"$sfDir","git_sha":"$gitSha","mode":"$mode","n_queries":${scopeNames.size},"queries":$scopeJson}""")
+    val stageLevel = spark.conf
+      .getOption(graft.engine.StageCache.StorageLevelConf)
+      .getOrElse(graft.engine.StageCache.DefaultLevel.description)
+    println(s"""{"metric":"run_meta","sf":"$sfDir","git_sha":"$gitSha","mode":"$mode","stage_level":"$stageLevel","n_queries":${scopeNames.size},"queries":$scopeJson}""")
     // Untimed warmup at the smallest SF: first execution of each plan pays
     // Janino codegen compilation + JIT, which at sf0.1 can exceed the
     // actual query time. One pass over tiny data warms those caches so the

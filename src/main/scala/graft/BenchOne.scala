@@ -13,7 +13,7 @@ object BenchOne {
     val reps = if (args.length > 1) args(1).toInt else 3
     val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -21,7 +21,10 @@ object BenchOne {
       .config("spark.sql.extensions", GraftExtensions.Name)
       .config("spark.sql.files.openCostInBytes", "131072")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // StageCache pin-level A/B knob (r16) — unset = StageCache.DefaultLevel
+    sys.env.get("SPARK_GRAFT_STAGE_LEVEL").foreach(
+      builder.config(graft.engine.StageCache.StorageLevelConf, _))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.engine.ingest.Sources.ensureNanosAsLong(spark)
     // `_stage_*` names resolve from BenchStages and measure the COLD
@@ -84,8 +87,12 @@ object BenchOne {
         s""","canary_pre":${ms(pre)},"canary_post":${ms(post)}"""
       case _ => ""
     }
+    val stageLevel = spark.conf
+      .getOption(graft.engine.StageCache.StorageLevelConf)
+      .getOrElse(graft.engine.StageCache.DefaultLevel.description)
     println(s"""{"metric":"bench_one","query":"$name","sf":"$sfDir",""" +
       s""""git_sha":"${BenchHost.gitSha}","heap":"${BenchHost.heapDesc}",""" +
+      s""""stage_level":"$stageLevel",""" +
       s""""cpus":$cpus,"mode":"${if (isStage) "cold_stage" else "steady"}",""" +
       s""""samples":[${samples.map(ms).mkString(",")}],""" +
       s""""min":${ms(sorted.head)},"median":${ms(median)},""" +

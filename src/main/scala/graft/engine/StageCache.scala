@@ -70,6 +70,32 @@ object StageCache {
     */
   val DurableDirConf = "spark.graft.stageCache.dir"
 
+  /** Storage level for the session-local (mode 1) checkpoint pin, as a
+    * `StorageLevel.fromString` name (e.g. `MEMORY_AND_DISK`,
+    * `MEMORY_AND_DISK_SER`, `DISK_ONLY`). Unset = [[DefaultLevel]].
+    */
+  val StorageLevelConf = "spark.graft.stageCache.storageLevel"
+
+  /** Mode-1 pin default. Measured decision (StageFootprint A/B at sf1,
+    * 32 cpus, 8g heap; full numbers in QUERIES.md §"Stage pin storage"):
+    * Spark's localCheckpoint default pins DESERIALIZED row objects —
+    * 2,971 MB of block-manager heap with all 16 stages resident at sf1
+    * (≈30 GB extrapolated to sf10, crowding even the 48g bench heap),
+    * and the post-build host canary ran well above its pre-build cost
+    * for the rest of the session (the r16 "intrinsic post-canary
+    * elevation"); serialized (`MEMORY_AND_DISK_SER`) recovers only ~20%
+    * — UnsafeRows are already byte-packed, the object-count pressure is
+    * the block count times row count either way. `DISK_ONLY` keeps the
+    * pin out of the heap entirely; stage blocks land on local disk
+    * (read back through the OS page cache on this bench host). On a
+    * real cluster executors read their own local checkpoint files the
+    * same way, so this is also the production-faithful shape; pass
+    * [[StorageLevelConf]] to pin hot stages in memory when the heap has
+    * room.
+    */
+  val DefaultLevel: org.apache.spark.storage.StorageLevel =
+    org.apache.spark.storage.StorageLevel.DISK_ONLY
+
   /** df = what consumers get; persisted = the checkpoint RDD to free on
     * [[clear]] (None in durable mode — files are the materialization
     * and deliberately outlive the session).
@@ -136,7 +162,10 @@ object StageCache {
                   if (wrote) synchronized { builds += 1 }
                   Entry(df, None)
                 case None =>
-                  val built = build.localCheckpoint(true)
+                  val level = spark.conf.getOption(StorageLevelConf)
+                    .map(org.apache.spark.storage.StorageLevel.fromString)
+                    .getOrElse(DefaultLevel)
+                  val built = build.localCheckpoint(true, level)
                   synchronized { builds += 1 }
                   Entry(built, checkpointRdd(built))
               }

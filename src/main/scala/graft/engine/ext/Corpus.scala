@@ -178,29 +178,40 @@ object Corpus {
   /** Sort-free core: a pure stateless projection, so the same gate runs
     * unchanged under Structured Streaming (see StreamingSpec).
     *
-    * ONE scan of each rule signal (r13, the r12 verdict's sf10 ask):
-    * the single-projection form inlined the tokenize (a CodegenFallback
-    * higher-order `filter`, interpreted per eval) three times and the
-    * punctuation regex three times — once in its output column and once
-    * per CASE branch — and codegen subexpression elimination does not
-    * rescue fallback expressions. Computing the three signals in a
-    * sub-projection and deriving keep/reason from the RESULTS drops the
-    * per-row cost to one tokenize + one regex + one rlike; Catalyst's
-    * CollapseProject leaves the split in place because the producer
-    * expressions are non-cheap and multiply referenced. Measured 25.3 s
-    * → 10.7 s at sf1 (unchanged hashes).
+    * One FUSED scan for the two count signals (r16; this stage was the
+    * #2 absolute sf10 row at 51.2 s): `text_stat_counts` — the compiled
+    * one-pass kernel `text_analyze` already rides — yields the ws-token
+    * count (counts[0]: maximal non-`\s` runs, bit-identical to
+    * `size(filter(split(text, "\\s+"), _ != ""))` whose higher-order
+    * filter is an interpreted CodegenFallback) and the punctuation count
+    * (counts[2]: `[^A-Za-z0-9\s]` code points, bit-identical to
+    * `size(regexp_extract_all(...))` minus its per-match string
+    * allocations). The stopword set is empty — that lane costs nothing.
+    * The terminal-punctuation rlike keeps its Java-regex form: `$`'s
+    * end-or-before-final-line-terminator semantics are NOT a cheap
+    * last-char test, and the anchored scan is not a measured hot spot.
+    * The ppm arithmetic repeats the original long-multiply /
+    * double-divide / cast-long exactly (the punct count enters the
+    * numerator as the same numeric value, so the double quotient — and
+    * every downstream hash — is unchanged). History: r13 split the
+    * signals into a sub-projection (25.3 → 10.7 s sf1); this removes
+    * the remaining two per-row array materializations.
     */
   def qualityClean(in: DataFrame): DataFrame = {
-    val toks = size(TextAnalysis.wsTokens(col("text"))).cast("long")
-    val punctPpm = (size(regexp_extract_all(col("text"),
-      lit("[^A-Za-z0-9\\s]"), lit(0))) * lit(1000000L)
+    graft.engine.expr.NativeFunctions.ensureRegistered(in.sparkSession)
+    val ts = graft.engine.expr.NativeFunctions.textStatCounts(
+      col("text"), Seq.empty)
+    val punctPpm = (col("tsc").getItem(2) * lit(1000000L)
       / greatest(length(col("text")), lit(1))).cast("long")
     val terminal = rtrim(col("text")).rlike("[.!?。！？]$")
     val reason = when(col("n_tokens") < 5, "too_short")
       .when(col("punct_ppm") > 300000L, "too_much_punct")
       .when(!col("terminal"), "no_terminal_punct")
-    in.select(col("doc_id"), col("lang"), col("source"),
-      toks.as("n_tokens"), punctPpm.as("punct_ppm"), terminal.as("terminal"))
+    in.select(col("doc_id"), col("lang"), col("source"), col("text"),
+        ts.as("tsc"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("tsc").getItem(0).as("n_tokens"), punctPpm.as("punct_ppm"),
+        terminal.as("terminal"))
       .select(col("doc_id"), col("lang"), col("source"),
         col("n_tokens"), col("punct_ppm"),
         reason.isNull.as("keep"), coalesce(reason, lit("")).as("reason"))

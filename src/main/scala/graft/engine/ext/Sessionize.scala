@@ -420,35 +420,53 @@ object Sessionize {
     * [[sketchRollup]]'s t-digest: rank = ceil(p·n) over a deterministic
     * (value, event_id) order, so every engine agrees bit-for-bit.
     *
-    * Scale honesty: this sorts each type partition (5 fat groups = a
-    * 5-way parallelism ceiling + skew). It exists for bounded-cardinality
-    * groups and as the ground truth the sketch is judged against; at
-    * 100 TB per-type, [[sketchRollup]] IS the production path.
+    * Count-of-counts plan (r16 — the [[fulfillmentLag]] playbook): the
+    * quantized value is DISCRETE, so the exact rank-selected value is a
+    * function of the per-(type, value) COUNT census alone — the
+    * event_id tiebreak the old full-fact row_number carried never
+    * reaches the selected VALUE (it only ordered duplicates of the same
+    * value). One map-side-combined groupBy collapses the fact to
+    * |types|·|distinct cents| census rows; the rank arithmetic and the
+    * windows run over that census, never the fact. The previous form
+    * (range-sorting every fact row inside 5 type partitions — a 5-way
+    * parallelism ceiling the old scaladoc had to apologize for) measured
+    * 13.2 s at sf10; the census form keeps the per-type window but feeds
+    * it ~10⁴ rows instead of 10⁸, and its one fact-grain exchange
+    * carries partial counts, bounded by value cardinality per task.
+    * At 100 TB the census stays |types|·|cents| regardless of row count,
+    * so the same plan holds — [[scaleQuantilesByType]] remains the
+    * demonstration of rank-at-scale over NON-discrete keys.
     */
   def exactPercentiles(spark: SparkSession, dir: String): DataFrame =
     exactPercentiles(events(spark, dir))
 
   def exactPercentiles(ev: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("value_c"), col("event_id"))
+    val wu = Window.partitionBy(col("event_type"))
+    // value_c is unique per (type, value_c) census row, so the default
+    // RANGE frame of the ordered window has no tie ambiguity
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("value_c"))
     ev
-      .select(col("event_type"), col("event_id"),
+      .select(col("event_type"),
         floor(col("value") * 100).cast("long").as("value_c"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"), col("value_c"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wv))
+      .withColumn("n", sum(col("cnt")).over(wu))
       // ceil(p·n) in exact integer math (`div`, not `/` — long / long is
       // DOUBLE division in Spark): ceil(n/2) = (n+1) div 2,
-      // ceil(9n/10) = (9n+9) div 10 (floor((x+9)/10) ≡ ceil(x/10))
-      .filter(col("rn") === expr("(n + 1) div 2") ||
-        col("rn") === expr("(n * 9 + 9) div 10"))
-      .groupBy(col("event_type"), col("n"))
-      .agg(
-        min(when(col("rn") === expr("(n + 1) div 2"), col("value_c")))
-          .as("median_c"),
-        min(when(col("rn") === expr("(n * 9 + 9) div 10"), col("value_c")))
-          .as("p90_c"))
-      .select(col("event_type"), col("n").as("n_events"),
-        col("median_c"), col("p90_c"))
+      // ceil(9n/10) = (9n+9) div 10 (floor((x+9)/10) ≡ ceil(x/10)).
+      // The value at rank r is the census row whose cumulative count
+      // first reaches r: cum − cnt < r ≤ cum.
+      .withColumn("median_c", max(when(
+        col("cum") - col("cnt") < expr("(n + 1) div 2") &&
+          col("cum") >= expr("(n + 1) div 2"), col("value_c"))).over(wu))
+      .withColumn("p90_c", max(when(
+        col("cum") - col("cnt") < expr("(n * 9 + 9) div 10") &&
+          col("cum") >= expr("(n * 9 + 9) div 10"), col("value_c"))).over(wu))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        max(col("median_c")).as("median_c"),
+        max(col("p90_c")).as("p90_c"))
       .orderBy(col("event_type"))
   }
 
@@ -542,41 +560,54 @@ object Sessionize {
     * the outlier it is supposed to flag; the median doesn't move).
     *
     * MAD is inherently two-pass (the second median is over deviations
-    * FROM the first), but both passes share one partitioning: the
-    * median is computed as a windowed VALUE (max of the rank-selected
-    * row over the unbounded frame) instead of a filtered aggregate
-    * joined back, so deviations, the deviation ranks and the outlier
-    * test all stay in the same event_type partition — ONE exchange of
-    * the fact, two in-partition sorts, no self-join, single scan.
-    * Same key-count caveat as [[exactPercentiles]]: parallelism is
-    * bounded by the number of event types (document-count keys at
-    * 100 TB would use this exact plan unchanged).
+    * FROM the first), but on a DISCRETE value both passes are functions
+    * of the per-(type, value) COUNT census (r16 — the same
+    * count-of-counts rewrite as [[exactPercentiles]]; this row was the
+    * suite's worst honest non-stage decade ratio at 7.9× and 20.1 s
+    * sf10): one map-side-combined groupBy collapses the fact, the
+    * median reads off the cumulative counts, the deviation census is a
+    * PROJECTION of the value census (|v − median| with the same
+    * counts — no second pass over the fact), its own cumulative sum
+    * yields the MAD, and the outlier count is a census-weighted sum.
+    * Every window runs over |types|·|distinct cents| rows; the fact is
+    * touched exactly once, by a combine-friendly aggregate whose
+    * exchange is bounded by value cardinality per task — the old
+    * full-fact form sorted 10⁸ rows twice inside 5 type partitions
+    * (a 5-way parallelism ceiling this rewrite retires).
     */
   def madOutliers(spark: SparkSession, dir: String): DataFrame =
     madOutliers(events(spark, dir))
 
   def madOutliers(ev: DataFrame): DataFrame = {
     val wu = Window.partitionBy(col("event_type"))
-    val ws = Window.partitionBy(col("event_type"))
-      .orderBy(col("value_c"), col("event_id"))
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("value_c"))
+    // dev ties (values symmetric around the median) make the RANGE
+    // frame ambiguous — order by (dev, value_c) with an explicit ROWS
+    // frame; whichever tied row the target rank lands in carries the
+    // same dev, so the selected MAD is tie-split-independent
     val wd = Window.partitionBy(col("event_type"))
-      .orderBy(col("dev"), col("event_id"))
+      .orderBy(col("dev"), col("value_c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def rankHit(cum: Column, cnt: Column): Column =
+      cum - cnt < expr("(n + 1) div 2") && cum >= expr("(n + 1) div 2")
     ev
-      .select(col("event_type"), col("event_id"),
+      .select(col("event_type"),
         floor(col("value") * 100).cast("long").as("value_c"))
-      .withColumn("rn", row_number().over(ws).cast("long"))
-      .withColumn("n", count(lit(1)).over(wu))
+      .groupBy(col("event_type"), col("value_c"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wv))
+      .withColumn("n", sum(col("cnt")).over(wu))
       .withColumn("median_c",
-        max(when(col("rn") === expr("(n + 1) div 2"), col("value_c"))).over(wu))
+        max(when(rankHit(col("cum"), col("cnt")), col("value_c"))).over(wu))
       .withColumn("dev", abs(col("value_c") - col("median_c")))
-      .withColumn("rn2", row_number().over(wd).cast("long"))
+      .withColumn("cum2", sum(col("cnt")).over(wd))
       .withColumn("mad_c",
-        max(when(col("rn2") === expr("(n + 1) div 2"), col("dev"))).over(wu))
+        max(when(rankHit(col("cum2"), col("cnt")), col("dev"))).over(wu))
       .groupBy(col("event_type"))
       .agg(max(col("n")).as("n_events"),
         max(col("median_c")).as("median_c"),
         max(col("mad_c")).as("mad_c"),
-        sum(when(col("dev") > col("mad_c") * 3, 1L).otherwise(0L))
+        sum(when(col("dev") > col("mad_c") * 3, col("cnt")).otherwise(0L))
           .as("n_outliers"))
       .orderBy(col("event_type"))
   }

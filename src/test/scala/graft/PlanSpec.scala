@@ -75,12 +75,16 @@ class PlanSpec extends SparkTestBase {
     val ret = plan(Sessionize.retention(spark, dir))
     assert("Exchange hashpartitioning".r.findAllIn(ret).length <= 2,
       ret.take(800))
-    // MAD outliers: both median passes, the deviations and the final
-    // per-type aggregate all share hashpartitioning(event_type) — ONE
-    // hash exchange of the fact, no self-join
+    // MAD outliers (census form, r16): the fact leaves its scan through
+    // ONE map-side-combined (event_type, value_c) count aggregate — the
+    // partial HashAggregate must sit below the fact exchange — then the
+    // windows/median/MAD run over the census behind a second, census-
+    // grain exchange. Two hash exchanges, only one at fact grain, no
+    // self-join.
     val mad = plan(Sessionize.madOutliers(spark, dir))
-    assert("Exchange hashpartitioning".r.findAllIn(mad).length === 1,
+    assert("Exchange hashpartitioning".r.findAllIn(mad).length === 2,
       mad.take(1000))
+    assert(mad.contains("partial_count"), mad.take(1000))
     assert(!mad.contains("Join"), mad.take(1000))
   }
 
