@@ -107,6 +107,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NativeFunctions.checkArity(NativeFunctions.WordRepName, 1, exprs)
         NativeFunctions.WordRepCounts(exprs(0))
       }))
+    ext.injectFunction((
+      FunctionIdentifier(NativeFunctions.ShingleHashName),
+      info(NativeFunctions.ShingleHashName,
+        "positional n-token shingle md5-prefix hashes of lower(text) in " +
+          "ONE scan, array<bigint>; empty when the doc has < n tokens — " +
+          "value-identical to the tokens/element_at/concat_ws/" +
+          "md5_prefix_long chain, shingle strings never materialized",
+        "_FUNC_(text, 3, 15)"),
+      (exprs: Seq[Expression]) => NativeFunctions.buildShingleHashes(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier(NativeFunctions.SimhashSigName),
+      info(NativeFunctions.SimhashSigName,
+        "per-document band-packed SimHash signature over md5 token " +
+          "hashes in ONE scan, array<bigint> of `bands`; NULL for " +
+          "zero-token docs — value-identical to the explode + two " +
+          "md5 slices + wide vote aggregate it replaces",
+        "_FUNC_(text, 4, 15)"),
+      (exprs: Seq[Expression]) => NativeFunctions.buildSimhashSig(exprs)))
   }
 
   private def info(name: String, usage: String, example: String): ExpressionInfo =

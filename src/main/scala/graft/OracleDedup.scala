@@ -67,7 +67,10 @@ object OracleDedup {
         |ORDER BY canonical_doc_id""".stripMargin,
 
     // GPT-3-style exact 13-gram firewall: ANY shared 13-gram with the
-    // training split marks the held-out doc contaminated.
+    // training split marks the held-out doc contaminated. r16: the
+    // 13-gram identity is the family's 60-bit md5 prefix (the same
+    // `('0x' || substring(md5, 1, 15))::BIGINT` as the T0 pipelines),
+    // replayed here so both engines distinct/join on the same value.
     "corpus_firewall13" ->
       """WITH toks13 AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
@@ -75,7 +78,8 @@ object OracleDedup {
         |  FROM documents
         |), sh13 AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 11),
-        |    i -> md5(array_to_string(t[i:i+12], ' ')))) AS hs
+        |    i -> ('0x' || substring(md5(array_to_string(t[i:i+12], ' ')),
+        |                            1, 15))::BIGINT)) AS hs
         |  FROM toks13 WHERE len(t) >= 13
         |), bench AS (
         |  SELECT doc_id, unnest(hs) AS h FROM sh13 WHERE doc_id % 17 = 0

@@ -847,6 +847,241 @@ object NativeFunctions {
     shifted >>> (64 - 4 * hexChars)
   }
 
+  /** Reusable 16-byte digest output for the tokenizing kernels below
+    * (md5 per token/window, thousands per row — `md.digest()`'s fresh
+    * array each call is measurable garbage at that rate).
+    */
+  private val md5Out = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
+
+  /** Byte-scan tokenizer shared by [[ShingleHashes]] and [[SimhashSig]]:
+    * lowercase via `UTF8String.toLowerCase` (exactly Spark's `lower()`
+    * under the default UTF8_BINARY collation), then token = maximal run
+    * of non-`\s` BYTES, where `\s` is Java regex's ASCII class
+    * `[ \t\n\x0B\f\r]` — the byte ranges are bit-identical to the
+    * elements of `filter(split(lower(text), "\\s+"), _ != "")`
+    * re-encoded as UTF-8, because all six `\s` bytes are ASCII and can
+    * never occur inside a multi-byte UTF-8 sequence. Fills `starts`/
+    * `ends` (token i = bytes [starts(i), ends(i))) and returns the
+    * token count; arrays grow geometrically and are reused per thread.
+    */
+  private final class TokenRanges {
+    var starts = new Array[Int](64)
+    var ends = new Array[Int](64)
+    def tokenize(bytes: Array[Byte]): Int = {
+      var n = 0
+      var i = 0
+      val len = bytes.length
+      while (i < len) {
+        val b = bytes(i)
+        val ws = b == ' ' || b == '\t' || b == '\n' || b == 0x0B ||
+          b == '\f' || b == '\r'
+        if (!ws) {
+          val s = i
+          var j = i
+          while (j < len && {
+            val c = bytes(j)
+            !(c == ' ' || c == '\t' || c == '\n' || c == 0x0B ||
+              c == '\f' || c == '\r')
+          }) j += 1
+          if (n >= starts.length) {
+            starts = java.util.Arrays.copyOf(starts, starts.length * 2)
+            ends = java.util.Arrays.copyOf(ends, ends.length * 2)
+          }
+          starts(n) = s; ends(n) = j; n += 1
+          i = j
+        } else i += 1
+      }
+      n
+    }
+  }
+  private val tokenRanges = new ThreadLocal[TokenRanges] {
+    override def initialValue(): TokenRanges = new TokenRanges
+  }
+
+  /** Kernel of [[ShingleHashes]]: every positional n-token shingle's
+    * md5 prefix (`hexChars` hex digits as BIGINT) in ONE scan —
+    * element i = `md5_prefix_long(concat_ws(' ', tok_i..tok_{i+n-1}),
+    * hexChars)` over the [[TokenRanges]] tokens of `lower(text)`. The
+    * digest streams the token byte ranges plus single 0x20 separators,
+    * so the shingle STRING is never materialized (the legacy form
+    * allocated a token array, n `element_at` calls and a concat per
+    * position). Docs with < n tokens return an EMPTY array: the
+    * consumers explode, so they produce no rows — exactly the
+    * `filter(size(toks) >= n)` the legacy form applied.
+    */
+  def shingleHashRun(s: org.apache.spark.unsafe.types.UTF8String,
+                     n: Int, hexChars: Int): ArrayData = {
+    val bytes = s.toLowerCase.getBytes
+    val tr = tokenRanges.get()
+    val t = tr.tokenize(bytes)
+    if (t < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.emptyLongArray)
+    val md = md5Digest.get()
+    val d = md5Out.get()
+    val out = new Array[Long](t - n + 1)
+    val shift = 64 - 4 * hexChars
+    var w = 0
+    while (w + n <= t) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(0x20.toByte)
+        md.update(bytes, tr.starts(w + j), tr.ends(w + j) - tr.starts(w + j))
+        j += 1
+      }
+      md.digest(d, 0, 16)
+      val hi =
+        ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      out(w) = hi >>> shift
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Kernel of [[SimhashSig]]: the whole per-document SimHash signature
+    * in ONE scan — one md5 digest per token (BOTH 60-bit halves read
+    * from the same digest; the legacy column form ran the digest twice
+    * per token), ±1 votes accumulated locally, band-packed exactly as
+    * `Dedup.simhashSigAt` packs them (bit j of band b set when
+    * 2·ones[b·bpb+j] > n). Returns null for a document with ZERO
+    * tokens — the legacy explode+groupBy emitted no row for those, so
+    * callers filter nulls to keep row sets identical.
+    */
+  def simhashSigRun(s: org.apache.spark.unsafe.types.UTF8String,
+                    bands: Int, bitsPerBand: Int): ArrayData = {
+    val bytes = s.toLowerCase.getBytes
+    val tr = tokenRanges.get()
+    val t = tr.tokenize(bytes)
+    if (t == 0) return null
+    val total = bands * bitsPerBand
+    val ones = new Array[Int](total)
+    val md = md5Digest.get()
+    val d = md5Out.get()
+    var i = 0
+    while (i < t) {
+      md.reset()
+      md.update(bytes, tr.starts(i), tr.ends(i) - tr.starts(i))
+      md.digest(d, 0, 16)
+      val hi =
+        ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      val lo =
+        ((d(8) & 0xffL) << 56) | ((d(9) & 0xffL) << 48) |
+        ((d(10) & 0xffL) << 40) | ((d(11) & 0xffL) << 32) |
+        ((d(12) & 0xffL) << 24) | ((d(13) & 0xffL) << 16) |
+        ((d(14) & 0xffL) << 8) | (d(15) & 0xffL)
+      // the two 60-bit md5 halves, exactly md5_prefix_long(tok, 15, 1)
+      // and md5_prefix_long(tok, 15, 16)
+      val h0 = hi >>> 4
+      val h1 = ((hi << 60) | (lo >>> 4)) >>> 4
+      var p = 0
+      while (p < total) {
+        val h = if (p < 60) h0 else h1
+        ones(p) += ((h >>> (p % 60)) & 1L).toInt
+        p += 1
+      }
+      i += 1
+    }
+    val sig = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0L
+      var j = 0
+      while (j < bitsPerBand) {
+        if (2L * ones(b * bitsPerBand + j) > t) acc += (1L << j)
+        j += 1
+      }
+      sig(b) = acc
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  /** All positional n-token shingle md5-prefix hashes of `lower(text)`
+    * as `array<bigint>` — see [[shingleHashRun]] for the value contract
+    * (bit-identical to the legacy tokens/element_at/concat_ws/
+    * md5_prefix_long column chain, shingle string never materialized).
+    */
+  case class ShingleHashes(child: Expression, n: Int, hexChars: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.StringType
+
+    require(n >= 1, s"$ShingleHashName: n must be >= 1, got $n")
+    require(hexChars >= 1 && hexChars <= 15,
+      s"$ShingleHashName: hexChars must be 1..15, got $hexChars")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$ShingleHashName expects a string, got ${other.sql}")
+      }
+
+    override def nullSafeEval(s: Any): Any =
+      NativeFunctions.shingleHashRun(
+        s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, hexChars)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.engine.expr.NativeFunctions.shingleHashRun(" +
+          s"$c, $n, $hexChars);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = ShingleHashName
+  }
+
+  /** Per-document SimHash signature as `array<bigint>` of `bands`
+    * band-packed vote words — see [[simhashSigRun]] for the value
+    * contract (null for zero-token docs; callers filter).
+    */
+  case class SimhashSig(child: Expression, bands: Int, bitsPerBand: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.StringType
+
+    require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 60 &&
+      bands * bitsPerBand <= 120,
+      s"$SimhashSigName: need 1 <= bitsPerBand <= 60 and bands * " +
+        s"bitsPerBand <= 120 (two md5 halves); got $bands x $bitsPerBand")
+
+    override def nullable: Boolean = true
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$SimhashSigName expects a string, got ${other.sql}")
+      }
+
+    override def nullSafeEval(s: Any): Any =
+      NativeFunctions.simhashSigRun(
+        s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        bands, bitsPerBand)
+
+    // the kernel returns null for zero-token docs, so the generated code
+    // must re-derive isNull from the call result (plain nullSafeCodeGen
+    // would leave isNull=false around a null value)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.engine.expr.NativeFunctions.simhashSigRun(" +
+          s"$c, $bands, $bitsPerBand);\n" +
+          s"${ev.isNull} = ${ev.value} == null;")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = SimhashSigName
+  }
+
   /** 2⁶¹ − 1, the Karp-Rabin modulus (Mersenne: `x mod M` reduces by
     * shift-and-add, and `a · b mod M` needs only a 64×64→128 multiply —
     * `Math.multiplyHigh` here, HUGEINT in the oracle's replay).
@@ -933,6 +1168,38 @@ object NativeFunctions {
   val WinnowName = "winnow_karp_rabin"
   val Md5PrefixName = "md5_prefix_long"
   val WordRepName = "word_rep_counts"
+  val ShingleHashName = "shingle_hashes"
+  val SimhashSigName = "simhash_sig"
+
+  /** `shingle_hashes(text, n, hexChars)` builder: both knobs must be
+    * foldable integer literals. */
+  def buildShingleHashes(exprs: Seq[Expression]): Expression = {
+    checkArity(ShingleHashName, 3, exprs)
+    ShingleHashes(exprs(0),
+      foldableInt(ShingleHashName, "n", exprs(1)),
+      foldableInt(ShingleHashName, "hexChars", exprs(2)))
+  }
+
+  /** `simhash_sig(text, bands, bitsPerBand)` builder: both knobs must
+    * be foldable integer literals. */
+  def buildSimhashSig(exprs: Seq[Expression]): Expression = {
+    checkArity(SimhashSigName, 3, exprs)
+    SimhashSig(exprs(0),
+      foldableInt(SimhashSigName, "bands", exprs(1)),
+      foldableInt(SimhashSigName, "bitsPerBand", exprs(2)))
+  }
+
+  private def foldableInt(fn: String, what: String, e: Expression): Int = {
+    require(e.foldable, s"$fn: $what must be foldable")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: integral $what expected, got $other")
+    }
+  }
 
   /** `md5_prefix_long(text, hexChars[, startHex])` builder: width and
     * optional 1-based start must be foldable integer literals. */
@@ -1085,6 +1352,12 @@ object NativeFunctions {
           checkArity(WordRepName, 1, exprs)
           WordRepCounts(exprs(0))
         }, "built-in")
+    if (!spark.catalog.functionExists(ShingleHashName))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        ShingleHashName, buildShingleHashes, "built-in")
+    if (!spark.catalog.functionExists(SimhashSigName))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        SimhashSigName, buildSimhashSig, "built-in")
     if (!spark.catalog.functionExists(SrpSignatureName))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         SrpSignatureName, exprs => {
@@ -1135,6 +1408,20 @@ object NativeFunctions {
     */
   def wordRepCounts(tokens: Column): Column =
     call_function(WordRepName, tokens)
+
+  /** Positional n-token shingle md5-prefix hashes (see [[ShingleHashes]]);
+    * caller must have ensureRegistered. */
+  def shingleHashes(text: Column, n: Int, hexChars: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function(ShingleHashName, text, lit(n), lit(hexChars))
+  }
+
+  /** Per-document SimHash signature (see [[SimhashSig]]); caller must
+    * have ensureRegistered. */
+  def simhashSig(text: Column, bands: Int, bitsPerBand: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function(SimhashSigName, text, lit(bands), lit(bitsPerBand))
+  }
 
   /** Karp-Rabin winnowing fingerprint (see [[WinnowKarpRabin]]); caller
     * must have ensureRegistered.

@@ -279,15 +279,22 @@ object Dedup {
     * [[sharedRareJaccard]]), so materializing a distinct pass here would
     * only add a second shuffle. The explode output is two longs per row.
     */
-  private[ext] def shingleHashRows(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0), size(col("toks")) - n)).as("i"))
-      .select(col("doc_id"),
-        md5Hash60(concat_ws(" ",
-          (0 until n).map(j => element_at(col("toks"), col("i") + j + 1)): _*))
-          .as("sh_h"))
+  private[ext] def shingleHashRows(docs: DataFrame, n: Int): DataFrame = {
+    // ONE fused scan (r16): the native shingle_hashes kernel tokenizes,
+    // windows and digests in place — the legacy form materialized the
+    // token ARRAY per doc, then per position paid n element_at lambdas
+    // + a concat_ws allocation + an md5 over the rebuilt string.
+    // Value-identical by construction (same lower(), same ASCII-\s
+    // tokens, same ' '-joined bytes into the same md5 prefix —
+    // ShingleKernelSpec pins kernel vs legacy chain on adversarial
+    // fixtures); docs with < n tokens yield an empty array, so the
+    // explode drops them exactly like the legacy size() filter.
+    graft.engine.expr.NativeFunctions.ensureRegistered(docs.sparkSession)
+    docs.select(col("doc_id"),
+        graft.engine.expr.NativeFunctions
+          .shingleHashes(col("text"), n, 15).as("shs"))
+      .select(col("doc_id"), explode(col("shs")).as("sh_h"))
+  }
 
   /** Distinct (doc_id, sh_h) rows. Deliberately the PLAIN two-exchange
     * shape — distinct (both-column exchange, map-side partial dedup)
@@ -549,18 +556,16 @@ object Dedup {
   private def spansOf(docs: DataFrame, n: Int, dfCap: Int,
                       minSpanTokens: Int): DataFrame = {
     // positional shingle fingerprints: (doc_id, p, md5(shingle at p)) —
-    // NOT distinct: every occurrence keeps its position
-    // fp is the 60-bit md5 prefix (r15, [[md5Hash60]] — was the full
-    // 32-char hex string): the occurrence-bucket exchange carries an
-    // 8-byte key, and the oracle replays the same prefix value
-    val sh = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0), size(col("toks")) - n)).as("p"))
-      .select(col("doc_id"), col("p"),
-        md5Hash60(concat_ws(" ",
-          (0 until n).map(j => element_at(col("toks"), col("p") + j + 1)): _*))
-          .as("fp"))
+    // NOT distinct: every occurrence keeps its position. fp is the
+    // 60-bit md5 prefix; since r16 the whole (tokenize, window, digest)
+    // scan is the fused shingle_hashes kernel — posexplode supplies the
+    // SAME 0-based position the explode(sequence(...)) form produced,
+    // and a < n-token doc's empty array drops it exactly like the old
+    // size() filter. The oracle replays the same prefix value.
+    graft.engine.expr.NativeFunctions.ensureRegistered(docs.sparkSession)
+    val sh = docs.select(col("doc_id"),
+        posexplode(graft.engine.expr.NativeFunctions
+          .shingleHashes(col("text"), n, 15)).as(Seq("p", "fp")))
 
     // df-capped occurrence buckets → cross-document occurrence pairs,
     // expanded locally (one shuffle, no bucket self-join) through the
@@ -660,10 +665,19 @@ object Dedup {
     firewall13(documents(spark, dir))
 
   def firewall13(docs: DataFrame, n: Int = 13): DataFrame = {
-    val bench = shingleRows(docs.filter(col("doc_id") % 17 === 0), n)
-      .select(col("doc_id"), md5(col("shingle")).as("h"))
-    val trainSet = shingleRows(docs.filter(col("doc_id") % 17 =!= 0), n)
-      .select(md5(col("shingle")).as("h")).distinct()
+    // r16: the fused shingle kernel + the family's 60-bit md5-prefix
+    // identity (was md5 of the rebuilt shingle STRING as a 32-char hex
+    // key — the same allocation chain and string-keyed exchange the T0
+    // stage retired in r15). Distinctness is per-hash on BOTH sides of
+    // the oracle gate, so results stay value-exact by construction;
+    // the set-membership join now carries 8-byte keys.
+    graft.engine.expr.NativeFunctions.ensureRegistered(docs.sparkSession)
+    val hs = docs.select(col("doc_id"),
+      explode(array_distinct(graft.engine.expr.NativeFunctions
+        .shingleHashes(col("text"), n, 15))).as("h"))
+    val bench = hs.filter(col("doc_id") % 17 === 0)
+    val trainSet = hs.filter(col("doc_id") % 17 =!= 0)
+      .select(col("h")).distinct()
     val totals = bench.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_13grams"))
     val hits = bench.join(trainSet, Seq("h"), "left_semi")
@@ -807,36 +821,22 @@ object Dedup {
 
   private def simhashSigAt(docs: DataFrame, bands: Int,
                            bitsPerBand: Int): DataFrame = {
-    val total = bands * bitsPerBand
-    val halves = (total + 59) / 60
-    // r15: each 60-bit half reads its hex slice through the native
-    // md5-prefix expression (same VALUES as conv(substring(md5hex)) —
-    // Md5PrefixSpec pins both slices) — the per-token 32-char hex
-    // string and two conv parses are gone from the corpus-wide scan;
-    // the second digest costs ~an order less than the allocations did.
-    val toks = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id") +:
-        (0 until halves).map(k =>
-          graft.engine.expr.NativeFunctions
-            .md5SliceLong(col("tok"), 1 + 15 * k, 15).as(s"h$k")): _*)
-    // One wide aggregation (count + `total` per-bit ones-counts) instead
-    // of a width× row explode + double groupBy: the vote sum for bit p is
-    // ones_p - (n - ones_p), positive iff 2*ones_p > n — same signature
-    // at 1/width the shuffled rows, and the sums stay in whole-stage
-    // codegen.
-    val onesCols = (0 until total).map(p =>
-      sum(shiftright(col(s"h${p / 60}"), p % 60).bitwiseAND(lit(1L)))
-        .as(s"ones_$p"))
-    toks
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n"), onesCols: _*)
-      .select(col("doc_id"),
-        array((0 until bands).map(b =>
-          (0 until bitsPerBand).map(j =>
-            when(col(s"ones_${b * bitsPerBand + j}") * 2 > col("n"),
-              lit(1L << j)).otherwise(0L))
-            .reduce(_ + _)): _*).as("sig"))
+    // The WHOLE signature in one fused scan, NO shuffle (r16): the
+    // native simhash_sig kernel tokenizes, digests each token ONCE
+    // (both 60-bit halves read from one digest — the r15 column form
+    // ran the md5 twice per token), accumulates the ±1 votes locally
+    // and band-packs — the signature build stops being a corpus-wide
+    // token explode + a 1+total-column aggregate exchange and becomes a
+    // doc-grain projection. Value-identical by construction (same
+    // tokens, same md5 slices, same 2·ones > n vote and 1L<<j packing —
+    // ShingleKernelSpec pins kernel vs the legacy aggregate); the
+    // isNotNull filter reproduces the legacy explode's behavior of
+    // emitting NO row for zero-token docs.
+    graft.engine.expr.NativeFunctions.ensureRegistered(docs.sparkSession)
+    docs.select(col("doc_id"),
+        graft.engine.expr.NativeFunctions
+          .simhashSig(col("text"), bands, bitsPerBand).as("sig"))
+      .filter(col("sig").isNotNull)
   }
 
   /** Band-blocked Hamming pair generation over a per-band signature
@@ -1723,9 +1723,20 @@ object Dedup {
   def minhashPairs(docs: DataFrame, n: Int = 3,
                    numHashes: Int = 16, bands: Int = 4,
                    minEstPpm: Long = 250000L,
-                   bucketCap: Long = Long.MaxValue): DataFrame =
-    minhashPairsFromShingles(shingleRows(docs, n), numHashes, bands,
-      minEstPpm, bucketCap)
+                   bucketCap: Long = Long.MaxValue): DataFrame = {
+    // fused shingle scan (r16): the 48-bit base hashes come straight
+    // from the shingle_hashes kernel — no token array, no shingle
+    // string, no per-position md5-of-rebuilt-string. Duplicate
+    // positions hash equal, and min() over the same multiset is the
+    // same minimum, so signatures are value-identical to the
+    // string-shingle route (ShingleKernelSpec pins the 12-hex slice).
+    graft.engine.expr.NativeFunctions.ensureRegistered(docs.sparkSession)
+    minhashFromBaseHashes(
+      docs.select(col("doc_id"),
+        explode(graft.engine.expr.NativeFunctions
+          .shingleHashes(col("text"), n, 12)).as("h")),
+      numHashes, bands, minEstPpm, bucketCap)
+  }
 
   /** [[minhashPairs]] over a pre-built (doc_id, shingle) table — see
     * [[ngramJaccardPairsFromShingles]].
@@ -1759,12 +1770,21 @@ object Dedup {
     */
   def minhashPairsFromShingles(sh: DataFrame, numHashes: Int, bands: Int,
                                minEstPpm: Long,
-                               bucketCap: Long = Long.MaxValue): DataFrame = {
+                               bucketCap: Long = Long.MaxValue): DataFrame =
+    minhashFromBaseHashes(
+      sh.select(col("doc_id"), md5Hash48(col("shingle")).as("h")),
+      numHashes, bands, minEstPpm, bucketCap)
+
+  /** The post-hash MinHash core over raw (doc_id, 48-bit base hash)
+    * rows — [[minhashPairs]] feeds it from the fused kernel,
+    * [[minhashPairsFromShingles]] from a materialized string-shingle
+    * table; both hash routes produce the same values by construction.
+    */
+  private def minhashFromBaseHashes(exploded: DataFrame, numHashes: Int,
+                                    bands: Int, minEstPpm: Long,
+                                    bucketCap: Long): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val perBand = numHashes / bands
-
-    val exploded = sh
-      .select(col("doc_id"), md5Hash48(col("shingle")).as("h"))
 
     // h_i(x) = (a_i * h + b_i) mod p — universal-hash family on the 60-bit
     // base hash; p = 2^61-1 (Mersenne), a_i/b_i fixed odd constants.
