@@ -140,7 +140,8 @@ object OracleAnn {
         |                             x -> x != '') AS t
         |  FROM documents
         |), tt AS (
-        |  SELECT doc_id, t[p+1] || ' ' || t[p+2] AS term
+        |  SELECT doc_id, ('0x' || substring(md5(t[p+1] || ' ' || t[p+2]),
+        |                                    1, 15))::BIGINT AS term
         |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS p
         |        FROM toksh WHERE len(t) >= 2)
         |), tfq AS (

@@ -280,9 +280,13 @@ object OracleText {
     // postings): idf²-weighted rare-term match score, integer-exact
     // (w = 1e6 // df, tf capped at 16 — the rational analogs of
     // log-idf and sublinear tf).
+    // r16: postings keyed by the family 60-bit md5 prefix of the bigram
+    // (terms never reach the output) — replayed here so both engines
+    // group/join on the same value.
     "text_tfidf_topk" -> (toks +
       raw""", $docQmCte, tt AS (
-        |  SELECT doc_id, t[p+1] || ' ' || t[p+2] AS term
+        |  SELECT doc_id, ('0x' || substring(md5(t[p+1] || ' ' || t[p+2]),
+        |                                    1, 15))::BIGINT AS term
         |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS p
         |        FROM toks WHERE len(t) >= 2)
         |), tfq AS (
@@ -328,7 +332,9 @@ object OracleText {
         |  FROM k
         |), ctt AS (
         |  SELECT doc_id, chunk_no,
-        |    lower(ctoks[p+1]) || ' ' || lower(ctoks[p+2]) AS term
+        |    ('0x' || substring(md5(lower(ctoks[p+1]) || ' '
+        |                           || lower(ctoks[p+2])), 1, 15))::BIGINT
+        |      AS term
         |  FROM (SELECT doc_id, chunk_no, ctoks,
         |          unnest(range(0, len(ctoks) - 1)) AS p
         |        FROM ct WHERE len(ctoks) >= 2)
@@ -347,7 +353,8 @@ object OracleText {
         |                x -> x != '') AS t
         |  FROM documents WHERE doc_id % $docQmSql = 0
         |), qtt AS (
-        |  SELECT query_id, t[p+1] || ' ' || t[p+2] AS term
+        |  SELECT query_id, ('0x' || substring(md5(t[p+1] || ' ' || t[p+2]),
+        |                                      1, 15))::BIGINT AS term
         |  FROM (SELECT query_id, t, unnest(range(0, len(t) - 1)) AS p
         |        FROM qt WHERE len(t) >= 2)
         |), qtf AS (
@@ -395,7 +402,9 @@ object OracleText {
         |  FROM ct
         |), ctt AS (
         |  SELECT doc_id, chunk_no, dl,
-        |    lower(ctoks[p+1]) || ' ' || lower(ctoks[p+2]) AS term
+        |    ('0x' || substring(md5(lower(ctoks[p+1]) || ' '
+        |                           || lower(ctoks[p+2])), 1, 15))::BIGINT
+        |      AS term
         |  FROM (SELECT doc_id, chunk_no, dl, ctoks,
         |          unnest(range(0, len(ctoks) - 1)) AS p
         |        FROM ct WHERE len(ctoks) >= 2)
@@ -419,7 +428,8 @@ object OracleText {
         |                x -> x != '') AS t
         |  FROM documents WHERE doc_id % $docQmSql = 0
         |), qtt AS (
-        |  SELECT query_id, t[p+1] || ' ' || t[p+2] AS term
+        |  SELECT query_id, ('0x' || substring(md5(t[p+1] || ' ' || t[p+2]),
+        |                                      1, 15))::BIGINT AS term
         |  FROM (SELECT query_id, t, unnest(range(0, len(t) - 1)) AS p
         |        FROM qt WHERE len(t) >= 2)
         |), qtf AS (
@@ -581,12 +591,16 @@ object OracleText {
         |  FROM agg)
         |WHERE rank <= 100 ORDER BY rank""".stripMargin),
 
+    // r16: distinct/df on the family 60-bit md5 prefix of the bigram
+    // (same identity as the engine's fused kernel) — the shingle text
+    // reaches no output on either side.
     "text_novelty" -> (toks +
       """, sh AS (
         |  SELECT doc_id,
         |    CASE WHEN len(t) >= 2 THEN
         |      list_distinct(list_transform(range(1, len(t)),
-        |        i -> t[i] || ' ' || t[i+1]))
+        |        i -> ('0x' || substring(md5(t[i] || ' ' || t[i+1]),
+        |                                1, 15))::BIGINT))
         |    ELSE [] END AS sh
         |  FROM toks
         |), ex AS (

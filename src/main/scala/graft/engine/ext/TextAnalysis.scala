@@ -539,8 +539,16 @@ object TextAnalysis {
     novelty(spark.read.parquet(s"$dir/documents.parquet"))
 
   def novelty(docs: DataFrame): DataFrame = {
-    val sh = Dedup.shingleRows(docs, 2)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    // r16: hash-keyed like the rest of the shingle family — the df
+    // window's corpus-wide exchange carries the 60-bit md5 prefix from
+    // the fused kernel instead of distinct bigram STRINGS (the shingle
+    // text reaches no output); the oracle distincts/windows on the same
+    // hash, so values are exact by construction.
+    graft.engine.expr.NativeFunctions.ensureRegistered(docs.sparkSession)
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(graft.engine.expr.NativeFunctions
+        .shingleHashes(col("text"), 2, 15))).as("sh_h"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh_h"))
     sh.withColumn("df", count(lit(1)).over(w))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
@@ -584,13 +592,19 @@ object TextAnalysis {
 
   def tfidfTopK(docs: DataFrame, k: Int = 10, queryMod: Int = 50,
                 n: Int = 2, dfCap: Int = 100, tfCap: Int = 16): DataFrame = {
-    val tf = docs.select(col("doc_id"), wsTokens(lower(col("text"))).as("t"))
-      .filter(size(col("t")) >= n)
-      .select(col("doc_id"), col("t"),
-        explode(sequence(lit(0), size(col("t")) - n)).as("p"))
-      .select(col("doc_id"), concat_ws(" ",
-        (0 until n).map(j => element_at(col("t"), col("p") + j + 1)): _*)
-        .as("term"))
+    // r16: terms never reach the output (they are join/grouping keys
+    // only), so the postings key is the dedup family's 60-bit md5
+    // prefix, produced by the fused shingle_hashes kernel — the bigram
+    // build stops materializing a token array + a concat'd string per
+    // position, and every postings exchange/aggregate carries an 8-byte
+    // key instead of a ~15-30-byte term. Hash collisions merge terms
+    // for BOTH engines identically (the oracle hashes the same way), so
+    // results stay value-exact by construction — the ngramJaccardPairs
+    // precedent (r15) applied to the retrieval family.
+    graft.engine.expr.NativeFunctions.ensureRegistered(docs.sparkSession)
+    val tf = docs.select(col("doc_id"),
+        explode(graft.engine.expr.NativeFunctions
+          .shingleHashes(col("text"), n, 15)).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(least(count(lit(1)), lit(tfCap.toLong)).as("tf"))
     val rare = tf.groupBy(col("term"))
@@ -637,30 +651,26 @@ object TextAnalysis {
   def ragChunkTopK(docs: DataFrame, k: Int = 3, queryMod: Int = 50,
                    win: Int = 32, stride: Int = 24,
                    dfCap: Int = 100, tfCap: Int = 16): DataFrame = {
-    def bigrams(df: DataFrame, keys: Seq[String], text: Column): DataFrame =
-      df.select(keys.map(col) :+ wsTokens(lower(text)).as("t"): _*)
-        .filter(size(col("t")) >= 2)
-        .select(keys.map(col) :+ col("t") :+
-          explode(sequence(lit(0), size(col("t")) - 2)).as("p"): _*)
-        .select(keys.map(col) :+ concat_ws(" ",
-          element_at(col("t"), col("p") + 1),
-          element_at(col("t"), col("p") + 2)).as("term"): _*)
-        .groupBy((keys :+ "term").map(col): _*)
-        .agg(least(count(lit(1)), lit(tfCap.toLong)).as("tf"))
-
-    val cTf = bigrams(
-      Corpus.chunks(docs.filter(col("doc_id") % queryMod =!= 0), win, stride),
-      Seq("doc_id", "chunk_no"), col("chunk_text"))
+    // r16: hash-keyed postings off ONE fused kernel scan. A chunk's
+    // bigram multiset is a positional SLICE of the document's bigram
+    // stream (lower() commutes with the ' '-join and tokenization, so
+    // tokens-of-lower(chunk_text) ≡ slice of tokens-of-lower(text)) —
+    // the chunk TEXT is never materialized, the per-chunk re-tokenize /
+    // re-concat / per-term string of the old form is gone, and every
+    // postings key is the family 60-bit md5 prefix (see [[tfidfTopK]];
+    // the oracle hashes the same way, so values are exact by
+    // construction). [[chunkTermTf]] is shared with [[bm25ChunkTopK]].
+    graft.engine.expr.NativeFunctions.ensureRegistered(docs.sparkSession)
+    val cTf = chunkTermTf(docs.filter(col("doc_id") % queryMod =!= 0),
+      win, stride, tfCap)
     val rare = cTf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
       .select(col("term"), expr("1000000 div df").as("w"))
     val post = cTf.join(rare, "term")
       .select(col("term"), col("doc_id"), col("chunk_no"),
         (col("tf") * col("w")).as("wt"))
-    val qpost = bigrams(
-      docs.filter(col("doc_id") % queryMod === 0)
-        .select(col("doc_id").as("query_id"), col("text")),
-      Seq("query_id"), col("text"))
+    val qpost = queryTermTf(docs.filter(col("doc_id") % queryMod === 0),
+        tfCap)
       .join(rare, "term")
       .select(col("term"), col("query_id"), (col("tf") * col("w")).as("qwt"))
     val wTop = org.apache.spark.sql.expressions.Window
@@ -710,28 +720,23 @@ object TextAnalysis {
   def bm25ChunkTopK(docs: DataFrame, k: Int = 3, queryMod: Int = 50,
                     win: Int = 32, stride: Int = 24,
                     dfCap: Int = 100, tfCap: Int = 16): DataFrame = {
-    def bigrams(df: DataFrame, keys: Seq[String], text: Column): DataFrame =
-      df.select(keys.map(col) :+ wsTokens(lower(text)).as("t"): _*)
-        .filter(size(col("t")) >= 2)
-        .select(keys.map(col) :+ col("t") :+
-          explode(sequence(lit(0), size(col("t")) - 2)).as("p"): _*)
-        .select(keys.map(col) :+ concat_ws(" ",
-          element_at(col("t"), col("p") + 1),
-          element_at(col("t"), col("p") + 2)).as("term"): _*)
-
-    val chunks = Corpus.chunks(
-      docs.filter(col("doc_id") % queryMod =!= 0), win, stride)
-    val cTf = bigrams(
-      chunks.select(col("doc_id"), col("chunk_no"),
-        col("n_chunk_tokens").as("dl"), col("chunk_text")),
-      Seq("doc_id", "chunk_no", "dl"), col("chunk_text"))
-      .groupBy(col("doc_id"), col("chunk_no"), col("dl"), col("term"))
-      .agg(least(count(lit(1)), lit(tfCap.toLong)).as("tf"))
-    // Index-wide constants: chunk count and floored average chunk length.
-    // A 1-row ungrouped aggregate broadcast — the canonical scalar
-    // subquery shape the structural cartesian sweep admits.
-    val stats = chunks.agg(count(lit(1)).as("n_chunks"),
-      sum(col("n_chunk_tokens")).as("sum_dl"))
+    // r16: same hash-keyed slice-of-kernel chunk postings as
+    // [[ragChunkTopK]] (shared [[chunkTermTf]]). The (N, ΣDL) index
+    // constants come from a CLOSED FORM over doc-grain token counts —
+    // all chunks but a doc's last have exactly `win` tokens, so
+    // Σ dl = n + (win − stride)·(nChunks − 1) per doc — which makes the
+    // stats branch a cheap fused-count scan instead of the old second
+    // full chunk materialization.
+    graft.engine.expr.NativeFunctions.ensureRegistered(docs.sparkSession)
+    val train = docs.filter(col("doc_id") % queryMod =!= 0)
+    val cTf = chunkTermTf(train, win, stride, tfCap)
+    val stats = train
+      .select(graft.engine.expr.NativeFunctions
+        .textStatCounts(col("text"), Seq.empty).getItem(0).as("n"))
+      .select(col("n"), chunkCount(col("n"), win, stride).as("nc"))
+      .agg(sum(col("nc")).as("n_chunks"),
+        sum(col("n") + lit((win - stride).toLong) * (col("nc") - 1L))
+          .as("sum_dl"))
       .select(col("n_chunks"), expr("sum_dl div n_chunks").as("avg_dl"))
     val rare = cTf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
@@ -743,12 +748,9 @@ object TextAnalysis {
       .select(col("term"), col("doc_id"), col("chunk_no"),
         (col("idf_m") * expr("""22000 * tf * avg_dl div
             (10 * tf * avg_dl + 3 * avg_dl + 9 * dl)""")).as("wt"))
-    val qpost = bigrams(
-      docs.filter(col("doc_id") % queryMod === 0)
-        .select(col("doc_id").as("query_id"), col("text")),
-      Seq("query_id"), col("text"))
-      .groupBy(col("query_id"), col("term"))
-      .agg(least(count(lit(1)), lit(tfCap.toLong)).as("qtf"))
+    val qpost = queryTermTf(docs.filter(col("doc_id") % queryMod === 0),
+        tfCap)
+      .withColumnRenamed("tf", "qtf")
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(desc("score"), col("doc_id"), col("chunk_no"))
@@ -761,6 +763,56 @@ object TextAnalysis {
         (col("chunk_no") * stride + 1L).as("start_token"), col("score"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** [[Corpus.chunks]]' chunk-count formula, verbatim (ceil((n−w)/s)+1
+    * floored at 1; the double-divide + cast replicates Spark/DuckDB
+    * truncation parity — see the comment there). Shared so the sliced
+    * postings and the closed-form stats agree with the chunker exactly.
+    */
+  private def chunkCount(n: Column, w: Int, s: Int): Column =
+    greatest(lit(1L), ((n - w + (s - 1)) / s).cast("long") + 1L)
+
+  /** Chunk-grain hash-keyed bigram tf over the 32/24 sliding windows —
+    * (doc_id, chunk_no, dl, term, tf) where `term` is the 60-bit md5
+    * prefix of the lowercased bigram and `dl` the chunk's token count.
+    * ONE fused kernel scan per document: the chunk's bigrams are the
+    * positional slice [chunk_no·s, …+dl−2] of the doc's bigram-hash
+    * array (stride s < win w means consecutive chunks OVERLAP — the
+    * slice re-reads the shared positions instead of re-hashing them),
+    * and a < 2-token chunk contributes an empty slice, exactly the
+    * `size(t) >= 2` filter of the per-chunk tokenize it replaces.
+    */
+  private def chunkTermTf(train: DataFrame, w: Int, s: Int,
+                          tfCap: Int): DataFrame = {
+    val ts = graft.engine.expr.NativeFunctions
+      .textStatCounts(col("text"), Seq.empty)
+    val shs = graft.engine.expr.NativeFunctions
+      .shingleHashes(col("text"), 2, 15)
+    train
+      .select(col("doc_id"), ts.getItem(0).as("n"), shs.as("shs"))
+      .select(col("doc_id"), col("n"), col("shs"),
+        explode(sequence(lit(0L), chunkCount(col("n"), w, s) - 1L))
+          .as("chunk_no"))
+      .select(col("doc_id"), col("chunk_no"),
+        least(lit(w.toLong), col("n") - col("chunk_no") * s).as("dl"),
+        col("shs"))
+      .select(col("doc_id"), col("chunk_no"), col("dl"),
+        explode(slice(col("shs"), (col("chunk_no") * s + 1L).cast("int"),
+          greatest(col("dl") - 1L, lit(0L)).cast("int"))).as("term"))
+      .groupBy(col("doc_id"), col("chunk_no"), col("dl"), col("term"))
+      .agg(least(count(lit(1)), lit(tfCap.toLong)).as("tf"))
+  }
+
+  /** Whole-document hash-keyed bigram tf for the held-out query panel —
+    * (query_id, term, tf), same kernel and 60-bit key as the chunk side.
+    */
+  private def queryTermTf(queries: DataFrame, tfCap: Int): DataFrame =
+    queries
+      .select(col("doc_id").as("query_id"),
+        explode(graft.engine.expr.NativeFunctions
+          .shingleHashes(col("text"), 2, 15)).as("term"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(least(count(lit(1)), lit(tfCap.toLong)).as("tf"))
 
   /** Per-language n-gram frequency census — the top-k most frequent
     * word trigrams per language by OCCURRENCE count (contrast
