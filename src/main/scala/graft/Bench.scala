@@ -72,6 +72,10 @@ object Bench {
       // scan ~numCores-wide here; at 100 TB the defaults are the right
       // sizing and this override is unnecessary (splits are plentiful).
       .config("spark.sql.files.openCostInBytes", "131072")
+      // Kryo: the StageCache serialized pins (and any non-UnsafeRow RDD
+      // path) pay ObjectOutputStream per row otherwise — measured 2x on
+      // the largest stage build (QUERIES.md §"Stage pin storage")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
     // StageCache pin-level A/B knob (r16) — unset = StageCache.DefaultLevel
     sys.env.get("SPARK_GRAFT_STAGE_LEVEL").foreach(

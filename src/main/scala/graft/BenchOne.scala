@@ -20,6 +20,8 @@ object BenchOne {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", GraftExtensions.Name)
       .config("spark.sql.files.openCostInBytes", "131072")
+      // Kryo: see Bench — the serialized stage pins need it
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
     // StageCache pin-level A/B knob (r16) — unset = StageCache.DefaultLevel
     sys.env.get("SPARK_GRAFT_STAGE_LEVEL").foreach(

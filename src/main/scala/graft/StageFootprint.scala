@@ -29,6 +29,8 @@ object StageFootprint {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", GraftExtensions.Name)
       .config("spark.sql.files.openCostInBytes", "131072")
+      // Kryo: see Bench — the serialized stage pins need it
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_STAGE_LEVEL").foreach(
       builder.config(graft.engine.StageCache.StorageLevelConf, _))

@@ -91,6 +91,12 @@ object Main {
     val builder = SparkSession.builder()
       .appName(s"graft-${args.mode}")
       .config("spark.sql.session.timeZone", "UTC")
+      // Kryo: the StageCache serialized pins pay ObjectOutputStream per
+      // row otherwise (QUERIES.md §"Stage pin storage"). spark.serializer
+      // is a static core conf: an embedding caller's or spark-submit's
+      // RUNNING context keeps whatever it launched with — this only
+      // takes effect when this CLI is the one creating the context
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.extensions", graft.GraftExtensions.Name)
     // under spark-submit (or an embedding test session) the master is
     // already set; a bare `java`/`sbt runMain` invocation gets local[*]

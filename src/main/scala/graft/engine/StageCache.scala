@@ -76,25 +76,31 @@ object StageCache {
     */
   val StorageLevelConf = "spark.graft.stageCache.storageLevel"
 
-  /** Mode-1 pin default. Measured decision (StageFootprint A/B at sf1,
-    * 32 cpus, 8g heap; full numbers in QUERIES.md §"Stage pin storage"):
-    * Spark's localCheckpoint default pins DESERIALIZED row objects —
-    * 2,971 MB of block-manager heap with all 16 stages resident at sf1
-    * (≈30 GB extrapolated to sf10, crowding even the 48g bench heap),
-    * and the post-build host canary ran well above its pre-build cost
-    * for the rest of the session (the r16 "intrinsic post-canary
-    * elevation"); serialized (`MEMORY_AND_DISK_SER`) recovers only ~20%
-    * — UnsafeRows are already byte-packed, the object-count pressure is
-    * the block count times row count either way. `DISK_ONLY` keeps the
-    * pin out of the heap entirely; stage blocks land on local disk
-    * (read back through the OS page cache on this bench host). On a
-    * real cluster executors read their own local checkpoint files the
-    * same way, so this is also the production-faithful shape; pass
-    * [[StorageLevelConf]] to pin hot stages in memory when the heap has
-    * room.
+  /** Mode-1 pin default. Measured decision (StageFootprint + BenchOne
+    * A/Bs; full numbers in QUERIES.md §"Stage pin storage"): Spark's
+    * localCheckpoint default pins DESERIALIZED row objects — 2,971 MB
+    * of block-manager heap with all 16 stages resident at sf1 (≈30 GB
+    * extrapolated to sf10, crowding even the 48g bench heap: the r16
+    * "intrinsic post-canary elevation" — the end of a full-suite run
+    * measured ~2× slower than its start). Serialized storage fixes the
+    * crowding where it actually lives — OBJECT COUNT, not bytes: one
+    * byte-array block instead of millions of row objects takes the pin
+    * out of every GC mark, while staying memory-first for consumers and
+    * spilling overflow to disk. `DISK_ONLY` was measured and REJECTED:
+    * on the suite's largest materialization (the sf10 ngram T0 pair
+    * table) the cold build cost 122 s vs 61 serialized-in-memory / 79
+    * deserialized, because the forced write pays the block codec twice.
+    * That codec matters more than the level: with Java serialization
+    * the same DISK_ONLY build ranged 92-152 s; with Kryo it was 65.0
+    * and 65.5 (two samples, ±0.5%) — set
+    * `spark.serializer=org.apache.spark.serializer.KryoSerializer` on
+    * the session (the bench/verify harnesses do; production Spark
+    * deployments commonly do by default) or the serialized pin pays
+    * ObjectOutputStream per row. Pass [[StorageLevelConf]] to override
+    * per session.
     */
   val DefaultLevel: org.apache.spark.storage.StorageLevel =
-    org.apache.spark.storage.StorageLevel.DISK_ONLY
+    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
 
   /** df = what consumers get; persisted = the checkpoint RDD to free on
     * [[clear]] (None in durable mode — files are the materialization

@@ -110,8 +110,16 @@ object MySqlLogPipeline {
     // P11: float(qt) * 1000 with 0.0 + warning on unparsable values.
     val qtMs = expr("try_cast(trim(qt_raw) as double)") * 1.0e3
 
+    // Only the first 200 chars of the raw entry survive the projection:
+    // the single downstream consumer of entry text is the skip-warning's
+    // "Content snippet" (reference parity, mysqlLogParser.py:95-96) —
+    // carrying the full multi-line entry would make this table's
+    // materialization (StageCache pins it per session, to DISK by
+    // default) pay for bytes nothing reads (r16: the stage build was
+    // the suite's costliest disk write).
     val projected = matched.select(
-      col("file_id"), col("entry_no"), col("ord"), col("entry"), col("qt_raw"),
+      col("file_id"), col("entry_no"), col("ord"),
+      substring(col("entry"), 1, 200).as("entry_snippet"), col("qt_raw"),
       allOk.as("all_ok"),
       col("t_ok"), col("uh_ok"), col("qt_ok"), col("lt_ok"),
       col("rs_ok"), col("re_ok"), col("q_ok"),
@@ -165,7 +173,7 @@ object MySqlLogPipeline {
       lit(", UH:"), pyBool(col("uh_ok")), lit(", QT:"), pyBool(col("qt_ok")),
       lit(", LT:"), pyBool(col("lt_ok")), lit(", RS:"), pyBool(col("rs_ok")),
       lit(", RE:"), pyBool(col("re_ok")), lit(", Q:"), pyBool(col("q_ok")),
-      lit(". Content snippet: "), substring(col("entry"), 1, 200), lit("..."))
+      lit(". Content snippet: "), col("entry_snippet"), lit("..."))
     val qtMsg = concat(lit("Could not parse Query_time: '"), col("qt_raw"),
       lit("' in entry "), col("entry_no"), lit(". Skipping field."))
     val emptyMsg = concat(lit("Empty query string found in entry "), col("entry_no"),
