@@ -96,11 +96,20 @@ object StageCache {
     * `spark.serializer=org.apache.spark.serializer.KryoSerializer` on
     * the session (the bench/verify harnesses do; production Spark
     * deployments commonly do by default) or the serialized pin pays
-    * ObjectOutputStream per row. Pass [[StorageLevelConf]] to override
-    * per session.
+    * ObjectOutputStream per row.
+    *
+    * Why DISK rather than serialized-IN-MEMORY: a full sf10 suite under
+    * `MEMORY_AND_DISK_SER` put the multi-GB pair-table pins back on the
+    * heap as humongous byte-array blocks, and every CONSUMER of the big
+    * pins slowed 5-10× (the T0 family: 1-3 s → 10-27 s per query) while
+    * the same consumers over DISK_ONLY pins ran at memory-like speed
+    * (sequential reads through the OS page cache, heap left entirely to
+    * execution). The pin's job is to be cheap to KEEP; the page cache
+    * already keeps hot blocks in RAM without owning heap. Pass
+    * [[StorageLevelConf]] to override per session.
     */
   val DefaultLevel: org.apache.spark.storage.StorageLevel =
-    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    org.apache.spark.storage.StorageLevel.DISK_ONLY
 
   /** df = what consumers get; persisted = the checkpoint RDD to free on
     * [[clear]] (None in durable mode — files are the materialization
