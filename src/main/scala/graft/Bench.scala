@@ -76,6 +76,8 @@ object Bench {
       // path) pay ObjectOutputStream per row otherwise — measured 2x on
       // the largest stage build (QUERIES.md §"Stage pin storage")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.rdd.compress",
+        sys.env.getOrElse("SPARK_GRAFT_RDD_COMPRESS", "true"))
       .config("spark.ui.enabled", "false")
     // StageCache pin-level A/B knob (r16) — unset = StageCache.DefaultLevel
     sys.env.get("SPARK_GRAFT_STAGE_LEVEL").foreach(

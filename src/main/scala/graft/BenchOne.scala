@@ -22,6 +22,8 @@ object BenchOne {
       .config("spark.sql.files.openCostInBytes", "131072")
       // Kryo: see Bench — the serialized stage pins need it
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.rdd.compress",
+        sys.env.getOrElse("SPARK_GRAFT_RDD_COMPRESS", "true"))
       .config("spark.ui.enabled", "false")
     // StageCache pin-level A/B knob (r16) — unset = StageCache.DefaultLevel
     sys.env.get("SPARK_GRAFT_STAGE_LEVEL").foreach(

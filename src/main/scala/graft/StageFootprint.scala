@@ -31,6 +31,8 @@ object StageFootprint {
       .config("spark.sql.files.openCostInBytes", "131072")
       // Kryo: see Bench — the serialized stage pins need it
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.rdd.compress",
+        sys.env.getOrElse("SPARK_GRAFT_RDD_COMPRESS", "true"))
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_STAGE_LEVEL").foreach(
       builder.config(graft.engine.StageCache.StorageLevelConf, _))

@@ -97,6 +97,14 @@ object Main {
       // RUNNING context keeps whatever it launched with — this only
       // takes effect when this CLI is the one creating the context
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // lz4 the serialized pins: the DISK_ONLY stage materializations
+      // write multi-GB long/string tables whose blocks shrink 2-4x
+      // under lz4 — on hosts where disk bandwidth is the pin
+      // bottleneck the compressed write+read is the difference between
+      // a usable and an unusable stage build (r16 session-3 A/B,
+      // QUERIES.md §"Stage pin storage"). Same static-conf caveat as
+      // spark.serializer above.
+      .config("spark.rdd.compress", "true")
       .config("spark.sql.extensions", graft.GraftExtensions.Name)
     // under spark-submit (or an embedding test session) the master is
     // already set; a bare `java`/`sbt runMain` invocation gets local[*]

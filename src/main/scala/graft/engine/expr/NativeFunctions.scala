@@ -912,12 +912,16 @@ object NativeFunctions {
     * `filter(size(toks) >= n)` the legacy form applied.
     */
   def shingleHashRun(s: org.apache.spark.unsafe.types.UTF8String,
-                     n: Int, hexChars: Int): ArrayData = {
+                     n: Int, hexChars: Int): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      shingleHashArray(s, n, hexChars))
+
+  private def shingleHashArray(s: org.apache.spark.unsafe.types.UTF8String,
+                               n: Int, hexChars: Int): Array[Long] = {
     val bytes = s.toLowerCase.getBytes
     val tr = tokenRanges.get()
     val t = tr.tokenize(bytes)
-    if (t < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      Array.emptyLongArray)
+    if (t < n) return Array.emptyLongArray
     val md = md5Digest.get()
     val d = md5Out.get()
     val out = new Array[Long](t - n + 1)
@@ -940,7 +944,35 @@ object NativeFunctions {
       out(w) = hi >>> shift
       w += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    out
+  }
+
+  /** Kernel of [[ShingleHashSet]]: the DISTINCT shingle hashes of one
+    * document, ascending. Computes the same positional values as
+    * [[shingleHashRun]], then sorts and compacts in place — a per-doc
+    * dedup at the scan. Exactness: a downstream global
+    * `distinct (doc_id, sh_h)` partitions by doc_id anyway, so per-doc
+    * dedup produces the IDENTICAL row set with zero exchanges (the
+    * consumers that used to pay a distinct shuffle read these arrays
+    * directly). Output order is ascending hash — consumers explode into
+    * aggregations, so order never reaches a result.
+    */
+  def shingleHashSetRun(s: org.apache.spark.unsafe.types.UTF8String,
+                        n: Int, hexChars: Int): ArrayData = {
+    val a = shingleHashArray(s, n, hexChars)
+    if (a.length > 1) {
+      java.util.Arrays.sort(a)
+      var w = 1
+      var i = 1
+      while (i < a.length) {
+        if (a(i) != a(w - 1)) { a(w) = a(i); w += 1 }
+        i += 1
+      }
+      if (w < a.length)
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          java.util.Arrays.copyOf(a, w))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(a)
   }
 
   /** Kernel of [[SimhashSig]]: the whole per-document SimHash signature
@@ -1038,6 +1070,41 @@ object NativeFunctions {
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
     override def prettyName: String = ShingleHashName
+  }
+
+  /** DISTINCT n-token shingle md5-prefix hashes of `lower(text)` as a
+    * sorted `array<bigint>` — the per-document dedup of
+    * [[ShingleHashes]]' positional output (see [[shingleHashSetRun]]).
+    */
+  case class ShingleHashSet(child: Expression, n: Int, hexChars: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.StringType
+
+    require(n >= 1, s"$ShingleHashSetName: n must be >= 1, got $n")
+    require(hexChars >= 1 && hexChars <= 15,
+      s"$ShingleHashSetName: hexChars must be 1..15, got $hexChars")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$ShingleHashSetName expects a string, got ${other.sql}")
+      }
+
+    override def nullSafeEval(s: Any): Any =
+      NativeFunctions.shingleHashSetRun(
+        s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, hexChars)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.engine.expr.NativeFunctions.shingleHashSetRun(" +
+          s"$c, $n, $hexChars);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = ShingleHashSetName
   }
 
   /** Per-document SimHash signature as `array<bigint>` of `bands`
@@ -1169,6 +1236,7 @@ object NativeFunctions {
   val Md5PrefixName = "md5_prefix_long"
   val WordRepName = "word_rep_counts"
   val ShingleHashName = "shingle_hashes"
+  val ShingleHashSetName = "shingle_hash_set"
   val SimhashSigName = "simhash_sig"
 
   /** `shingle_hashes(text, n, hexChars)` builder: both knobs must be
@@ -1178,6 +1246,15 @@ object NativeFunctions {
     ShingleHashes(exprs(0),
       foldableInt(ShingleHashName, "n", exprs(1)),
       foldableInt(ShingleHashName, "hexChars", exprs(2)))
+  }
+
+  /** `shingle_hash_set(text, n, hexChars)` builder: both knobs must be
+    * foldable integer literals. */
+  def buildShingleHashSet(exprs: Seq[Expression]): Expression = {
+    checkArity(ShingleHashSetName, 3, exprs)
+    ShingleHashSet(exprs(0),
+      foldableInt(ShingleHashSetName, "n", exprs(1)),
+      foldableInt(ShingleHashSetName, "hexChars", exprs(2)))
   }
 
   /** `simhash_sig(text, bands, bitsPerBand)` builder: both knobs must
@@ -1355,6 +1432,9 @@ object NativeFunctions {
     if (!spark.catalog.functionExists(ShingleHashName))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         ShingleHashName, buildShingleHashes, "built-in")
+    if (!spark.catalog.functionExists(ShingleHashSetName))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        ShingleHashSetName, buildShingleHashSet, "built-in")
     if (!spark.catalog.functionExists(SimhashSigName))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         SimhashSigName, buildSimhashSig, "built-in")
@@ -1414,6 +1494,13 @@ object NativeFunctions {
   def shingleHashes(text: Column, n: Int, hexChars: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function(ShingleHashName, text, lit(n), lit(hexChars))
+  }
+
+  /** Distinct sorted shingle hashes per document (see [[ShingleHashSet]]);
+    * caller must have ensureRegistered. */
+  def shingleHashSet(text: Column, n: Int, hexChars: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function(ShingleHashSetName, text, lit(n), lit(hexChars))
   }
 
   /** Per-document SimHash signature (see [[SimhashSig]]); caller must

@@ -249,16 +249,21 @@ object Corpus {
     */
   def contamination(spark: SparkSession, dir: String, benchMod: Int = 17,
                     minShared: Long = 2L): DataFrame = {
-    val t0 = Dedup.ngramPairsT0(spark, dir)
-    val aBench = t0
-      .filter(col("doc_a") % benchMod === 0 && col("doc_b") % benchMod =!= 0)
-      .select(col("doc_a").as("bench_doc"), col("doc_b").as("train_doc"),
-        col("shared_rare").as("n_shared"), col("n_a").as("bench_n"))
-    val bBench = t0
-      .filter(col("doc_b") % benchMod === 0 && col("doc_a") % benchMod =!= 0)
-      .select(col("doc_b").as("bench_doc"), col("doc_a").as("train_doc"),
-        col("shared_rare").as("n_shared"), col("n_b").as("bench_n"))
-    aBench.unionAll(bBench)
+    // ONE pass over the pin (r16 session 3): a qualifying pair has
+    // EXACTLY one benchmark-side endpoint, so a conditional endpoint
+    // flip emits the same rows the old two-filtered-scans union did —
+    // and the union's second full read of the multi-GB T0
+    // materialization (the family's biggest disk-read row under
+    // DISK_ONLY pins) disappears.
+    val aIsBench = col("doc_a") % benchMod === 0
+    val bIsBench = col("doc_b") % benchMod === 0
+    Dedup.ngramPairsT0(spark, dir)
+      .filter(aIsBench =!= bIsBench)
+      .select(
+        when(aIsBench, col("doc_a")).otherwise(col("doc_b")).as("bench_doc"),
+        when(aIsBench, col("doc_b")).otherwise(col("doc_a")).as("train_doc"),
+        col("shared_rare").as("n_shared"),
+        when(aIsBench, col("n_a")).otherwise(col("n_b")).as("bench_n"))
       .filter(col("n_shared") >= minShared)
       .select(col("bench_doc"), col("train_doc"), col("n_shared"),
         (col("n_shared") * lit(1000000L) / col("bench_n"))

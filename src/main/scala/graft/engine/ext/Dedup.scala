@@ -233,7 +233,7 @@ object Dedup {
       // it after ensuring the stage is built.
       val obs = org.apache.spark.sql.Observation()
       shingleCensus.put(censusKey(spark, dir), (obs, cap.toLong))
-      sharedRareJaccard(shingleHashRows(documents(spark, dir), 3),
+      sharedRareJaccard(shingleSets(documents(spark, dir), 3),
         cap, 0L, census = Some((obs, cap.toLong)))
     }
 
@@ -253,31 +253,34 @@ object Dedup {
 
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
                         dfCap: Int = 100, minJaccardPpm: Long = 100000L): DataFrame =
-    sharedRareJaccard(shingleHashRows(docs, n), dfCap, minJaccardPpm)
+    sharedRareJaccard(shingleSets(docs, n), dfCap, minJaccardPpm)
       .select(col("doc_a"), col("doc_b"), col("shared_rare"),
         col("jaccard_ppm"))
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** [[ngramJaccardPairs]] over a pre-built (doc_id, shingle) table — lets
     * callers that need several shingle consumers (e.g. [[minhashRecall]])
-    * materialize the explode once. Hashes the strings it is given (and
-    * re-distincts on the hash — the [[sharedRareJaccard]] input
-    * contract), so the result is identical to the from-docs form.
+    * materialize the explode once. Hashes the strings it is given and
+    * rebuilds per-doc distinct hash SETS behind one map-side-combined
+    * exchange (collect_set dedups in the partial aggregate), so the
+    * result is identical to the from-docs form.
     */
   def ngramJaccardPairsFromShingles(sh: DataFrame, dfCap: Int,
                                     minJaccardPpm: Long): DataFrame =
     sharedRareJaccard(
-      sh.select(col("doc_id"), md5Hash60(col("shingle")).as("sh_h")),
+      sh.select(col("doc_id"), md5Hash60(col("shingle")).as("sh_h"))
+        .groupBy(col("doc_id")).agg(collect_set(col("sh_h")).as("shs")),
       dfCap, minJaccardPpm)
       .select(col("doc_a"), col("doc_b"), col("shared_rare"),
         col("jaccard_ppm"))
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** RAW (doc_id, 60-bit shingle hash) rows — [[shingleRows]] with the
-    * string dropped at the explode, NOT yet distinct: the consumers
-    * dedup behind ONE hash-partitioned exchange (see
-    * [[sharedRareJaccard]]), so materializing a distinct pass here would
-    * only add a second shuffle. The explode output is two longs per row.
+    * string dropped at the explode, NOT per-doc distinct: for consumers
+    * whose grain is coarser than the document ([[sourceOverlap]]'s
+    * source-grain distinct subsumes the per-doc dedup, so paying it at
+    * the scan would be wasted work there). Pair-candidate consumers use
+    * [[shingleSets]] instead. The explode output is two longs per row.
     */
   private[ext] def shingleHashRows(docs: DataFrame, n: Int): DataFrame = {
     // ONE fused scan (r16): the native shingle_hashes kernel tokenizes,
@@ -296,44 +299,85 @@ object Dedup {
       .select(col("doc_id"), explode(col("shs")).as("sh_h"))
   }
 
-  /** Distinct (doc_id, sh_h) rows. Deliberately the PLAIN two-exchange
-    * shape — distinct (both-column exchange, map-side partial dedup)
-    * then the bucket groupBy's sh_h exchange — NOT a single explicit
-    * `repartition(sh_h)`: the single-exchange variant ships every RAW
-    * explode row (~4× the corpus tokens) with no map-side combine,
-    * while the distinct's partial aggregate shrinks the raw explode
-    * ~4× BEFORE any bytes move; measured at sf10 the combined
-    * two-exchange build wins (min 50 s vs min 85 s cold) and stays
-    * stable across repetitions.
+  /** Per-document DISTINCT shingle-hash sets, deduped AT THE SCAN by the
+    * native shingle_hash_set kernel (r16): a global
+    * `distinct (doc_id, sh_h)` partitions by doc_id anyway, so in-doc
+    * dedup yields the identical row set with ZERO exchanges — the
+    * separate distinct shuffle the r15 pipeline paid is gone, and the
+    * per-doc set size rides the array (`size(shs)` = the n_sh the old
+    * shape recomputed with a groupBy + two joins). Measured on this
+    * corpus the raw explode was already 99.9% distinct, so the
+    * distinct's celebrated map-side combine was shipping nothing.
     */
-  private def distinctByHash(shhRaw: DataFrame): DataFrame =
-    shhRaw.distinct()
+  private[ext] def shingleSets(docs: DataFrame, n: Int): DataFrame = {
+    graft.engine.expr.NativeFunctions.ensureRegistered(docs.sparkSession)
+    docs.select(col("doc_id"),
+      graft.engine.expr.NativeFunctions
+        .shingleHashSet(col("text"), n, 15).as("shs"))
+      .filter(size(col("shs")) >= 1)
+  }
 
-  /** The shared-rare core over raw (doc_id, sh_h) rows: df-capped
-    * shingle buckets → streamed in-bucket pair expansion → shared counts
-    * → Jaccard vs per-doc sizes. UNSORTED — callers order.
+  /** Bits of the packed doc key ([[sharedRareJaccard]]) reserved for the
+    * per-doc distinct-shingle count: doc_id rides the high 42 bits,
+    * n_sh the low 21. Bounds are enforced per DOCUMENT row (one branch
+    * per doc, [[packDocKey]]), not assumed: a corpus with doc_id ≥ 2^42
+    * (4.4e12 documents) or a single document with ≥ 2^21 (2.1M) distinct
+    * shingles — a ~10 MB text — fails loudly with the offending values
+    * rather than silently corrupting pair identities.
+    */
+  private val SizeBits = 21
+  private val MaxNsh = (1L << SizeBits) - 1
+  private val MaxDocId = (1L << (63 - SizeBits)) - 1
+
+  private def packDocKey(docId: Column, nSh: Column): Column =
+    when(docId.between(0L, MaxDocId) && nSh.between(1L, MaxNsh),
+      shiftleft(docId, SizeBits) + nSh)
+      .otherwise(raise_error(concat(
+        lit("packed doc key out of range (need 0 <= doc_id < 2^42, "),
+        lit("1 <= n_sh < 2^21): doc_id="), docId.cast("string"),
+        lit(" n_sh="), nSh.cast("string"))))
+
+  /** The shared-rare core over per-doc distinct (doc_id, shs) SETS:
+    * df-capped shingle buckets → streamed in-bucket pair expansion →
+    * shared counts → Jaccard vs per-doc sizes. UNSORTED — callers order.
     *
     * Blocking: group per shingle hash, drop hashes with document
-    * frequency > dfCap, emit in-bucket pairs locally. One shuffle on the
-    * hash — no self-join re-shuffles, no separate distinct exchange
-    * ([[distinctByHash]]). Pairs stream through the two-level
-    * explode (r14): [[localPairs]] is a nested transform/flatten —
-    * CodegenFallback HOFs evaluated INTERPRETED per bucket, C(df, 2)
-    * lambda dispatches each — while posexplode + slice generate the same
-    * pairs inside whole-stage codegen (the bandedHammingPairs lesson
-    * applied to the df-capped family; the cap already bounds memory,
-    * this removes the interpreter). The per-doc size joins stay SHUFFLE
-    * joins on long keys: sizes is an n-row table, never broadcast.
+    * frequency > dfCap, emit in-bucket pairs locally. Pairs stream
+    * through the two-level posexplode + slice shape (r14) inside
+    * whole-stage codegen.
+    *
+    * TWO exchanges total (r16; the r15 shape had five): the per-doc
+    * size is PACKED into the low [[SizeBits]] bits of the doc key
+    * ([[packDocKey]]) before the bucket exchange, so (a) the sizes
+    * table, its exchange and the two pair-table re-shuffling joins that
+    * attached n_a/n_b at the end all disappear — n_a/n_b are bit-field
+    * reads on the aggregated pair row; (b) the bucket rows stay two
+    * longs (the count hides in bits the doc_id wasn't using), so the
+    * big exchange ships the same bytes as before; (c) grouping by the
+    * packed key is grouping by doc (n_sh is a function of doc_id), and
+    * array_sort orders packed keys exactly as doc_ids (high bits).
     */
-  private def sharedRareJaccard(shhRaw: DataFrame, dfCap: Int,
+  private def sharedRareJaccard(sets: DataFrame, dfCap: Int,
                                 minJaccardPpm: Long,
                                 census: Option[(org.apache.spark.sql.Observation, Long)] = None): DataFrame = {
-    val shh = distinctByHash(shhRaw)
-    val sizes = shh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val packed = sets.select(
+      packDocKey(col("doc_id"), size(col("shs")).cast("long")).as("pid"),
+      explode(col("shs")).as("sh_h"))
 
-    val buckets = shh
+    // repartition BEFORE the bucket aggregate — not a bare groupBy. The
+    // input is already (doc, sh_h)-distinct (the kernel deduped per
+    // doc), so a partial collect_list map-side would dedup NOTHING and
+    // only convert 16-byte primitive rows into millions of per-key list
+    // buffers shipped through the exchange (ObjectHashAggregate's
+    // 128-key fallback additionally sorts every scan-sized partition).
+    // The explicit hash exchange ships the slim rows; the aggregate
+    // then runs once, post-exchange, on balanced partitions — the
+    // groupBy below reuses the repartition's hashpartitioning, so this
+    // is ONE exchange, not two.
+    val buckets = packed
+      .repartition(col("sh_h"))
       .groupBy(col("sh_h"))
-      .agg(collect_list(col("doc_id")).as("ids"))
+      .agg(collect_list(col("pid")).as("ids"))
     // Census observe point: one row per DISTINCT shingle with df =
     // size(ids) — BEFORE the df-cap filter, so the metrics see every
     // bucket including singletons and over-cap boilerplate (Catalyst
@@ -359,11 +403,11 @@ object Dedup {
     val pairs = observed
       .filter(size(col("ids")).between(2, dfCap))
       .select(array_sort(col("ids")).as("ids"))
-      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "doc_a")))
-      .select(col("doc_a"),
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "pa")))
+      .select(col("pa"),
         explode(slice(col("ids"), col("i") + lit(2),
-          greatest(size(col("ids")) - col("i") - 1, lit(0)))).as("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+          greatest(size(col("ids")) - col("i") - 1, lit(0)))).as("pb"))
+      .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("shared_rare"))
 
     // n_a/n_b stay in the output (r15): the T0 stage row is the full
@@ -371,16 +415,17 @@ object Dedup {
     // formulas over (shared_rare, n_a, n_b), so dedup_containment reads
     // this stage instead of rebuilding the whole candidate pipeline
     // (its sf10 build was a second 37 s pass over the same explode).
+    // They are bit-field reads of the packed keys (r16) — no joins.
     pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("shared_rare"),
-        col("n_a"), col("n_b"),
+      .select(
+        shiftrightunsigned(col("pa"), SizeBits).as("doc_a"),
+        shiftrightunsigned(col("pb"), SizeBits).as("doc_b"),
+        col("shared_rare"),
+        col("pa").bitwiseAND(lit(MaxNsh)).as("n_a"),
+        col("pb").bitwiseAND(lit(MaxNsh)).as("n_b"))
+      .withColumn("jaccard_ppm",
         (col("shared_rare") * lit(1000000L)
-          / (col("n_a") + col("n_b") - col("shared_rare"))).cast("long")
-          .as("jaccard_ppm"))
+          / (col("n_a") + col("n_b") - col("shared_rare"))).cast("long"))
       .filter(col("jaccard_ppm") >= minJaccardPpm)
   }
 
@@ -477,36 +522,18 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
 
   def containmentPairs(docs: DataFrame, n: Int = 3,
-                       dfCap: Int = 100, minContainPpm: Long = 400000L): DataFrame = {
-    // same hash-keyed blocking + streamed two-level pair explode as
-    // [[sharedRareJaccard]]; only the score (shared / min size) differs
-    val shh = distinctByHash(shingleHashRows(docs, n))
-    val sizes = shh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-
-    val pairs = shh
-      .groupBy(col("sh_h"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, dfCap))
-      .select(array_sort(col("ids")).as("ids"))
-      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "doc_a")))
-      .select(col("doc_a"),
-        explode(slice(col("ids"), col("i") + lit(2),
-          greatest(size(col("ids")) - col("i") - 1, lit(0)))).as("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("shared_rare"))
-
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+                       dfCap: Int = 100, minContainPpm: Long = 400000L): DataFrame =
+    // same packed-key blocking + streamed two-level pair explode as
+    // [[sharedRareJaccard]] (threshold 0 — containment > 0 implies
+    // jaccard > 0, so no qualifying pair is lost); only the score
+    // (shared / min size) differs
+    sharedRareJaccard(shingleSets(docs, n), dfCap, 0L)
       .select(col("doc_a"), col("doc_b"), col("shared_rare"),
         col("n_a"), col("n_b"),
         (col("shared_rare") * lit(1000000L) / least(col("n_a"), col("n_b")))
           .cast("long").as("containment_ppm"))
       .filter(col("containment_ppm") >= minContainPpm)
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   // ------------------------------------------------------- shared spans
 
@@ -569,8 +596,15 @@ object Dedup {
 
     // df-capped occurrence buckets → cross-document occurrence pairs,
     // expanded locally (one shuffle, no bucket self-join) through the
-    // streamed two-level explode — see ngramJaccardPairsFromShingles
-    val pairs = sh.groupBy(col("fp"))
+    // streamed two-level explode — see ngramJaccardPairsFromShingles.
+    // repartition BEFORE the bucket aggregate (r16 session 3, the
+    // sharedRareJaccard lesson): positional rows are near-unique per
+    // fp within a scan partition, so a map-side partial collect_list
+    // dedups nothing and ships millions of per-key struct buffers —
+    // the explicit fp exchange ships slim 24-byte rows and the
+    // aggregate runs once on balanced partitions (the groupBy reuses
+    // the repartition's hashpartitioning; still one exchange).
+    val pairs = sh.repartition(col("fp")).groupBy(col("fp"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("p")))).as("occ"))
       .filter(size(col("occ")).between(2, dfCap))
       .select(col("occ"), posexplode(col("occ")).as(Seq("i", "a")))
@@ -888,6 +922,11 @@ object Dedup {
       .select((col("doc_id") +: chunkNames.map(col)) :+
         explode(sequence(lit(0), lit(bands - 1))).as("band"): _*)
       .withColumn("band_val", bandVal)
+      // slim-row exchange before the list aggregate (r16 session 3 —
+      // the sharedRareJaccard lesson): (band, band_val) keys are
+      // near-unique within a scan partition, so map-side partial
+      // collect_list ships per-key struct buffers for nothing
+      .repartition(col("band"), col("band_val"))
       .groupBy(col("band"), col("band_val"))
       .agg(collect_list(struct(col("doc_id") +: chunkNames.map(col): _*))
         .as("ms"))
@@ -1081,7 +1120,7 @@ object Dedup {
   def shingleAudit(docs: DataFrame, n: Int = 3, nDocs: Long = -1L): DataFrame = {
     val nd = if (nDocs >= 0L) nDocs else docs.count()
     val cap = ScaleKnobs.shingleDfCap(nd).toLong
-    distinctByHash(shingleHashRows(docs, n))
+    shingleSets(docs, n).select(explode(col("shs")).as("sh_h"))
       .groupBy(col("sh_h")).agg(count(lit(1)).as("df"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_buckets"),
@@ -1818,6 +1857,9 @@ object Dedup {
     sig.select(sig.columns.map(col) :+
         explode(sequence(lit(0), lit(bands - 1))).as("band"): _*)
       .select(col("band"), bucketByBand.as("bucket"), member.as("m"))
+      // slim-row exchange before the list aggregate — see
+      // bandedHammingPairs (same near-unique-key partial-agg waste)
+      .repartition(col("band"), col("bucket"))
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("m")).as("ms"))
       // family cap (r14, [[ScaleKnobs.hammingBucketCap]] via the

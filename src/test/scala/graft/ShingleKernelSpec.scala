@@ -86,6 +86,31 @@ class ShingleKernelSpec extends SparkTestBase {
     assert(native.toSeq === legacy48.toSeq)
   }
 
+  test("shingle_hash_set equals DISTINCT-per-doc of the positional kernel, " +
+    "sorted ascending, at n = 1, 3") {
+    graft.engine.expr.NativeFunctions.ensureRegistered(spark)
+    for (n <- Seq(1, 3)) {
+      val set = docs.select(col("doc_id"),
+          graft.engine.expr.NativeFunctions
+            .shingleHashSet(col("text"), n, 15).as("shs"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+      val expected = docs.select(col("doc_id"),
+          array_sort(array_distinct(graft.engine.expr.NativeFunctions
+            .shingleHashes(col("text"), n, 15))).as("shs"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+      assert(set.toSeq === expected.toSeq, s"n = $n")
+      // the repeated-token doc must actually dedup (set < positional)
+      val rep = docs.filter(col("text").startsWith("repeat"))
+        .select(size(graft.engine.expr.NativeFunctions
+            .shingleHashSet(col("text"), n, 15)),
+          size(graft.engine.expr.NativeFunctions
+            .shingleHashes(col("text"), n, 15)))
+        .collect().head
+      assert(rep.getInt(0) === 1 && rep.getInt(1) === 41 - n,
+        s"repeat doc dedup at n = $n")
+    }
+  }
+
   /** The pre-r16 simhashSigAt aggregate, verbatim. */
   private def legacySig(d: DataFrame, bands: Int, bitsPerBand: Int): DataFrame = {
     def toks(c: org.apache.spark.sql.Column) =
