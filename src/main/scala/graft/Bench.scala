@@ -25,6 +25,9 @@ object BenchHost {
                    consume: org.apache.spark.sql.DataFrame => Unit): Option[Double] =
     if (!canaryAvailable) None
     else {
+      // untimed sync first: the canary reports EXTERNAL host state, so
+      // drain our own pending writeback before sampling (see syncDisks)
+      syncDisks()
       val t0 = System.nanoTime()
       consume(canaryDf(spark))
       Some((System.nanoTime() - t0) / 1e9)
@@ -47,6 +50,28 @@ object BenchHost {
     val mb = Runtime.getRuntime.maxMemory() / (1024L * 1024L)
     s"${mb}m"
   }
+
+  /** Flush the page cache to disk (`sync(1)`), bounded at two minutes.
+    *
+    * Why the bench needs it (r16 session 3, measured): a stage build
+    * writes a multi-GB DISK_ONLY pin plus shuffle files through the
+    * page cache, and the kernel flushes them ASYNCHRONOUSLY — so on a
+    * host with modest disk bandwidth the writeback of row N lands in
+    * row N+1's wall clock (PSI `io full` held 3-7% for MINUTES after a
+    * T0 build exited, and a canary sampled in that window read 8.5 s
+    * vs the 0.7 s quiet-host value). Timing `sync` INSIDE each stage
+    * row charges every build the flush of its own writes, making rows
+    * self-contained and reproducible regardless of what ran before;
+    * syncing (untimed) before each canary sample makes the canary
+    * report EXTERNAL host state, not our own residue. No-op (logged
+    * nowhere, swallowed) where `sync` is unavailable.
+    */
+  def syncDisks(): Unit =
+    try {
+      val p = new ProcessBuilder("sync").start()
+      p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+      ()
+    } catch { case _: Throwable => () }
 }
 
 object Bench {
@@ -180,7 +205,13 @@ object Bench {
       if (!timeStages) Seq.empty
       else BenchStages.rows.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count() } catch {
+        // build + TIMED sync: each row pays the writeback of its own
+        // multi-GB pin instead of leaking it into the next row's wall
+        // clock (BenchHost.syncDisks — the r16 session-3 protocol fix)
+        try {
+          fn(spark, sfDir).queryExecution.toRdd.count()
+          BenchHost.syncDisks()
+        } catch {
           case e: Throwable => errors ::= name ->
             Option(e.getMessage).getOrElse(e.getClass.getName)
               .replaceAll("[\"\\\\\n\r\t]", " ").take(160)

@@ -76,7 +76,13 @@ object BenchOne {
     val samples = (1 to reps).map { _ =>
       if (isStage) graft.engine.StageCache.clear(spark)
       val t0 = System.nanoTime()
-      if (isStage) fn(spark, sfDir).queryExecution.toRdd.count()
+      if (isStage) {
+        fn(spark, sfDir).queryExecution.toRdd.count()
+        // TIMED sync, same protocol as Bench's stage rows: the sample
+        // includes the writeback of its own pin, so sample N+1 doesn't
+        // inherit sample N's flush (BenchHost.syncDisks)
+        BenchHost.syncDisks()
+      }
       else consume(fn(spark, sfDir))
       (System.nanoTime() - t0) / 1e9
     }

@@ -337,6 +337,21 @@ object Dedup {
         lit("1 <= n_sh < 2^21): doc_id="), docId.cast("string"),
         lit(" n_sh="), nSh.cast("string"))))
 
+  /** (doc_id, token position) packed into one long — [[packDocKey]]'s
+    * layout with the low [[SizeBits]] bits holding a 0-based POSITION
+    * (p = 0 is legal, unlike the ≥ 1 size field). Sorting packed values
+    * sorts (doc_id, p) lexicographically — what [[spansOf]]'s occurrence
+    * lists need — while the bucket exchange ships one long instead of a
+    * two-field struct and the bucket arrays stay primitive.
+    */
+  private def packDocPos(docId: Column, p: Column): Column =
+    when(docId.between(0L, MaxDocId) && p.between(0L, MaxNsh),
+      shiftleft(docId, SizeBits) + p)
+      .otherwise(raise_error(concat(
+        lit("packed doc position out of range (need 0 <= doc_id < 2^42, "),
+        lit("0 <= p < 2^21): doc_id="), docId.cast("string"),
+        lit(" p="), p.cast("string"))))
+
   /** The shared-rare core over per-doc distinct (doc_id, shs) SETS:
     * df-capped shingle buckets → streamed in-bucket pair expansion →
     * shared counts → Jaccard vs per-doc sizes. UNSORTED — callers order.
@@ -597,23 +612,35 @@ object Dedup {
     // df-capped occurrence buckets → cross-document occurrence pairs,
     // expanded locally (one shuffle, no bucket self-join) through the
     // streamed two-level explode — see ngramJaccardPairsFromShingles.
+    // The occurrence (doc_id, p) rides ONE packed long ([[packDocPos]] —
+    // the sharedRareJaccard bit-field idiom): the fp exchange ships two
+    // longs instead of a struct row, the bucket arrays stay primitive
+    // (array_sort over packed longs IS the (doc_id, p) sort — doc_id
+    // holds the high bits), and the cross-document filter/unpack are
+    // shifts on the aggregated pair row.
     // repartition BEFORE the bucket aggregate (r16 session 3, the
     // sharedRareJaccard lesson): positional rows are near-unique per
     // fp within a scan partition, so a map-side partial collect_list
-    // dedups nothing and ships millions of per-key struct buffers —
-    // the explicit fp exchange ships slim 24-byte rows and the
+    // dedups nothing and ships millions of per-key list buffers —
+    // the explicit fp exchange ships slim 16-byte rows and the
     // aggregate runs once on balanced partitions (the groupBy reuses
     // the repartition's hashpartitioning; still one exchange).
-    val pairs = sh.repartition(col("fp")).groupBy(col("fp"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("p")))).as("occ"))
+    val pairs = sh
+      .select(packDocPos(col("doc_id"), col("p").cast("long")).as("dp"),
+        col("fp"))
+      .repartition(col("fp")).groupBy(col("fp"))
+      .agg(array_sort(collect_list(col("dp"))).as("occ"))
       .filter(size(col("occ")).between(2, dfCap))
       .select(col("occ"), posexplode(col("occ")).as(Seq("i", "a")))
       .select(col("a"),
         explode(slice(col("occ"), col("i") + lit(2),
           greatest(size(col("occ")) - col("i") - 1, lit(0)))).as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("a.p").as("pa"),
-        col("b.doc_id").as("doc_b"), col("b.p").as("pb"))
+      .filter(shiftrightunsigned(col("a"), SizeBits) <
+        shiftrightunsigned(col("b"), SizeBits))
+      .select(shiftrightunsigned(col("a"), SizeBits).as("doc_a"),
+        col("a").bitwiseAND(lit(MaxNsh)).cast("int").as("pa"),
+        shiftrightunsigned(col("b"), SizeBits).as("doc_b"),
+        col("b").bitwiseAND(lit(MaxNsh)).cast("int").as("pb"))
 
     // gaps-and-islands on the match diagonal: consecutive pa values on
     // one (doc_a, doc_b, pa-pb) diagonal share (pa - row_number)
