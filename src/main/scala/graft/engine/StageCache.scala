@@ -76,6 +76,15 @@ object StageCache {
     */
   val StorageLevelConf = "spark.graft.stageCache.storageLevel"
 
+  /** Explain-tooling escape hatch: when `true`, [[materialized]] returns
+    * the build DataFrame UNPINNED and UNCACHED, so `explain` shows the
+    * stage's actual build plan instead of a one-line scan of the pinned
+    * RDD. Never set on a measuring or serving session — every consumer
+    * would silently re-run the build. Used by [[graft.ExplainDump]] for
+    * the committed `plans/` artifacts.
+    */
+  val PassthroughConf = "spark.graft.stageCache.passthrough"
+
   /** Mode-1 pin default. Measured decision (StageFootprint + BenchOne
     * A/Bs; full numbers in QUERIES.md §"Stage pin storage"): Spark's
     * localCheckpoint default pins DESERIALIZED row objects — 2,971 MB
@@ -145,6 +154,7 @@ object StageCache {
     */
   def materialized(spark: SparkSession, dir: String, name: String)(
       build: => DataFrame): DataFrame = {
+    if (spark.conf.getOption(PassthroughConf).contains("true")) return build
     val key = s"$name|${canonical(dir)}"
     def lookup(): Option[DataFrame] = synchronized {
       purgeStopped()
