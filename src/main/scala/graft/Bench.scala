@@ -162,7 +162,8 @@ object Bench {
     val stageLevel = spark.conf
       .getOption(graft.engine.StageCache.StorageLevelConf)
       .getOrElse(graft.engine.StageCache.DefaultLevel.description)
-    println(s"""{"metric":"run_meta","sf":"$sfDir","git_sha":"$gitSha","mode":"$mode","stage_level":"$stageLevel","n_queries":${scopeNames.size},"queries":$scopeJson}""")
+    val rddCompress = spark.conf.get("spark.rdd.compress", "false")
+    println(s"""{"metric":"run_meta","sf":"$sfDir","git_sha":"$gitSha","mode":"$mode","stage_level":"$stageLevel","rdd_compress":"$rddCompress","n_queries":${scopeNames.size},"queries":$scopeJson}""")
     // Untimed warmup at the smallest SF: first execution of each plan pays
     // Janino codegen compilation + JIT, which at sf0.1 can exceed the
     // actual query time. One pass over tiny data warms those caches so the

@@ -103,6 +103,7 @@ object BenchOne {
     println(s"""{"metric":"bench_one","query":"$name","sf":"$sfDir",""" +
       s""""git_sha":"${BenchHost.gitSha}","heap":"${BenchHost.heapDesc}",""" +
       s""""stage_level":"$stageLevel",""" +
+      s""""rdd_compress":"${spark.conf.get("spark.rdd.compress", "false")}",""" +
       s""""cpus":$cpus,"mode":"${if (isStage) "cold_stage" else "steady"}",""" +
       s""""samples":[${samples.map(ms).mkString(",")}],""" +
       s""""min":${ms(sorted.head)},"median":${ms(median)},""" +
