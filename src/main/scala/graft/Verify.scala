@@ -11,7 +11,7 @@ object Verify {
     // the driver always passes exactly two args and gets the full dump)
     val subset = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -19,7 +19,11 @@ object Verify {
       // Kryo: see Bench — the serialized stage pins need it
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // StageCache pin-level A/B knob (same as Bench/BenchOne) — lets the
+    // oracle gate run under a non-default pin mode (e.g. PARQUET)
+    sys.env.get("SPARK_GRAFT_STAGE_LEVEL").foreach(
+      builder.config(graft.engine.StageCache.StorageLevelConf, _))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.engine.ingest.Sources.ensureNanosAsLong(spark)
     new java.io.File(outDir).mkdirs()

@@ -72,7 +72,11 @@ object StageCache {
 
   /** Storage level for the session-local (mode 1) checkpoint pin, as a
     * `StorageLevel.fromString` name (e.g. `MEMORY_AND_DISK`,
-    * `MEMORY_AND_DISK_SER`, `DISK_ONLY`). Unset = [[DefaultLevel]].
+    * `MEMORY_AND_DISK_SER`, `DISK_ONLY`), or the special value
+    * `PARQUET` — a session-local columnar pin: the stage is written as
+    * parquet under a temp dir (deleted on [[clear]]) and read back, so
+    * consumers get a vectorized scan with column pruning and predicate
+    * pushdown into the pin. Unset = [[DefaultLevel]].
     */
   val StorageLevelConf = "spark.graft.stageCache.storageLevel"
 
@@ -122,9 +126,12 @@ object StageCache {
 
   /** df = what consumers get; persisted = the checkpoint RDD to free on
     * [[clear]] (None in durable mode — files are the materialization
-    * and deliberately outlive the session).
+    * and deliberately outlive the session); tmpDir = the session-local
+    * PARQUET pin's directory, deleted on [[clear]] (session-parquet
+    * pins, unlike durable ones, have no life past the session).
     */
-  private final case class Entry(df: DataFrame, persisted: Option[RDD[_]])
+  private final case class Entry(df: DataFrame, persisted: Option[RDD[_]],
+      tmpDir: Option[java.nio.file.Path] = None)
 
   private val sessions =
     new java.util.IdentityHashMap[SparkSession, mutable.Map[String, Entry]]()
@@ -187,12 +194,32 @@ object StageCache {
                   if (wrote) synchronized { builds += 1 }
                   Entry(df, None)
                 case None =>
-                  val level = spark.conf.getOption(StorageLevelConf)
-                    .map(org.apache.spark.storage.StorageLevel.fromString)
-                    .getOrElse(DefaultLevel)
-                  val built = build.localCheckpoint(true, level)
-                  synchronized { builds += 1 }
-                  Entry(built, checkpointRdd(built))
+                  val levelStr = spark.conf.getOption(StorageLevelConf)
+                  if (levelStr.exists(_.equalsIgnoreCase("PARQUET"))) {
+                    // Session-local COLUMNAR pin (opt-in): write the stage
+                    // as parquet under a temp dir and read it back. What
+                    // the block-manager pin can never give consumers: a
+                    // vectorized scan with column pruning and predicate
+                    // pushdown INTO the pin (a Kryo DISK_ONLY pin decodes
+                    // whole rows no matter what the consumer projects).
+                    // Same lifetime as a checkpoint pin — [[clear]] deletes
+                    // the files. Production's durable mode already works
+                    // this way; this brings the session mode in line where
+                    // the stage is a wide fact table.
+                    val tmp = java.nio.file.Files.createTempDirectory(
+                      s"graft-stage-${name.replaceAll("[^A-Za-z0-9_.-]", "_")}-")
+                    val path = tmp.resolve("stage.parquet").toString
+                    build.write.mode("overwrite").parquet(path)
+                    synchronized { builds += 1 }
+                    Entry(spark.read.parquet(path), None, Some(tmp))
+                  } else {
+                    val level = levelStr
+                      .map(org.apache.spark.storage.StorageLevel.fromString)
+                      .getOrElse(DefaultLevel)
+                    val built = build.localCheckpoint(true, level)
+                    synchronized { builds += 1 }
+                    Entry(built, checkpointRdd(built))
+                  }
               }
               store(entry)
               entry.df
@@ -346,8 +373,19 @@ object StageCache {
     Option(sessions.remove(spark)).foreach(_.valuesIterator.foreach { e =>
       try e.persisted.foreach(_.unpersist(blocking = true))
       catch { case _: Throwable => () }
+      e.tmpDir.foreach(deleteRecursively)
     })
   }
+
+  /** Best-effort recursive delete of a session-parquet pin dir. */
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+          catch { case _: Throwable => () })
+    } catch { case _: Throwable => () }
 
   def size(spark: SparkSession): Int = synchronized {
     Option(sessions.get(spark)).map(_.size).getOrElse(0)

@@ -219,4 +219,40 @@ class StageCacheSpec extends SparkTestBase {
     StageCache.materialized(spark, dir, "spec.clear")(spark.range(1).toDF("n"))
     assert(StageCache.builds === before + 1)
   }
+
+  test("PARQUET level pins the stage as session-local parquet files") {
+    val dir = tmpDocs(corpus.take(1))
+    StageCache.clear(spark)
+    spark.conf.set(StageCache.StorageLevelConf, "PARQUET")
+    try {
+      val before = StageCache.builds
+      val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+      val d1 = StageCache.materialized(spark, dir, "spec.parquet") {
+        spark.range(9).toDF("n")
+      }
+      assert(StageCache.builds === before + 1)
+      // a columnar pin, not a block-manager pin: no persistent RDD, and
+      // the plan is a parquet file scan (column pruning / pushdown apply)
+      assert(spark.sparkContext.getPersistentRDDs.keySet === pinnedBefore)
+      val scan = d1.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scan.nonEmpty, "PARQUET pin must read back as a file scan")
+      val pinDir = scan.get.relation.location.rootPaths.head
+      assert(pinDir.toString.contains("graft-stage-spec.parquet"))
+      assert(d1.collect().map(_.getLong(0)).sorted === (0L until 9L).toArray)
+      // cached: the thunk must not re-run
+      StageCache.materialized(spark, dir, "spec.parquet") {
+        fail("thunk must not re-run for a cached key"); d1
+      }
+      assert(StageCache.builds === before + 1)
+      // clear deletes the temp files — session lifetime, unlike durable
+      StageCache.clear(spark)
+      val local = new java.io.File(new java.net.URI(pinDir.toString).getPath)
+      assert(!local.exists(), s"parquet pin $local must be deleted on clear")
+    } finally {
+      spark.conf.unset(StageCache.StorageLevelConf)
+      StageCache.clear(spark)
+    }
+  }
 }
