@@ -161,7 +161,7 @@ object Bench {
       else "subset"
     val stageLevel = spark.conf
       .getOption(graft.engine.StageCache.StorageLevelConf)
-      .getOrElse(graft.engine.StageCache.DefaultLevel.description)
+      .getOrElse(graft.engine.StageCache.autoModeDesc)
     val rddCompress = spark.conf.get("spark.rdd.compress", "false")
     println(s"""{"metric":"run_meta","sf":"$sfDir","git_sha":"$gitSha","mode":"$mode","stage_level":"$stageLevel","rdd_compress":"$rddCompress","n_queries":${scopeNames.size},"queries":$scopeJson}""")
     // Untimed warmup at the smallest SF: first execution of each plan pays

@@ -99,7 +99,7 @@ object BenchOne {
     }
     val stageLevel = spark.conf
       .getOption(graft.engine.StageCache.StorageLevelConf)
-      .getOrElse(graft.engine.StageCache.DefaultLevel.description)
+      .getOrElse(graft.engine.StageCache.autoModeDesc)
     println(s"""{"metric":"bench_one","query":"$name","sf":"$sfDir",""" +
       s""""git_sha":"${BenchHost.gitSha}","heap":"${BenchHost.heapDesc}",""" +
       s""""stage_level":"$stageLevel",""" +

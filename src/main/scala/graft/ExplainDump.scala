@@ -22,7 +22,7 @@ object ExplainDump {
     val names = args.drop(3).toSeq
     outDir.mkdirs()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -31,7 +31,13 @@ object ExplainDump {
       .config("spark.sql.files.openCostInBytes", "131072")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // StageCache pin-level knob (same as Bench/BenchOne/Verify) — lets a
+    // CONSUMER dump show what its scan of the pin looks like under a
+    // given pin mode (e.g. FileSourceScan w/ pruned ReadSchema vs a
+    // whole-row Scan ExistingRDD)
+    sys.env.get("SPARK_GRAFT_STAGE_LEVEL").foreach(
+      builder.config(graft.engine.StageCache.StorageLevelConf, _))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.engine.ingest.Sources.ensureNanosAsLong(spark)
     try SparkEntry.prepare(spark, sfDir) catch { case _: Throwable => () }

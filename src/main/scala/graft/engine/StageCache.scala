@@ -17,12 +17,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * rebuilding the shingle-explode → 60-bit vote → band-bucket →
   * star-contraction chain per query is pure waste at any scale.
   *
-  * Mode 1 — session-local (default): the stage DataFrame after
-  * `localCheckpoint(eager)` — computed once and pinned in the block
-  * manager. Fast and zero-config, but executor-LOSS-FRAGILE: local
-  * checkpoint blocks are not replicated, so on a real cluster losing any
-  * executor silently invalidates the cache mid-session. The right
-  * single-process / bench mode.
+  * Mode 1 — session-local (default): computed once per session, pinned
+  * either as a `localCheckpoint(eager)` in the block manager or as a
+  * session-lifetime parquet temp dir, chosen size-adaptively (the AUTO
+  * rule on [[AutoParquetBytesConf]]) unless [[StorageLevelConf]] pins
+  * the mode. Zero-config, but the checkpoint form is
+  * executor-LOSS-FRAGILE: local checkpoint blocks are not replicated,
+  * so on a real cluster losing any executor silently invalidates the
+  * cache mid-session. The right single-process / bench mode.
   *
   * Mode 2 — durable (opt-in via `spark.graft.stageCache.dir=<path>`): the
   * stage is WRITTEN as parquet under that directory, keyed by
@@ -70,15 +72,37 @@ object StageCache {
     */
   val DurableDirConf = "spark.graft.stageCache.dir"
 
-  /** Storage level for the session-local (mode 1) checkpoint pin, as a
+  /** Storage level for the session-local (mode 1) pin, as a
     * `StorageLevel.fromString` name (e.g. `MEMORY_AND_DISK`,
     * `MEMORY_AND_DISK_SER`, `DISK_ONLY`), or the special value
     * `PARQUET` — a session-local columnar pin: the stage is written as
     * parquet under a temp dir (deleted on [[clear]]) and read back, so
     * consumers get a vectorized scan with column pruning and predicate
-    * pushdown into the pin. Unset = [[DefaultLevel]].
+    * pushdown into the pin. Unset = size-adaptive AUTO
+    * ([[AutoParquetBytesConf]]): PARQUET for large corpora,
+    * [[DefaultLevel]] checkpoint below the crossover.
     */
   val StorageLevelConf = "spark.graft.stageCache.storageLevel"
+
+  /** AUTO pin-mode crossover, in bytes of the stage's INPUT dir listing
+    * (the one scale signal every stage has, corpus and log dirs alike).
+    * When [[StorageLevelConf]] is unset, a stage whose input dir totals
+    * at least this many bytes gets the columnar PARQUET pin; below it,
+    * the [[DefaultLevel]] checkpoint pin. The asymmetry is measured,
+    * not guessed (full-suite A/B pairs committed in
+    * `bench_logs/r16s4_*`): the parquet pin costs a fixed ~0.1-0.3 s
+    * file-commit per stage plus footer reads per consumer — at a 17 MB
+    * corpus (sf0.1, 16 stages) that fixed cost LOST 4.5 % of the suite
+    * total with no offsetting win; at a 2.3 GB corpus (sf10) the
+    * columnar pin halved the largest build (write.parquet streams
+    * encoded columns instead of Kryo-serializing whole rows) and cut
+    * single-pass consumers 20× (pruned vectorized scan vs whole-row
+    * lz4+Kryo decode: `dedup_ngram_pairs` 12.6 → 0.63 s median). The
+    * default sits at the log-midpoint of the measured bracket's
+    * endpoints — override per session when a deployment has measured
+    * its own crossover.
+    */
+  val AutoParquetBytesConf = "spark.graft.stageCache.autoParquetBytes"
 
   /** Explain-tooling escape hatch: when `true`, [[materialized]] returns
     * the build DataFrame UNPINNED and UNCACHED, so `explain` shows the
@@ -123,6 +147,33 @@ object StageCache {
     */
   val DefaultLevel: org.apache.spark.storage.StorageLevel =
     org.apache.spark.storage.StorageLevel.DISK_ONLY
+
+  /** Default for [[AutoParquetBytesConf]] — see its doc for the
+    * measured bracket this sits inside.
+    */
+  val AutoParquetBytesDefault: Long = 64L * 1024 * 1024
+
+  /** run_meta self-description for the unset-conf pin mode. */
+  def autoModeDesc: String =
+    s"AUTO(parquet>=${AutoParquetBytesDefault / (1024 * 1024)}MB," +
+      s" else ${DefaultLevel.description})"
+
+  /** Total bytes under `dir` (recursive listing), memoized per
+    * canonical path — the AUTO pin-mode scale signal. One FileSystem
+    * recursion per dir per JVM; generated fixture dirs are prepared
+    * before any stage builds, so the memo never races a growing dir in
+    * practice, and a stale size could only flip the pin MODE, never
+    * what the stage computes.
+    */
+  private val dirBytes = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def corpusBytes(spark: SparkSession, dir: String): Long =
+    dirBytes.computeIfAbsent(canonical(dir), { c =>
+      try {
+        val p = new Path(c)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(p).getLength
+      } catch { case _: Throwable => 0L } // unreadable dir: checkpoint pin
+    })
 
   /** df = what consumers get; persisted = the checkpoint RDD to free on
     * [[clear]] (None in durable mode — files are the materialization
@@ -195,9 +246,21 @@ object StageCache {
                   Entry(df, None)
                 case None =>
                   val levelStr = spark.conf.getOption(StorageLevelConf)
-                  if (levelStr.exists(_.equalsIgnoreCase("PARQUET"))) {
-                    // Session-local COLUMNAR pin (opt-in): write the stage
-                    // as parquet under a temp dir and read it back. What
+                  // Unset conf = size-adaptive AUTO: the parquet pin's
+                  // fixed per-file cost only pays for itself once the
+                  // corpus (and so the pin) is big — see
+                  // [[AutoParquetBytesConf]] for the measured crossover.
+                  val useParquet = levelStr match {
+                    case Some(s) => s.equalsIgnoreCase("PARQUET")
+                    case None =>
+                      val threshold = spark.conf
+                        .getOption(AutoParquetBytesConf).map(_.toLong)
+                        .getOrElse(AutoParquetBytesDefault)
+                      corpusBytes(spark, dir) >= threshold
+                  }
+                  if (useParquet) {
+                    // Session-local COLUMNAR pin: write the stage as
+                    // parquet under a temp dir and read it back. What
                     // the block-manager pin can never give consumers: a
                     // vectorized scan with column pruning and predicate
                     // pushdown INTO the pin (a Kryo DISK_ONLY pin decodes

@@ -220,6 +220,55 @@ class StageCacheSpec extends SparkTestBase {
     assert(StageCache.builds === before + 1)
   }
 
+  test("AUTO mode picks the parquet pin at/above the size crossover") {
+    val dir = tmpDocs(corpus.take(1))
+    StageCache.clear(spark)
+    // no StorageLevelConf: AUTO. Threshold 1 byte makes the tiny fixture
+    // dir count as "large", so AUTO must choose the columnar pin.
+    spark.conf.set(StageCache.AutoParquetBytesConf, "1")
+    try {
+      val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+      val d = StageCache.materialized(spark, dir, "spec.auto.pq") {
+        spark.range(3).toDF("n")
+      }
+      assert(spark.sparkContext.getPersistentRDDs.keySet === pinnedBefore)
+      assert(d.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.nonEmpty, "AUTO above threshold must yield a parquet file scan")
+    } finally {
+      spark.conf.unset(StageCache.AutoParquetBytesConf)
+      StageCache.clear(spark)
+    }
+    // same fixture below the (default, 64 MB) threshold: checkpoint pin
+    val dir2 = tmpDocs(corpus.take(1))
+    val before2 = spark.sparkContext.getPersistentRDDs.keySet
+    StageCache.materialized(spark, dir2, "spec.auto.ckpt") {
+      spark.range(3).toDF("n")
+    }.count()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before2).nonEmpty,
+      "AUTO below threshold must localCheckpoint (block-manager pin)")
+    StageCache.clear(spark)
+  }
+
+  test("explicit StorageLevelConf overrides the AUTO size rule") {
+    val dir = tmpDocs(corpus.take(1))
+    StageCache.clear(spark)
+    spark.conf.set(StageCache.AutoParquetBytesConf, "1") // would say parquet
+    spark.conf.set(StageCache.StorageLevelConf, "DISK_ONLY")
+    try {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      StageCache.materialized(spark, dir, "spec.override") {
+        spark.range(3).toDF("n")
+      }.count()
+      assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty,
+        "explicit level must checkpoint even when AUTO would pick parquet")
+    } finally {
+      spark.conf.unset(StageCache.StorageLevelConf)
+      spark.conf.unset(StageCache.AutoParquetBytesConf)
+      StageCache.clear(spark)
+    }
+  }
+
   test("PARQUET level pins the stage as session-local parquet files") {
     val dir = tmpDocs(corpus.take(1))
     StageCache.clear(spark)
