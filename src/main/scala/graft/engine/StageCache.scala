@@ -271,6 +271,7 @@ object StageCache {
                     // the stage is a wide fact table.
                     val tmp = java.nio.file.Files.createTempDirectory(
                       s"graft-stage-${name.replaceAll("[^A-Za-z0-9_.-]", "_")}-")
+                    exitSweep.add(tmp) // reclaimed at JVM exit if never clear()ed
                     val path = tmp.resolve("stage.parquet").toString
                     build.write.mode("overwrite").parquet(path)
                     synchronized { builds += 1 }
@@ -436,8 +437,24 @@ object StageCache {
     Option(sessions.remove(spark)).foreach(_.valuesIterator.foreach { e =>
       try e.persisted.foreach(_.unpersist(blocking = true))
       catch { case _: Throwable => () }
-      e.tmpDir.foreach(deleteRecursively)
+      e.tmpDir.foreach { d => deleteRecursively(d); exitSweep.remove(d) }
     })
+  }
+
+  /** Session-parquet pin dirs not yet reclaimed by [[clear]], swept at
+    * JVM exit — a bench or batch job that never calls clear() must not
+    * leak multi-GB pin dirs into the temp filesystem (a full sf10 suite
+    * pins ~3 GB; repeated runs would fill the disk). clear() removes
+    * its dirs from this set after deleting them, so the hook only
+    * touches what is still live at exit.
+    */
+  private val exitSweep =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val it = exitSweep.iterator()
+      while (it.hasNext) deleteRecursively(it.next())
+    }, "graft-stage-pin-sweep"))
   }
 
   /** Best-effort recursive delete of a session-parquet pin dir. */
