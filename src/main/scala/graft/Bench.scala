@@ -21,6 +21,15 @@ object BenchHost {
     Seq.fill(16)(base.select(h.as("h"))).reduce(_ union _).agg(expr("bit_xor(h)"))
   }
 
+  /** Canary protocol version, stamped into every artifact line (r16
+    * verdict "what's wrong" #1): protocol 2 = canary samples sync
+    * untimed first (r16 session 3 on), so they report EXTERNAL host
+    * state only. Protocol 1 (pre-r16s3) canaries absorbed the run's own
+    * pending writeback — `total_canary_norm` comparisons are valid only
+    * WITHIN a protocol version (BASELINE.md §"Host canary").
+    */
+  val CanaryProto = 2
+
   def canarySample(spark: SparkSession,
                    consume: org.apache.spark.sql.DataFrame => Unit): Option[Double] =
     if (!canaryAvailable) None
@@ -161,9 +170,9 @@ object Bench {
       else "subset"
     val stageLevel = spark.conf
       .getOption(graft.engine.StageCache.StorageLevelConf)
-      .getOrElse(graft.engine.StageCache.autoModeDesc)
+      .getOrElse(graft.engine.StageCache.autoModeDesc(spark))
     val rddCompress = spark.conf.get("spark.rdd.compress", "false")
-    println(s"""{"metric":"run_meta","sf":"$sfDir","git_sha":"$gitSha","mode":"$mode","stage_level":"$stageLevel","rdd_compress":"$rddCompress","n_queries":${scopeNames.size},"queries":$scopeJson}""")
+    println(s"""{"metric":"run_meta","sf":"$sfDir","git_sha":"$gitSha","mode":"$mode","stage_level":"$stageLevel","rdd_compress":"$rddCompress","canary_proto":${BenchHost.CanaryProto},"n_queries":${scopeNames.size},"queries":$scopeJson}""")
     // Untimed warmup at the smallest SF: first execution of each plan pays
     // Janino codegen compilation + JIT, which at sf0.1 can exceed the
     // actual query time. One pass over tiny data warms those caches so the
@@ -303,6 +312,20 @@ object Bench {
     // survive either truncation.
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"n_errors":${errors.size},$canaries"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    // Chunked re-emission of the SAME map (additions-only; the contract
+    // lines above and below are byte-identical to r16): the full 215-row
+    // map is one ~7 KB line, and a bounded stdout tail (the driver keeps
+    // ~2.6 KB) cuts INTO it, leaving unparseable half-JSON — two rounds
+    // of PERF `per_query` came back empty that way (r16 verdict "what's
+    // wrong" #2). Sorted ≤20-row chunks keep every line under ~700 B, so
+    // any truncation window still contains complete, parseable chunk
+    // lines (plus the final headline, printed last).
+    val chunks = withCanary.sortBy(_._1).grouped(20).toSeq
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val rows = chunk.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"queries_chunk","i":$i,"n_chunks":${chunks.size},"rows":$rows}""")
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"n_errors":${errors.size},$canaries"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -99,10 +99,11 @@ object BenchOne {
     }
     val stageLevel = spark.conf
       .getOption(graft.engine.StageCache.StorageLevelConf)
-      .getOrElse(graft.engine.StageCache.autoModeDesc)
+      .getOrElse(graft.engine.StageCache.autoModeDesc(spark))
     println(s"""{"metric":"bench_one","query":"$name","sf":"$sfDir",""" +
       s""""git_sha":"${BenchHost.gitSha}","heap":"${BenchHost.heapDesc}",""" +
       s""""stage_level":"$stageLevel",""" +
+      s""""canary_proto":${BenchHost.CanaryProto},""" +
       s""""rdd_compress":"${spark.conf.get("spark.rdd.compress", "false")}",""" +
       s""""cpus":$cpus,"mode":"${if (isStage) "cold_stage" else "steady"}",""" +
       s""""samples":[${samples.map(ms).mkString(",")}],""" +

@@ -68,6 +68,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NativeFunctions.RegexFindGroup(exprs(0), exprs(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier(graft.engine.expr.MongoJson.MongoLineParseName),
+      info(graft.engine.expr.MongoJson.MongoLineParseName,
+        "mongod structured-log line parsed to the MongodLine struct in " +
+          "ONE Jackson streaming pass — observably identical to " +
+          "from_json(line, MongodLine, PERMISSIVE + _corrupt)",
+        "_FUNC_(line)"),
+      (exprs: Seq[Expression]) => {
+        NativeFunctions.checkArity(
+          graft.engine.expr.MongoJson.MongoLineParseName, 1, exprs)
+        graft.engine.expr.MongoJson.MongoLineParse(exprs(0))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier(NativeFunctions.MySqlFieldsName),
+      info(NativeFunctions.MySqlFieldsName,
+        "all seven MySQL slow-log field captures in ONE compiled pass; " +
+          "array<string> of 7 nullable captures in battery order — " +
+          "value-identical to running regex_find_group per pattern",
+        "_FUNC_(entry)"),
+      (exprs: Seq[Expression]) => {
+        NativeFunctions.checkArity(NativeFunctions.MySqlFieldsName, 1, exprs)
+        NativeFunctions.MySqlEntryFields(exprs(0))
+      }))
+    ext.injectFunction((
       FunctionIdentifier(NativeFunctions.LangSignalName),
       info(NativeFunctions.LangSignalName,
         "per-word-set ASCII \\b match counts + Han-char count in ONE " +

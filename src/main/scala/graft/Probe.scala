@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Scratch probe for Spark semantics the engine depends on. Not part of the
   * library surface; run with `sbt "runMain graft.Probe"`.
@@ -18,54 +17,25 @@ object Probe {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    // 1. get_json_object: raw substring or compact re-serialization?
-    val j = Seq("""{"a": {"b": 1, "c": "x y"}, "arr": [{"$match": {"k": 5}}, {"$limit": 2}]}""").toDF("s")
-    j.select(
-      get_json_object($"s", "$.a").as("obj"),
-      get_json_object($"s", "$.arr[0].$match").as("dollar_plain"),
-      get_json_object($"s", "$.arr[0]['$match']").as("dollar_quoted"),
-      get_json_object($"s", "$.missing").as("missing")
-    ).show(false)
-
-    // 2. from_json on invalid / scalar / partial input
-    val sch = StructType(Seq(
-      StructField("msg", StringType),
-      StructField("s", StringType),
-      StructField("attr", StructType(Seq(StructField("n", LongType))))))
-    Seq("not json", "5", """{"msg": "hi"}""", """{"msg": null, "s": "E"}""")
-      .toDF("v")
-      .select($"v", from_json($"v", sch).as("j"), try_parse_json($"v").isNotNull.as("valid"))
-      .select($"v", $"j", $"valid", $"j".isNull.as("jnull"), $"j.msg".as("m"))
-      .show(false)
-
-    // 3. floor() result type; split with limit; posexplode multi-alias
-    val t = Seq(("a.b.c", 1.7)).toDF("ns", "v")
-    val ty = t.select(floor($"v" * 10).as("f"), split($"ns", "\\.", -1).as("sp"))
-    ty.printSchema()
-    t.select(posexplode(split($"ns", "\\.", -1)).as(Seq("pos", "part"))).show()
-
-    // 4. rlike with inline (?s) and \z, empty capture
-    Seq("SET timestamp=1;\nSELECT 1;\n# Time: x", "SET timestamp=1;\n")
-      .toDF("e")
-      .select($"e".rlike("(?s)SET timestamp=.*?;\n(.*?)(?=\n# Time:|\\z)").as("m"),
-              regexp_extract($"e", "(?s)SET timestamp=.*?;\n(.*?)(?=\n# Time:|\\z)", 1).as("cap"))
-      .show(false)
-
-    // 5. parquet write with space/paren column names
-    val out = "/tmp/probe_parquet"
-    Seq((1.0, "x")).toDF("Query_time (ms)", "User@Host").write.mode("overwrite").parquet(out)
-    spark.read.parquet(out).show()
-
-    // 6. min_by, ansi cast behavior via try_cast expr
-    Seq(("a", 2L, "q2"), ("a", 1L, "q1")).toDF("k", "n", "q")
-      .groupBy($"k").agg(min_by($"q", $"n").as("first_q")).show()
-    Seq("abc", "1.5").toDF("x").select(expr("try_cast(x as double)").as("d")).show()
-
-    // 7. element_at on split of empty string
-    Seq("").toDF("ns").select(
-      element_at(split($"ns", "\\.", -1), 1).as("app"),
-      size(split($"ns", "\\.", -1)).as("n")).show()
-
+    // Does an EAGER localCheckpoint complete an Observation? (The CC loop
+    // rides fingerprints on the checkpoint job — a hang here means the
+    // listener never fires for the checkpoint action.)
+    val obs = org.apache.spark.sql.Observation()
+    val df = Seq((1L, 2L), (3L, 4L)).toDF("u", "v")
+      .observe(obs, count(lit(1)).as("n"),
+        sum(pmod(xxhash64(col("u"), col("v")), lit(1048573L))).as("h"))
+    val ck = df.localCheckpoint(true)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    try {
+      val m = Await.result(Future(obs.get), 15.seconds)
+      println(s"[probe] observation after eager localCheckpoint: $m")
+    } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        println("[probe] observation TIMED OUT — listener never fired")
+    }
+    println(s"[probe] ck rows=${ck.count()}")
     spark.stop()
   }
 }

@@ -69,6 +69,10 @@ object BenchStages {
       ((s, d) => graft.engine.ext.Sessionize.exactAudit(s, d)),
     "_stage_quality" ->
       ((s, d) => graft.engine.ext.Corpus.qualitySignals(s, d)),
+    "_stage_doc_tf" ->
+      ((s, d) => graft.engine.ext.TextAnalysis.docTermTf(s, d)),
+    "_stage_chunk_tf" ->
+      ((s, d) => graft.engine.ext.TextAnalysis.chunkTfT(s, d)),
     "_stage_mysql_parsed" ->
       ((s, d) => SparkEntry.mysqlParsedStage(s, d)),
     "_stage_mongo_scan" ->
@@ -92,6 +96,8 @@ object BenchStages {
     "_stage_pq_rerank_topk" -> Set("ann.pq_rerank_topk"),
     "_stage_exact_audit" -> Set("events.exact_audit"),
     "_stage_quality" -> Set("corpus.quality"),
+    "_stage_doc_tf" -> Set("text.doc_tf"),
+    "_stage_chunk_tf" -> Set("text.chunk_tf"),
     "_stage_mysql_parsed" -> Set("logs.mysql_parsed"),
     "_stage_mongo_scan" -> Set("logs.mongo_scan"))
 }

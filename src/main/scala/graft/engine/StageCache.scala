@@ -153,27 +153,37 @@ object StageCache {
     */
   val AutoParquetBytesDefault: Long = 64L * 1024 * 1024
 
-  /** run_meta self-description for the unset-conf pin mode. */
-  def autoModeDesc: String =
-    s"AUTO(parquet>=${AutoParquetBytesDefault / (1024 * 1024)}MB," +
+  /** run_meta self-description for the unset-conf pin mode. The
+    * compile-time default; prefer the session overload, which reads the
+    * EFFECTIVE threshold (r16 ADVICE: an [[AutoParquetBytesConf]]
+    * override would otherwise be mislabeled in A/B artifact lines).
+    */
+  def autoModeDesc: String = autoModeDescFor(AutoParquetBytesDefault)
+
+  /** run_meta self-description under this session's effective
+    * [[AutoParquetBytesConf]]. */
+  def autoModeDesc(spark: SparkSession): String =
+    autoModeDescFor(spark.conf.getOption(AutoParquetBytesConf)
+      .map(_.toLong).getOrElse(AutoParquetBytesDefault))
+
+  private def autoModeDescFor(threshold: Long): String =
+    s"AUTO(parquet>=${threshold / (1024 * 1024)}MB," +
       s" else ${DefaultLevel.description})"
 
-  /** Total bytes under `dir` (recursive listing), memoized per
-    * canonical path — the AUTO pin-mode scale signal. One FileSystem
-    * recursion per dir per JVM; generated fixture dirs are prepared
-    * before any stage builds, so the memo never races a growing dir in
-    * practice, and a stale size could only flip the pin MODE, never
-    * what the stage computes.
+  /** Total bytes under `dir` (recursive listing) — the AUTO pin-mode
+    * scale signal. NOT memoized (r16 ADVICE): a dir regenerated in
+    * place at a different scale (exactly what the durable fingerprint
+    * defends against) must not keep a stale pin-mode choice, and an
+    * initially-unreadable dir must not memoize 0 forever. The recursion
+    * runs only on the build-miss path, at most once per stage build —
+    * builds are rare and the listing is cheap next to one.
     */
-  private val dirBytes = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def corpusBytes(spark: SparkSession, dir: String): Long =
-    dirBytes.computeIfAbsent(canonical(dir), { c =>
-      try {
-        val p = new Path(c)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.getContentSummary(p).getLength
-      } catch { case _: Throwable => 0L } // unreadable dir: checkpoint pin
-    })
+    try {
+      val p = new Path(canonical(dir))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(p).getLength
+    } catch { case _: Throwable => 0L } // unreadable dir: checkpoint pin
 
   /** df = what consumers get; persisted = the checkpoint RDD to free on
     * [[clear]] (None in durable mode — files are the materialization
@@ -250,13 +260,25 @@ object StageCache {
                   // fixed per-file cost only pays for itself once the
                   // corpus (and so the pin) is big — see
                   // [[AutoParquetBytesConf]] for the measured crossover.
+                  // AUTO is additionally gated on sparkContext.isLocal
+                  // (r16 ADVICE): the session pin dir is a DRIVER-LOCAL
+                  // java.nio temp dir, so on a multi-executor-host
+                  // cluster tasks would write part files to their own
+                  // local filesystems and the read-back would see
+                  // missing data. Single-process mode (the documented
+                  // mode-1 deployment) gets the columnar pin; a cluster
+                  // session falls back to the checkpoint pin unless the
+                  // operator pins PARQUET explicitly (having pointed
+                  // the temp dir at shared storage) — the durable mode
+                  // ([[DurableDirConf]]) is the cluster-correct analog.
                   val useParquet = levelStr match {
                     case Some(s) => s.equalsIgnoreCase("PARQUET")
                     case None =>
                       val threshold = spark.conf
                         .getOption(AutoParquetBytesConf).map(_.toLong)
                         .getOrElse(AutoParquetBytesDefault)
-                      corpusBytes(spark, dir) >= threshold
+                      spark.sparkContext.isLocal &&
+                        corpusBytes(spark, dir) >= threshold
                   }
                   if (useParquet) {
                     // Session-local COLUMNAR pin: write the stage as
@@ -451,10 +473,19 @@ object StageCache {
   private val exitSweep =
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
   locally {
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    // try-wrapped (r16 ADVICE): if StageCache is first touched DURING
+    // shutdown, addShutdownHook throws IllegalStateException — the sweep
+    // is then simply skipped (temp-dir GC is the OS's backstop), which
+    // beats failing the caller. The hook itself only deletes dirs still
+    // registered at exit; clear() removes dirs from the set before the
+    // hook can see them, and a Spark job still draining at exit belongs
+    // to a session that never clear()ed — its reads race the JVM dying
+    // anyway, not this sweep specifically.
+    try Runtime.getRuntime.addShutdownHook(new Thread(() => {
       val it = exitSweep.iterator()
       while (it.hasNext) deleteRecursively(it.next())
     }, "graft-stage-pin-sweep"))
+    catch { case _: IllegalStateException => () }
   }
 
   /** Best-effort recursive delete of a session-parquet pin dir. */

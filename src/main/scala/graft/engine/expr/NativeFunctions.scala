@@ -295,6 +295,253 @@ object NativeFunctions {
       copy(subject = newLeft, regexp = newRight)
   }
 
+  /** All seven MySQL slow-log field captures in ONE compiled pass — the
+    * fused successor of running [[RegexFindGroup]] seven times per entry
+    * (r16's `_stage_mysql_parsed` spent its build almost entirely in the
+    * regex battery: 7 × `Matcher.find()` backtracking scans and 7 ×
+    * `UTF8String.toString` copies of the same multi-hundred-byte entry).
+    *
+    * The seven patterns ([[graft.engine.mysql.MySqlLogPipeline]]) are
+    * literal-anchored with a single capture each, so each is equivalent
+    * to a deterministic `indexOf` scan. This expression reproduces
+    * `java.util.regex` `find()` semantics EXACTLY (the pinned contract;
+    * MySqlFieldsKernelSpec holds it against the live regexes on
+    * adversarial entries):
+    *  - default-flag `.` excludes the five Java line terminators
+    *    (\n \r U+0085 U+2028 U+2029), so a non-DOTALL capture cannot
+    *    cross one — a start position whose suffix lies past a terminator
+    *    FAILS and find() retries from the next prefix occurrence;
+    *  - greedy `(.*)` takes the maximal non-terminator run; non-greedy
+    *    `(.*?)` stops at the EARLIEST suffix/lookahead position;
+    *  - the DOTALL query pattern's `.*?;\n` is the first ";\n" after
+    *    "SET timestamp="; its `(?=\n# Time:|\z)` lookahead is the first
+    *    "\n# Time:" after that, else end-of-input.
+    *
+    * The downstream per-entry regex work is fused in as well (it was 7
+    * more regex executions per entry): elements 0/1/3/4/5/6 come back
+    * PRE-STRIPPED (≡ `regexp_replace(c, "^PY_WS+|PY_WS+$", "")` over
+    * [[graft.engine.expr.Normalizers.PyWhitespaceClass]] — a linear scan,
+    * nullness preserved), element 2 is the RAW Query_time capture (the
+    * warning message embeds it unstripped), and element 7 is the
+    * normalized query (≡ `upper(regexp_replace(stripped_query,
+    * "(\b\d+\b)|('[^']*')", "?"))` — the replace as a scan over Java's
+    * ASCII \b/\d/\w classes, the upper via the same
+    * `UTF8String.toUpperCase` Spark's `upper()` calls).
+    *
+    * Result: array<string> of 8 nullable elements
+    * [time*, user_host*, query_time_raw, lock_time*, rows_sent*,
+    * rows_examined*, query*, normalized_query*] (* = stripped) — NULL =
+    * pattern did not match (≡ !rlike), never "" for a miss (group 1
+    * always participates in these patterns). One toString per entry,
+    * zero regex executions.
+    */
+  case class MySqlEntryFields(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.StringType
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = true)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$MySqlFieldsName expects a string, got ${other.sql}")
+      }
+
+    override def nullSafeEval(a: Any): Any =
+      NativeFunctions.mysqlFieldsRun(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.engine.expr.NativeFunctions.mysqlFieldsRun($c);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = MySqlFieldsName
+  }
+
+  /** Java-regex default-flag line terminators — the five code points a
+    * non-DOTALL `.` refuses to match. */
+  @inline private def isLineTerm(c: Char): Boolean =
+    c == '\n' || c == '\r' || c.toInt == 0x0085 ||
+      c.toInt == 0x2028 || c.toInt == 0x2029
+
+  /** Index of the first line terminator at or after `j` (s.length when
+    * the line runs to end-of-input). */
+  private def lineEndFrom(s: String, j: Int): Int = {
+    var t = j
+    val n = s.length
+    while (t < n && !isLineTerm(s.charAt(t))) t += 1
+    t
+  }
+
+  private def utf8(s: String): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+
+  /** ≡ `find()` of `Q(prefix)(.*)`: first prefix occurrence, greedy
+    * capture to the end of that line. */
+  private def captureRestOfLine(s: String, prefix: String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val i = s.indexOf(prefix)
+    if (i < 0) null
+    else {
+      val j = i + prefix.length
+      utf8(s.substring(j, lineEndFrom(s, j)))
+    }
+  }
+
+  /** ≡ `find()` of `Q(prefix)(.*?)Q(suffix)`: the capture cannot cross a
+    * line terminator, so a start whose earliest suffix lies past one
+    * fails and the scan resumes at the next prefix occurrence. */
+  private def captureBetween(s: String, prefix: String, suffix: String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    var from = 0
+    while (from <= s.length) {
+      val i = s.indexOf(prefix, from)
+      if (i < 0) return null
+      val j = i + prefix.length
+      val k = s.indexOf(suffix, j)
+      if (k < 0) return null // no suffix after j ⇒ none after any later start
+      if (k <= lineEndFrom(s, j)) return utf8(s.substring(j, k))
+      from = i + 1 // terminator before the suffix: this start fails
+    }
+    null
+  }
+
+  /** ≡ `find()` of `Q(prefix)(.*?)\n`: the first terminator after the
+    * prefix must be a literal \n (a \r or end-of-input fails the start). */
+  private def captureUntilLf(s: String, prefix: String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    var from = 0
+    while (from <= s.length) {
+      val i = s.indexOf(prefix, from)
+      if (i < 0) return null
+      val j = i + prefix.length
+      val le = lineEndFrom(s, j)
+      if (le < s.length && s.charAt(le) == '\n')
+        return utf8(s.substring(j, le))
+      from = i + 1
+    }
+    null
+  }
+
+  /** ≡ `find()` of `(?s)SET timestamp=.*?;\n(.*?)(?=\n# Time:|\z)`. */
+  private def captureQuery(s: String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val i = s.indexOf("SET timestamp=")
+    if (i < 0) return null
+    val p = s.indexOf(";\n", i + 14) // 14 = "SET timestamp=".length
+    if (p < 0) return null // no ";\n" after the first start ⇒ none after any
+    val m = p + 2
+    val k = s.indexOf("\n# Time:", m)
+    utf8(if (k >= 0) s.substring(m, k) else s.substring(m))
+  }
+
+  /** One char of [[Normalizers.PyWhitespaceClass]]: Java-regex `\s`
+    * (ASCII), \x1C-\x1F, NEL, or Unicode category Z (Zs/Zl/Zp — all
+    * BMP, so a char-wise test is exact). */
+  @inline private def isPyWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' ||
+      c == '\r' || (c >= 0x1C && c <= 0x1F) || c.toInt == 0x85 || {
+        val t = Character.getType(c)
+        t == Character.SPACE_SEPARATOR || t == Character.LINE_SEPARATOR ||
+          t == Character.PARAGRAPH_SEPARATOR
+      }
+
+  /** ≡ `regexp_replace(s, "^PY_WS+|PY_WS+$", "")` (null-preserving at
+    * the call sites — callers pass non-null). */
+  private def pyStripStr(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && isPyWs(s.charAt(a))) a += 1
+    while (b > a && isPyWs(s.charAt(b - 1))) b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
+
+  /** The word class Java's `\b` tests against WITHOUT
+    * UNICODE_CHARACTER_CLASS: `'_' || Character.isLetterOrDigit(cp)` —
+    * Unicode-aware even though `\w`/`\d` stay ASCII in the same mode
+    * (openjdk Pattern.Bound; the kernel spec caught exactly this on
+    * "é123": é is a word char for `\b`, so the digits keep no boundary
+    * and survive the replace).
+    */
+  @inline private def isWordCp(cp: Int): Boolean =
+    cp == '_'.toInt || Character.isLetterOrDigit(cp)
+
+  /** Is the code point ENDING at `i` (exclusive) a `\b` word char —
+    * surrogate-pair aware, false at the string edge. */
+  private def wordBefore(s: String, i: Int): Boolean =
+    if (i <= 0) false
+    else {
+      val c = s.charAt(i - 1)
+      if (Character.isLowSurrogate(c) && i >= 2 &&
+          Character.isHighSurrogate(s.charAt(i - 2)))
+        isWordCp(s.codePointAt(i - 2))
+      else isWordCp(c)
+    }
+
+  /** Is the code point STARTING at `j` a `\b` word char — surrogate-pair
+    * aware, false at the string edge. */
+  private def wordAfter(s: String, j: Int): Boolean =
+    j < s.length && isWordCp(s.codePointAt(j))
+
+  /** ≡ `upper(regexp_replace(q, "(\b\d+\b)|('[^']*')", "?"))` — the
+    * MySQL fingerprint normalizer as one scan. A maximal ASCII digit
+    * run (`\d` IS ASCII in default mode) replaces only when BOTH
+    * neighbors are non-word per [[isWordCp]] (Java `\b` cannot split a
+    * digit run: every interior position has word chars on both sides,
+    * so "123abc"/"abc123" stay verbatim); a quote pair replaces
+    * leftmost-non-overlapping with `[^']*` free to cross newlines; an
+    * unclosed quote matches nothing and scanning continues inside it.
+    * Upper parity comes from calling the same `UTF8String.toUpperCase`
+    * Spark's `upper()` lowers to.
+    */
+  private def normalizeSqlStr(q: String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val n = q.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = q.charAt(i)
+      if (c >= '0' && c <= '9' && !wordBefore(q, i)) {
+        var j = i + 1
+        while (j < n && q.charAt(j) >= '0' && q.charAt(j) <= '9') j += 1
+        if (!wordAfter(q, j)) { sb.append('?'); i = j }
+        else { sb.append(c); i += 1 } // run abuts a word char: no \b match
+      } else if (c == '\'') {
+        val j = q.indexOf('\'', i + 1)
+        if (j >= 0) { sb.append('?'); i = j + 1 }
+        else { sb.append(c); i += 1 } // unclosed: no match at this quote
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    utf8(sb.toString).toUpperCase
+  }
+
+  /** Kernel of [[MySqlEntryFields]] — called as a static forwarder from
+    * generated code. */
+  def mysqlFieldsRun(u: org.apache.spark.unsafe.types.UTF8String)
+      : ArrayData = {
+    val s = u.toString
+    def stripped(v: org.apache.spark.unsafe.types.UTF8String)
+        : org.apache.spark.unsafe.types.UTF8String =
+      if (v == null) null else utf8(pyStripStr(v.toString))
+    val q = captureQuery(s)
+    val qs = stripped(q)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](
+      stripped(captureRestOfLine(s, "# Time: ")),
+      stripped(captureBetween(s, "# User@Host: ", " thread_id:")),
+      captureBetween(s, "# Query_time: ", " Lock_time:"),
+      stripped(captureBetween(s, "Lock_time: ", " Rows_sent:")),
+      stripped(captureBetween(s, "Rows_sent: ", " Rows_examined:")),
+      stripped(captureUntilLf(s, "Rows_examined: ")),
+      qs,
+      if (qs == null) null else normalizeSqlStr(qs.toString)))
+  }
+
   /** Fused language-signal counter: ONE linear scan of the text replaces
     * the four independent `size(regexp_extract_all(...))` passes the
     * language-ID heuristic ran per document (r13 verdict ask #5 —
@@ -1235,6 +1482,7 @@ object NativeFunctions {
   val WinnowName = "winnow_karp_rabin"
   val Md5PrefixName = "md5_prefix_long"
   val WordRepName = "word_rep_counts"
+  val MySqlFieldsName = "mysql_entry_fields"
   val ShingleHashName = "shingle_hashes"
   val ShingleHashSetName = "shingle_hash_set"
   val SimhashSigName = "simhash_sig"
@@ -1423,6 +1671,18 @@ object NativeFunctions {
     if (!spark.catalog.functionExists(Md5PrefixName))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         Md5PrefixName, buildMd5Prefix, "built-in")
+    if (!spark.catalog.functionExists(MongoJson.MongoLineParseName))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        MongoJson.MongoLineParseName, exprs => {
+          checkArity(MongoJson.MongoLineParseName, 1, exprs)
+          MongoJson.MongoLineParse(exprs(0))
+        }, "built-in")
+    if (!spark.catalog.functionExists(MySqlFieldsName))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        MySqlFieldsName, exprs => {
+          checkArity(MySqlFieldsName, 1, exprs)
+          MySqlEntryFields(exprs(0))
+        }, "built-in")
     if (!spark.catalog.functionExists(WordRepName))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         WordRepName, exprs => {
@@ -1552,4 +1812,10 @@ object NativeFunctions {
     */
   def regexFindGroup(subject: Column, pattern: Column): Column =
     call_function(RegexFindName, subject, pattern)
+
+  /** All seven MySQL slow-log captures in one compiled pass (see
+    * [[MySqlEntryFields]]); caller must have ensureRegistered.
+    */
+  def mysqlEntryFields(entry: Column): Column =
+    call_function(MySqlFieldsName, entry)
 }

@@ -1417,26 +1417,38 @@ object Dedup {
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIter: Int = 16): DataFrame = {
+    // Set fingerprint (count, Σ xxhash64(u,v) mod p) riding the round's
+    // OWN checkpoint job as observe() metrics (r17 — guide §1.2: the CC
+    // loop on a contracted graph is per-round-overhead-bound, and the
+    // separate fp action was one of three jobs per round; now the round
+    // runs ONE job). The hash is reduced mod a ~2^20 prime so the ANSI
+    // sum can't overflow below ~10^12 edges; a fingerprint match still
+    // triggers ONE exact set-equality check (equal counts + empty
+    // except), so a modular collision can never end the loop early.
+    def observedFp(d: DataFrame): (DataFrame, () => (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val withObs = d.observe(obs, count(lit(1)).as("n"),
+        sum(pmod(xxhash64(col("u"), col("v")), lit(1048573L))).as("h"))
+      (withObs, () => {
+        val m = obs.get
+        (m("n").asInstanceOf[Long],
+          Option(m("h")).map(_.asInstanceOf[Long]).getOrElse(0L))
+      })
+    }
+    def checkpointWithFp(d: DataFrame): (DataFrame, (Long, Long)) = {
+      val (withObs, get) = observedFp(d)
+      val ck = checkpointFresh(withObs)
+      (ck, get())
+    }
+
     // Canonical orientation (big, small): every emitted pair keeps it, so
     // only the initial edge list pays the greatest/least normalization.
-    var e = checkpointFresh(edges
+    var (e, prev) = checkpointWithFp(edges
       .filter(col("doc_a") =!= col("doc_b"))
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .distinct())
 
-    // Set fingerprint (count, Σ xxhash64(u,v) mod p) — one tiny action per
-    // round (the hash is reduced mod a ~2^20 prime so the ANSI sum can't
-    // overflow below ~10^12 edges); a fingerprint match then triggers ONE
-    // exact set-equality check (equal counts + empty except), so a modular
-    // collision can never end the loop early.
-    def fp(d: DataFrame): (Long, Long) = {
-      val r = d.agg(count(lit(1)),
-        sum(pmod(xxhash64(col("u"), col("v")), lit(1048573L)))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-
-    var prev = fp(e)
     var converged = prev._1 == 0L
     var i = 0
     while (!converged && i < maxIter) {
@@ -1447,22 +1459,27 @@ object Dedup {
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       val lMins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
-      val afterLarge = checkpointFresh(
+      // NOT checkpointed (r17): the large-star output feeds two
+      // consumers inside ONE small-star plan, where exchange reuse
+      // dedupes the identical subtree — the per-round eager-checkpoint
+      // job it used to pay was pure overhead at contracted-graph sizes,
+      // and lineage depth stays bounded because afterSmall checkpoints
+      // every round.
+      val afterLarge =
         sym.join(lMins, "u").where(col("v") > col("u"))
           .select(col("v").as("u"), col("m").as("v"))
-          .distinct())
+          .distinct()
 
       // small-star: center u over its SMALLER neighborhood only; attach u
       // and every smaller neighbor to m = min of that neighborhood.
       val sMins = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val afterSmall = checkpointFresh(
+      val (afterSmall, cur) = checkpointWithFp(
         afterLarge.join(sMins, "u")
           .where(col("v") =!= col("m"))
           .select(col("v").as("u"), col("m").as("v"))
           .unionByName(sMins.select(col("u"), col("m").as("v")))
           .distinct())
 
-      val cur = fp(afterSmall)
       converged = cur == prev && afterSmall.except(e).isEmpty
       e = afterSmall
       prev = cur

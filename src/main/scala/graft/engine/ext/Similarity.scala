@@ -884,8 +884,10 @@ object Similarity {
     val dense = bruteForceTopK(spark, dir)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("dense_rank"))
-    val lex = TextAnalysis.tfidfTopK(
-        spark.read.parquet(s"$dir/documents.parquet"), queryMod = qm)
+    // r17: the lexical leg rides the shared `_stage_doc_tf` postings
+    // base (its panel stays embedding-derived, so qm is passed through)
+    val lex = TextAnalysis.tfidfFromTf(
+        TextAnalysis.docTermTf(spark, dir), queryMod = qm)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").as("lex_rank"))
     val w = Window.partitionBy(col("query_id"))

@@ -49,16 +49,21 @@ object MongoLogPipeline {
     */
   def parsedScan(lines: DataFrame): DataFrame = {
     NativeFunctions.ensureRegistered(lines.sparkSession)
-    val opts = Map("columnNameOfCorruptRecord" -> Schemas.CorruptField,
-      "mode" -> "PERMISSIVE")
     lines
-      // OpaqueBarrier: from_json must evaluate ONCE per row in this
+      // r17: the schema parse is the native single-pass
+      // [[graft.engine.expr.MongoJson.MongoLineParse]] — observably
+      // identical to `from_json(line, Schemas.MongodLine, PERMISSIVE +
+      // _corrupt)` (MongoJsonKernelSpec pins the equivalence on
+      // adversarial inputs and every generated line class) without
+      // JacksonParser's generic converter machinery; the struct shape
+      // and every downstream reference are unchanged.
+      // OpaqueBarrier: the parse must evaluate ONCE per row in this
       // projection. Without it, every routing-flag filter conjunct that
       // the optimizer substitutes and pushes re-derives the parse inside
       // an interpreted Filter (measured: 11 from_json copies in one
       // pushed filter node at round 6).
       .withColumn("j", NativeFunctions.opaque(
-        from_json(col("line"), Schemas.MongodLine, opts)))
+        graft.engine.expr.MongoJson.mongoLineParse(col("line"))))
       // from_json yields a NULL struct (not a corrupt record) for empty /
       // whitespace-only / literal-null input; the reference's json.loads
       // raises on those, so they must route to the parse-error channel too.

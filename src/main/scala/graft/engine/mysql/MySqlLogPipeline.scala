@@ -2,7 +2,6 @@ package graft.engine.mysql
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.engine.expr.Normalizers
 
 /** MySQL/Percona slow-query-log analyzer, re-expressed as a declarative
   * Spark dataflow (reference behavior: /root/reference/MySql/mysqlLogParser.py:16-134).
@@ -74,41 +73,38 @@ object MySqlLogPipeline {
     */
   def projectedOf(entries: DataFrame): DataFrame = {
     import graft.engine.expr.NativeFunctions
-    // Fused battery: ONE regex execution per pattern per entry.
-    // regex_find_group returns NULL on no-match (≡ !rlike) and the
-    // group-1 capture ('' for a non-participating group, exactly
-    // regexp_extract's contract) on a match — the flag and the raw
-    // value both read the SAME materialized column. The opaque barrier
-    // keeps it that way: without it, pushing the all_ok filter below
-    // this projection would substitute the aliases and re-run every
-    // pattern inside the filter, resurrecting the 14-execution plan
-    // this fusion removes.
-    def find(p: String): Column =
-      NativeFunctions.opaque(
-        NativeFunctions.regexFindGroup(col("entry"), lit(p)))
+    NativeFunctions.ensureRegistered(entries.sparkSession)
+    // Fused battery (r17): ONE compiled pass per entry yields all seven
+    // captures AND the per-field post-processing —
+    // [[NativeFunctions.MySqlEntryFields]] reproduces each pattern's
+    // find() semantics with literal-anchored scans (NULL on no-match ≡
+    // !rlike; the capture on a match), returns elements 0/1/3/4/5/6
+    // pre-pyStripped (nullness preserved) and element 7 as the
+    // normalized query. This replaces FOURTEEN regex executions per
+    // entry (the r16 7-regex battery + 6 pyStrip regexp_replaces + the
+    // fingerprint regexp_replace) and 7 UTF8String.toString copies with
+    // one scan and one copy (MySqlFieldsKernelSpec pins every element
+    // against the live regex chain it replaces, adversarial + generated).
+    // The opaque barrier keeps the kernel evaluating ONCE: without it,
+    // pushing the all_ok filter below this projection would substitute
+    // the aliases and re-run the kernel inside the filter per conjunct.
     val found = entries.select(
       col("file_id"), col("entry_no"), col("ord"), col("entry"),
-      find(TimeP).as("time_m"), find(UserHostP).as("uh_m"),
-      find(QueryTimeP).as("qt_m"), find(LockTimeP).as("lt_m"),
-      find(RowsSentP).as("rs_m"), find(RowsExaminedP).as("re_m"),
-      find(QueryP).as("q_m"))
-    def raw(m: String): Column = coalesce(col(m), lit(""))
-    val matched = found.select(
-      col("file_id"), col("entry_no"), col("ord"), col("entry"),
-      col("time_m").isNotNull.as("t_ok"), col("uh_m").isNotNull.as("uh_ok"),
-      col("qt_m").isNotNull.as("qt_ok"), col("lt_m").isNotNull.as("lt_ok"),
-      col("rs_m").isNotNull.as("rs_ok"), col("re_m").isNotNull.as("re_ok"),
-      col("q_m").isNotNull.as("q_ok"),
-      raw("time_m").as("time_raw"), raw("uh_m").as("uh_raw"),
-      raw("qt_m").as("qt_raw"), raw("lt_m").as("lt_raw"),
-      raw("rs_m").as("rs_raw"), raw("re_m").as("re_raw"),
-      Normalizers.pyStrip(raw("q_m")).as("query_raw"))
+      NativeFunctions.opaque(
+        NativeFunctions.mysqlEntryFields(col("entry"))).as("fs"))
+      .select(
+        col("file_id"), col("entry_no"), col("ord"), col("entry"),
+        col("fs").getItem(0).as("time_s"), col("fs").getItem(1).as("uh_s"),
+        col("fs").getItem(2).as("qt_m"), col("fs").getItem(3).as("lt_s"),
+        col("fs").getItem(4).as("rs_s"), col("fs").getItem(5).as("re_s"),
+        col("fs").getItem(6).as("q_s"), col("fs").getItem(7).as("q_norm"))
 
-    val allOk = col("t_ok") && col("uh_ok") && col("qt_ok") &&
-      col("lt_ok") && col("rs_ok") && col("re_ok") && col("q_ok")
+    val allOk = col("time_s").isNotNull && col("uh_s").isNotNull &&
+      col("qt_m").isNotNull && col("lt_s").isNotNull &&
+      col("rs_s").isNotNull && col("re_s").isNotNull && col("q_s").isNotNull
 
     // P11: float(qt) * 1000 with 0.0 + warning on unparsable values.
-    val qtMs = expr("try_cast(trim(qt_raw) as double)") * 1.0e3
+    val qtMs = expr("try_cast(trim(coalesce(qt_m, '')) as double)") * 1.0e3
 
     // Only the first 200 chars of the raw entry survive the projection:
     // the single downstream consumer of entry text is the skip-warning's
@@ -117,23 +113,26 @@ object MySqlLogPipeline {
     // materialization (StageCache pins it per session, to DISK by
     // default) pay for bytes nothing reads (r16: the stage build was
     // the suite's costliest disk write).
-    val projected = matched.select(
+    val projected = found.select(
       col("file_id"), col("entry_no"), col("ord"),
-      substring(col("entry"), 1, 200).as("entry_snippet"), col("qt_raw"),
+      substring(col("entry"), 1, 200).as("entry_snippet"),
+      coalesce(col("qt_m"), lit("")).as("qt_raw"),
       allOk.as("all_ok"),
-      col("t_ok"), col("uh_ok"), col("qt_ok"), col("lt_ok"),
-      col("rs_ok"), col("re_ok"), col("q_ok"),
-      Normalizers.pyStrip(col("time_raw")).as("Time"),
-      Normalizers.pyStrip(col("uh_raw")).as("User@Host"),
+      col("time_s").isNotNull.as("t_ok"), col("uh_s").isNotNull.as("uh_ok"),
+      col("qt_m").isNotNull.as("qt_ok"), col("lt_s").isNotNull.as("lt_ok"),
+      col("rs_s").isNotNull.as("rs_ok"), col("re_s").isNotNull.as("re_ok"),
+      col("q_s").isNotNull.as("q_ok"),
+      coalesce(col("time_s"), lit("")).as("Time"),
+      coalesce(col("uh_s"), lit("")).as("User@Host"),
       coalesce(qtMs, lit(0.0)).as("Query_time (ms)"),
       qtMs.isNull.as("qt_bad"),
-      Normalizers.pyStrip(col("lt_raw")).as("Lock_time"),
-      Normalizers.pyStrip(col("rs_raw")).as("Rows_sent"),
-      Normalizers.pyStrip(col("re_raw")).as("Rows_examined"),
-      when(col("query_raw") === "", EmptyQueryPlaceholder)
-        .otherwise(col("query_raw")).as("Query"),
-      when(col("query_raw") === "", EmptyQueryPlaceholder)
-        .otherwise(Normalizers.normalizeMySqlQuery(col("query_raw"))).as("Normalized_Query"))
+      coalesce(col("lt_s"), lit("")).as("Lock_time"),
+      coalesce(col("rs_s"), lit("")).as("Rows_sent"),
+      coalesce(col("re_s"), lit("")).as("Rows_examined"),
+      when(coalesce(col("q_s"), lit("")) === "", EmptyQueryPlaceholder)
+        .otherwise(col("q_s")).as("Query"),
+      when(coalesce(col("q_s"), lit("")) === "", EmptyQueryPlaceholder)
+        .otherwise(col("q_norm")).as("Normalized_Query"))
     projected
   }
 
